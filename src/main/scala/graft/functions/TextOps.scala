@@ -1,0 +1,116 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, shingling, MinHash/SimHash signatures, language id,
+  * quality scoring, fingerprinting.
+  *
+  * Everything is a pure Catalyst column composition (codegen'd, distributed,
+  * no driver-side work) and — deliberately — reproducible in ANSI SQL so the
+  * DuckDB oracle can verify it:
+  *  - hashing is md5-based (identical hex output in both engines),
+  *  - MinHash uses the lexicographic MIN of md5 strings under k seeded
+  *    re-hashes (a valid min-wise permutation family),
+  *  - SimHash uses the 16 md5 nibbles of each token as 16 signed votes.
+  */
+object TextOps {
+
+  /** Whitespace tokenization, lowercased, empty tokens dropped.
+    * DuckDB twin: list_filter(string_split(lower(t), ' '), x -> x <> ''). */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), " "), t => t =!= "")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Word n-gram shingles as strings joined by ''. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    val idx = sequence(lit(1), greatest(size(toks) - (n - 1), lit(0)))
+    transform(idx, i => concat_ws("", slice(toks, i, lit(n))))
+  }
+
+  /** One MinHash signature element: min over shingles of md5(seed|shingle)
+    * (lexicographic min of hex strings). Null when no shingles. */
+  def minhashElem(shinglesCol: Column, seed: Int): Column =
+    array_min(transform(shinglesCol,
+      s => md5(concat_ws("|", lit(seed.toString), s))))
+
+  /** Full k-element MinHash signature (array<string>). */
+  def minhashSignature(shinglesCol: Column, k: Int): Column =
+    array((0 until k).map(i => minhashElem(shinglesCol, i)): _*)
+
+  /** LSH band key: hash of the band's slice of the signature, prefixed by
+    * the band index so different bands never collide. */
+  def bandKeys(signature: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      md5(concat_ws("|", lit(b.toString),
+        concat_ws(",", slice(signature, b * rowsPerBand + 1, rowsPerBand))))
+    }: _*)
+
+  /** 16-bit SimHash over tokens. Bit i (i=1..16, MSB first) is set when the
+    * sum over tokens of (+1 if nibble i of md5(token) ≥ 8 else −1) is > 0. */
+  def simhash16(text: Column): Column = {
+    val toks = tokens(text)
+    val bitVotes = transform(sequence(lit(1), lit(16)), i =>
+      aggregate(toks, lit(0), (acc, t) =>
+        acc + when(instr(lit("89abcdef"), substring(md5(t), i, lit(1))) > 0, 1)
+          .otherwise(-1)))
+    (0 until 16).map { i =>
+      when(element_at(bitVotes, i + 1) > 0, lit(1 << (15 - i))).otherwise(lit(0))
+    }.reduce(_ + _)
+  }
+
+  /** Hamming distance between two simhash16 values (bit-count of xor). */
+  def hamming16(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+
+  /** Stopword-vote language id over {en,fr,es,de,zh} — an n-gram/stopword
+    * heuristic chosen to be exactly reproducible in SQL: score(lang) =
+    * number of tokens that are in lang's marker list; argmax wins, ties
+    * broken by alphabetical lang code, no votes → 'und'. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "nicht", "ist", "ich", "ein", "mit", "von"),
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "it", "for", "with"),
+    "es" -> Seq("el", "la", "los", "las", "es", "en", "que", "por", "una", "para"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "dans", "que", "pour", "une", "des"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有", "和", "不", "人", "这"))
+
+  def langScores(text: Column): Seq[(String, Column)] = {
+    val toks = tokens(text)
+    langMarkers.map { case (lang, words) =>
+      lang -> size(filter(toks, t => t.isin(words.map(lit): _*)))
+    }
+  }
+
+  /** Argmax lang; langs visited in alphabetical order and replaced only on a
+    * strictly greater score, so ties keep the alphabetically-first lang;
+    * zero votes everywhere → 'und'. */
+  def langId(text: Column): Column =
+    langScores(text).foldLeft((lit("und"), lit(0))) {
+      case ((bestLang, bestScore), (lang, score)) =>
+        (when(score > bestScore, lit(lang)).otherwise(bestLang),
+          when(score > bestScore, score).otherwise(bestScore))
+    }._1
+
+  /** Quality score in [0,1]: mean of three simple signals —
+    * length signal  = least(n_chars,500)/500,
+    * stopword ratio = en-marker hits / tokens (clamped to 1, scaled ×5),
+    * short-token penalty inverse = tokens with len≥4 / tokens. */
+  def qualityScore(text: Column): Column = {
+    val toks = tokens(text)
+    val nTok = greatest(size(toks), lit(1)).cast("double")
+    val lenSig = least(length(text), lit(500)).cast("double") / 500.0
+    val stopHits = size(filter(toks,
+      t => t.isin(langMarkers.toMap.apply("en").map(lit): _*))).cast("double")
+    val stopSig = least(stopHits * 5.0 / nTok, lit(1.0))
+    val longSig = size(filter(toks, t => length(t) >= 4)).cast("double") / nTok
+    round((lenSig + stopSig + longSig) / 3.0, 6)
+  }
+
+  /** Document fingerprint: md5 of the normalized text (lowercased,
+    * whitespace collapsed to single spaces, trimmed) — the exact-dedup key. */
+  def fingerprint(text: Column): Column =
+    md5(trim(regexp_replace(lower(text), "\\s+", " ")))
+}
