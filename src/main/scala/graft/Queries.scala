@@ -159,13 +159,189 @@ object Queries {
     headline = true)
 
   // ---------------------------------------------------------------------------
+  // Venice read compute (SURVEY §2.1 R4–R10) over the embeddings table
+  // ---------------------------------------------------------------------------
+
+  /** Deterministic 64-dim request param vector; exact short decimals so the
+    * Scala literal and the SQL literal parse to identical doubles. */
+  private val pvec: Seq[Double] = (0 until 64).map(i => ((i * 37) % 19 - 9) / 10.0)
+  private val pvecSql: String =
+    pvec.map(_.toString).mkString("[", ",", "]") + "::DOUBLE[]"
+
+  /** R4 dotProduct: codegen'd zip_with+aggregate fold — no UDF, stays in
+    * WholeStageCodegen; DuckDB's list_dot_product is bit-identical. */
+  val r4Dot = QueryDef(
+    "r4_dotproduct",
+    (s, dir) => t(s, dir, "embeddings")
+      .select(col("vec_id"),
+        round(VectorOps.dotProduct(col("embedding"), pvec), 6).as("dot"))
+      .orderBy(col("vec_id")),
+    Some(s"""SELECT vec_id,
+             round(list_dot_product(embedding::DOUBLE[], $pvecSql), 6) AS dot
+             FROM embeddings ORDER BY vec_id"""),
+    headline = true)
+
+  /** R5 cosineSimilarity: dot/sqrt(‖v‖²·‖p‖²), param norm constant-folded. */
+  val r5Cosine = QueryDef(
+    "r5_cosine",
+    (s, dir) => t(s, dir, "embeddings")
+      .select(col("vec_id"),
+        round(VectorOps.cosineSimilarity(col("embedding"), pvec), 6).as("cos_sim"))
+      .orderBy(col("vec_id")),
+    Some(s"""SELECT vec_id,
+             round(list_dot_product(embedding::DOUBLE[], $pvecSql)
+               / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])
+                      * list_dot_product($pvecSql, $pvecSql)), 6) AS cos_sim
+             FROM embeddings ORDER BY vec_id"""))
+
+  /** R6 hadamardProduct: element-wise product array. */
+  val r6Hadamard = QueryDef(
+    "r6_hadamard",
+    (s, dir) => t(s, dir, "embeddings")
+      .select(col("vec_id"),
+        transform(VectorOps.hadamardProduct(col("embedding"), pvec),
+          x => round(x, 6) + lit(0.0)).as("hprod"))
+      .orderBy(col("vec_id")),
+    // `+ 0.0` normalizes IEEE −0.0 (engines differ in keeping the sign)
+    Some(s"""SELECT vec_id,
+             list_transform(list_zip(embedding::DOUBLE[], $pvecSql),
+               t -> round(t[1] * t[2], 6) + 0.0) AS hprod
+             FROM embeddings ORDER BY vec_id"""))
+
+  /** R7 count: collection size (null → −1, Venice's error default). */
+  val r7Count = QueryDef(
+    "r7_count",
+    (s, dir) => t(s, dir, "embeddings")
+      .select(col("vec_id"),
+        VectorOps.countElements(col("embedding")).as("n_elems"))
+      .orderBy(col("vec_id")),
+    Some("SELECT vec_id, len(embedding) AS n_elems FROM embeddings ORDER BY vec_id"))
+
+  /** R8 compute-request validation semantics: an op with a mismatched param
+    * length yields 0.0 plus an entry in the __veniceComputationError__ map
+    * (surfaced here as sorted keys + the message for hash-comparability). */
+  val r8ComputeErrors = QueryDef(
+    "r8_compute_errors",
+    (s, dir) => {
+      val errs = VectorOps.computationErrors(Seq(("dotProduct", col("embedding"), 32)))
+      t(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          round(VectorOps.dotProduct(col("embedding"),
+            (0 until 32).map(i => ((i * 37) % 19 - 9) / 10.0)), 6).as("dot_bad"),
+          array_join(array_sort(map_keys(errs)), ",").as("err_ops"),
+          element_at(errs, "dotProduct").as("err_msg"))
+        .orderBy(col("vec_id"))
+    },
+    Some("""SELECT vec_id, label, 0.0 AS dot_bad, 'dotProduct' AS err_ops,
+            'array length ' || len(embedding) || ' does not match param length 32' AS err_msg
+            FROM embeddings ORDER BY vec_id"""))
+
+  /** R9 prefix-predicate compute scan: filter on leading key field range +
+    * projection + computed field — min/max row-group pruning at scale. */
+  val r9Prefix = QueryDef(
+    "r9_prefix_scan",
+    (s, dir) => t(s, dir, "orders")
+      .filter(col("o_custkey") >= 100L && col("o_custkey") < 200L)
+      .select(col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice") * 100).cast("long").as("total_cents"),
+        when(col("o_orderpriority").startsWith("1") ||
+          col("o_orderpriority").startsWith("2"), "high")
+          .otherwise("low").as("priority_class"))
+      .orderBy(col("o_orderkey")),
+    Some("""SELECT o_orderkey, o_custkey,
+            CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents,
+            CASE WHEN o_orderpriority LIKE '1%' OR o_orderpriority LIKE '2%'
+                 THEN 'high' ELSE 'low' END AS priority_class
+            FROM orders WHERE o_custkey >= 100 AND o_custkey < 200
+            ORDER BY o_orderkey"""))
+
+  /** R10 predicate algebra: and/or/anyOf/comparisons — 1:1 Catalyst. */
+  val r10Predicates = QueryDef(
+    "r10_predicates",
+    (s, dir) => t(s, dir, "lineitem")
+      .filter((col("l_quantity") >= 30 && col("l_discount") < 0.05) ||
+        (col("l_returnflag") === "R" && col("l_suppkey").isin(1L, 3L, 5L)))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_returnflag"), col("l_suppkey"))
+      .orderBy(col("l_orderkey"), col("l_linenumber")),
+    Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag, l_suppkey
+            FROM lineitem
+            WHERE (l_quantity >= 30 AND l_discount < 0.05)
+               OR (l_returnflag = 'R' AND l_suppkey IN (1, 3, 5))
+            ORDER BY l_orderkey, l_linenumber"""))
+
+  // ---------------------------------------------------------------------------
+  // Venice write path continued (W5 LWW merge, B7 quota, B8 partitioner)
+  // ---------------------------------------------------------------------------
+
+  /** W5/W6 value-level CRDT merge: snapshot (events before Jan 15) merged
+    * with an update log (events after, 'error' type acting as DELETE).
+    * LWW on ts, delete-wins-on-equal-ts, deterministic tie-break. */
+  val w5Lww = QueryDef(
+    "w5_lww_merge",
+    (s, dir) => {
+      val ev = Tables.events(s, dir).select(
+        col("user_id"),
+        col("event_type"), col("value"),
+        unix_millis(col("ts")).as("ts_ms"),
+        (col("event_type") === "error").as("deleted"),
+        col("event_id"))
+      val cutoff = lit("2024-01-15 00:00:00").cast("timestamp")
+      val snapshot = ev.filter(unix_millis(cutoff) > col("ts_ms"))
+      val log = ev.filter(unix_millis(cutoff) <= col("ts_ms"))
+      val merged = graft.operators.Merge.lww(
+        snapshot, log, Seq("user_id"), col("ts_ms"), col("event_id"))
+      graft.operators.Merge.dropTombstones(merged)
+        .select(col("user_id"), col("event_type"), col("value"),
+          col("ts_ms"), col("event_id"))
+        .orderBy(col("user_id"))
+    },
+    Some("""SELECT user_id, event_type, value, ts_ms, event_id FROM (
+              SELECT user_id, event_type, value, epoch_ms(ts) AS ts_ms, event_id,
+                row_number() OVER (PARTITION BY user_id
+                  ORDER BY epoch_ms(ts) DESC,
+                           CASE WHEN event_type = 'error' THEN 1 ELSE 0 END DESC,
+                           event_id DESC) AS rn
+              FROM events)
+            WHERE rn = 1 AND event_type <> 'error'
+            ORDER BY user_id"""))
+
+  /** B7 storage-quota enforcement: total serialized key+value bytes
+    * (distributed sum, the single collected row is the quota verdict). */
+  val b7Quota = QueryDef(
+    "b7_quota",
+    (s, dir) => t(s, dir, "customer")
+      .agg(sum(octet_length(col("c_custkey").cast("string")) +
+        octet_length(col("c_name")) + octet_length(col("c_mktsegment")))
+        .as("total_bytes"),
+        count(lit(1)).as("n_records")),
+    Some("""SELECT sum(strlen(CAST(c_custkey AS VARCHAR))
+                 + strlen(c_name) + strlen(c_mktsegment)) AS total_bytes,
+            count(*) AS n_records FROM customer"""))
+
+  /** B8 Venice-style md5-mod partitioner: per-partition record counts
+    * (the partition+sort stage's audit; reproducible cross-engine). */
+  val b8Partition = QueryDef(
+    "b8_partition_counts",
+    (s, dir) => t(s, dir, "customer")
+      .select(HashOps.partitionId(col("c_custkey"), 16).as("partition_id"))
+      .groupBy(col("partition_id")).agg(count(lit(1)).as("n"))
+      .orderBy(col("partition_id")),
+    Some("""SELECT (('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15))::BIGINT % 16)::INT
+              AS partition_id, count(*) AS n
+            FROM customer GROUP BY 1 ORDER BY partition_id"""))
+
+  // ---------------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------------
 
   val all: Seq[QueryDef] = Seq(
     q1Agg, q3JoinTopk,
     r1Get, r2BatchGet, r3Project,
-    b3Ttl, b4Compaction)
+    r4Dot, r5Cosine, r6Hadamard, r7Count, r8ComputeErrors, r9Prefix,
+    r10Predicates,
+    b3Ttl, b4Compaction, b7Quota, b8Partition,
+    w5Lww)
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }
