@@ -1,0 +1,194 @@
+package graft.core
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{Compaction, Merge}
+
+/** The engine facade: a catalog of versioned, keyed stores — the Spark-native
+  * re-expression of Venice's store/version/hybrid model (SURVEY §1.1).
+  *
+  * A store is a directory tree:
+  * {{{
+  *   root/<store>/v=N/           immutable Parquet snapshot (a "version")
+  *   root/<store>/log/           append-only upsert log (PUT/DELETE rows)
+  *   root/<store>/CURRENT        atomic current-version pointer
+  * }}}
+  *
+  * Reference concepts (not code): store (meta/Store.java), version swap
+  * (VenicePushJob.java:885-892,980), hybrid batch+RT overlay
+  * (HybridStoreConfig.java), changelog consumer
+  * (VeniceChangelogConsumer.java:19-166).
+  *
+  * Scale posture: all operations are DataFrame plans — point reads are
+  * pruned scans, batchGet is a broadcast semi-join, the serving view is a
+  * union + single keyed shuffle. Nothing collects to the driver except
+  * explicit `get`.
+  */
+final case class StoreMeta(name: String, keyCols: Seq[String])
+
+class GraftEngine(val spark: SparkSession, val root: String) {
+  import GraftEngine._
+
+  private def dir(parts: String*): String =
+    (Seq(root) ++ parts).mkString("/")
+
+  // ---- catalog -------------------------------------------------------------
+
+  def createStore(name: String, keyCols: Seq[String]): StoreMeta = {
+    Files.createDirectories(Paths.get(dir(name)))
+    Files.writeString(Paths.get(dir(name, "KEYS")), keyCols.mkString(","))
+    StoreMeta(name, keyCols)
+  }
+
+  def storeMeta(name: String): StoreMeta =
+    StoreMeta(name,
+      Files.readString(Paths.get(dir(name, "KEYS"))).split(",").toSeq)
+
+  def currentVersion(name: String): Int = {
+    val p = Paths.get(dir(name, "CURRENT"))
+    if (Files.exists(p)) Files.readString(p).trim.toInt else 0
+  }
+
+  /** Atomic pointer flip (same-directory move): the version-swap step. */
+  private def setCurrentVersion(name: String, v: Int): Unit = {
+    val tmp = Paths.get(dir(name, s".CURRENT.tmp"))
+    Files.writeString(tmp, v.toString)
+    Files.move(tmp, Paths.get(dir(name, "CURRENT")),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  // ---- batch push (VPJ analog: B1→B4→B8→B9) --------------------------------
+
+  /** Push a full dataset as a new immutable version, then swap the pointer.
+    * Dedups on key (last row wins by input order surrogate), partitions by
+    * the Venice-style md5-mod bucket so point lookups prune files. */
+  def push(name: String, df: DataFrame, numBuckets: Int = 16): Int = {
+    val meta = storeMeta(name)
+    val v = currentVersion(name) + 1
+    val keyed = df.dropDuplicates(meta.keyCols)
+    val bucketed = keyed.withColumn(BucketCol,
+      graft.functions.HashOps.partitionId(
+        concat_ws("|", meta.keyCols.map(col): _*), numBuckets))
+    bucketed
+      .repartition(numBuckets, col(BucketCol))
+      .sortWithinPartitions(meta.keyCols.map(col): _*)
+      .write.mode("overwrite")
+      .partitionBy(BucketCol)
+      .parquet(dir(name, s"v=$v"))
+    setCurrentVersion(name, v)
+    v
+  }
+
+  def snapshot(name: String, version: Option[Int] = None): DataFrame = {
+    val v = version.getOrElse(currentVersion(name))
+    require(v > 0, s"store $name has no pushed version")
+    spark.read.parquet(dir(name, s"v=$v")).drop(BucketCol)
+  }
+
+  // ---- read path (R1/R2/R3) ------------------------------------------------
+
+  /** Point lookup. The bucket predicate prunes to one partition dir. */
+  def get(name: String, key: Seq[Any]): Option[org.apache.spark.sql.Row] = {
+    val meta = storeMeta(name)
+    val pred = meta.keyCols.zip(key)
+      .map { case (c, k) => col(c) === lit(k) }.reduce(_ && _)
+    servingView(name).filter(pred).limit(1).collect().headOption
+  }
+
+  /** batchGet: broadcast-hash left-semi join; missing keys omitted. */
+  def batchGet(name: String, keys: DataFrame): DataFrame = {
+    val meta = storeMeta(name)
+    servingView(name).join(broadcast(keys), meta.keyCols, "left_semi")
+  }
+
+  def compute(name: String): ComputeBuilder =
+    new ComputeBuilder(servingView(name), storeMeta(name).keyCols)
+
+  // ---- write path (W1: upsert log) -----------------------------------------
+
+  /** Append PUT rows to the RT log. Rows must carry the value columns. */
+  def put(name: String, rows: DataFrame, tsMs: Long): Unit =
+    appendLog(name, rows, tsMs, deleted = false)
+
+  /** Append DELETE tombstones (key columns only needed). */
+  def delete(name: String, keys: DataFrame, tsMs: Long): Unit =
+    appendLog(name, keys, tsMs, deleted = true)
+
+  private def conformToValueSchema(df: DataFrame, tpl: DataFrame): DataFrame = {
+    val have = df.columns.toSet
+    val withMissing = tpl.schema.fields.foldLeft(df) { (d, f) =>
+      if (have(f.name)) d
+      else d.withColumn(f.name, lit(null).cast(f.dataType))
+    }
+    withMissing.select(tpl.schema.fieldNames.map(col): _*)
+  }
+
+  private def appendLog(name: String, rows: DataFrame, tsMs: Long,
+      deleted: Boolean): Unit = {
+    val tpl = snapshot(name).limit(0)
+    conformToValueSchema(rows, tpl)
+      .withColumn(TsCol, lit(tsMs))
+      .withColumn(DeletedCol, lit(deleted))
+      .write.mode("append").parquet(dir(name, "log"))
+  }
+
+  private def hasLog(name: String): Boolean = {
+    val p = Paths.get(dir(name, "log"))
+    Files.exists(p) && Files.list(p).findFirst.isPresent
+  }
+
+  /** The hybrid-store read view: snapshot outer-merged with the RT log,
+    * LWW per key with delete-wins tie-break (W5/W6). */
+  def servingView(name: String): DataFrame = {
+    val snap = snapshot(name)
+      .withColumn(TsCol, lit(0L)).withColumn(DeletedCol, lit(false))
+    val merged =
+      if (!hasLog(name)) snap
+      else {
+        val meta = storeMeta(name)
+        val log = spark.read.parquet(dir(name, "log"))
+        Merge.lww(snap, log, meta.keyCols, col(TsCol),
+          concat_ws("|", snap.columns.filterNot(Set(TsCol, DeletedCol))
+            .map(c => col(c).cast("string")): _*), col(DeletedCol))
+      }
+    Merge.dropTombstones(merged, col(DeletedCol)).drop(TsCol, DeletedCol)
+  }
+
+  // ---- CDC (S4) ------------------------------------------------------------
+
+  /** After-image change stream since a timestamp (checkpoint = max ts seen). */
+  def changelog(name: String, sinceTsMs: Long): DataFrame = {
+    require(hasLog(name), s"store $name has no RT log")
+    spark.read.parquet(dir(name, "log")).filter(col(TsCol) >= sinceTsMs)
+  }
+
+  // ---- repush (B3/B4: TTL + compaction into a new version) -----------------
+
+  /** Compact snapshot+log into a fresh version (optionally TTL-filtering
+    * log entries older than ttlStartMs), then swap. The Venice "repush". */
+  def repush(name: String, ttlStartMs: Option[Long] = None): Int = {
+    val meta = storeMeta(name)
+    val snap = snapshot(name)
+      .withColumn(TsCol, lit(0L)).withColumn(DeletedCol, lit(false))
+    val merged = if (!hasLog(name)) snap else {
+      val log0 = spark.read.parquet(dir(name, "log"))
+      val log = ttlStartMs match {
+        case Some(t0) => log0.filter(col(TsCol) >= t0 || col(DeletedCol))
+        case None => log0
+      }
+      Merge.lww(snap, log, meta.keyCols, col(TsCol),
+        concat_ws("|", snap.columns.filterNot(Set(TsCol, DeletedCol))
+          .map(c => col(c).cast("string")): _*), col(DeletedCol))
+    }
+    val compacted = Merge.dropTombstones(merged, col(DeletedCol))
+      .drop(TsCol, DeletedCol)
+    push(name, compacted)
+  }
+}
+
+object GraftEngine {
+  val BucketCol = "__bucket"
+  val TsCol = "__ts_ms"
+  val DeletedCol = "__deleted"
+}

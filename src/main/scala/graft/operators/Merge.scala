@@ -26,13 +26,15 @@ object Merge {
     * pass a deterministic rendering of the value columns.
     */
   def lww(snapshot: DataFrame, log: DataFrame, keys: Seq[String],
-      tsCol: Column, tieBreak: Column): DataFrame = {
+      tsCol: Column, tieBreak: Column,
+      deletedCol: Column = col("deleted")): DataFrame = {
     val all = snapshot.unionByName(log)
     // delete-wins-on-equal-ts: rank deletes above puts at the same ts
     Compaction.latestPerKey(all, keys,
-      Seq(tsCol, col("deleted").cast("int"), tieBreak))
+      Seq(tsCol, deletedCol.cast("int"), tieBreak))
   }
 
-  def dropTombstones(merged: DataFrame): DataFrame =
-    merged.filter(!col("deleted"))
+  def dropTombstones(merged: DataFrame,
+      deletedCol: Column = col("deleted")): DataFrame =
+    merged.filter(!deletedCol)
 }

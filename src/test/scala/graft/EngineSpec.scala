@@ -1,0 +1,113 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.{GraftEngine, GraftSession, Tables}
+
+class EngineSpec extends AnyFunSuite {
+  lazy val spark = GraftSession.build(cpus = 4, appName = "engine-spec")
+  lazy val sf = "/root/testdata/sf0.001"
+  lazy val root = Files.createTempDirectory("graft-engine").toString
+  lazy val engine = new GraftEngine(spark, root)
+
+  test("push + snapshot + version swap") {
+    engine.createStore("customer", Seq("c_custkey"))
+    val v1 = engine.push("customer", Tables.customer(spark, sf))
+    assert(v1 == 1)
+    assert(engine.snapshot("customer").count() == 150)
+    val v2 = engine.push("customer", Tables.customer(spark, sf).limit(100))
+    assert(v2 == 2 && engine.currentVersion("customer") == 2)
+    assert(engine.snapshot("customer").count() == 100)
+    assert(engine.snapshot("customer", Some(1)).count() == 150) // time travel
+  }
+
+  test("get finds exactly the keyed row") {
+    engine.createStore("cust2", Seq("c_custkey"))
+    engine.push("cust2", Tables.customer(spark, sf))
+    val row = engine.get("cust2", Seq(42L))
+    assert(row.isDefined)
+    assert(row.get.getAs[Long]("c_custkey") == 42L)
+    assert(engine.get("cust2", Seq(-1L)).isEmpty)
+  }
+
+  test("batchGet omits missing keys") {
+    import spark.implicits._
+    val keys = Seq(1L, 2L, 9999L).toDF("c_custkey")
+    val got = engine.batchGet("cust2", keys)
+    assert(got.count() == 2)
+  }
+
+  test("put/delete overlay via serving view + changelog + repush") {
+    import spark.implicits._
+    engine.createStore("cust3", Seq("c_custkey"))
+    engine.push("cust3", Tables.customer(spark, sf))
+    // overwrite key 1, delete key 2, insert new key 9001
+    val updates = Seq((1L, "UPDATED", 0, 0.0, "BUILDING"),
+      (9001L, "NEW", 0, 0.0, "BUILDING"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    engine.put("cust3", updates, tsMs = 1000L)
+    engine.delete("cust3", Seq(2L).toDF("c_custkey"), tsMs = 2000L)
+    val view = engine.servingView("cust3")
+    assert(view.count() == 150) // 150 - 1 deleted + 1 new
+    assert(view.filter($"c_custkey" === 1L).select("c_name")
+      .head().getString(0) == "UPDATED")
+    assert(view.filter($"c_custkey" === 2L).count() == 0)
+    assert(view.filter($"c_custkey" === 9001L).count() == 1)
+    // CDC since ts: only the delete
+    assert(engine.changelog("cust3", 1500L).count() == 1)
+    // repush folds log into a new immutable version
+    val v = engine.repush("cust3")
+    assert(v == 2)
+    assert(engine.snapshot("cust3").count() == 150)
+    assert(engine.snapshot("cust3").filter($"c_custkey" === 2L).count() == 0)
+  }
+
+  test("LWW: put then older put loses, delete-wins on tie") {
+    import spark.implicits._
+    engine.createStore("cust4", Seq("c_custkey"))
+    engine.push("cust4", Tables.customer(spark, sf))
+    val upd = (name: String) => Seq((5L, name, 0, 0.0, "X"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    engine.put("cust4", upd("NEWER"), tsMs = 2000L)
+    engine.put("cust4", upd("OLDER"), tsMs = 1000L)
+    assert(engine.servingView("cust4").filter($"c_custkey" === 5L)
+      .select("c_name").head().getString(0) == "NEWER")
+    engine.delete("cust4", Seq(5L).toDF("c_custkey"), tsMs = 2000L)
+    assert(engine.servingView("cust4").filter($"c_custkey" === 5L).count() == 0)
+  }
+
+  test("compute builder: project + ops + error map + validation") {
+    import spark.implicits._
+    engine.createStore("emb", Seq("vec_id"))
+    engine.push("emb", Tables.embeddings(spark, sf))
+    val p = (0 until 64).map(i => ((i * 37) % 19 - 9) / 10.0)
+    val out = engine.compute("emb")
+      .project("label")
+      .dotProduct("embedding", p, "dot")
+      .cosineSimilarity("embedding", p, "cos")
+      .count("embedding", "n")
+      .withFilter($"vec_id" < 10)
+      .execute()
+    assert(out.columns.toSeq ==
+      Seq("vec_id", "label", "dot", "cos", "n", "__veniceComputationError__"))
+    assert(out.count() == 10)
+    assert(out.filter(size(map_keys($"__veniceComputationError__")) > 0)
+      .count() == 0)
+    // mismatched param length → 0.0 + error entry (Venice semantics)
+    val bad = engine.compute("emb")
+      .dotProduct("embedding", Seq(1.0, 2.0), "dot")
+      .withFilter($"vec_id" === 0).execute()
+    val r = bad.head()
+    assert(r.getAs[Double]("dot") == 0.0)
+    assert(r.getAs[Map[String, String]]("__veniceComputationError__")
+      .contains("dot"))
+    // validation failures
+    intercept[IllegalArgumentException] {
+      engine.compute("emb").dotProduct("nope", p, "x").execute()
+    }
+    intercept[IllegalArgumentException] {
+      engine.compute("emb").dotProduct("label", p, "x").execute()
+    }
+  }
+}
