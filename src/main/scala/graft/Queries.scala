@@ -332,6 +332,233 @@ object Queries {
             FROM customer GROUP BY 1 ORDER BY partition_id"""))
 
   // ---------------------------------------------------------------------------
+  // Training-data pipeline: dedup family, similarity search, text analysis
+  // ---------------------------------------------------------------------------
+
+  private val tokensSql =
+    "list_filter(string_split(lower(text), ' '), x -> x <> '')"
+  private def shinglesSql(toks: String) =
+    s"list_distinct(list_transform(range(1, greatest(len($toks)-1, 1)), " +
+      s"i -> $toks[i] || $toks[i+1] || $toks[i+2]))"
+
+  /** Exact dedup: group on the normalized-text md5 fingerprint. */
+  val dedupExact = QueryDef(
+    "dedup_exact",
+    (s, dir) => graft.operators.Dedup.exact(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy(col("fingerprint")),
+    Some("""SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
+            min(doc_id) AS keep_id, count(*) AS copies
+            FROM documents GROUP BY 1 ORDER BY fingerprint"""))
+
+  /** MinHash (k=8) + LSH (4 bands × 2 rows) candidates, verified with exact
+    * 3-gram Jaccard ≥ 0.5. Candidate generation is an equi-join on band
+    * keys — the 100 TB-safe shape. */
+  val dedupMinhash = QueryDef(
+    "dedup_minhash_lsh",
+    (s, dir) => {
+      val sh = graft.operators.Dedup.shingleSets(t(s, dir, "documents"), "doc_id", "text", 3)
+      val cand = graft.operators.Dedup.minhashCandidates(sh, k = 8, bands = 4)
+      graft.operators.Dedup.jaccardVerify(cand, sh, 0.5)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some(s"""WITH sh AS (
+               SELECT doc_id AS id, ${shinglesSql("t")} AS shingles
+               FROM (SELECT doc_id, $tokensSql AS t FROM documents)),
+             sh2 AS (SELECT id, shingles FROM sh WHERE len(shingles) > 0),
+             sig AS (SELECT id, [
+               list_min(list_transform(shingles, s -> md5('0|' || s))),
+               list_min(list_transform(shingles, s -> md5('1|' || s))),
+               list_min(list_transform(shingles, s -> md5('2|' || s))),
+               list_min(list_transform(shingles, s -> md5('3|' || s))),
+               list_min(list_transform(shingles, s -> md5('4|' || s))),
+               list_min(list_transform(shingles, s -> md5('5|' || s))),
+               list_min(list_transform(shingles, s -> md5('6|' || s))),
+               list_min(list_transform(shingles, s -> md5('7|' || s)))] AS sig
+               FROM sh2),
+             bk AS (SELECT id, unnest([
+               md5('0|' || sig[1] || ',' || sig[2]),
+               md5('1|' || sig[3] || ',' || sig[4]),
+               md5('2|' || sig[5] || ',' || sig[6]),
+               md5('3|' || sig[7] || ',' || sig[8])]) AS bandkey FROM sig),
+             cand AS (SELECT DISTINCT l.id AS id_a, r.id AS id_b
+               FROM bk l JOIN bk r ON l.bandkey = r.bandkey AND l.id < r.id),
+             j AS (SELECT id_a, id_b,
+                 len(list_intersect(a.shingles, b.shingles)) AS inter,
+                 len(a.shingles) AS na, len(b.shingles) AS nb
+               FROM cand JOIN sh2 a ON a.id = cand.id_a
+                         JOIN sh2 b ON b.id = cand.id_b)
+             SELECT id_a, id_b,
+               round(inter::DOUBLE / (na + nb - inter), 6) AS jaccard
+             FROM j WHERE inter::DOUBLE / (na + nb - inter) >= 0.5
+             ORDER BY id_a, id_b"""),
+    headline = true)
+
+  /** SimHash near-dups: 16-bit signature, 2×8-bit bands, Hamming ≤ 1. */
+  val dedupSimhash = QueryDef(
+    "dedup_simhash",
+    (s, dir) => graft.operators.Dedup.simhashPairs(
+      t(s, dir, "documents").filter(size(TextOps.tokens(col("text"))) > 0),
+      "doc_id", "text")
+      .orderBy(col("id_a"), col("id_b")),
+    Some(s"""WITH toks AS (SELECT doc_id AS id, unnest($tokensSql) AS tk
+               FROM documents WHERE len($tokensSql) > 0),
+             votes AS (SELECT id, i.i AS i,
+                 sum(CASE WHEN strpos('89abcdef', substr(md5(tk), i.i::INT, 1)) > 0
+                     THEN 1 ELSE -1 END) AS v
+               FROM toks, (SELECT unnest(range(1, 17)) AS i) i GROUP BY id, i.i),
+             sh AS (SELECT id,
+                 sum(CASE WHEN v > 0 THEN (1 << (16 - i))::INT ELSE 0 END)::INT AS simhash
+               FROM votes GROUP BY id),
+             banded AS (SELECT id, simhash, unnest([
+                 'hi:' || (simhash // 256)::VARCHAR,
+                 'lo:' || (simhash % 256)::VARCHAR]) AS bandkey FROM sh),
+             cand AS (SELECT DISTINCT l.id AS id_a, r.id AS id_b,
+                 bit_count(xor(l.simhash::BIGINT, r.simhash::BIGINT))::INT AS hamming
+               FROM banded l JOIN banded r ON l.bandkey = r.bandkey AND l.id < r.id)
+             SELECT id_a, id_b, hamming FROM cand WHERE hamming <= 1
+             ORDER BY id_a, id_b"""))
+
+  /** Exact n-gram Jaccard via shared-shingle inverted index (no cross join). */
+  val dedupNgram = QueryDef(
+    "dedup_ngram_jaccard",
+    (s, dir) => graft.operators.Dedup.ngramJaccardPairs(
+      graft.operators.Dedup.shingleSets(t(s, dir, "documents"), "doc_id", "text", 3), 0.5)
+      .orderBy(col("id_a"), col("id_b")),
+    Some(s"""WITH sh AS (
+               SELECT doc_id AS id, ${shinglesSql("t")} AS shingles
+               FROM (SELECT doc_id, $tokensSql AS t FROM documents)),
+             sized AS (SELECT id, shingles, len(shingles) AS n FROM sh WHERE len(shingles) > 0),
+             posts AS (SELECT id, n, unnest(shingles) AS sh FROM sized),
+             shared AS (SELECT l.id AS id_a, r.id AS id_b, l.n AS n_a, r.n AS n_b,
+                 count(*) AS inter
+               FROM posts l JOIN posts r ON l.sh = r.sh AND l.id < r.id
+               GROUP BY 1, 2, 3, 4)
+             SELECT id_a, id_b,
+               round(inter::DOUBLE / (n_a + n_b - inter), 6) AS jaccard
+             FROM shared WHERE inter::DOUBLE / (n_a + n_b - inter) >= 0.5
+             ORDER BY id_a, id_b"""))
+
+  /** Embedding near-dup pairs: cosine ≥ 0.4 (testdata max ≈ 0.51). */
+  val dedupEmbedding = QueryDef(
+    "dedup_embedding",
+    (s, dir) => graft.operators.Similarity.cosinePairs(
+      t(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding").as("vec")),
+      0.4).orderBy(col("id_a"), col("id_b")),
+    Some("""WITH c AS (SELECT vec_id AS id, embedding FROM embeddings)
+            SELECT id_a, id_b, sim FROM (
+              SELECT a.id AS id_a, b.id AS id_b,
+                round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                  / sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])
+                       * list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])), 6) + 0.0 AS sim
+              FROM c a JOIN c b ON a.id < b.id)
+            WHERE sim >= 0.4 ORDER BY id_a, id_b"""))
+
+  /** Brute-force cosine top-10 for 5 query vectors (the exact-ANN baseline;
+    * the LSH-bucketed scale path is ann_lsh, verified by recall test). */
+  val annTopk = QueryDef(
+    "ann_topk",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      graft.operators.Similarity.bruteForceTopK(corpus, queries, 10)
+        .orderBy(col("qid"), col("rank"))
+    },
+    Some("""WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 5),
+            c AS (SELECT vec_id AS id, embedding AS vec FROM embeddings)
+            SELECT qid, rank, id, sim FROM (
+              SELECT qid, id, sim,
+                row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id) AS rank
+              FROM (SELECT qid, id,
+                  round(list_dot_product(vec::DOUBLE[], qvec::DOUBLE[])
+                    / sqrt(list_dot_product(vec::DOUBLE[], vec::DOUBLE[])
+                         * list_dot_product(qvec::DOUBLE[], qvec::DOUBLE[])), 6) + 0.0 AS sim
+                FROM c, q WHERE id <> qid))
+            WHERE rank <= 10 ORDER BY qid, rank"""),
+    headline = true)
+
+  /** LSH-bucketed ANN (scale path): no SQL oracle — recall is asserted
+    * against the brute-force baseline in PipelineSpec. */
+  val annLsh = QueryDef(
+    "ann_lsh",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      graft.operators.Similarity.lshTopK(corpus, queries, 10, bits = 4)
+        .orderBy(col("qid"), col("rank"))
+    },
+    None)
+
+  /** Language id + token count + quality score, all SQL-reproducible. */
+  val textStats = QueryDef(
+    "text_stats",
+    (s, dir) => t(s, dir, "documents")
+      .select(col("doc_id"),
+        TextOps.tokenCount(col("text")).as("n_tokens"),
+        TextOps.langId(col("text")).as("lang_pred"),
+        TextOps.qualityScore(col("text")).as("quality"))
+      .orderBy(col("doc_id")),
+    Some(s"""WITH base AS (SELECT doc_id, text, $tokensSql AS toks FROM documents),
+             s AS (SELECT doc_id,
+               len(toks) AS n_tokens,
+               len(list_filter(toks, t -> list_contains(['der','die','das','und','nicht','ist','ich','ein','mit','von'], t))) AS s_de,
+               len(list_filter(toks, t -> list_contains(['the','and','of','to','is','in','that','it','for','with'], t))) AS s_en,
+               len(list_filter(toks, t -> list_contains(['el','la','los','las','es','en','que','por','una','para'], t))) AS s_es,
+               len(list_filter(toks, t -> list_contains(['le','la','les','et','est','dans','que','pour','une','des'], t))) AS s_fr,
+               len(list_filter(toks, t -> list_contains(['的','是','了','在','我','有','和','不','人','这'], t))) AS s_zh,
+               length(text) AS n_chars,
+               len(list_filter(toks, t -> length(t) >= 4)) AS n_long
+               FROM base)
+             SELECT doc_id, n_tokens,
+               CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+                    WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
+                    WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+                    WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+                    WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+                    ELSE 'zh' END AS lang_pred,
+               round((least(n_chars, 500)::DOUBLE / 500.0
+                    + least(s_en::DOUBLE * 5.0 / greatest(n_tokens, 1)::DOUBLE, 1.0)
+                    + n_long::DOUBLE / greatest(n_tokens, 1)::DOUBLE) / 3.0, 6) AS quality
+             FROM s ORDER BY doc_id"""),
+    headline = true)
+
+  /** W8 update-record squash analog: per-key set-union of pending values
+    * (sorted for determinism) + W12 exact distinct count. */
+  val w8Squash = QueryDef(
+    "w8_squash_sets",
+    (s, dir) => Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(array_sort(collect_set(col("event_type"))).as("event_types"),
+        countDistinct(col("event_id")).as("n_events"))
+      .orderBy(col("user_id")),
+    Some("""SELECT user_id, list_sort(list(DISTINCT event_type)) AS event_types,
+            count(DISTINCT event_id) AS n_events
+            FROM events GROUP BY user_id ORDER BY user_id"""))
+
+  /** W13 hot-key profile: exact top hot keys (CMS estimate is library-side). */
+  val w13HotKeys = QueryDef(
+    "w13_hot_keys",
+    (s, dir) => Tables.events(s, dir)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("user_id")).limit(5),
+    Some("""SELECT user_id, count(*) AS n FROM events GROUP BY user_id
+            ORDER BY n DESC, user_id LIMIT 5"""))
+
+  /** W12 HLL cardinality sketch: approx_count_distinct at Venice's ~1.15%
+    * rsd (lgK=13 analog). No DuckDB oracle (different sketch impl) —
+    * rows-only check; accuracy asserted in PipelineSpec. */
+  val w12Hll = QueryDef(
+    "w12_hll_distinct",
+    (s, dir) => Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), 0.0115).as("approx_users"))
+      .orderBy(col("event_type")),
+    None)
+
+  // ---------------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------------
 
@@ -341,7 +568,9 @@ object Queries {
     r4Dot, r5Cosine, r6Hadamard, r7Count, r8ComputeErrors, r9Prefix,
     r10Predicates,
     b3Ttl, b4Compaction, b7Quota, b8Partition,
-    w5Lww)
+    w5Lww, w8Squash, w12Hll, w13HotKeys,
+    dedupExact, dedupMinhash, dedupSimhash, dedupNgram, dedupEmbedding,
+    annTopk, annLsh, textStats)
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }

@@ -24,11 +24,14 @@ object TextOps {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
-  /** Word n-gram shingles as strings joined by ''. */
+  /** Word n-gram shingles as strings joined by ''. */
   def shingles(text: Column, n: Int): Column = {
     val toks = tokens(text)
-    val idx = sequence(lit(1), greatest(size(toks) - (n - 1), lit(0)))
-    transform(idx, i => concat_ws("", slice(toks, i, lit(n))))
+    // guard: Spark's sequence(1,0) counts DOWN, so short docs need an
+    // explicit empty-array branch
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws("", slice(toks, i, lit(n)))))
   }
 
   /** One MinHash signature element: min over shingles of md5(seed|shingle)

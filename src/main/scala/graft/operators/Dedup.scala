@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextOps
+
+/** Document deduplication for training-data pipelines: exact, MinHash+LSH,
+  * SimHash, and n-gram-Jaccard near-dup detection.
+  *
+  * Everything is hash-join shaped (no cross joins): candidate generation is
+  * an equi-join on bucket keys (LSH bands / simhash bands / shared shingles),
+  * so the work scales with bucket sizes, not n². All hashing is md5-based and
+  * reproducible in the DuckDB oracle.
+  */
+object Dedup {
+
+  /** Exact dedup on the normalized-text fingerprint: one shuffle on the
+    * 128-bit fingerprint; keeper = min id (deterministic). */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(TextOps.fingerprint(col(textCol)).as("fingerprint"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("copies"))
+
+  /** Distinct word-n-gram shingle set per doc (the Jaccard universe). */
+  def shingleSets(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+      array_distinct(TextOps.shingles(col(textCol), n)).as("shingles"))
+
+  /** MinHash-LSH candidate pairs: signature of k md5-min hashes, banded into
+    * `bands` groups; docs sharing any band key become a candidate pair.
+    * Pair enumeration is an equi-join on the band key. */
+  def minhashCandidates(shingled: DataFrame, k: Int, bands: Int): DataFrame = {
+    require(k % bands == 0, "k must divide into bands")
+    val rows = k / bands
+    val sig = shingled
+      .filter(size(col("shingles")) > 0)
+      .select(col("id"),
+        TextOps.bandKeys(TextOps.minhashSignature(col("shingles"), k),
+          bands, rows).as("bandkeys"))
+      .select(col("id"), explode(col("bandkeys")).as("bandkey"))
+    val l = sig.as("l"); val r = sig.as("r")
+    l.join(r, col("l.bandkey") === col("r.bandkey") &&
+        col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .distinct()
+  }
+
+  /** Exact Jaccard for candidate pairs (verification step after LSH). */
+  def jaccardVerify(candidates: DataFrame, shingled: DataFrame,
+      minJaccard: Double): DataFrame = {
+    val a = shingled.select(col("id").as("id_a"), col("shingles").as("sh_a"))
+    val b = shingled.select(col("id").as("id_b"), col("shingles").as("sh_b"))
+    candidates.join(a, "id_a").join(b, "id_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** SimHash near-dup pairs with Hamming distance ≤ 1 over the 16-bit
+    * signature. Two 8-bit bands: distance ≤ 1 guarantees one intact band
+    * (pigeonhole), so the band equi-join finds every qualifying pair. */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+      TextOps.simhash16(col(textCol)).as("simhash"))
+    val banded = sh.select(col("id"), col("simhash"),
+      explode(array(
+        concat(lit("hi:"), (col("simhash") / 256).cast("int").cast("string")),
+        concat(lit("lo:"), (col("simhash") % 256).cast("string")))).as("bandkey"))
+    val l = banded.as("l"); val r = banded.as("r")
+    l.join(r, col("l.bandkey") === col("r.bandkey") &&
+        col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+        TextOps.hamming16(col("l.simhash"), col("r.simhash")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 1)
+  }
+
+  /** n-gram-Jaccard pairs via a shared-shingle inverted index: explode
+    * distinct shingles, equi-join on the shingle, count shared shingles per
+    * pair, then Jaccard. At 100 TB, cap postings-list length (stop-shingle
+    * removal) or route through [[minhashCandidates]] first. */
+  def ngramJaccardPairs(shingled: DataFrame, minJaccard: Double): DataFrame = {
+    val sized = shingled.filter(size(col("shingles")) > 0)
+      .select(col("id"), col("shingles"), size(col("shingles")).as("n"))
+    val posts = sized.select(col("id"), col("n"),
+      explode(col("shingles")).as("sh"))
+    val l = posts.as("l"); val r = posts.as("r")
+    val shared = l.join(r, col("l.sh") === col("r.sh") &&
+        col("l.id") < col("r.id"))
+      .groupBy(col("l.id").as("id_a"), col("r.id").as("id_b"),
+        col("l.n").as("n_a"), col("r.n").as("n_b"))
+      .agg(count(lit(1)).as("inter"))
+    shared
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("n_a") + col("n_b") - col("inter")))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+}

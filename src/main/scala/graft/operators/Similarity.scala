@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.{HashOps, VectorOps}
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Baseline: brute-force cosine top-k (broadcast the query set, scan the
+  * corpus once, rank per query — exact, scales linearly in corpus size).
+  * Scale path: random-hyperplane LSH — md5-seeded ±1 hyperplanes give every
+  * vector a small bucket code; candidates come from an equi-join on the
+  * code, cutting the scanned fraction to ~1/2^bits per probe.
+  */
+object Similarity {
+
+  /** Exact cosine top-k per query vector.
+    * queries: (qid, qvec); corpus: (id, vec). Ranking uses the rounded
+    * similarity + id so ties are deterministic across engines. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      excludeSelf: Boolean = true): DataFrame = {
+    val joined = corpus.crossJoin(broadcast(queries))
+      .withColumn("sim",
+        round(VectorOps.cosineCols(col("vec"), col("qvec")), 6) + lit(0.0))
+    val base = if (excludeSelf) joined.filter(col("id") =!= col("qid")) else joined
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("id"))
+    base.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("id"), col("sim"))
+  }
+
+  /** md5-seeded ±1 hyperplane: component d of plane j is +1 when the md5
+    * nibble of "j|d" is ≥ 8. Deterministic, engine-independent. */
+  private def planeSign(j: Int, d: Column): Column =
+    when(instr(lit("89abcdef"),
+      substring(md5(concat(lit(s"$j|"), d.cast("string"))), lit(1), lit(1))) > 0,
+      lit(1.0)).otherwise(lit(-1.0))
+
+  /** LSH bucket code from `bits` hyperplanes: bit j = sign(dot(v, h_j)). */
+  def lshCode(vec: Column, bits: Int): Column = {
+    val dots = (0 until bits).map { j =>
+      // dot(v, h_j) as a fold over (value, index) pairs
+      aggregate(
+        zip_with(vec.cast("array<double>"),
+          sequence(lit(0), size(vec) - 1),
+          (x, d) => x * planeSign(j, d)),
+        lit(0.0), (acc, x) => acc + x)
+    }
+    dots.zipWithIndex.map { case (dp, j) =>
+      when(dp > 0, lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ + _)
+  }
+
+  /** Bucketed ANN: candidates share the query's LSH code, then exact cosine
+    * top-k within the bucket. Trades recall for a ~2^bits scan reduction. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      bits: Int): DataFrame = {
+    val codedCorpus = corpus.withColumn("code", lshCode(col("vec"), bits))
+    val codedQueries = queries.withColumn("qcode", lshCode(col("qvec"), bits))
+    val joined = codedCorpus
+      .join(broadcast(codedQueries), col("code") === col("qcode"))
+      .filter(col("id") =!= col("qid"))
+      .withColumn("sim",
+        round(VectorOps.cosineCols(col("vec"), col("qvec")), 6) + lit(0.0))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("id"))
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("id"), col("sim"))
+  }
+
+  /** All pairs with cosine ≥ threshold (embedding near-dup). Exact version
+    * is a self-join; at scale, pre-bucket by [[lshCode]]. */
+  def cosinePairs(corpus: DataFrame, threshold: Double): DataFrame = {
+    val a = corpus.select(col("id").as("id_a"), col("vec").as("vec_a"))
+    val b = corpus.select(col("id").as("id_b"), col("vec").as("vec_b"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("sim",
+        round(VectorOps.cosineCols(col("vec_a"), col("vec_b")), 6) + lit(0.0))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("sim"))
+  }
+}
