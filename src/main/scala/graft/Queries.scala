@@ -558,6 +558,33 @@ object Queries {
       .orderBy(col("event_type")),
     None)
 
+  /** Multimodal decode pipeline: documents as binary payloads → typed
+    * mapPartitions batch decode (STUB codec, md5-derived fake dims) →
+    * resize metadata. The oracle reproduces the md5 math in SQL. */
+  val mmDecode = QueryDef(
+    "mm_decode",
+    (s, dir) => {
+      val media = graft.operators.Multimodal.asMedia(
+        t(s, dir, "documents"), "doc_id", "text")
+      val decoded = graft.operators.Multimodal.decode(media).toDF()
+      graft.operators.Multimodal.resizeMeta(decoded, 128)
+        .select(col("media_id"), col("n_bytes"), col("content_hash"),
+          col("width"), col("height"), col("out_width"), col("out_height"))
+        .orderBy(col("media_id"))
+    },
+    Some("""SELECT media_id, n_bytes, content_hash, width, height,
+              CAST(floor(width * scale) AS INT) AS out_width,
+              CAST(floor(height * scale) AS INT) AS out_height
+            FROM (SELECT media_id, n_bytes, content_hash, width, height,
+              least(1.0, 128 / greatest(width, height)::DOUBLE) AS scale
+              FROM (SELECT doc_id AS media_id,
+                strlen(text)::BIGINT AS n_bytes,
+                md5(text) AS content_hash,
+                ('0x' || substr(md5(text), 1, 4))::INT % 192 + 64 AS width,
+                ('0x' || substr(md5(text), 5, 4))::INT % 192 + 64 AS height
+                FROM documents))
+            ORDER BY media_id"""))
+
   // ---------------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------------
@@ -570,7 +597,7 @@ object Queries {
     b3Ttl, b4Compaction, b7Quota, b8Partition,
     w5Lww, w8Squash, w12Hll, w13HotKeys,
     dedupExact, dedupMinhash, dedupSimhash, dedupNgram, dedupEmbedding,
-    annTopk, annLsh, textStats)
+    annTopk, annLsh, textStats, mmDecode)
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }
