@@ -306,6 +306,39 @@ object Queries {
             WHERE rn = 1 AND event_type <> 'error'
             ORDER BY user_id"""))
 
+  /** W3 write-compute end-to-end: snapshot of per-user tag sets (events
+    * before Jan 15) + an update stream (setUnion of each later event's type,
+    * then a final setDiff removing 'error') folded per key in ts order. */
+  val w3WriteCompute = QueryDef(
+    "w3_write_compute",
+    (s, dir) => {
+      import graft.operators.WriteCompute
+      val ev = Tables.events(s, dir)
+      val cutoff = lit("2024-01-15 00:00:00").cast("timestamp")
+      val snapshot = ev.filter(col("ts") < cutoff)
+        .groupBy(col("user_id"))
+        .agg(array_sort(collect_set(col("event_type"))).as("tags"))
+      val nullArr = lit(null).cast("array<string>")
+      val adds = ev.filter(col("ts") >= cutoff).select(
+        col("user_id"), unix_millis(col("ts")).as(WriteCompute.TsCol),
+        nullArr.as("tags"),
+        array(col("event_type")).as("tags__setUnion"),
+        nullArr.as("tags__setDiff"),
+        array().cast("array<string>").as(WriteCompute.SetFieldsCol))
+      val removeErr = ev.groupBy(col("user_id"))
+        .agg((max(unix_millis(col("ts"))) + 1).as(WriteCompute.TsCol))
+        .select(col("user_id"), col(WriteCompute.TsCol),
+          nullArr.as("tags"), nullArr.as("tags__setUnion"),
+          typedLit(Seq("error")).as("tags__setDiff"),
+          array().cast("array<string>").as(WriteCompute.SetFieldsCol))
+      WriteCompute.applyUpdates(snapshot, adds.unionByName(removeErr), Seq("user_id"))
+        .select(col("user_id"), array_sort(col("tags")).as("tags"))
+        .orderBy(col("user_id"))
+    },
+    Some("""SELECT user_id,
+            list_sort(list_filter(list(DISTINCT event_type), t -> t <> 'error')) AS tags
+            FROM events GROUP BY user_id ORDER BY user_id"""))
+
   /** B7 storage-quota enforcement: total serialized key+value bytes
     * (distributed sum, the single collected row is the quota verdict). */
   val b7Quota = QueryDef(
@@ -595,7 +628,7 @@ object Queries {
     r4Dot, r5Cosine, r6Hadamard, r7Count, r8ComputeErrors, r9Prefix,
     r10Predicates,
     b3Ttl, b4Compaction, b7Quota, b8Partition,
-    w5Lww, w8Squash, w12Hll, w13HotKeys,
+    w3WriteCompute, w5Lww, w8Squash, w12Hll, w13HotKeys,
     dedupExact, dedupMinhash, dedupSimhash, dedupNgram, dedupEmbedding,
     annTopk, annLsh, textStats, mmDecode)
 

@@ -1,0 +1,197 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Venice write-compute (partial updates), re-expressed as Catalyst column
+  * folds — W2 (UpdateBuilder), W3 (apply), W4 (update-schema derivation),
+  * W8 (update squash).
+  *
+  * Reference semantics (NOT code):
+  *  - WriteComputeSchemaConverter.java:43 — every value field becomes
+  *    "NoOp | collection-ops | T"; here: a nullable field + explicit
+  *    `__set_fields` list (so set-to-null stays expressible), and sibling
+  *    `f__setUnion` / `f__setDiff` (arrays), `f__mapUnion` / `f__mapDiff`
+  *    (maps) columns.
+  *  - WriteComputeHandlerV1.java:29-119 apply, :135-163 arrays (set-union /
+  *    set-diff), :215-235 maps (put entries / remove keys), NoOp skip.
+  *  - UpdateBuilderImpl: conflicting set + collection-op calls throw.
+  *
+  * The per-key application is `collect updates → sort by ts → aggregate()
+  * fold` — a higher-order-function expression, fully codegen'd, one shuffle
+  * on the key. Group size = pending updates per key (bounded in practice by
+  * compaction cadence), so no driver-side or unbounded state.
+  */
+object WriteCompute {
+
+  val SetFieldsCol = "__set_fields"
+  val TsCol = "__ts_ms"
+
+  def unionCol(f: String) = s"${f}__setUnion"
+  def diffCol(f: String) = s"${f}__setDiff"
+  def mapUnionCol(f: String) = s"${f}__mapUnion"
+  def mapDiffCol(f: String) = s"${f}__mapDiff"
+
+  /** W4: derive the update (write-compute) schema from a value schema. */
+  def deriveUpdateSchema(value: StructType): StructType = {
+    val fields = value.fields.flatMap { f =>
+      f.dataType match {
+        case at: ArrayType => Seq(
+          StructField(f.name, at, nullable = true),
+          StructField(unionCol(f.name), at, nullable = true),
+          StructField(diffCol(f.name), at, nullable = true))
+        case mt: MapType => Seq(
+          StructField(f.name, mt, nullable = true),
+          StructField(mapUnionCol(f.name), mt, nullable = true),
+          StructField(mapDiffCol(f.name), ArrayType(mt.keyType), nullable = true))
+        case dt => Seq(StructField(f.name, dt, nullable = true))
+      }
+    }
+    StructType(fields :+ StructField(SetFieldsCol, ArrayType(StringType)))
+  }
+
+  /** W3: apply one update struct onto an accumulator value struct.
+    * `valueSchema` drives per-field semantics. */
+  private def applyOne(acc: Column, u: Column,
+      valueSchema: StructType): Column = {
+    val outFields: Seq[Column] = valueSchema.fields.map { f =>
+      val cur = acc.getField(f.name)
+      val explicitlySet =
+        array_contains(coalesce(u.getField(SetFieldsCol),
+          array().cast("array<string>")), f.name)
+      val base = when(explicitlySet, u.getField(f.name)).otherwise(cur)
+      val result = f.dataType match {
+        case at: ArrayType =>
+          val empty = array().cast(at)
+          val adds = u.getField(unionCol(f.name))
+          val removes = u.getField(diffCol(f.name))
+          when(base.isNull && adds.isNull && removes.isNull,
+            lit(null).cast(at))
+            .otherwise(array_except(
+              array_union(coalesce(base, empty), coalesce(adds, empty)),
+              coalesce(removes, empty)))
+        case mt: MapType =>
+          val emptyM = map().cast(mt)
+          val emptyK = array().cast(ArrayType(mt.keyType))
+          val adds = u.getField(mapUnionCol(f.name))
+          val removes = u.getField(mapDiffCol(f.name))
+          when(base.isNull && adds.isNull && removes.isNull,
+            lit(null).cast(mt))
+            .otherwise(map_filter(
+              map_concat(coalesce(base, emptyM), coalesce(adds, emptyM)),
+              (k, _) => !array_contains(coalesce(removes, emptyK), k)))
+        case _ => base
+      }
+      result.as(f.name)
+    }
+    struct(outFields: _*)
+  }
+
+  /** W3 at scale: fold every pending update (in ts order) onto the snapshot
+    * value, per key. Updates on unknown keys build a row from a null base
+    * (Venice applies the update to the schema default record). */
+  def applyUpdates(snapshot: DataFrame, updates: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    val valueSchema = StructType(
+      snapshot.schema.fields.filterNot(f => keys.contains(f.name)))
+    val keyCols = keys.map(col)
+
+    val snapStruct = snapshot.select(keyCols :+
+      struct(valueSchema.fieldNames.map(col): _*).as("__value"): _*)
+
+    val updStructCols = updates.schema.fieldNames
+      .filterNot(n => keys.contains(n) || n == TsCol).map(col)
+    val pending = updates
+      .select(keyCols :+ col(TsCol) :+ struct(updStructCols: _*).as("__u"): _*)
+      .groupBy(keyCols: _*)
+      // custom comparator: structs holding maps aren't orderable, but the
+      // lambda only compares the ts field
+      .agg(array_sort(
+        collect_list(struct(col(TsCol).as("ts"), col("__u").as("u"))),
+        (l, r) => when(l.getField("ts") < r.getField("ts"), -1)
+          .when(l.getField("ts") > r.getField("ts"), 1)
+          .otherwise(0)).as("__updates"))
+
+    val nullValue = lit(null).cast(valueSchema).as("__value")
+    snapStruct.join(pending, keys, "full_outer")
+      .withColumn("__merged",
+        aggregate(coalesce(col("__updates"),
+          array().cast(ArrayType(StructType(Seq(
+            StructField("ts", LongType),
+            StructField("u", StructType(deriveUpdateSchema(valueSchema)
+              .fields.toSeq))))))),
+          coalesce(col("__value"), lit(null).cast(valueSchema)),
+          (acc, e) => applyOne(acc, e.getField("u"), valueSchema)))
+      .select(keyCols :+ col("__merged"): _*)
+      .select(keyCols ++ valueSchema.fieldNames
+        .map(n => col("__merged").getField(n).as(n)): _*)
+  }
+
+  /** W8: squash two pending update rows (u1 earlier, u2 later) into one —
+    * used to compact the update log before applying. Expressed by folding
+    * both updates onto a null base is NOT equivalent (set-vs-op history
+    * matters), so squashing merges op columns directly:
+    * u2 set wins; otherwise collection ops compose. */
+  def squashExpr(u1: Column, u2: Column, valueSchema: StructType): Column = {
+    val set1 = coalesce(u1.getField(SetFieldsCol), array().cast("array<string>"))
+    val set2 = coalesce(u2.getField(SetFieldsCol), array().cast("array<string>"))
+    val outFields = valueSchema.fields.flatMap { f =>
+      val in2 = array_contains(set2, f.name)
+      val in1 = array_contains(set1, f.name)
+      f.dataType match {
+        case at: ArrayType =>
+          val empty = array().cast(at)
+          // if u2 sets the field outright, u1's ops are dead; else if u1 set
+          // it, fold u2's ops into the set value; else compose op lists
+          val setVal = when(in2, u2.getField(f.name))
+            .when(in1, array_except(
+              array_union(coalesce(u1.getField(f.name), empty),
+                coalesce(u2.getField(unionCol(f.name)), empty)),
+              coalesce(u2.getField(diffCol(f.name)), empty)))
+            .otherwise(lit(null).cast(at))
+          val union = when(in2 || in1, lit(null).cast(at)).otherwise(
+            array_except(
+              array_union(coalesce(u1.getField(unionCol(f.name)), empty),
+                coalesce(u2.getField(unionCol(f.name)), empty)),
+              coalesce(u2.getField(diffCol(f.name)), empty)))
+          val diff = when(in2 || in1, lit(null).cast(at)).otherwise(
+            array_union(
+              array_except(coalesce(u1.getField(diffCol(f.name)), empty),
+                coalesce(u2.getField(unionCol(f.name)), empty)),
+              coalesce(u2.getField(diffCol(f.name)), empty)))
+          Seq(setVal.as(f.name), union.as(unionCol(f.name)),
+            diff.as(diffCol(f.name)))
+        case mt: MapType =>
+          val emptyM = map().cast(mt)
+          val emptyK = array().cast(ArrayType(mt.keyType))
+          val setVal = when(in2, u2.getField(f.name))
+            .when(in1, map_filter(
+              map_concat(coalesce(u1.getField(f.name), emptyM),
+                coalesce(u2.getField(mapUnionCol(f.name)), emptyM)),
+              (k, _) => !array_contains(
+                coalesce(u2.getField(mapDiffCol(f.name)), emptyK), k)))
+            .otherwise(lit(null).cast(mt))
+          val union = when(in2 || in1, lit(null).cast(mt)).otherwise(
+            map_filter(
+              map_concat(coalesce(u1.getField(mapUnionCol(f.name)), emptyM),
+                coalesce(u2.getField(mapUnionCol(f.name)), emptyM)),
+              (k, _) => !array_contains(
+                coalesce(u2.getField(mapDiffCol(f.name)), emptyK), k)))
+          val diff = when(in2 || in1, lit(null).cast(ArrayType(mt.keyType)))
+            .otherwise(array_union(
+              array_except(coalesce(u1.getField(mapDiffCol(f.name)), emptyK),
+                map_keys(coalesce(u2.getField(mapUnionCol(f.name)), emptyM))),
+              coalesce(u2.getField(mapDiffCol(f.name)), emptyK)))
+          Seq(setVal.as(f.name), union.as(mapUnionCol(f.name)),
+            diff.as(mapDiffCol(f.name)))
+        case dt =>
+          Seq(when(in2, u2.getField(f.name))
+            .when(in1, u1.getField(f.name))
+            .otherwise(lit(null).cast(dt)).as(f.name))
+      }
+    }
+    struct((outFields :+
+      array_union(set1, set2).as(SetFieldsCol)).toIndexedSeq: _*)
+  }
+}
