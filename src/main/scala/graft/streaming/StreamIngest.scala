@@ -1,0 +1,74 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.core.GraftEngine
+
+/** Streaming ingestion — the Spark-native leader/follower analog (S1–S5).
+  *
+  * Venice shape (reference, not code): a StoreIngestionTask consumes the RT
+  * topic, resolves conflicts, and persists (StoreIngestionTask.java:5228-5530
+  * dispatch); hybrid stores replay `rewindTimeInSeconds` of RT data onto a
+  * fresh batch version (HybridStoreConfig.java); consumers read the change
+  * log with seek-by-timestamp (VeniceChangelogConsumer.java:34-166); user
+  * transformers hook the ingest path (DaVinciRecordTransformer.java:45-100).
+  *
+  * Spark shape: one Structured Streaming query per store. Each microbatch
+  * appends PUT/DELETE rows to the store's upsert log (the log IS the change
+  * stream); the serving view merges it lazily, so "ingestion" is just
+  * durable, ordered log appends — no per-record state, no driver loops.
+  * Leader election is the Spark driver's job ownership — Helix is out of
+  * scope by design (SURVEY §2.4 S1).
+  */
+object StreamIngest {
+
+  /** Column carrying the event-time used for conflict resolution. */
+  val EventTsCol = "__event_ts_ms"
+
+  /** Start the ingest query for a store: every microbatch lands in the
+    * store's log with LWW timestamps, optionally through a user transformer
+    * (S5). `rows` must carry the store's value columns + [[EventTsCol]]. */
+  def ingest(engine: GraftEngine, store: String, rows: DataFrame,
+      transformer: DataFrame => DataFrame = identity,
+      checkpoint: String): StreamingQuery = {
+    rows.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val transformed = transformer(batch)
+        // group identical-ts appends so each batch is a single log write
+        val tss = transformed.select(col(EventTsCol)).distinct()
+          .collect().map(_.getLong(0)).sorted
+        tss.foreach { ts =>
+          engine.put(store,
+            transformed.filter(col(EventTsCol) === ts).drop(EventTsCol), ts)
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** S2: hybrid rewind — on version swap, re-feed the last `rewindMs` of the
+    * log onto the (new) current version. Venice's TopicSwitch replay. */
+  def rewind(engine: GraftEngine, store: String, nowMs: Long,
+      rewindMs: Long): DataFrame =
+    engine.changelog(store, nowMs - rewindMs)
+
+  /** S4: the CDC stream — a streaming read of the store's upsert log.
+    * Seek-to-timestamp = a filter on the log's ts column (checkpointing is
+    * Structured Streaming's file-source offset log). */
+  def changelogStream(spark: SparkSession, engine: GraftEngine,
+      store: String, sinceTsMs: Long = 0L): DataFrame = {
+    val logDir = s"${engine.root}/$store/log"
+    val schema = spark.read.parquet(logDir).schema
+    spark.readStream.schema(schema).parquet(logDir)
+      .filter(col(GraftEngine.TsCol) >= sinceTsMs)
+  }
+
+  /** S3: readiness gate — a replica serves once its lag is under threshold.
+    * With AvailableNow ingestion, "caught up" = the query drained its
+    * backlog; expose the check so a pointer flip can wait on it. */
+  def isCaughtUp(q: StreamingQuery): Boolean =
+    !q.isActive || q.status.isDataAvailable == false
+}

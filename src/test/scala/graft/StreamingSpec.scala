@@ -1,0 +1,103 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.{GraftEngine, GraftSession, Tables}
+import graft.streaming.StreamIngest
+
+case class Upd(c_custkey: Long, c_name: String, c_nationkey: Int,
+    c_acctbal: Double, c_mktsegment: String, __event_ts_ms: Long)
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = GraftSession.build(cpus = 4, appName = "streaming-spec")
+  val sf = "/root/testdata/sf0.001"
+  lazy val root = Files.createTempDirectory("graft-stream").toString
+  lazy val engine = new GraftEngine(spark, root)
+
+  test("S1: streaming ingest lands in the serving view") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    engine.createStore("scust", Seq("c_custkey"))
+    engine.push("scust", Tables.customer(spark, sf))
+
+    val stream = MemoryStream[Upd]
+    stream.addData(
+      Upd(1L, "STREAMED", 0, 1.0, "BUILDING", 5000L),
+      Upd(7777L, "BRAND-NEW", 0, 2.0, "AUTOMOBILE", 5000L))
+    val q = StreamIngest.ingest(engine, "scust", stream.toDF(),
+      checkpoint = s"$root/cp1")
+    q.awaitTermination(60000)
+
+    val view = engine.servingView("scust")
+    assert(view.filter($"c_custkey" === 1L).head.getAs[String]("c_name")
+      == "STREAMED")
+    assert(view.filter($"c_custkey" === 7777L).count() == 1)
+    assert(view.count() == 151)
+  }
+
+  test("S5: transformer hook filters/maps records during ingest") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    engine.createStore("scust2", Seq("c_custkey"))
+    engine.push("scust2", Tables.customer(spark, sf))
+
+    val stream = MemoryStream[Upd]
+    stream.addData(
+      Upd(2L, "keep", 0, 1.0, "BUILDING", 6000L),
+      Upd(3L, "drop-me", 0, 1.0, "BUILDING", 6000L))
+    val q = StreamIngest.ingest(engine, "scust2", stream.toDF(),
+      transformer = df => df.filter(!col("c_name").startsWith("drop"))
+        .withColumn("c_name", upper(col("c_name"))),
+      checkpoint = s"$root/cp2")
+    q.awaitTermination(60000)
+
+    val view = engine.servingView("scust2")
+    assert(view.filter($"c_custkey" === 2L).head.getAs[String]("c_name") == "KEEP")
+    assert(view.filter($"c_custkey" === 3L).head.getAs[String]("c_name") != "drop-me")
+  }
+
+  test("S4: CDC stream replays log appends; seek filters by timestamp") {
+    import spark.implicits._
+    // store from test 1 has log entries at ts=5000
+    engine.put("scust",
+      Seq((42L, "LATER", 0, 3.0, "MACHINERY"))
+        .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"),
+      tsMs = 9000L)
+    val cdc = StreamIngest.changelogStream(spark, engine, "scust", sinceTsMs = 8000L)
+    val q = cdc.writeStream.format("memory").queryName("cdc_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val rows = spark.sql("select * from cdc_out").collect()
+    assert(rows.length == 1)
+    assert(rows.head.getAs[String]("c_name") == "LATER")
+    // batch changelog agrees
+    assert(engine.changelog("scust", 0L).count() == 3)
+  }
+
+  test("S2: rewind re-feeds recent log entries onto a new version") {
+    val recent = StreamIngest.rewind(engine, "scust", nowMs = 10000L,
+      rewindMs = 2000L)
+    assert(recent.count() == 1) // only the ts=9000 write
+  }
+
+  test("streaming windowed aggregation with watermark (events table)") {
+    import spark.implicits._
+    val ev = Tables.events(spark, sf)
+    val schema = ev.schema
+    val dir = s"$root/evstream"
+    ev.limit(200).write.parquet(dir)
+    val stream = spark.readStream.schema(schema).parquet(dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+    val q = stream.writeStream.format("memory").queryName("win_out")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val out = spark.sql("select * from win_out")
+    assert(out.count() > 0)
+    assert(out.agg(sum("n")).head.getLong(0) == 200L)
+  }
+}
