@@ -10,6 +10,9 @@ object GraftSession {
   val requiredConfs: Seq[(String, String)] = Seq(
     // events.parquet uses TIMESTAMP(NANOS); Spark 4 reads it only as Long.
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+    // CrdtMerge/WriteCompute rely on LAST_WIN map dedup (sorted entries ⇒
+    // max-ts entry per element survives)
+    "spark.sql.mapKeyDedupPolicy" -> "LAST_WIN",
     "spark.sql.session.timeZone" -> "UTC")
 
   /** Perf posture for local[N]; on a real cluster these come from submit conf. */

@@ -1,0 +1,202 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** W7: field-level replication-metadata (RMD) CRDT merge — the active-active
+  * conflict resolver with per-field timestamps and per-element collection
+  * timestamps.
+  *
+  * Reference semantics (NOT code): MergeConflictResolver.java:204-255
+  * (per-field UPDATE merge), SortBasedCollectionFieldOpHandler (collection
+  * fields: top-level put timestamp + per-element add/remove timestamps,
+  * observed-remove flavor), AbstractMerge.java (LWW + deterministic value
+  * tie-break), CollectionRmdTimestamp (RMD shape).
+  *
+  * Model here: a key's state is a struct of value fields plus an RMD
+  * sibling:
+  *  - scalar field f  → rmd ts long; LWW on (ts, value-string) — the string
+  *    compare stands in for Venice's unsigned serialized-byte compare.
+  *  - array field f   → {topTs, active:[(elem,ts)], deleted:[(elem,ts)]};
+  *    an element is live iff its ts ≥ topTs (newer than the last full put)
+  *    and ts > its delete ts (delete wins ties). Tombstones older than
+  *    topTs are GC'd.
+  *
+  * The state join is commutative, associative and idempotent (max/union
+  * lattice), so merging is order-independent — replicas/regions can fold
+  * events in any order and converge, which is exactly the A/A guarantee.
+  * CrdtMergeSpec property-tests this via permuted folds.
+  *
+  * Implementation: pure column expressions (no UDFs). Per-element max uses
+  * `map_from_entries(array_sort(entries))` under LAST_WIN dedup — set by
+  * GraftSession — so the later (= max-ts) entry per element survives.
+  */
+object CrdtMerge {
+
+  /** RMD schema for a value schema: f_ts for scalars, f_rmd for arrays. */
+  def rmdSchema(value: StructType): StructType = StructType(value.fields.map {
+    case StructField(n, _: ArrayType, _, _) =>
+      StructField(s"${n}__rmd", StructType(Seq(
+        StructField("topTs", LongType),
+        StructField("active", ArrayType(elemTs)),
+        StructField("deleted", ArrayType(elemTs)))))
+    case StructField(n, _, _, _) => StructField(s"${n}__ts", LongType)
+  })
+
+  val elemTs: StructType = StructType(Seq(
+    StructField("elem", StringType), StructField("ts", LongType)))
+
+  /** Join two per-key states (value+rmd structs side by side). */
+  def joinStates(a: Column, b: Column, value: StructType): Column = {
+    val outFields: Seq[Column] = value.fields.flatMap { f =>
+      f.dataType match {
+        case _: ArrayType =>
+          val (ra, rb) = (a.getField(s"${f.name}__rmd"), b.getField(s"${f.name}__rmd"))
+          val topTs = greatest(ra.getField("topTs"), rb.getField("topTs"))
+          val actEntries = array_sort(concat(
+            coalesce(ra.getField("active"), array().cast(ArrayType(elemTs))),
+            coalesce(rb.getField("active"), array().cast(ArrayType(elemTs)))))
+          val delEntries = array_sort(concat(
+            coalesce(ra.getField("deleted"), array().cast(ArrayType(elemTs))),
+            coalesce(rb.getField("deleted"), array().cast(ArrayType(elemTs)))))
+          // LAST_WIN after (elem, ts) sort ⇒ max ts per element
+          val actMap = map_from_entries(
+            transform(actEntries, e =>
+              struct(e.getField("elem").as("key"), e.getField("ts").as("value"))))
+          val delMap = map_from_entries(
+            transform(delEntries, e =>
+              struct(e.getField("elem").as("key"), e.getField("ts").as("value"))))
+          val live = filter(map_entries(actMap), e =>
+            e.getField("value") >= topTs &&
+              e.getField("value") > coalesce(
+                element_at(delMap, e.getField("key")), lit(Long.MinValue)))
+          val keptTombs = filter(map_entries(delMap), e =>
+            e.getField("value") >= topTs)
+          val toElemTs = (c: Column) => transform(c, e =>
+            struct(e.getField("key").as("elem"), e.getField("value").as("ts")))
+          Seq(
+            transform(array_sort(live), e => e.getField("key"))
+              .cast(f.dataType).as(f.name),
+            struct(topTs.as("topTs"),
+              toElemTs(array_sort(live)).as("active"),
+              toElemTs(array_sort(keptTombs)).as("deleted"))
+              .as(s"${f.name}__rmd"))
+        case _ =>
+          val (ta, tb) = (a.getField(s"${f.name}__ts"), b.getField(s"${f.name}__ts"))
+          val (va, vb) = (a.getField(f.name), b.getField(f.name))
+          // LWW; ts tie → larger value-string wins (deterministic stand-in
+          // for Venice's unsigned serialized-byte compare)
+          val bWins = (tb > ta) ||
+            (tb === ta && vb.cast("string") > va.cast("string"))
+          Seq(when(bWins, vb).otherwise(va).as(f.name),
+            when(bWins, tb).otherwise(ta).as(s"${f.name}__ts"))
+      }
+    }
+    struct(outFields: _*)
+  }
+
+  /** Lift a full PUT at `ts` into a state struct: every scalar stamped ts,
+    * every collection becomes a full put (topTs=ts, elements at ts). */
+  def putState(valueStruct: Column, ts: Column, value: StructType): Column = {
+    val fields = value.fields.flatMap { f =>
+      f.dataType match {
+        case _: ArrayType =>
+          val elems = coalesce(valueStruct.getField(f.name),
+            array().cast(f.dataType))
+          Seq(sort_array(array_distinct(elems)).cast(f.dataType).as(f.name),
+            struct(ts.as("topTs"),
+              transform(sort_array(array_distinct(elems)),
+                e => struct(e.cast("string").as("elem"), ts.as("ts"))).as("active"),
+              array().cast(ArrayType(elemTs)).as("deleted"))
+              .as(s"${f.name}__rmd"))
+        case dt =>
+          Seq(valueStruct.getField(f.name).as(f.name), ts.as(s"${f.name}__ts"))
+      }
+    }
+    struct(fields.toIndexedSeq: _*)
+  }
+
+  /** Bottom state: loses to everything (all timestamps at Long.MinValue). */
+  def bottomState(value: StructType): Column = {
+    val fields = value.fields.flatMap { f =>
+      f.dataType match {
+        case at: ArrayType =>
+          Seq(lit(null).cast(at).as(f.name),
+            struct(lit(Long.MinValue).as("topTs"),
+              array().cast(ArrayType(elemTs)).as("active"),
+              array().cast(ArrayType(elemTs)).as("deleted"))
+              .as(s"${f.name}__rmd"))
+        case dt =>
+          Seq(lit(null).cast(dt).as(f.name),
+            lit(Long.MinValue).as(s"${f.name}__ts"))
+      }
+    }
+    struct(fields.toIndexedSeq: _*)
+  }
+
+  /** State for a single element add/remove op on collection field `f`. */
+  def elementOpState(f: String, elem: Column, ts: Column, isRemove: Boolean,
+      value: StructType): Column = {
+    val bottom = bottomState(value)
+    val fields = value.fields.flatMap { vf =>
+      vf.dataType match {
+        case at: ArrayType if vf.name == f =>
+          val entry = array(struct(elem.cast("string").as("elem"), ts.as("ts")))
+          Seq(lit(null).cast(at).as(vf.name),
+            struct(lit(Long.MinValue).as("topTs"),
+              (if (isRemove) array().cast(ArrayType(elemTs)) else entry).as("active"),
+              (if (isRemove) entry else array().cast(ArrayType(elemTs))).as("deleted"))
+              .as(s"${vf.name}__rmd"))
+        case at: ArrayType =>
+          Seq(bottom.getField(vf.name).as(vf.name),
+            bottom.getField(s"${vf.name}__rmd").as(s"${vf.name}__rmd"))
+        case dt =>
+          Seq(bottom.getField(vf.name).as(vf.name),
+            bottom.getField(s"${vf.name}__ts").as(s"${vf.name}__ts"))
+      }
+    }
+    struct(fields.toIndexedSeq: _*)
+  }
+
+  /** State for a single scalar setField op at ts. */
+  def setFieldState(f: String, v: Column, ts: Column,
+      value: StructType): Column = {
+    val bottom = bottomState(value)
+    val fields = value.fields.flatMap { vf =>
+      vf.dataType match {
+        case at: ArrayType =>
+          Seq(bottom.getField(vf.name).as(vf.name),
+            bottom.getField(s"${vf.name}__rmd").as(s"${vf.name}__rmd"))
+        case dt if vf.name == f =>
+          Seq(v.cast(dt).as(vf.name), ts.as(s"${vf.name}__ts"))
+        case dt =>
+          Seq(bottom.getField(vf.name).as(vf.name),
+            bottom.getField(s"${vf.name}__ts").as(s"${vf.name}__ts"))
+      }
+    }
+    struct(fields.toIndexedSeq: _*)
+  }
+
+  /** Fold per-key event states into the converged state — one shuffle on the
+    * key; the fold order is irrelevant (commutative join), which is the A/A
+    * multi-region guarantee. `events` must carry key cols + a "state" struct
+    * column built by the constructors above. */
+  def mergeEvents(events: DataFrame, keys: Seq[String],
+      value: StructType): DataFrame = {
+    val keyCols = keys.map(col)
+    events
+      .groupBy(keyCols: _*)
+      .agg(collect_list(col("state")).as("__states"))
+      .withColumn("__merged",
+        aggregate(col("__states"), bottomState(value),
+          (acc, s) => joinStates(acc, s, value)))
+      .select(keyCols :+ col("__merged"): _*)
+      .select(keyCols ++ value.fields.flatMap { f =>
+        f.dataType match {
+          case _: ArrayType => Seq(col("__merged").getField(f.name).as(f.name))
+          case _ => Seq(col("__merged").getField(f.name).as(f.name))
+        }
+      }: _*)
+  }
+}

@@ -1,0 +1,117 @@
+package graft
+
+import scala.jdk.CollectionConverters._
+import scala.util.Random
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.GraftSession
+import graft.operators.CrdtMerge
+
+/** Golden + permutation tests for the field-level RMD merge, mirroring the
+  * reference's scripted-ops expected-result style
+  * (merge/helper/utils/ExpectedCollectionResults.java idea, not code). */
+class CrdtMergeSpec extends AnyFunSuite {
+  lazy val spark = GraftSession.build(cpus = 4, appName = "crdt-spec")
+
+  val valueSchema = StructType(Seq(
+    StructField("name", StringType),
+    StructField("tags", ArrayType(StringType))))
+
+  /** op = (kind, field, payload, ts); build the per-event state DF. */
+  def eventsDf(ops: Seq[(String, String, String, Long)]): DataFrame = {
+    import spark.implicits._
+    val rows = ops.toDF("kind", "field", "payload", "ts")
+    rows.select(lit(1L).as("k"),
+      when(col("kind") === "putName",
+        CrdtMerge.setFieldState("name", col("payload"), col("ts"), valueSchema))
+        .when(col("kind") === "add",
+          CrdtMerge.elementOpState("tags", col("payload"), col("ts"),
+            isRemove = false, valueSchema))
+        .when(col("kind") === "remove",
+          CrdtMerge.elementOpState("tags", col("payload"), col("ts"),
+            isRemove = true, valueSchema))
+        .when(col("kind") === "put",
+          CrdtMerge.putState(
+            struct(lit(null).cast("string").as("name"),
+              split(col("payload"), ",").as("tags")),
+            col("ts"), valueSchema))
+        .as("state"))
+  }
+
+  def merge(ops: Seq[(String, String, String, Long)]): (String, List[String]) = {
+    val out = CrdtMerge.mergeEvents(eventsDf(ops), Seq("k"), valueSchema).head()
+    (out.getAs[String]("name"),
+      Option(out.getAs[scala.collection.Seq[String]]("tags"))
+        .map(_.toList).getOrElse(null))
+  }
+
+  test("scalar LWW: newer ts wins; tie broken by value compare") {
+    assert(merge(Seq(("putName", "", "old", 100L), ("putName", "", "new", 200L)))
+      ._1 == "new")
+    assert(merge(Seq(("putName", "", "bbb", 100L), ("putName", "", "aaa", 100L)))
+      ._1 == "bbb") // tie → larger string wins, deterministically
+  }
+
+  test("collection: add after put survives, remove tombstones, delete wins tie") {
+    // full put at 100 establishes {a,b}; add c at 150; remove b at 160
+    val (_, tags) = merge(Seq(
+      ("put", "", "a,b", 100L),
+      ("add", "tags", "c", 150L),
+      ("remove", "tags", "b", 160L)))
+    assert(tags == List("a", "c"))
+    // delete at same ts as add → delete wins
+    val (_, tags2) = merge(Seq(
+      ("put", "", "a", 100L),
+      ("add", "tags", "x", 150L),
+      ("remove", "tags", "x", 150L)))
+    assert(tags2 == List("a"))
+    // re-add after remove with newer ts → element returns
+    val (_, tags3) = merge(Seq(
+      ("put", "", "a", 100L),
+      ("remove", "tags", "a", 150L),
+      ("add", "tags", "a", 200L)))
+    assert(tags3 == List("a"))
+  }
+
+  test("newer full put supersedes older adds (top-level ts)") {
+    val (_, tags) = merge(Seq(
+      ("add", "tags", "stale", 100L),
+      ("put", "", "fresh1,fresh2", 200L)))
+    assert(tags == List("fresh1", "fresh2"))
+    // but an add newer than the put lands on top of it
+    val (_, tags2) = merge(Seq(
+      ("put", "", "base", 200L),
+      ("add", "tags", "later", 300L)))
+    assert(tags2 == List("base", "later"))
+  }
+
+  test("merge is order-independent (A/A convergence): permuted folds agree") {
+    val ops = Seq(
+      ("put", "", "a,b,c", 100L),
+      ("putName", "", "n1", 120L),
+      ("add", "tags", "d", 150L),
+      ("remove", "tags", "a", 160L),
+      ("putName", "", "n2", 90L),
+      ("add", "tags", "a", 170L),
+      ("remove", "tags", "d", 150L),
+      ("put", "", "z", 50L))
+    val expected = merge(ops)
+    val rnd = new Random(7)
+    (1 to 5).foreach { _ =>
+      val shuffled = rnd.shuffle(ops)
+      assert(merge(shuffled) == expected, s"diverged for order $shuffled")
+    }
+    assert(expected._1 == "n1")
+    assert(expected._2 == List("a", "b", "c")) // d added+removed at same ts
+  }
+
+  test("idempotence: replaying the same events changes nothing") {
+    val ops = Seq(
+      ("put", "", "a,b", 100L),
+      ("add", "tags", "c", 150L),
+      ("remove", "tags", "b", 160L))
+    assert(merge(ops ++ ops) == merge(ops))
+  }
+}
