@@ -477,12 +477,14 @@ object Queries {
     (s, dir) => graft.operators.Similarity.cosinePairs(
       t(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding").as("vec")),
       0.4).orderBy(col("id_a"), col("id_b")),
-    Some("""WITH c AS (SELECT vec_id AS id, embedding FROM embeddings)
+    // norms precomputed per row engine-side ⇒ oracle must use the same
+    // association: dot / (sqrt(na)·sqrt(nb)), not sqrt(na·nb)
+    Some("""WITH c AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v,
+              sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS n
+              FROM embeddings)
             SELECT id_a, id_b, sim FROM (
               SELECT a.id AS id_a, b.id AS id_b,
-                round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
-                  / sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])
-                       * list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])), 6) + 0.0 AS sim
+                round(list_dot_product(a.v, b.v) / (a.n * b.n), 6) + 0.0 AS sim
               FROM c a JOIN c b ON a.id < b.id)
             WHERE sim >= 0.4 ORDER BY id_a, id_b"""))
 
@@ -498,15 +500,17 @@ object Queries {
       graft.operators.Similarity.bruteForceTopK(corpus, queries, 10)
         .orderBy(col("qid"), col("rank"))
     },
-    Some("""WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 5),
-            c AS (SELECT vec_id AS id, embedding AS vec FROM embeddings)
+    Some("""WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qvec,
+              sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS qn
+              FROM embeddings WHERE vec_id < 5),
+            c AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec,
+              sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS n
+              FROM embeddings)
             SELECT qid, rank, id, sim FROM (
               SELECT qid, id, sim,
                 row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id) AS rank
               FROM (SELECT qid, id,
-                  round(list_dot_product(vec::DOUBLE[], qvec::DOUBLE[])
-                    / sqrt(list_dot_product(vec::DOUBLE[], vec::DOUBLE[])
-                         * list_dot_product(qvec::DOUBLE[], qvec::DOUBLE[])), 6) + 0.0 AS sim
+                  round(list_dot_product(vec, qvec) / (n * qn), 6) + 0.0 AS sim
                 FROM c, q WHERE id <> qid))
             WHERE rank <= 10 ORDER BY qid, rank"""),
     headline = true)

@@ -56,9 +56,13 @@ object TextOps {
     * sum over tokens of (+1 if nibble i of md5(token) ≥ 8 else −1) is > 0. */
   def simhash16(text: Column): Column = {
     val toks = tokens(text)
-    val bitVotes = transform(sequence(lit(1), lit(16)), i =>
-      aggregate(toks, lit(0), (acc, t) =>
-        acc + when(instr(lit("89abcdef"), substring(md5(t), i, lit(1))) > 0, 1)
+    // single pass: one md5 per token, votes accumulated as a 16-int array
+    // (the per-bit-aggregate formulation would re-hash every token 16×)
+    val bitVotes = aggregate(
+      transform(toks, t => md5(t)), // hash materialized once per token
+      array_repeat(lit(0), 16),
+      (acc, h) => zip_with(acc, sequence(lit(1), lit(16)), (a, i) =>
+        a + when(instr(lit("89abcdef"), substring(h, i, lit(1))) > 0, 1)
           .otherwise(-1)))
     (0 until 16).map { i =>
       when(element_at(bitVotes, i + 1) > 0, lit(1 << (15 - i))).otherwise(lit(0))

@@ -1,0 +1,89 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Custom Catalyst expression: Σᵢ aᵢ·bᵢ over two numeric arrays, accumulated
+  * left-to-right in double (same fold order as `aggregate(zip_with(...))`
+  * and DuckDB's list_dot_product, so oracle parity is preserved bit-for-bit).
+  *
+  * Exists because the higher-order-function formulation pays per-element
+  * lambda dispatch + boxing; this is a tight primitive loop with codegen
+  * (the hot path of R4/R5, ANN, and embedding dedup — SURVEY §4 "custom
+  * needed (a)").
+  */
+case class VecDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType | DoubleType, _), ArrayType(FloatType | DoubleType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"vec_dot needs float/double arrays, got ${left.dataType} / ${right.dataType}")
+    }
+  }
+
+  private def isFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val (aa, ba) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    val n = math.min(aa.numElements(), ba.numElements())
+    var acc = 0.0
+    var i = 0
+    if (isFloat(left) && isFloat(right)) {
+      while (i < n) {
+        acc += aa.getFloat(i).toDouble * ba.getFloat(i).toDouble; i += 1
+      }
+    } else if (isFloat(left)) {
+      while (i < n) { acc += aa.getFloat(i).toDouble * ba.getDouble(i); i += 1 }
+    } else if (isFloat(right)) {
+      while (i < n) { acc += aa.getDouble(i) * ba.getFloat(i).toDouble; i += 1 }
+    } else {
+      while (i < n) { acc += aa.getDouble(i) * ba.getDouble(i); i += 1 }
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val getA = if (isFloat(left)) "getFloat" else "getDouble"
+    val getB = if (isFloat(right)) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += ((double) $a.$getA($i)) * ((double) $b.$getB($i));
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecDot =
+    copy(left = newLeft, right = newRight)
+}
+
+object VecDotExpr {
+  /** Column wrapper for [[VecDot]]. */
+  def vecDot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(VecDot(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+  }
+}

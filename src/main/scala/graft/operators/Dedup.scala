@@ -25,6 +25,9 @@ object Dedup {
       n: Int): DataFrame =
     df.select(col(idCol).as("id"),
       array_distinct(TextOps.shingles(col(textCol), n)).as("shingles"))
+      // shingling is referenced by every downstream join side; computing the
+      // token/shingle lambdas once per doc beats recomputing per reference
+      .persist()
 
   /** MinHash-LSH candidate pairs: signature of k md5-min hashes, banded into
     * `bands` groups; docs sharing any band key become a candidate pair.
@@ -32,12 +35,16 @@ object Dedup {
   def minhashCandidates(shingled: DataFrame, k: Int, bands: Int): DataFrame = {
     require(k % bands == 0, "k must divide into bands")
     val rows = k / bands
+    // persist the exploded band keys: both sides of the self-join read them,
+    // and signature hashing (k·|shingles| md5 calls per doc) must run once —
+    // Catalyst would otherwise recompute it per join side
     val sig = shingled
       .filter(size(col("shingles")) > 0)
       .select(col("id"),
         TextOps.bandKeys(TextOps.minhashSignature(col("shingles"), k),
           bands, rows).as("bandkeys"))
       .select(col("id"), explode(col("bandkeys")).as("bandkey"))
+      .persist()
     val l = sig.as("l"); val r = sig.as("r")
     l.join(r, col("l.bandkey") === col("r.bandkey") &&
         col("l.id") < col("r.id"))
@@ -68,6 +75,7 @@ object Dedup {
       explode(array(
         concat(lit("hi:"), (col("simhash") / 256).cast("int").cast("string")),
         concat(lit("lo:"), (col("simhash") % 256).cast("string")))).as("bandkey"))
+      .persist()
     val l = banded.as("l"); val r = banded.as("r")
     l.join(r, col("l.bandkey") === col("r.bandkey") &&
         col("l.id") < col("r.id"))
@@ -85,7 +93,7 @@ object Dedup {
     val sized = shingled.filter(size(col("shingles")) > 0)
       .select(col("id"), col("shingles"), size(col("shingles")).as("n"))
     val posts = sized.select(col("id"), col("n"),
-      explode(col("shingles")).as("sh"))
+      explode(col("shingles")).as("sh")).persist()
     val l = posts.as("l"); val r = posts.as("r")
     val shared = l.join(r, col("l.sh") === col("r.sh") &&
         col("l.id") < col("r.id"))

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.functions.{HashOps, VectorOps}
+import graft.functions.{VecDotExpr, VectorOps}
 
 /** Approximate-nearest-neighbor search over an embedding column.
   *
@@ -12,17 +12,29 @@ import graft.functions.{HashOps, VectorOps}
   * Scale path: random-hyperplane LSH — md5-seeded ±1 hyperplanes give every
   * vector a small bucket code; candidates come from an equi-join on the
   * code, cutting the scanned fraction to ~1/2^bits per probe.
+  *
+  * Norms are computed once per vector BEFORE pairing (a norm recomputed per
+  * pair turns 1 dot/pair into 3 — at 10⁹ pairs that's the whole budget), and
+  * all dot products run through the codegen'd [[graft.functions.VecDot]]
+  * expression. Pair similarity = dot / (normA · normB); the oracles use the
+  * same association.
   */
 object Similarity {
+
+  private def vecDot(a: Column, b: Column) = VecDotExpr.vecDot(a, b)
+  private def norm(v: Column) = sqrt(vecDot(v, v))
 
   /** Exact cosine top-k per query vector.
     * queries: (qid, qvec); corpus: (id, vec). Ranking uses the rounded
     * similarity + id so ties are deterministic across engines. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       excludeSelf: Boolean = true): DataFrame = {
-    val joined = corpus.crossJoin(broadcast(queries))
+    val c = corpus.withColumn("__n", norm(col("vec")))
+    val q = queries.withColumn("__qn", norm(col("qvec")))
+    val joined = c.crossJoin(broadcast(q))
       .withColumn("sim",
-        round(VectorOps.cosineCols(col("vec"), col("qvec")), 6) + lit(0.0))
+        round(vecDot(col("vec"), col("qvec")) / (col("__n") * col("__qn")), 6)
+          + lit(0.0))
     val base = if (excludeSelf) joined.filter(col("id") =!= col("qid")) else joined
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("sim").desc, col("id"))
@@ -57,13 +69,18 @@ object Similarity {
     * top-k within the bucket. Trades recall for a ~2^bits scan reduction. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       bits: Int): DataFrame = {
-    val codedCorpus = corpus.withColumn("code", lshCode(col("vec"), bits))
-    val codedQueries = queries.withColumn("qcode", lshCode(col("qvec"), bits))
+    val codedCorpus = corpus
+      .withColumn("code", lshCode(col("vec"), bits))
+      .withColumn("__n", norm(col("vec")))
+    val codedQueries = queries
+      .withColumn("qcode", lshCode(col("qvec"), bits))
+      .withColumn("__qn", norm(col("qvec")))
     val joined = codedCorpus
       .join(broadcast(codedQueries), col("code") === col("qcode"))
       .filter(col("id") =!= col("qid"))
       .withColumn("sim",
-        round(VectorOps.cosineCols(col("vec"), col("qvec")), 6) + lit(0.0))
+        round(vecDot(col("vec"), col("qvec")) / (col("__n") * col("__qn")), 6)
+          + lit(0.0))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("sim").desc, col("id"))
     joined.withColumn("rank", row_number().over(w))
@@ -72,13 +89,18 @@ object Similarity {
   }
 
   /** All pairs with cosine ≥ threshold (embedding near-dup). Exact version
-    * is a self-join; at scale, pre-bucket by [[lshCode]]. */
+    * is a self-join with per-row precomputed norms; at scale, pre-bucket by
+    * [[lshCode]] to keep the pair space near-linear. */
   def cosinePairs(corpus: DataFrame, threshold: Double): DataFrame = {
-    val a = corpus.select(col("id").as("id_a"), col("vec").as("vec_a"))
-    val b = corpus.select(col("id").as("id_b"), col("vec").as("vec_b"))
+    val withNorm = corpus.withColumn("__n", norm(col("vec")))
+    val a = withNorm.select(col("id").as("id_a"), col("vec").as("vec_a"),
+      col("__n").as("n_a"))
+    val b = withNorm.select(col("id").as("id_b"), col("vec").as("vec_b"),
+      col("__n").as("n_b"))
     a.crossJoin(b).filter(col("id_a") < col("id_b"))
       .withColumn("sim",
-        round(VectorOps.cosineCols(col("vec_a"), col("vec_b")), 6) + lit(0.0))
+        round(vecDot(col("vec_a"), col("vec_b")) / (col("n_a") * col("n_b")), 6)
+          + lit(0.0))
       .filter(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), col("sim"))
   }
