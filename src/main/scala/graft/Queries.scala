@@ -584,6 +584,26 @@ object Queries {
     Some("""SELECT user_id, count(*) AS n FROM events GROUP BY user_id
             ORDER BY n DESC, user_id LIMIT 5"""))
 
+  /** W11 DIV: per-producer sequence audit — gaps/duplicates flagged in one
+    * window pass (user_id stands in for the producer GUID). */
+  val w11Div = QueryDef(
+    "w11_div_audit",
+    (s, dir) => graft.operators.Integrity.sequenceAudit(
+      Tables.events(s, dir).select(col("user_id"), col("event_id")),
+      col("user_id"), col("event_id"))
+      .orderBy(col("user_id"), col("event_id")),
+    Some("""SELECT user_id, event_id, issue FROM (
+              SELECT user_id, event_id,
+                CASE WHEN prev IS NULL THEN NULL
+                     WHEN event_id = prev THEN 'DUPLICATE'
+                     WHEN event_id > prev + 1 THEN 'MISSING_BEFORE'
+                     ELSE NULL END AS issue
+              FROM (SELECT user_id, event_id,
+                      lag(event_id) OVER (PARTITION BY user_id ORDER BY event_id) AS prev
+                    FROM events))
+            WHERE issue IS NOT NULL
+            ORDER BY user_id, event_id"""))
+
   /** W12 HLL cardinality sketch: approx_count_distinct at Venice's ~1.15%
     * rsd (lgK=13 analog). No DuckDB oracle (different sketch impl) —
     * rows-only check; accuracy asserted in PipelineSpec. */
@@ -632,7 +652,7 @@ object Queries {
     r4Dot, r5Cosine, r6Hadamard, r7Count, r8ComputeErrors, r9Prefix,
     r10Predicates,
     b3Ttl, b4Compaction, b7Quota, b8Partition,
-    w3WriteCompute, w5Lww, w8Squash, w12Hll, w13HotKeys,
+    w3WriteCompute, w5Lww, w8Squash, w11Div, w12Hll, w13HotKeys,
     dedupExact, dedupMinhash, dedupSimhash, dedupNgram, dedupEmbedding,
     annTopk, annLsh, textStats, mmDecode)
 

@@ -152,8 +152,54 @@ class GraftEngine(val spark: SparkSession, val root: String) {
           concat_ws("|", snap.columns.filterNot(Set(TsCol, DeletedCol))
             .map(c => col(c).cast("string")): _*), col(DeletedCol))
       }
-    Merge.dropTombstones(merged, col(DeletedCol)).drop(TsCol, DeletedCol)
+    val base = Merge.dropTombstones(merged, col(DeletedCol))
+      .drop(TsCol, DeletedCol)
+    if (!hasUpdates(name)) base
+    else {
+      // fold pending partial updates (ts order) onto the merged state
+      val meta = storeMeta(name)
+      graft.operators.WriteCompute.applyUpdates(base,
+        spark.read.parquet(dir(name, "updates")), meta.keyCols)
+    }
   }
+
+  // ---- write compute (W2/W3: partial-update log) ---------------------------
+
+  /** Append write-compute update rows (derived schema per
+    * [[graft.operators.WriteCompute.deriveUpdateSchema]], key cols included).
+    * Updates land in their own log and fold onto the merged PUT/DELETE state
+    * in timestamp order at read time. */
+  def update(name: String, updateRows: DataFrame, tsMs: Long): Unit =
+    updateRows
+      .withColumn(graft.operators.WriteCompute.TsCol, lit(tsMs))
+      .write.mode("append").parquet(dir(name, "updates"))
+
+  private def hasUpdates(name: String): Boolean = {
+    val p = Paths.get(dir(name, "updates"))
+    Files.exists(p) && Files.list(p).findFirst.isPresent
+  }
+
+  // ---- views & registration ------------------------------------------------
+
+  /** Materialized view: a re-partitioned copy of the store under different
+    * keys (reference: views/MaterializedView.java — a second output with its
+    * own partitioner), maintained by re-push. */
+  def materializedView(name: String, viewName: String, viewKeys: Seq[String],
+      numBuckets: Int = 16): Int = {
+    createStore(viewName, viewKeys)
+    push(viewName, servingView(name), numBuckets)
+  }
+
+  /** B11 incremental push: delta batch appended to the RT log of the
+    * current version (no new version, no swap). */
+  def incrementalPush(name: String, rows: DataFrame, tsMs: Long): Unit =
+    put(name, rows, tsMs)
+
+  /** S6: expose the serving view to spark.sql — the DuckDB-integration
+    * analog; our snapshots are already SQL-projectable. */
+  def registerSql(name: String, asName: String = ""): Unit =
+    servingView(name).createOrReplaceTempView(
+      if (asName.nonEmpty) asName else name)
 
   // ---- CDC (S4) ------------------------------------------------------------
 
@@ -181,9 +227,24 @@ class GraftEngine(val spark: SparkSession, val root: String) {
         concat_ws("|", snap.columns.filterNot(Set(TsCol, DeletedCol))
           .map(c => col(c).cast("string")): _*), col(DeletedCol))
     }
-    val compacted = Merge.dropTombstones(merged, col(DeletedCol))
+    val base = Merge.dropTombstones(merged, col(DeletedCol))
       .drop(TsCol, DeletedCol)
-    push(name, compacted)
+    val compacted =
+      if (!hasUpdates(name)) base
+      else graft.operators.WriteCompute.applyUpdates(base,
+        spark.read.parquet(dir(name, "updates")), meta.keyCols)
+    // materialize BEFORE archiving the logs the plan reads from
+    val rows = compacted.cache()
+    rows.count()
+    val v = push(name, rows)
+    rows.unpersist()
+    // the new version now carries the folded state — archive consumed logs
+    Seq("log", "updates").foreach { d =>
+      val p = Paths.get(dir(name, d))
+      if (Files.exists(p))
+        Files.move(p, Paths.get(dir(name, s"${d}_applied_v$v")))
+    }
+    v
   }
 }
 

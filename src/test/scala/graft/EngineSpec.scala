@@ -77,6 +77,53 @@ class EngineSpec extends AnyFunSuite {
     assert(engine.servingView("cust4").filter($"c_custkey" === 5L).count() == 0)
   }
 
+  test("update log: partial updates fold into serving view and repush") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    import graft.operators.{UpdateBuilder, WriteCompute}
+    engine.createStore("cust5", Seq("c_custkey"))
+    engine.push("cust5", Tables.customer(spark, sf))
+    val valueSchema = StructType(engine.snapshot("cust5").schema.fields
+      .filterNot(_.name == "c_custkey"))
+    val u = new UpdateBuilder(valueSchema)
+      .setField("c_mktsegment", "PARTIAL").buildRow()
+    val updSchema = StructType(
+      StructField("c_custkey", LongType) +:
+        WriteCompute.deriveUpdateSchema(valueSchema).fields)
+    val updDf = spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row.fromSeq(10L +: u.toSeq)),
+      updSchema)
+    engine.update("cust5", updDf, tsMs = 500L)
+    val row = engine.servingView("cust5").filter($"c_custkey" === 10L).head()
+    assert(row.getAs[String]("c_mktsegment") == "PARTIAL")
+    assert(row.getAs[String]("c_name").nonEmpty) // untouched field survives
+    // repush folds updates into the new version and archives the logs
+    val v = engine.repush("cust5")
+    assert(engine.snapshot("cust5").filter($"c_custkey" === 10L).head()
+      .getAs[String]("c_mktsegment") == "PARTIAL")
+  }
+
+  test("materialized view, incremental push, SQL registration") {
+    import spark.implicits._
+    engine.createStore("cust6", Seq("c_custkey"))
+    engine.push("cust6", Tables.customer(spark, sf))
+    // view re-keyed by nation
+    engine.materializedView("cust6", "cust6_by_nation", Seq("c_nationkey"))
+    assert(engine.snapshot("cust6_by_nation").count() > 0)
+    // incremental push = delta append, no version bump
+    val vBefore = engine.currentVersion("cust6")
+    engine.incrementalPush("cust6",
+      Seq((8888L, "INC", 0, 0.0, "BUILDING"))
+        .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"),
+      tsMs = 700L)
+    assert(engine.currentVersion("cust6") == vBefore)
+    assert(engine.servingView("cust6").filter($"c_custkey" === 8888L).count() == 1)
+    // SQL over the serving view
+    engine.registerSql("cust6")
+    assert(spark.sql("SELECT count(*) FROM cust6 WHERE c_custkey = 8888")
+      .head().getLong(0) == 1L)
+  }
+
   test("compute builder: project + ops + error map + validation") {
     import spark.implicits._
     engine.createStore("emb", Seq("vec_id"))
