@@ -121,6 +121,65 @@ object Queries {
       .orderBy(col("p_partkey")),
     Some("SELECT p_partkey, p_name, p_retailprice FROM part ORDER BY p_partkey"))
 
+  /** R11 streaming batchGet: partial results keep missing-key markers
+    * (Venice's negative-index/null marker ↔ left-join nulls). */
+  val r11Stream = QueryDef(
+    "r11_batchget_stream",
+    (s, dir) => {
+      import s.implicits._
+      val keys = (batchKeys ++ Seq(99991L, 99992L)).toDF("c_custkey")
+      broadcast(keys).join(t(s, dir, "customer"), Seq("c_custkey"), "left")
+        .select(col("c_custkey"), col("c_name"),
+          col("c_name").isNull.as("missing"))
+        .orderBy(col("c_custkey"))
+    },
+    Some(s"""SELECT k.c_custkey, c.c_name, c.c_name IS NULL AS missing
+             FROM (SELECT unnest([${(batchKeys ++ Seq(99991L, 99992L)).mkString(", ")}]) AS c_custkey) k
+             LEFT JOIN customer c ON k.c_custkey = c.c_custkey
+             ORDER BY k.c_custkey"""))
+
+  /** Window functions: running revenue + rank per user over event time. */
+  val qWindow = QueryDef(
+    "q_window_running",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .withColumn("running_cents",
+          sum(round(col("value") * 100).cast("long"))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("rn", row_number().over(w))
+        .select(col("user_id"), col("event_id"), col("rn"), col("running_cents"))
+        .orderBy(col("user_id"), col("rn"))
+    },
+    Some("""SELECT user_id, event_id,
+              row_number() OVER w AS rn,
+              sum(CAST(round(value * 100) AS BIGINT))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_cents
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ORDER BY user_id, rn"""))
+
+  /** Rollup: revenue by (region, nation) with subtotals and grand total. */
+  val qRollup = QueryDef(
+    "q_rollup",
+    (s, dir) => t(s, dir, "customer")
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(sum(round(col("c_acctbal") * 100).cast("long")).as("acct_cents"),
+        count(lit(1)).as("n_cust"))
+      .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first),
+    Some("""SELECT r_name, n_name,
+              sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS acct_cents,
+              count(*) AS n_cust
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY ROLLUP (r_name, n_name)
+            ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST"""))
+
   // ---------------------------------------------------------------------------
   // Venice write path / batch ETL (SURVEY §2.2–2.3)
   // ---------------------------------------------------------------------------
@@ -650,7 +709,7 @@ object Queries {
     q1Agg, q3JoinTopk,
     r1Get, r2BatchGet, r3Project,
     r4Dot, r5Cosine, r6Hadamard, r7Count, r8ComputeErrors, r9Prefix,
-    r10Predicates,
+    r10Predicates, r11Stream, qWindow, qRollup,
     b3Ttl, b4Compaction, b7Quota, b8Partition,
     w3WriteCompute, w5Lww, w8Squash, w11Div, w12Hll, w13HotKeys,
     dedupExact, dedupMinhash, dedupSimhash, dedupNgram, dedupEmbedding,

@@ -36,5 +36,6 @@ object Integrity {
     df.groupBy(producerCol.as("producer"))
       .agg(count(lit(1)).as("n_records"),
         min(seqCol).as("min_seq"), max(seqCol).as("max_seq"),
-        (max(seqCol) - min(seqCol) + 1 - count(lit(1))).as("missing"))
+        // duplicates must not mask gaps → distinct seq count
+        (max(seqCol) - min(seqCol) + 1 - countDistinct(seqCol)).as("missing"))
 }

@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.{GraftSession, Tables}
+import graft.operators.{Integrity, JobMetrics, TokenBucket, WireFormat}
+import graft.sources.InputSource
+
+class PlumbingSpec extends AnyFunSuite {
+  lazy val spark = GraftSession.build(cpus = 4, appName = "plumbing-spec")
+  val sf = "/root/testdata/sf0.001"
+
+  test("B6 wire round-trip preserves rows") {
+    val cust = Tables.customer(spark, sf)
+    val wire = WireFormat.toWire(cust, Seq("c_custkey"), lit(42L))
+    assert(wire.columns.toSeq == Seq("key", "value", "ts_ms"))
+    val keySchema = StructType(Seq(StructField("c_custkey", LongType)))
+    val valueSchema = StructType(cust.schema.fields.filter(_.name != "c_custkey"))
+    val back = WireFormat.fromWire(wire, keySchema, valueSchema)
+    assert(back.count() == cust.count())
+    assert(back.select("c_custkey", "c_name").exceptAll(
+      cust.select("c_custkey", "c_name")).count() == 0)
+  }
+
+  test("W9 chunk + assemble is byte-exact") {
+    val docs = Tables.documents(spark, sf).limit(50)
+      .select(col("doc_id").cast("string").as("k"),
+        col("text").cast("binary").as("payload"))
+    val chunks = WireFormat.chunk(docs, col("k"), col("payload"), maxBytes = 64)
+    assert(chunks.filter(octet_length(col("chunk")) > 64).count() == 0)
+    val back = WireFormat.assemble(chunks)
+    val joined = back.join(docs, col("key") === col("k"))
+      .filter(col("value") =!= col("payload"))
+    assert(joined.count() == 0)
+  }
+
+  test("B12 ETL normalization coalesces union columns") {
+    import spark.implicits._
+    val df = Seq((1L, Some("live"), None: Option[String]),
+      (2L, None: Option[String], Some("fallback")))
+      .toDF("id", "v", "v_deleted")
+    val out = WireFormat.normalizeEtl(df, Seq(("v", "v_deleted")))
+    assert(out.columns.toSeq == Seq("id", "v"))
+    assert(out.orderBy("id").collect().map(_.getString(1)).toSeq ==
+      Seq("live", "fallback"))
+  }
+
+  test("W10 compression strategies map to parquet codecs") {
+    assert(WireFormat.codecFor("NO_OP") == "uncompressed")
+    assert(WireFormat.codecFor("ZSTD_WITH_DICT") == "zstd")
+    intercept[IllegalArgumentException](WireFormat.codecFor("LZO"))
+  }
+
+  test("S7 token bucket refills and bounds") {
+    var now = 0L
+    val tb = new TokenBucket(capacity = 10, refillPerSec = 5, clockMs = () => now)
+    assert((1 to 10).forall(_ => tb.tryConsume()))
+    assert(!tb.tryConsume())
+    now = 1000L // +5 tokens
+    assert((1 to 5).forall(_ => tb.tryConsume()))
+    assert(!tb.tryConsume())
+    now = 100000L
+    assert(tb.available == 10) // capped at capacity
+  }
+
+  test("B1 input source reads csv/json with key-value extraction") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-src").toString
+    val cust = Tables.customer(spark, sf)
+    cust.write.mode("overwrite").option("header", "true").csv(s"$dir/csv")
+    cust.write.mode("overwrite").json(s"$dir/json")
+    val fromCsv = InputSource.read(spark, "csv", s"$dir/csv",
+      Map("header" -> "true", "inferSchema" -> "true"))
+    val fromJson = InputSource.read(spark, "json", s"$dir/json")
+    assert(fromCsv.count() == cust.count())
+    assert(fromJson.count() == cust.count())
+    val kv = InputSource.toKeyValue(fromJson, Seq("c_custkey"))
+    assert(kv.columns.toSeq == Seq("key", "value"))
+    intercept[IllegalArgumentException](
+      InputSource.read(spark, "avro", s"$dir/json"))
+  }
+
+  test("B10 job metrics accumulate across stages") {
+    val jm = new JobMetrics(spark)
+    val recordsIn = jm.counter("records_in")
+    Tables.lineitem(spark, sf).foreachPartition {
+      it: Iterator[org.apache.spark.sql.Row] => it.foreach(_ => recordsIn.add(1))
+    }
+    assert(jm.snapshot("records_in") == 6000L)
+  }
+
+  test("W11 DIV flags planted gaps and duplicates") {
+    import spark.implicits._
+    val log = Seq((1L, 1L), (1L, 2L), (1L, 2L), (1L, 5L), (2L, 10L), (2L, 11L))
+      .toDF("producer", "seq")
+    val issues = Integrity.sequenceAudit(log, col("producer"), col("seq"))
+      .orderBy("producer", "seq").collect()
+    assert(issues.map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq ==
+      Seq((1L, 2L, "DUPLICATE"), (1L, 5L, "MISSING_BEFORE")))
+    val st = Integrity.producerState(log, col("producer"), col("seq"))
+      .orderBy("producer").collect()
+    assert(st(0).getAs[Long]("missing") == 2L) // 3,4 missing (dup fills one)
+  }
+}
