@@ -83,6 +83,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(recent.count() == 1) // only the ts=9000 write
   }
 
+  test("custom state: flatMapGroupsWithState sessionization closes on gaps") {
+    import spark.implicits._
+    import graft.streaming.Sessionize
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[Sessionize.Evt]
+    stream.addData(
+      Sessionize.Evt(1L, 1000L, 1.0), Sessionize.Evt(1L, 2000L, 2.0),
+      Sessionize.Evt(1L, 60000L, 3.0), // gap > 10s → closes first session
+      Sessionize.Evt(2L, 1000L, 5.0))
+    val out = Sessionize.sessionize(stream.toDS(), gapMs = 10000L)
+    val q = out.writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val sessions = spark.sql("select * from sess_out").as[Sessionize.Session]
+      .collect().sortBy(_.user_id)
+    // only user 1's first session closed; the open ones stay in state
+    assert(sessions.length == 1)
+    assert(sessions.head == Sessionize.Session(1L, 1000L, 2000L, 2, 3.0))
+    // a later batch with a fresh gap closes the 60000 session
+    stream.addData(Sessionize.Evt(1L, 999999L, 9.0))
+    val q2 = out.writeStream.format("memory").queryName("sess_out2")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination(60000)
+  }
+
   test("streaming windowed aggregation with watermark (events table)") {
     import spark.implicits._
     val ev = Tables.events(spark, sf)
