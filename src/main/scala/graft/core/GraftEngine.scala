@@ -65,6 +65,7 @@ class GraftEngine(val spark: SparkSession, val root: String) {
     * the Venice-style md5-mod bucket so point lookups prune files. */
   def push(name: String, df: DataFrame, numBuckets: Int = 16): Int = {
     val meta = storeMeta(name)
+    Files.writeString(Paths.get(dir(name, "BUCKETS")), numBuckets.toString)
     val v = currentVersion(name) + 1
     val keyed = df.dropDuplicates(meta.keyCols)
     val bucketed = keyed.withColumn(BucketCol,
@@ -88,12 +89,49 @@ class GraftEngine(val spark: SparkSession, val root: String) {
 
   // ---- read path (R1/R2/R3) ------------------------------------------------
 
-  /** Point lookup. The bucket predicate prunes to one partition dir. */
+  private def numBuckets(name: String): Int = {
+    val p = Paths.get(dir(name, "BUCKETS"))
+    if (Files.exists(p)) Files.readString(p).trim.toInt else 16
+  }
+
+  /** Driver-side twin of HashOps.partitionId (md5 of the rendered key,
+    * first 15 hex chars mod N) — lets point reads compute the bucket
+    * WITHOUT a scan, so the snapshot read prunes to one partition dir. */
+  private def bucketOf(name: String, key: Seq[Any]): Int = {
+    val rendered = key.map(String.valueOf).mkString("|")
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(rendered.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    (java.lang.Long.parseLong(hex.substring(0, 15), 16) % numBuckets(name)).toInt
+  }
+
+  /** Point lookup. The bucket predicate prunes the snapshot scan to a
+    * single partition directory (the Spark analog of Venice routing each
+    * key to exactly its partition's replica); the log overlay — small by
+    * construction, compacted away on repush — is filtered by key. */
   def get(name: String, key: Seq[Any]): Option[org.apache.spark.sql.Row] = {
     val meta = storeMeta(name)
     val pred = meta.keyCols.zip(key)
       .map { case (c, k) => col(c) === lit(k) }.reduce(_ && _)
-    servingView(name).filter(pred).limit(1).collect().headOption
+    val snap = spark.read.parquet(dir(name, s"v=${currentVersion(name)}"))
+      .filter(col(BucketCol) === bucketOf(name, key))
+      .drop(BucketCol)
+      .filter(pred)
+      .withColumn(TsCol, lit(0L)).withColumn(DeletedCol, lit(false))
+    val merged =
+      if (!hasLog(name)) snap
+      else {
+        val log = spark.read.parquet(dir(name, "log")).filter(pred)
+        Merge.lww(snap, log, meta.keyCols, col(TsCol),
+          concat_ws("|", snap.columns.filterNot(Set(TsCol, DeletedCol))
+            .map(c => col(c).cast("string")): _*), col(DeletedCol))
+      }
+    val base = Merge.dropTombstones(merged, col(DeletedCol))
+      .drop(TsCol, DeletedCol)
+    val resolved =
+      if (!hasUpdates(name)) base
+      else graft.operators.WriteCompute.applyUpdates(base,
+        spark.read.parquet(dir(name, "updates")).filter(pred), meta.keyCols)
+    resolved.limit(1).collect().headOption
   }
 
   /** batchGet: broadcast-hash left-semi join; missing keys omitted. */

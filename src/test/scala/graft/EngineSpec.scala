@@ -54,6 +54,10 @@ class EngineSpec extends AnyFunSuite {
       .head().getString(0) == "UPDATED")
     assert(view.filter($"c_custkey" === 2L).count() == 0)
     assert(view.filter($"c_custkey" === 9001L).count() == 1)
+    // point reads see the overlay (bucket-pruned snapshot + keyed log)
+    assert(engine.get("cust3", Seq(1L)).get.getAs[String]("c_name") == "UPDATED")
+    assert(engine.get("cust3", Seq(2L)).isEmpty) // tombstoned
+    assert(engine.get("cust3", Seq(9001L)).isDefined) // log-only key
     // CDC since ts: only the delete
     assert(engine.changelog("cust3", 1500L).count() == 1)
     // repush folds log into a new immutable version
