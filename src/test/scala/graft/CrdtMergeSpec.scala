@@ -107,6 +107,45 @@ class CrdtMergeSpec extends AnyFunSuite {
     assert(expected._2 == List("a", "b", "c")) // d added+removed at same ts
   }
 
+  test("A/A streaming: two regions' event streams converge to one state") {
+    // region A and region B each ingest their own op stream (out of order,
+    // interleaved); folding the union equals folding either ordering —
+    // the streaming form of the permutation test, driven through
+    // Structured Streaming microbatches.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+
+    val regionA = Seq(
+      ("put", "", "a,b", 100L), ("add", "tags", "c", 150L),
+      ("putName", "", "from-A", 120L))
+    val regionB = Seq(
+      ("remove", "tags", "a", 160L), ("putName", "", "from-B", 110L),
+      ("add", "tags", "d", 170L))
+
+    val stream = MemoryStream[(String, String, String, Long)]
+    stream.addData(regionA)
+    stream.addData(regionB)
+    val outDir = java.nio.file.Files.createTempDirectory("aa-states").toString
+    val q = stream.toDF().toDF("kind", "field", "payload", "ts")
+      .writeStream
+      .option("checkpointLocation", s"$outDir/cp")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(s"$outDir/ops"); ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+
+    val opsDf = spark.read.parquet(s"$outDir/ops")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3)))
+    val streamed = merge(opsDf.toSeq)
+    val direct = merge(regionA ++ regionB)
+    assert(streamed == direct)
+    assert(streamed._1 == "from-A")
+    assert(streamed._2 == List("b", "c", "d"))
+  }
+
   test("idempotence: replaying the same events changes nothing") {
     val ops = Seq(
       ("put", "", "a,b", 100L),
