@@ -28,11 +28,14 @@ object Bench {
       try q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
-    // timed
+    spark.catalog.clearCache()
+    // timed (cold cache per query — persists inside operators still help
+    // within a query, which is the production shape)
     val results = queries.map { q =>
       val t0 = System.nanoTime()
       try q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
+      spark.catalog.clearCache()
       q.name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
