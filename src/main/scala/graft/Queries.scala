@@ -457,21 +457,25 @@ object Queries {
                SELECT doc_id AS id, ${shinglesSql("t")} AS shingles
                FROM (SELECT doc_id, $tokensSql AS t FROM documents)),
              sh2 AS (SELECT id, shingles FROM sh WHERE len(shingles) > 0),
-             sig AS (SELECT id, [
-               list_min(list_transform(shingles, s -> md5('0|' || s))),
-               list_min(list_transform(shingles, s -> md5('1|' || s))),
-               list_min(list_transform(shingles, s -> md5('2|' || s))),
-               list_min(list_transform(shingles, s -> md5('3|' || s))),
-               list_min(list_transform(shingles, s -> md5('4|' || s))),
-               list_min(list_transform(shingles, s -> md5('5|' || s))),
-               list_min(list_transform(shingles, s -> md5('6|' || s))),
-               list_min(list_transform(shingles, s -> md5('7|' || s)))] AS sig
+             hpairs AS (SELECT id, shingles,
+               list_transform(shingles, s -> ('0x' || substr(md5(s), 1, 8))::BIGINT) AS h1s,
+               list_transform(shingles, s -> ('0x' || substr(md5(s), 9, 8))::BIGINT) AS h2s
                FROM sh2),
+             sig AS (SELECT id, [
+               list_min(list_transform(range(1, len(h1s)+1), j -> (h1s[j] + 0*h2s[j]) % 2147483647)),
+               list_min(list_transform(range(1, len(h1s)+1), j -> (h1s[j] + 1*h2s[j]) % 2147483647)),
+               list_min(list_transform(range(1, len(h1s)+1), j -> (h1s[j] + 2*h2s[j]) % 2147483647)),
+               list_min(list_transform(range(1, len(h1s)+1), j -> (h1s[j] + 3*h2s[j]) % 2147483647)),
+               list_min(list_transform(range(1, len(h1s)+1), j -> (h1s[j] + 4*h2s[j]) % 2147483647)),
+               list_min(list_transform(range(1, len(h1s)+1), j -> (h1s[j] + 5*h2s[j]) % 2147483647)),
+               list_min(list_transform(range(1, len(h1s)+1), j -> (h1s[j] + 6*h2s[j]) % 2147483647)),
+               list_min(list_transform(range(1, len(h1s)+1), j -> (h1s[j] + 7*h2s[j]) % 2147483647))] AS sig
+               FROM hpairs),
              bk AS (SELECT id, unnest([
-               md5('0|' || sig[1] || ',' || sig[2]),
-               md5('1|' || sig[3] || ',' || sig[4]),
-               md5('2|' || sig[5] || ',' || sig[6]),
-               md5('3|' || sig[7] || ',' || sig[8])]) AS bandkey FROM sig),
+               md5('0|' || sig[1]::VARCHAR || ',' || sig[2]::VARCHAR),
+               md5('1|' || sig[3]::VARCHAR || ',' || sig[4]::VARCHAR),
+               md5('2|' || sig[5]::VARCHAR || ',' || sig[6]::VARCHAR),
+               md5('3|' || sig[7]::VARCHAR || ',' || sig[8]::VARCHAR)]) AS bandkey FROM sig),
              cand AS (SELECT DISTINCT l.id AS id_a, r.id AS id_b
                FROM bk l JOIN bk r ON l.bandkey = r.bandkey AND l.id < r.id),
              j AS (SELECT id_a, id_b,
@@ -591,12 +595,19 @@ object Queries {
   /** Language id + token count + quality score, all SQL-reproducible. */
   val textStats = QueryDef(
     "text_stats",
-    (s, dir) => t(s, dir, "documents")
-      .select(col("doc_id"),
-        TextOps.tokenCount(col("text")).as("n_tokens"),
-        TextOps.langId(col("text")).as("lang_pred"),
-        TextOps.qualityScore(col("text")).as("quality"))
-      .orderBy(col("doc_id")),
+    (s, dir) => {
+      // tokenize ONCE per row (persist blocks projection re-inlining),
+      // then derive every stat from the materialized tokens column
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"),
+          TextOps.tokens(col("text")).as("toks"))
+        .persist()
+      toks.select(col("doc_id"),
+        size(col("toks")).as("n_tokens"),
+        TextOps.langIdFrom(col("toks")).as("lang_pred"),
+        TextOps.qualityScoreFrom(col("text"), col("toks")).as("quality"))
+        .orderBy(col("doc_id"))
+    },
     Some(s"""WITH base AS (SELECT doc_id, text, $tokensSql AS toks FROM documents),
              s AS (SELECT doc_id,
                len(toks) AS n_tokens,

@@ -24,6 +24,34 @@ object TextOps {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  // ---- *FromTokens variants -------------------------------------------------
+  // Catalyst's projection collapse re-inlines a derived tokens column into
+  // every consumer, so a stats query computes the tokenization per derived
+  // column. These variants take an already-materialized tokens column
+  // (e.g. from a persisted projection) and compute everything from it.
+
+  def langScoresFrom(toks: Column): Seq[(String, Column)] =
+    langMarkers.map { case (lang, words) =>
+      lang -> size(filter(toks, t => t.isin(words.map(lit): _*)))
+    }
+
+  def langIdFrom(toks: Column): Column =
+    langScoresFrom(toks).foldLeft((lit("und"), lit(0))) {
+      case ((bestLang, bestScore), (lang, score)) =>
+        (when(score > bestScore, lit(lang)).otherwise(bestLang),
+          when(score > bestScore, score).otherwise(bestScore))
+    }._1
+
+  def qualityScoreFrom(text: Column, toks: Column): Column = {
+    val nTok = greatest(size(toks), lit(1)).cast("double")
+    val lenSig = least(length(text), lit(500)).cast("double") / 500.0
+    val stopHits = size(filter(toks,
+      t => t.isin(langMarkers.toMap.apply("en").map(lit): _*))).cast("double")
+    val stopSig = least(stopHits * 5.0 / nTok, lit(1.0))
+    val longSig = size(filter(toks, t => length(t) >= 4)).cast("double") / nTok
+    round((lenSig + stopSig + longSig) / 3.0, 6)
+  }
+
   /** Word n-gram shingles as strings joined by ''. */
   def shingles(text: Column, n: Int): Column = {
     val toks = tokens(text)
@@ -34,22 +62,29 @@ object TextOps {
         i => concat_ws("", slice(toks, i, lit(n)))))
   }
 
-  /** One MinHash signature element: min over shingles of md5(seed|shingle)
-    * (lexicographic min of hex strings). Null when no shingles. */
-  def minhashElem(shinglesCol: Column, seed: Int): Column =
-    array_min(transform(shinglesCol,
-      s => md5(concat_ws("|", lit(seed.toString), s))))
-
-  /** Full k-element MinHash signature (array<string>). */
-  def minhashSignature(shinglesCol: Column, k: Int): Column =
-    array((0 until k).map(i => minhashElem(shinglesCol, i)): _*)
+  /** k-element MinHash signature via the two-hash construction
+    * (Kirsch–Mitzenmacher): one md5 per shingle yields h1/h2 (32-bit halves),
+    * g_i = (h1 + i·h2) mod (2³¹−1); signature element i = min over shingles
+    * of g_i. One hash per shingle instead of k — the md5 is the whole cost.
+    * DuckDB twin uses ('0x'||substr(md5(s),..))::BIGINT identically. */
+  def minhashSignature(shinglesCol: Column, k: Int): Column = {
+    val hs = transform(shinglesCol, s => md5(s))
+    array((0 until k).map { i =>
+      array_min(transform(hs, h =>
+        (conv(substring(h, lit(1), lit(8)), 16, 10).cast("long") +
+          lit(i.toLong) * conv(substring(h, lit(9), lit(8)), 16, 10).cast("long"))
+          % 2147483647L))
+    }: _*)
+  }
 
   /** LSH band key: hash of the band's slice of the signature, prefixed by
     * the band index so different bands never collide. */
   def bandKeys(signature: Column, bands: Int, rowsPerBand: Int): Column =
     array((0 until bands).map { b =>
       md5(concat_ws("|", lit(b.toString),
-        concat_ws(",", slice(signature, b * rowsPerBand + 1, rowsPerBand))))
+        concat_ws(",", transform(
+          slice(signature, b * rowsPerBand + 1, rowsPerBand),
+          x => x.cast("string")))))
     }: _*)
 
   /** 16-bit SimHash over tokens. Bit i (i=1..16, MSB first) is set when the
@@ -84,37 +119,20 @@ object TextOps {
     "fr" -> Seq("le", "la", "les", "et", "est", "dans", "que", "pour", "une", "des"),
     "zh" -> Seq("的", "是", "了", "在", "我", "有", "和", "不", "人", "这"))
 
-  def langScores(text: Column): Seq[(String, Column)] = {
-    val toks = tokens(text)
-    langMarkers.map { case (lang, words) =>
-      lang -> size(filter(toks, t => t.isin(words.map(lit): _*)))
-    }
-  }
+  def langScores(text: Column): Seq[(String, Column)] =
+    langScoresFrom(tokens(text))
 
   /** Argmax lang; langs visited in alphabetical order and replaced only on a
     * strictly greater score, so ties keep the alphabetically-first lang;
     * zero votes everywhere → 'und'. */
-  def langId(text: Column): Column =
-    langScores(text).foldLeft((lit("und"), lit(0))) {
-      case ((bestLang, bestScore), (lang, score)) =>
-        (when(score > bestScore, lit(lang)).otherwise(bestLang),
-          when(score > bestScore, score).otherwise(bestScore))
-    }._1
+  def langId(text: Column): Column = langIdFrom(tokens(text))
 
   /** Quality score in [0,1]: mean of three simple signals —
     * length signal  = least(n_chars,500)/500,
     * stopword ratio = en-marker hits / tokens (clamped to 1, scaled ×5),
     * short-token penalty inverse = tokens with len≥4 / tokens. */
-  def qualityScore(text: Column): Column = {
-    val toks = tokens(text)
-    val nTok = greatest(size(toks), lit(1)).cast("double")
-    val lenSig = least(length(text), lit(500)).cast("double") / 500.0
-    val stopHits = size(filter(toks,
-      t => t.isin(langMarkers.toMap.apply("en").map(lit): _*))).cast("double")
-    val stopSig = least(stopHits * 5.0 / nTok, lit(1.0))
-    val longSig = size(filter(toks, t => length(t) >= 4)).cast("double") / nTok
-    round((lenSig + stopSig + longSig) / 3.0, 6)
-  }
+  def qualityScore(text: Column): Column =
+    qualityScoreFrom(text, tokens(text))
 
   /** Document fingerprint: md5 of the normalized text (lowercased,
     * whitespace collapsed to single spaces, trimmed) — the exact-dedup key. */

@@ -35,14 +35,26 @@ object Dedup {
   def minhashCandidates(shingled: DataFrame, k: Int, bands: Int): DataFrame = {
     require(k % bands == 0, "k must divide into bands")
     val rows = k / bands
-    // persist the exploded band keys: both sides of the self-join read them,
-    // and signature hashing (k·|shingles| md5 calls per doc) must run once —
-    // Catalyst would otherwise recompute it per join side
-    val sig = shingled
+    // two-hash (Kirsch–Mitzenmacher) signature: ONE md5 + hex-parse per
+    // shingle, materialized via persist — projection collapse would
+    // otherwise re-hash the shingle set for every one of the k elements
+    // and again for every join side
+    val hashed = shingled
       .filter(size(col("shingles")) > 0)
       .select(col("id"),
-        TextOps.bandKeys(TextOps.minhashSignature(col("shingles"), k),
-          bands, rows).as("bandkeys"))
+        transform(col("shingles"), s => md5(s)).as("hs"))
+      .select(col("id"),
+        transform(col("hs"),
+          h => conv(substring(h, lit(1), lit(8)), 16, 10).cast("long")).as("h1s"),
+        transform(col("hs"),
+          h => conv(substring(h, lit(9), lit(8)), 16, 10).cast("long")).as("h2s"))
+      .persist()
+    val sigCol = array((0 until k).map { i =>
+      array_min(zip_with(col("h1s"), col("h2s"),
+        (a, b) => (a + lit(i.toLong) * b) % 2147483647L))
+    }: _*)
+    val sig = hashed
+      .select(col("id"), TextOps.bandKeys(sigCol, bands, rows).as("bandkeys"))
       .select(col("id"), explode(col("bandkeys")).as("bandkey"))
       .persist()
     val l = sig.as("l"); val r = sig.as("r")
