@@ -107,8 +107,14 @@ object Dedup {
     val posts = sized.select(col("id"), col("n"),
       explode(col("shingles")).as("sh")).persist()
     val l = posts.as("l"); val r = posts.as("r")
+    // length bound: J(a,b) ≥ t implies |a| ≥ t·|b| (and symmetrically),
+    // so pairs outside the t-band can be pruned BEFORE pair aggregation —
+    // semantics-preserving for the ≥ t output set
+    val tInv = math.ceil(1.0 / minJaccard).toLong
     val shared = l.join(r, col("l.sh") === col("r.sh") &&
-        col("l.id") < col("r.id"))
+        col("l.id") < col("r.id") &&
+        col("l.n") <= lit(tInv) * col("r.n") &&
+        col("r.n") <= lit(tInv) * col("l.n"))
       .groupBy(col("l.id").as("id_a"), col("r.id").as("id_b"),
         col("l.n").as("n_a"), col("r.n").as("n_b"))
       .agg(count(lit(1)).as("inter"))
