@@ -180,6 +180,77 @@ object Queries {
             GROUP BY ROLLUP (r_name, n_name)
             ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST"""))
 
+  /** Semi-join: orders having a late line item (EXISTS). */
+  val qSemi = QueryDef(
+    "q_exists_semi",
+    (s, dir) => {
+      val late = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") > lit("2000-06-01").cast("timestamp"))
+        .select(col("l_orderkey"))
+      t(s, dir, "orders")
+        .join(late, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .select(col("o_orderkey"), col("o_orderstatus"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""SELECT o_orderkey, o_orderstatus FROM orders
+            WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > TIMESTAMP '2000-06-01')
+            ORDER BY o_orderkey"""))
+
+  /** Anti-join: customers with no orders (NOT EXISTS). */
+  val qAnti = QueryDef(
+    "q_not_exists_anti",
+    (s, dir) => t(s, dir, "customer")
+      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey")),
+    Some("""SELECT c_custkey, c_name FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+            ORDER BY c_custkey"""))
+
+  /** Batch twin of the streaming sessionization operator: gap > 6h starts a
+    * new session; per-session aggregates. (StreamingSpec asserts the
+    * flatMapGroupsWithState path; this proves the same semantics in SQL.) */
+  val qSessionize = QueryDef(
+    "q_sessionize_batch",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev_ts").isNull ||
+            unix_millis(col("ts")) - unix_millis(col("prev_ts")) > 6 * 3600 * 1000L, 1)
+            .otherwise(0))
+        .withColumn("sess_no", sum(col("new_sess")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("sess_no"))
+        .agg(min(unix_millis(col("ts"))).as("session_start"),
+          max(unix_millis(col("ts"))).as("session_end"),
+          count(lit(1)).as("n_events"),
+          sum(round(col("value") * 100).cast("long")).as("value_cents"))
+        .orderBy(col("user_id"), col("sess_no"))
+    },
+    Some("""SELECT user_id, sess_no,
+              min(epoch_ms(ts)) AS session_start,
+              max(epoch_ms(ts)) AS session_end,
+              count(*) AS n_events,
+              sum(CAST(round(value * 100) AS BIGINT)) AS value_cents
+            FROM (
+              SELECT user_id, ts, value,
+                sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_no
+              FROM (
+                SELECT user_id, ts, value, event_id,
+                  CASE WHEN prev_ts IS NULL
+                       OR epoch_ms(ts) - epoch_ms(prev_ts) > 21600000
+                       THEN 1 ELSE 0 END AS new_sess
+                FROM (SELECT user_id, ts, value, event_id,
+                        lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+                      FROM events)))
+            GROUP BY user_id, sess_no
+            ORDER BY user_id, sess_no"""))
+
   // ---------------------------------------------------------------------------
   // Venice write path / batch ETL (SURVEY §2.2–2.3)
   // ---------------------------------------------------------------------------
@@ -720,7 +791,7 @@ object Queries {
     q1Agg, q3JoinTopk,
     r1Get, r2BatchGet, r3Project,
     r4Dot, r5Cosine, r6Hadamard, r7Count, r8ComputeErrors, r9Prefix,
-    r10Predicates, r11Stream, qWindow, qRollup,
+    r10Predicates, r11Stream, qWindow, qRollup, qSemi, qAnti, qSessionize,
     b3Ttl, b4Compaction, b7Quota, b8Partition,
     w3WriteCompute, w5Lww, w8Squash, w11Div, w12Hll, w13HotKeys,
     dedupExact, dedupMinhash, dedupSimhash, dedupNgram, dedupEmbedding,
