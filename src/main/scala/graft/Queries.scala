@@ -649,6 +649,46 @@ object Queries {
             WHERE rank <= 10 ORDER BY qid, rank"""),
     headline = true)
 
+  /** IVF ANN (scale path #2): deterministic coarse quantizer (centroids =
+    * ids < 8), 2-probe search, exact rank within probed cells. The oracle
+    * replays the same assignment/probe/rank pipeline in SQL. */
+  val annIvf = QueryDef(
+    "ann_ivf",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      graft.operators.Similarity.ivfTopK(corpus, queries, k = 10,
+        numCells = 8, nProbe = 2)
+        .orderBy(col("qid"), col("rank"))
+    },
+    Some("""WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec,
+              sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS n
+              FROM embeddings),
+            cent AS (SELECT id AS cid, vec AS cvec, n AS cn FROM v WHERE id < 8),
+            assign AS (SELECT id, vec, n, cid FROM (
+              SELECT v.id, v.vec, v.n, c.cid,
+                row_number() OVER (PARTITION BY v.id ORDER BY
+                  round(list_dot_product(v.vec, c.cvec) / (v.n * c.cn), 6) + 0.0 DESC,
+                  c.cid) AS rn
+              FROM v, cent c) WHERE rn = 1),
+            probes AS (SELECT id AS qid, vec AS qvec, n AS qn, cid FROM (
+              SELECT v.id, v.vec, v.n, c.cid,
+                row_number() OVER (PARTITION BY v.id ORDER BY
+                  round(list_dot_product(v.vec, c.cvec) / (v.n * c.cn), 6) + 0.0 DESC,
+                  c.cid) AS rn
+              FROM v, cent c WHERE v.id < 5) WHERE rn <= 2),
+            cand AS (SELECT DISTINCT p.qid, a.id,
+                round(list_dot_product(a.vec, p.qvec) / (a.n * p.qn), 6) + 0.0 AS sim
+              FROM assign a JOIN probes p ON a.cid = p.cid
+              WHERE a.id <> p.qid)
+            SELECT qid, rank, id, sim FROM (
+              SELECT qid, id, sim,
+                row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id) AS rank
+              FROM cand)
+            WHERE rank <= 10 ORDER BY qid, rank"""))
+
   /** LSH-bucketed ANN (scale path): no SQL oracle — recall is asserted
     * against the brute-force baseline in PipelineSpec. */
   val annLsh = QueryDef(
@@ -795,7 +835,7 @@ object Queries {
     b3Ttl, b4Compaction, b7Quota, b8Partition,
     w3WriteCompute, w5Lww, w8Squash, w11Div, w12Hll, w13HotKeys,
     dedupExact, dedupMinhash, dedupSimhash, dedupNgram, dedupEmbedding,
-    annTopk, annLsh, textStats, mmDecode)
+    annTopk, annLsh, annIvf, textStats, mmDecode)
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }

@@ -88,6 +88,50 @@ object Similarity {
       .select(col("qid"), col("rank"), col("id"), col("sim"))
   }
 
+  /** IVF (inverted-file) ANN: a coarse quantizer assigns every vector to
+    * its nearest centroid cell; queries probe the nProbe nearest cells and
+    * rank exactly within them. Scan fraction ≈ nProbe/K. Centroids here are
+    * a deterministic corpus sample (ids < K) — a k-means step would slot in
+    * without changing the plan shape (assign = crossJoin small broadcast
+    * centroid set, search = equi-join on cell id). */
+  def ivfAssign(corpus: DataFrame, centroids: DataFrame): DataFrame = {
+    val cent = centroids.select(col("id").as("cid"), col("vec").as("cvec"))
+      .withColumn("__cn", norm(col("cvec")))
+    val w = Window.partitionBy(col("id")).orderBy(col("sim").desc, col("cid"))
+    corpus.withColumn("__n", norm(col("vec")))
+      .crossJoin(broadcast(cent))
+      .withColumn("sim",
+        round(vecDot(col("vec"), col("cvec")) / (col("__n") * col("__cn")), 6)
+          + lit(0.0))
+      .withColumn("rn", row_number().over(w))
+  }
+
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, numCells: Int,
+      nProbe: Int): DataFrame = {
+    val centroids = corpus.filter(col("id") < numCells)
+    val assigned = ivfAssign(corpus, centroids)
+      .filter(col("rn") === 1)
+      .select(col("id"), col("vec"), col("__n"), col("cid"))
+      .persist()
+    val probes = ivfAssign(
+      queries.select(col("qid").as("id"), col("qvec").as("vec")), centroids)
+      .filter(col("rn") <= nProbe)
+      .select(col("id").as("qid"), col("vec").as("qvec"),
+        col("__n").as("__qn"), col("cid"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("id"))
+    assigned
+      .join(broadcast(probes), Seq("cid"))
+      .filter(col("id") =!= col("qid"))
+      .withColumn("sim",
+        round(vecDot(col("vec"), col("qvec")) / (col("__n") * col("__qn")), 6)
+          + lit(0.0))
+      .select(col("qid"), col("id"), col("sim")).distinct()
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("id"), col("sim"))
+  }
+
   /** All pairs with cosine ≥ threshold (embedding near-dup). Exact version
     * is a self-join with per-row precomputed norms; at scale, pre-bucket by
     * [[lshCode]] to keep the pair space near-linear. */

@@ -41,6 +41,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(approx.nonEmpty)
   }
 
+  test("IVF ANN covers a useful fraction of exact neighbors") {
+    val emb = Tables.embeddings(spark, sf)
+    val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val queries = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val exact = Similarity.bruteForceTopK(corpus, queries, 10)
+      .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(corpus, queries, 10, numCells = 8, nProbe = 2)
+      .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect ivf).size.toDouble / exact.size
+    // 2/8 cells probed ⇒ ~25% of the corpus scanned; recall beats that
+    assert(recall > 0.25, s"recall $recall")
+  }
+
   test("HLL approx distinct within Venice-like error bound") {
     val ev = Tables.events(spark, sf)
     val exact = ev.select(countDistinct(col("user_id"))).head.getLong(0)
