@@ -16,10 +16,11 @@ import org.apache.spark.sql.types._
   * (the hot path of R4/R5, ANN, and embedding dedup — SURVEY §4 "custom
   * needed (a)").
   */
-case class VecDot(left: Expression, right: Expression)
+case class VecDot(left: Expression, right: Expression,
+    floatAccum: Boolean = false)
     extends BinaryExpression {
 
-  override def dataType: DataType = DoubleType
+  override def dataType: DataType = if (floatAccum) FloatType else DoubleType
   override def nullable: Boolean = true
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
@@ -40,34 +41,47 @@ case class VecDot(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val (aa, ba) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
     val n = math.min(aa.numElements(), ba.numElements())
-    var acc = 0.0
     var i = 0
-    if (isFloat(left) && isFloat(right)) {
+    if (floatAccum) {
+      // Venice-exact mode: float multiply + float accumulate, the
+      // reference kernel's arithmetic (DotProductOperator semantics)
+      var acc = 0.0f
       while (i < n) {
-        acc += aa.getFloat(i).toDouble * ba.getFloat(i).toDouble; i += 1
+        val x = if (isFloat(left)) aa.getFloat(i) else aa.getDouble(i).toFloat
+        val y = if (isFloat(right)) ba.getFloat(i) else ba.getDouble(i).toFloat
+        acc += x * y; i += 1
       }
-    } else if (isFloat(left)) {
-      while (i < n) { acc += aa.getFloat(i).toDouble * ba.getDouble(i); i += 1 }
-    } else if (isFloat(right)) {
-      while (i < n) { acc += aa.getDouble(i) * ba.getFloat(i).toDouble; i += 1 }
+      acc
     } else {
-      while (i < n) { acc += aa.getDouble(i) * ba.getDouble(i); i += 1 }
+      var acc = 0.0
+      if (isFloat(left) && isFloat(right)) {
+        while (i < n) {
+          acc += aa.getFloat(i).toDouble * ba.getFloat(i).toDouble; i += 1
+        }
+      } else if (isFloat(left)) {
+        while (i < n) { acc += aa.getFloat(i).toDouble * ba.getDouble(i); i += 1 }
+      } else if (isFloat(right)) {
+        while (i < n) { acc += aa.getDouble(i) * ba.getFloat(i).toDouble; i += 1 }
+      } else {
+        while (i < n) { acc += aa.getDouble(i) * ba.getDouble(i); i += 1 }
+      }
+      acc
     }
-    acc
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val getA = if (isFloat(left)) "getFloat" else "getDouble"
     val getB = if (isFloat(right)) "getFloat" else "getDouble"
+    val (accTy, cast) = if (floatAccum) ("float", "(float)") else ("double", "(double)")
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
+         |$accTy $acc = 0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += ((double) $a.$getA($i)) * ((double) $b.$getB($i));
+         |  $acc += ($cast $a.$getA($i)) * ($cast $b.$getB($i));
          |}
          |${ev.value} = $acc;
        """.stripMargin
@@ -80,10 +94,20 @@ case class VecDot(left: Expression, right: Expression)
 }
 
 object VecDotExpr {
-  /** Column wrapper for [[VecDot]]. */
+  /** Column wrapper for [[VecDot]] (double accumulation — oracle-exact). */
   def vecDot(a: Column, b: Column): Column = {
     import org.apache.spark.sql.GraftColumnBridge
     GraftColumnBridge.column(VecDot(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+  }
+
+  /** Venice-exact float accumulation (the reference kernel's arithmetic);
+    * use when byte-parity with a Venice serving deployment matters more
+    * than precision. */
+  def vecDotFloat(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(VecDot(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b),
+      floatAccum = true))
   }
 }

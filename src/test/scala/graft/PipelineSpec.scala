@@ -78,6 +78,25 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("vecDotFloat reproduces reference-style float accumulation exactly") {
+    import graft.functions.VecDotExpr
+    val emb = Tables.embeddings(spark, sf).limit(50)
+    val p = (0 until 64).map(i => ((i * 37) % 19 - 9) / 10.0f)
+    val got = emb.select(col("vec_id"),
+      VecDotExpr.vecDotFloat(col("embedding"),
+        typedLit(p.map(_.toDouble))).as("dot"))
+      .collect().map(r => r.getLong(0) -> r.getFloat(1)).toMap
+    val vecs = emb.select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) ->
+        r.getAs[scala.collection.Seq[Float]]("embedding")).toMap
+    vecs.foreach { case (id, v) =>
+      // the reference kernel: float multiply, float accumulate, in order
+      var acc = 0.0f
+      v.indices.foreach(i => acc += v(i) * p(i))
+      assert(got(id) == acc, s"vec $id: ${got(id)} vs $acc")
+    }
+  }
+
   test("multimodal stub decode round-trips deterministically") {
     val docs = Tables.documents(spark, sf)
     val media = Multimodal.asMedia(docs, "doc_id", "text")
