@@ -82,7 +82,8 @@ object Dedup {
     * (pigeonhole), so the band equi-join finds every qualifying pair. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val sh = df.select(col(idCol).as("id"),
-      TextOps.simhash16(col(textCol)).as("simhash"))
+      graft.functions.SimHashExpr.simhash16(
+        TextOps.tokens(col(textCol))).as("simhash"))
     val banded = sh.select(col("id"), col("simhash"),
       explode(array(
         concat(lit("hi:"), (col("simhash") / 256).cast("int").cast("string")),

@@ -78,6 +78,15 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("SimHash16 expression ≡ higher-order-function formulation") {
+    import graft.functions.{SimHashExpr, TextOps}
+    val docs = Tables.documents(spark, sf)
+    val both = docs.select(
+      TextOps.simhash16(col("text")).as("hof"),
+      SimHashExpr.simhash16(TextOps.tokens(col("text"))).as("expr"))
+    assert(both.filter(col("hof") =!= col("expr")).count() == 0)
+  }
+
   test("vecDotFloat reproduces reference-style float accumulation exactly") {
     import graft.functions.VecDotExpr
     val emb = Tables.embeddings(spark, sf).limit(50)
