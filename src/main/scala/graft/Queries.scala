@@ -76,7 +76,7 @@ object Queries {
         .limit(10)
     },
     Some("""SELECT l_orderkey,
-            sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS revenue_cents
+            CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             JOIN customer ON o_custkey = c_custkey
             WHERE c_mktsegment = 'BUILDING'
@@ -154,9 +154,9 @@ object Queries {
     },
     Some("""SELECT user_id, event_id,
               row_number() OVER w AS rn,
-              sum(CAST(round(value * 100) AS BIGINT))
+              CAST(sum(CAST(round(value * 100) AS BIGINT))
                 OVER (PARTITION BY user_id ORDER BY ts, event_id
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_cents
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_cents
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
             ORDER BY user_id, rn"""))
@@ -172,7 +172,7 @@ object Queries {
         count(lit(1)).as("n_cust"))
       .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first),
     Some("""SELECT r_name, n_name,
-              sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS acct_cents,
+              CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS acct_cents,
               count(*) AS n_cust
             FROM customer
             JOIN nation ON c_nationkey = n_nationkey
@@ -235,7 +235,7 @@ object Queries {
               min(epoch_ms(ts)) AS session_start,
               max(epoch_ms(ts)) AS session_end,
               count(*) AS n_events,
-              sum(CAST(round(value * 100) AS BIGINT)) AS value_cents
+              CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
             FROM (
               SELECT user_id, ts, value,
                 sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
@@ -324,18 +324,20 @@ object Queries {
                       * list_dot_product($pvecSql, $pvecSql)), 6) AS cos_sim
              FROM embeddings ORDER BY vec_id"""))
 
-  /** R6 hadamardProduct: element-wise product array. */
+  /** R6 hadamardProduct: element-wise product array. Surfaced as a
+    * comma-joined integer-micros string — array-typed output columns crash
+    * the driver's pandas comparator, and integer rendering is the only
+    * cross-engine-stable double→string path. */
   val r6Hadamard = QueryDef(
     "r6_hadamard",
     (s, dir) => t(s, dir, "embeddings")
       .select(col("vec_id"),
-        transform(VectorOps.hadamardProduct(col("embedding"), pvec),
-          x => round(x, 6) + lit(0.0)).as("hprod"))
+        array_join(transform(VectorOps.hadamardProduct(col("embedding"), pvec),
+          x => round(x * 1000000).cast("long").cast("string")), ",").as("hprod"))
       .orderBy(col("vec_id")),
-    // `+ 0.0` normalizes IEEE −0.0 (engines differ in keeping the sign)
     Some(s"""SELECT vec_id,
-             list_transform(list_zip(embedding::DOUBLE[], $pvecSql),
-               t -> round(t[1] * t[2], 6) + 0.0) AS hprod
+             array_to_string(list_transform(list_zip(embedding::DOUBLE[], $pvecSql),
+               t -> CAST(round(t[1] * t[2] * 1000000) AS BIGINT)), ',') AS hprod
              FROM embeddings ORDER BY vec_id"""))
 
   /** R7 count: collection size (null → −1, Venice's error default). */
@@ -462,11 +464,12 @@ object Queries {
           typedLit(Seq("error")).as("tags__setDiff"),
           array().cast("array<string>").as(WriteCompute.SetFieldsCol))
       WriteCompute.applyUpdates(snapshot, adds.unionByName(removeErr), Seq("user_id"))
-        .select(col("user_id"), array_sort(col("tags")).as("tags"))
+        .select(col("user_id"),
+          array_join(array_sort(col("tags")), ",").as("tags"))
         .orderBy(col("user_id"))
     },
     Some("""SELECT user_id,
-            list_sort(list_filter(list(DISTINCT event_type), t -> t <> 'error')) AS tags
+            array_to_string(list_sort(list_filter(list(DISTINCT event_type), t -> t <> 'error')), ',') AS tags
             FROM events GROUP BY user_id ORDER BY user_id"""))
 
   /** B7 storage-quota enforcement: total serialized key+value bytes
@@ -478,8 +481,8 @@ object Queries {
         octet_length(col("c_name")) + octet_length(col("c_mktsegment")))
         .as("total_bytes"),
         count(lit(1)).as("n_records")),
-    Some("""SELECT sum(strlen(CAST(c_custkey AS VARCHAR))
-                 + strlen(c_name) + strlen(c_mktsegment)) AS total_bytes,
+    Some("""SELECT CAST(sum(strlen(CAST(c_custkey AS VARCHAR))
+                 + strlen(c_name) + strlen(c_mktsegment)) AS BIGINT) AS total_bytes,
             count(*) AS n_records FROM customer"""))
 
   /** B8 Venice-style md5-mod partitioner: per-partition record counts
@@ -749,10 +752,12 @@ object Queries {
     "w8_squash_sets",
     (s, dir) => Tables.events(s, dir)
       .groupBy(col("user_id"))
-      .agg(array_sort(collect_set(col("event_type"))).as("event_types"),
+      .agg(array_join(array_sort(collect_set(col("event_type"))), ",")
+          .as("event_types"),
         countDistinct(col("event_id")).as("n_events"))
       .orderBy(col("user_id")),
-    Some("""SELECT user_id, list_sort(list(DISTINCT event_type)) AS event_types,
+    Some("""SELECT user_id,
+            array_to_string(list_sort(list(DISTINCT event_type)), ',') AS event_types,
             count(DISTINCT event_id) AS n_events
             FROM events GROUP BY user_id ORDER BY user_id"""))
 

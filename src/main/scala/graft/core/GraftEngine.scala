@@ -61,13 +61,19 @@ class GraftEngine(val spark: SparkSession, val root: String) {
   // ---- batch push (VPJ analog: B1→B4→B8→B9) --------------------------------
 
   /** Push a full dataset as a new immutable version, then swap the pointer.
-    * Dedups on key (last row wins by input order surrogate), partitions by
+    * Dedups on key — last row by input order wins, deterministically: rows
+    * are stamped with a monotonically-increasing input-order surrogate and
+    * compacted on its max, the Spark analog of Venice's max-offset-wins
+    * compaction (AbstractDataWriterSparkJob.applyCompaction). Partitions by
     * the Venice-style md5-mod bucket so point lookups prune files. */
   def push(name: String, df: DataFrame, numBuckets: Int = 16): Int = {
     val meta = storeMeta(name)
     Files.writeString(Paths.get(dir(name, "BUCKETS")), numBuckets.toString)
     val v = currentVersion(name) + 1
-    val keyed = df.dropDuplicates(meta.keyCols)
+    val seq = "__push_seq"
+    val keyed = Compaction.latestPerKey(
+      df.withColumn(seq, monotonically_increasing_id()),
+      meta.keyCols, Seq(col(seq))).drop(seq)
     val bucketed = keyed.withColumn(BucketCol,
       graft.functions.HashOps.partitionId(
         concat_ws("|", meta.keyCols.map(col): _*), numBuckets))
@@ -171,10 +177,15 @@ class GraftEngine(val spark: SparkSession, val root: String) {
       .write.mode("append").parquet(dir(name, "log"))
   }
 
-  private def hasLog(name: String): Boolean = {
-    val p = Paths.get(dir(name, "log"))
-    Files.exists(p) && Files.list(p).findFirst.isPresent
-  }
+  /** Directory-non-empty probe that closes the listing stream (Files.list
+    * leaks an fd per call otherwise — every servingView would leak one). */
+  private def nonEmptyDir(p: java.nio.file.Path): Boolean =
+    Files.exists(p) && {
+      val s = Files.list(p)
+      try s.findFirst.isPresent finally s.close()
+    }
+
+  private def hasLog(name: String): Boolean = nonEmptyDir(Paths.get(dir(name, "log")))
 
   /** The hybrid-store read view: snapshot outer-merged with the RT log,
     * LWW per key with delete-wins tie-break (W5/W6). */
@@ -212,10 +223,8 @@ class GraftEngine(val spark: SparkSession, val root: String) {
       .withColumn(graft.operators.WriteCompute.TsCol, lit(tsMs))
       .write.mode("append").parquet(dir(name, "updates"))
 
-  private def hasUpdates(name: String): Boolean = {
-    val p = Paths.get(dir(name, "updates"))
-    Files.exists(p) && Files.list(p).findFirst.isPresent
-  }
+  private def hasUpdates(name: String): Boolean =
+    nonEmptyDir(Paths.get(dir(name, "updates")))
 
   // ---- views & registration ------------------------------------------------
 

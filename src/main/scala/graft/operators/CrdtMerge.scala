@@ -86,9 +86,14 @@ object CrdtMerge {
           val (ta, tb) = (a.getField(s"${f.name}__ts"), b.getField(s"${f.name}__ts"))
           val (va, vb) = (a.getField(f.name), b.getField(f.name))
           // LWW; ts tie → larger value-string wins (deterministic stand-in
-          // for Venice's unsigned serialized-byte compare)
+          // for Venice's unsigned serialized-byte compare). The tie-break is
+          // null-safe — a NULL value deterministically loses to any non-null
+          // regardless of argument order, preserving commutativity (a bare
+          // string compare yields NULL on null input, which would let
+          // join(a,b) and join(b,a) disagree on equal-ts ties).
           val bWins = (tb > ta) ||
-            (tb === ta && vb.cast("string") > va.cast("string"))
+            (tb === ta && vb.isNotNull &&
+              (va.isNull || vb.cast("string") > va.cast("string")))
           Seq(when(bWins, vb).otherwise(va).as(f.name),
             when(bWins, tb).otherwise(ta).as(s"${f.name}__ts"))
       }
