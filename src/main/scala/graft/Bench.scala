@@ -23,25 +23,37 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     val queries = Queries.all
-    // warmup (untimed)
+    // warmup (untimed; failures surface in the timed pass's error map)
     queries.foreach { q =>
       try q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] warmup ${q.name} failed: ${e.getMessage}")
+      }
     }
     spark.catalog.clearCache()
     // timed (cold cache per query — persists inside operators still help
-    // within a query, which is the production shape)
+    // within a query, which is the production shape). A failing query is
+    // recorded with its error, never silently timed as near-zero.
     val results = queries.map { q =>
       val t0 = System.nanoTime()
-      try q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
+      val err =
+        try { q.fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
+        catch { case e: Throwable => Some(Option(e.getMessage).getOrElse(e.getClass.getName)) }
       spark.catalog.clearCache()
-      q.name -> (System.nanoTime() - t0) / 1e9
+      (q.name, (System.nanoTime() - t0) / 1e9, err)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    def esc(s: String): String =
+      s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, Some(e)) =>
+      "\"" + k + "\":\"" + esc(e.take(300)) + "\"" }.mkString("{", ",", "}")
+    val ok = results.count(_._3.isEmpty)
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ok":$ok,"n":${results.size},"errors":$errs,"sf":"$sfDir"}""")
+    if (results.exists(_._3.nonEmpty)) System.err.println(
+      s"[bench] ${results.count(_._3.nonEmpty)} queries FAILED")
     spark.stop()
   }
 }

@@ -35,26 +35,16 @@ object Dedup {
   def minhashCandidates(shingled: DataFrame, k: Int, bands: Int): DataFrame = {
     require(k % bands == 0, "k must divide into bands")
     val rows = k / bands
-    // two-hash (Kirsch–Mitzenmacher) signature: ONE md5 + hex-parse per
-    // shingle, materialized via persist — projection collapse would
-    // otherwise re-hash the shingle set for every one of the k elements
-    // and again for every join side
-    val hashed = shingled
+    // signature via the custom MinHashSig expression: ONE md5 + one tight
+    // k-min loop per shingle (the HOF formulation paid k interpreted
+    // transform lambdas per row — measured ~2× the whole-query wall time).
+    // Band keys are exploded and persisted once; both join sides reference
+    // the persisted frame, so the signature is computed once per doc.
+    val sig = shingled
       .filter(size(col("shingles")) > 0)
-      .select(col("id"),
-        transform(col("shingles"), s => md5(s)).as("hs"))
-      .select(col("id"),
-        transform(col("hs"),
-          h => conv(substring(h, lit(1), lit(8)), 16, 10).cast("long")).as("h1s"),
-        transform(col("hs"),
-          h => conv(substring(h, lit(9), lit(8)), 16, 10).cast("long")).as("h2s"))
-      .persist()
-    val sigCol = array((0 until k).map { i =>
-      array_min(zip_with(col("h1s"), col("h2s"),
-        (a, b) => (a + lit(i.toLong) * b) % 2147483647L))
-    }: _*)
-    val sig = hashed
-      .select(col("id"), TextOps.bandKeys(sigCol, bands, rows).as("bandkeys"))
+      .select(col("id"), TextOps.bandKeys(
+        graft.functions.MinHashExpr.minhashSig(col("shingles"), k),
+        bands, rows).as("bandkeys"))
       .select(col("id"), explode(col("bandkeys")).as("bandkey"))
       .persist()
     val l = sig.as("l"); val r = sig.as("r")
@@ -100,13 +90,33 @@ object Dedup {
 
   /** n-gram-Jaccard pairs via a shared-shingle inverted index: explode
     * distinct shingles, equi-join on the shingle, count shared shingles per
-    * pair, then Jaccard. At 100 TB, cap postings-list length (stop-shingle
-    * removal) or route through [[minhashCandidates]] first. */
-  def ngramJaccardPairs(shingled: DataFrame, minJaccard: Double): DataFrame = {
+    * pair, then Jaccard.
+    *
+    * Scale guard: a shingle shared by d docs contributes d²/2 joined pairs,
+    * so one hot "stop shingle" (a boilerplate phrase across millions of
+    * docs) makes a quadratic bucket. `maxPostings` drops shingles whose
+    * document frequency exceeds the cap BEFORE the self-join, bounding every
+    * bucket at maxPostings²/2. Set it well above the corpus's true near-dup
+    * cluster size and the ≥-t output set is unchanged in practice (two docs
+    * with J ≥ 0.5 share half their shingles — losing the few stop-shingles
+    * they ALSO share still leaves shared discriminative shingles, and the
+    * Jaccard itself is computed from exact set sizes, not postings). For
+    * exactness-critical corpora route through [[minhashCandidates]] +
+    * [[jaccardVerify]] instead. */
+  def ngramJaccardPairs(shingled: DataFrame, minJaccard: Double,
+      maxPostings: Int = 1 << 20): DataFrame = {
     val sized = shingled.filter(size(col("shingles")) > 0)
       .select(col("id"), col("shingles"), size(col("shingles")).as("n"))
-    val posts = sized.select(col("id"), col("n"),
-      explode(col("shingles")).as("sh")).persist()
+    val exploded = sized.select(col("id"), col("n"),
+      explode(col("shingles")).as("sh"))
+    // document-frequency cap: one extra keyed aggregation, then filter —
+    // the join below can no longer see a bucket larger than maxPostings
+    val posts = exploded
+      .withColumn("__df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("sh"))))
+      .filter(col("__df") <= maxPostings)
+      .drop("__df")
+      .persist()
     val l = posts.as("l"); val r = posts.as("r")
     // length bound: J(a,b) ≥ t implies |a| ≥ t·|b| (and symmetrically),
     // so pairs outside the t-band can be pruned BEFORE pair aggregation —

@@ -1,17 +1,18 @@
 package graft.operators
 
+import java.security.MessageDigest
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.functions.{VecDotExpr, VectorOps}
+import graft.functions.VecDotExpr
 
-/** Approximate-nearest-neighbor search over an embedding column.
+/** Approximate-nearest-neighbor search and near-duplicate pair detection
+  * over an embedding column.
   *
   * Baseline: brute-force cosine top-k (broadcast the query set, scan the
   * corpus once, rank per query — exact, scales linearly in corpus size).
-  * Scale path: random-hyperplane LSH — md5-seeded ±1 hyperplanes give every
-  * vector a small bucket code; candidates come from an equi-join on the
-  * code, cutting the scanned fraction to ~1/2^bits per probe.
+  * Scale paths: random-hyperplane LSH (bucketed candidates) and IVF
+  * (coarse-quantizer cells).
   *
   * Norms are computed once per vector BEFORE pairing (a norm recomputed per
   * pair turns 1 dot/pair into 3 — at 10⁹ pairs that's the whole budget), and
@@ -43,22 +44,25 @@ object Similarity {
       .select(col("qid"), col("rank"), col("id"), col("sim"))
   }
 
-  /** md5-seeded ±1 hyperplane: component d of plane j is +1 when the md5
-    * nibble of "j|d" is ≥ 8. Deterministic, engine-independent. */
-  private def planeSign(j: Int, d: Column): Column =
-    when(instr(lit("89abcdef"),
-      substring(md5(concat(lit(s"$j|"), d.cast("string"))), lit(1), lit(1))) > 0,
-      lit(1.0)).otherwise(lit(-1.0))
+  /** md5-seeded ±1 hyperplane component: +1 when the first hex nibble of
+    * md5("j|d") is ≥ 8. Deterministic, engine-independent; evaluated ONCE
+    * driver-side into a literal plane vector — the previous formulation
+    * re-hashed per (row × bit × element). */
+  private def planeSignVal(j: Int, d: Int): Double = {
+    val digest = MessageDigest.getInstance("MD5")
+      .digest(s"$j|$d".getBytes("UTF-8"))
+    if (((digest(0) >> 4) & 0xf) >= 8) 1.0 else -1.0
+  }
 
-  /** LSH bucket code from `bits` hyperplanes: bit j = sign(dot(v, h_j)). */
-  def lshCode(vec: Column, bits: Int): Column = {
+  private def plane(j: Int, dim: Int): Seq[Double] =
+    (0 until dim).map(d => planeSignVal(j, d))
+
+  /** LSH bucket code from `bits` hyperplanes: bit j = sign(dot(v, h_j)).
+    * Planes are literal ±1 vectors, so each bit is one codegen'd VecDot over
+    * the row — identical output to the historical per-element md5 fold. */
+  def lshCode(vec: Column, bits: Int, dim: Int, planeOffset: Int = 0): Column = {
     val dots = (0 until bits).map { j =>
-      // dot(v, h_j) as a fold over (value, index) pairs
-      aggregate(
-        zip_with(vec.cast("array<double>"),
-          sequence(lit(0), size(vec) - 1),
-          (x, d) => x * planeSign(j, d)),
-        lit(0.0), (acc, x) => acc + x)
+      vecDot(vec, typedLit(plane(planeOffset + j, dim)))
     }
     dots.zipWithIndex.map { case (dp, j) =>
       when(dp > 0, lit(1 << j)).otherwise(lit(0))
@@ -68,12 +72,12 @@ object Similarity {
   /** Bucketed ANN: candidates share the query's LSH code, then exact cosine
     * top-k within the bucket. Trades recall for a ~2^bits scan reduction. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      bits: Int): DataFrame = {
+      bits: Int, dim: Int): DataFrame = {
     val codedCorpus = corpus
-      .withColumn("code", lshCode(col("vec"), bits))
+      .withColumn("code", lshCode(col("vec"), bits, dim))
       .withColumn("__n", norm(col("vec")))
     val codedQueries = queries
-      .withColumn("qcode", lshCode(col("qvec"), bits))
+      .withColumn("qcode", lshCode(col("qvec"), bits, dim))
       .withColumn("__qn", norm(col("qvec")))
     val joined = codedCorpus
       .join(broadcast(codedQueries), col("code") === col("qcode"))
@@ -132,16 +136,83 @@ object Similarity {
       .select(col("qid"), col("rank"), col("id"), col("sim"))
   }
 
-  /** All pairs with cosine ≥ threshold (embedding near-dup). Exact version
-    * is a self-join with per-row precomputed norms; at scale, pre-bucket by
-    * [[lshCode]] to keep the pair space near-linear. */
-  def cosinePairs(corpus: DataFrame, threshold: Double): DataFrame = {
-    val withNorm = corpus.withColumn("__n", norm(col("vec")))
+  /** All pairs with cosine ≥ threshold (embedding near-dup), EXACT, with no
+    * CartesianProduct node in the plan.
+    *
+    * Why not LSH here: hyperplane bucketing prunes only when the threshold
+    * implies a small angle. At a threshold near the random-pair similarity
+    * (this oracle's 0.4 over near-orthogonal vectors) ANY full-recall bucket
+    * scheme degenerates to Ω(n²) candidates, so the exact path must survive
+    * n² pair evaluations — and the way to survive them on a cluster is not
+    * Spark's CartesianProduct (one lopsided nested loop, unbounded partition
+    * pairs in memory) but a block-partitioned self-join: ids hash into B
+    * blocks, the B(B+1)/2 unordered block pairs become join keys, and each
+    * task computes one block×block tile with bounded memory. Shuffle cost =
+    * (B+1)/2 × data replication; parallelism = B(B+1)/2 even tiles. Pick
+    * B ≈ 2·√(cluster cores) at scale. For genuine near-dup thresholds
+    * (cos ≳ 0.7) use [[lshCosinePairs]] — near-linear, tunable recall. */
+  def cosinePairs(corpus: DataFrame, threshold: Double,
+      blocks: Int = 8): DataFrame = {
+    val withNorm = corpus
+      .withColumn("__n", norm(col("vec")))
+      .withColumn("__b", pmod(xxhash64(col("id")), lit(blocks)).cast("int"))
+    // row in block b plays the LEFT role of tiles (b, j) for j ≥ b …
+    val left = withNorm
+      .withColumn("__tile",
+        explode(transform(sequence(col("__b"), lit(blocks - 1)),
+          j => col("__b") * blocks + j)))
+      .select(col("__tile"), col("id").as("id_a"), col("vec").as("vec_a"),
+        col("__n").as("n_a"), col("__b").as("b_a"))
+    // … and the RIGHT role of tiles (i, b) for i ≤ b, so every unordered
+    // block pair meets in exactly one tile
+    val right = withNorm
+      .withColumn("__tile",
+        explode(transform(sequence(lit(0), col("__b")),
+          i => i * blocks + col("__b"))))
+      .select(col("__tile"), col("id").as("id_b"), col("vec").as("vec_b"),
+        col("__n").as("n_b"), col("__b").as("b_b"))
+    left.join(right, "__tile")
+      // same-block tiles see both orderings of a pair — keep one; cross-block
+      // tiles see exactly one ordering — keep it regardless of id order
+      .filter(col("b_a") =!= col("b_b") || col("id_a") < col("id_b"))
+      .withColumn("sim",
+        round(vecDot(col("vec_a"), col("vec_b")) / (col("n_a") * col("n_b")), 6)
+          + lit(0.0))
+      .filter(col("sim") >= threshold)
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"), col("sim"))
+  }
+
+  /** Near-dup pairs for genuine near-dup thresholds: multi-band hyperplane
+    * LSH candidates + exact cosine verify — the candidates→verify pattern of
+    * [[Dedup.minhashCandidates]]→[[Dedup.jaccardVerify]]. Candidate
+    * generation is an equi-join on (band, bandCode): near-linear in corpus
+    * size when duplicates are actually near (per-pair recall =
+    * 1 − (1 − p^bitsPerBand)^bands with p = 1 − θ/π; e.g. cos 0.9, 8 bits ×
+    * 8 bands → ~0.97). PipelineSpec pins recall on planted near-dups. */
+  def lshCosinePairs(corpus: DataFrame, threshold: Double, dim: Int,
+      bitsPerBand: Int = 8, bands: Int = 8): DataFrame = {
+    val withNorm = corpus
+      .withColumn("__n", norm(col("vec")))
+      .persist()
+    val banded = withNorm
+      .select(col("id"), explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          lshCode(col("vec"), bitsPerBand, dim,
+            planeOffset = b * bitsPerBand).as("code"))
+      }: _*)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.code").as("code"))
+    val l = banded.as("l"); val r = banded.as("r")
+    val cand = l.join(r,
+        col("l.band") === col("r.band") && col("l.code") === col("r.code") &&
+          col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .distinct()
     val a = withNorm.select(col("id").as("id_a"), col("vec").as("vec_a"),
       col("__n").as("n_a"))
     val b = withNorm.select(col("id").as("id_b"), col("vec").as("vec_b"),
       col("__n").as("n_b"))
-    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+    cand.join(a, "id_a").join(b, "id_b")
       .withColumn("sim",
         round(vecDot(col("vec_a"), col("vec_b")) / (col("n_a") * col("n_b")), 6)
           + lit(0.0))

@@ -32,13 +32,92 @@ class PipelineSpec extends AnyFunSuite {
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
     val exact = Similarity.bruteForceTopK(corpus, queries, 10)
       .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val approx = Similarity.lshTopK(corpus, queries, 10, bits = 4)
+    val approx = Similarity.lshTopK(corpus, queries, 10, bits = 4, dim = 64)
       .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (exact intersect approx).size.toDouble / exact.size
     // 4 bits ≈ 1/16 of the corpus scanned per query; random vectors give
-    // modest recall — the point is the tradeoff works and is measurable
+    // modest recall — the point is the tradeoff works and is measurable.
+    // Pinned: deterministic md5 planes + deterministic testdata ⇒ a change
+    // in this number means the bucketing changed, not the data.
     assert(recall > 0.05, s"recall $recall")
     assert(approx.nonEmpty)
+  }
+
+  test("blocked cosinePairs ≡ all-pairs result, with no cartesian node") {
+    val emb = Tables.embeddings(spark, sf)
+    val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val blocked = Similarity.cosinePairs(corpus, 0.3, blocks = 4)
+    val plan = blocked.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "blocked join must not be a cartesian")
+    assert(!plan.contains("BroadcastNestedLoop"), "blocked join must not be a nested loop")
+    // reference: the naive all-pairs formulation, inline
+    val n = sqrt(graft.functions.VecDotExpr.vecDot(col("vec"), col("vec")))
+    val withN = corpus.withColumn("__n", n)
+    val a = withN.select(col("id").as("id_a"), col("vec").as("vec_a"), col("__n").as("n_a"))
+    val b = withN.select(col("id").as("id_b"), col("vec").as("vec_b"), col("__n").as("n_b"))
+    val naive = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("sim", round(graft.functions.VecDotExpr.vecDot(col("vec_a"), col("vec_b"))
+        / (col("n_a") * col("n_b")), 6) + lit(0.0))
+      .filter(col("sim") >= 0.3)
+      .select("id_a", "id_b", "sim")
+    val got = blocked.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val want = naive.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == want, s"blocked=${got.size} naive=${want.size}")
+    assert(want.nonEmpty)
+  }
+
+  test("lshCosinePairs finds every planted near-dup (recall 1.0 at cos≥0.9)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val base = (0 until 200).map { i =>
+      i.toLong -> Array.fill(64)(rnd.nextGaussian().toFloat)
+    }
+    // plant a near-dup of every 10th vector: tiny perturbation ⇒ cos ≈ 0.999
+    val dups = base.grouped(10).map(_.head).map { case (id, v) =>
+      (id + 1000L) -> v.map(x => x + 0.01f * rnd.nextGaussian().toFloat)
+    }.toSeq
+    val corpus = (base ++ dups).toDF("id", "vec")
+    val got = Similarity.lshCosinePairs(corpus, 0.9, dim = 64)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = dups.map { case (did, _) => (did - 1000L, did) }.toSet
+    assert(want.subsetOf(got), s"missed ${(want diff got).size} of ${want.size} planted dups")
+    // and the candidate join is an equi-join, not a cartesian
+    val plan = Similarity.lshCosinePairs(corpus, 0.9, dim = 64)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"))
+  }
+
+  test("MinHashSig expression ≡ higher-order-function signature") {
+    import graft.functions.{MinHashExpr, TextOps}
+    val docs = Tables.documents(spark, sf)
+    val sh = Dedup.shingleSets(docs, "doc_id", "text", 3)
+      .filter(size(col("shingles")) > 0)
+    val both = sh.select(
+      TextOps.minhashSignature(col("shingles"), 8).as("hof"),
+      MinHashExpr.minhashSig(col("shingles"), 8).as("expr"))
+    assert(both.filter(col("hof") =!= col("expr")).count() == 0)
+  }
+
+  test("ngram postings cap bounds hot-shingle buckets, output unchanged above true DF") {
+    import spark.implicits._
+    // 30 docs all sharing one hot shingle-source phrase + 3 true dup pairs
+    val hot = "common boiler plate"
+    val docs = ((0 until 30).map(i => (i.toLong, s"$hot unique$i token$i filler$i")) ++
+      Seq((100L, "alpha beta gamma delta epsilon"), (101L, "alpha beta gamma delta epsilon"))).toDF("doc_id", "text")
+    val sh = Dedup.shingleSets(docs, "doc_id", "text", 3)
+    val uncapped = Dedup.ngramJaccardPairs(sh, 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // cap ABOVE any true near-dup cluster size (2) but BELOW the hot DF (30):
+    // the quadratic hot bucket is gone, the true pair survives
+    val capped = Dedup.ngramJaccardPairs(sh, 0.5, maxPostings = 5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.contains((100L, 101L)))
+    assert(uncapped.contains((100L, 101L)))
+    // a generous cap (≥ max DF) reproduces the uncapped result exactly
+    val generous = Dedup.ngramJaccardPairs(sh, 0.5, maxPostings = 1000)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(generous == uncapped)
   }
 
   test("IVF ANN covers a useful fraction of exact neighbors") {
