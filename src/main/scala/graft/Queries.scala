@@ -238,8 +238,8 @@ object Queries {
               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
             FROM (
               SELECT user_id, ts, value,
-                sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_no
+                CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_no
               FROM (
                 SELECT user_id, ts, value, event_id,
                   CASE WHEN prev_ts IS NULL
@@ -472,6 +472,77 @@ object Queries {
             array_to_string(list_sort(list_filter(list(DISTINCT event_type), t -> t <> 'error')), ',') AS tags
             FROM events GROUP BY user_id ORDER BY user_id"""))
 
+  /** W7 field-level RMD CRDT merge: a scripted active-active op stream
+    * derived from the events table — op = event_id % 4 (0: full PUT
+    * {score, tags}, 1: setField score, 2: add tag element, 3: remove tag
+    * element), ts = event_id (globally unique, so LWW winners are purely
+    * ts-determined) — folded through the commutative [[graft.operators.CrdtMerge]]
+    * lattice (reference semantics: MergeConflictResolver.java:204-255,
+    * SortBasedCollectionFieldOpHandler observed-remove sets). The oracle
+    * recomputes the converged state directly: per-scalar arg-max ts; an
+    * element is live iff its max add-ts ≥ the max full-put ts and > its max
+    * remove-ts. */
+  val w7Crdt = QueryDef(
+    "w7_crdt_merge",
+    (s, dir) => {
+      import org.apache.spark.sql.types._
+      import graft.operators.CrdtMerge
+      val value = StructType(Seq(
+        StructField("score", DoubleType),
+        StructField("tags", ArrayType(StringType))))
+      val ev = Tables.events(s, dir).select(
+        col("user_id"), col("event_id").as("ts"),
+        col("event_type"), col("value"),
+        pmod(col("event_id"), lit(4)).as("op"))
+      val state =
+        when(col("op") === 0, CrdtMerge.putState(
+          struct(col("value").as("score"), array(col("event_type")).as("tags")),
+          col("ts"), value))
+        .when(col("op") === 1,
+          CrdtMerge.setFieldState("score", col("value"), col("ts"), value))
+        .when(col("op") === 2, CrdtMerge.elementOpState(
+          "tags", col("event_type"), col("ts"), isRemove = false, value))
+        .otherwise(CrdtMerge.elementOpState(
+          "tags", col("event_type"), col("ts"), isRemove = true, value))
+      CrdtMerge.mergeEvents(
+        ev.select(col("user_id"), state.as("state")), Seq("user_id"), value)
+        .select(col("user_id"),
+          round(col("score") * 100).cast("long").as("score_cents"),
+          array_join(col("tags"), ",").as("tags"))
+        .orderBy(col("user_id"))
+    },
+    Some("""WITH ops AS (
+              SELECT user_id, event_id AS ts, event_type, value, event_id % 4 AS op
+              FROM events),
+            topts AS (
+              SELECT user_id, max(CASE WHEN op = 0 THEN ts END) AS top_ts
+              FROM ops GROUP BY user_id),
+            score AS (
+              SELECT user_id, arg_max(value, ts) AS score
+              FROM ops WHERE op IN (0, 1) GROUP BY user_id),
+            adds AS (
+              SELECT user_id, event_type AS elem, max(ts) AS add_ts
+              FROM ops WHERE op IN (0, 2) GROUP BY user_id, event_type),
+            dels AS (
+              SELECT user_id, event_type AS elem, max(ts) AS del_ts
+              FROM ops WHERE op = 3 GROUP BY user_id, event_type),
+            live AS (
+              SELECT a.user_id, a.elem FROM adds a
+              LEFT JOIN dels d ON a.user_id = d.user_id AND a.elem = d.elem
+              LEFT JOIN topts t ON a.user_id = t.user_id
+              WHERE a.add_ts >= coalesce(t.top_ts, -9223372036854775808)
+                AND a.add_ts > coalesce(d.del_ts, -9223372036854775808)),
+            tags AS (
+              SELECT user_id, array_to_string(list_sort(list(elem)), ',') AS tags
+              FROM live GROUP BY user_id)
+            SELECT u.user_id,
+              CAST(round(s.score * 100) AS BIGINT) AS score_cents,
+              coalesce(g.tags, '') AS tags
+            FROM (SELECT DISTINCT user_id FROM ops) u
+            LEFT JOIN score s ON u.user_id = s.user_id
+            LEFT JOIN tags g ON u.user_id = g.user_id
+            ORDER BY u.user_id"""))
+
   /** B7 storage-quota enforcement: total serialized key+value bytes
     * (distributed sum, the single collected row is the quota verdict). */
   val b7Quota = QueryDef(
@@ -701,7 +772,7 @@ object Queries {
       val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
       val queries = emb.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-      graft.operators.Similarity.lshTopK(corpus, queries, 10, bits = 4)
+      graft.operators.Similarity.lshTopK(corpus, queries, 10, bits = 4, dim = 64)
         .orderBy(col("qid"), col("rank"))
     },
     None)
@@ -838,7 +909,7 @@ object Queries {
     r4Dot, r5Cosine, r6Hadamard, r7Count, r8ComputeErrors, r9Prefix,
     r10Predicates, r11Stream, qWindow, qRollup, qSemi, qAnti, qSessionize,
     b3Ttl, b4Compaction, b7Quota, b8Partition,
-    w3WriteCompute, w5Lww, w8Squash, w11Div, w12Hll, w13HotKeys,
+    w3WriteCompute, w5Lww, w7Crdt, w8Squash, w11Div, w12Hll, w13HotKeys,
     dedupExact, dedupMinhash, dedupSimhash, dedupNgram, dedupEmbedding,
     annTopk, annLsh, annIvf, textStats, mmDecode)
 

@@ -118,6 +118,10 @@ class GraftEngine(val spark: SparkSession, val root: String) {
     val meta = storeMeta(name)
     val pred = meta.keyCols.zip(key)
       .map { case (c, k) => col(c) === lit(k) }.reduce(_ && _)
+    // A/A stores resolve through the CRDT fold (the op log is small by
+    // construction — repush compacts it away); key filter prunes the fold
+    if (isActiveActive(name) && hasAaLog(name))
+      return aaView(name).filter(pred).limit(1).collect().headOption
     val snap = spark.read.parquet(dir(name, s"v=${currentVersion(name)}"))
       .filter(col(BucketCol) === bucketOf(name, key))
       .drop(BucketCol)
@@ -190,6 +194,7 @@ class GraftEngine(val spark: SparkSession, val root: String) {
   /** The hybrid-store read view: snapshot outer-merged with the RT log,
     * LWW per key with delete-wins tie-break (W5/W6). */
   def servingView(name: String): DataFrame = {
+    if (isActiveActive(name) && hasAaLog(name)) return aaView(name)
     val snap = snapshot(name)
       .withColumn(TsCol, lit(0L)).withColumn(DeletedCol, lit(false))
     val merged =
@@ -225,6 +230,119 @@ class GraftEngine(val spark: SparkSession, val root: String) {
 
   private def hasUpdates(name: String): Boolean =
     nonEmptyDir(Paths.get(dir(name, "updates")))
+
+  // ---- active-active (W7: field-level RMD CRDT) ----------------------------
+
+  /** Mark the store active-active: subsequent [[putAA]]/[[deleteAA]]/
+    * [[setFieldAA]]/[[addToSetAA]]/[[removeFromSetAA]] ops land in an RMD op
+    * log and [[servingView]] resolves them through the field-level CRDT
+    * ([[graft.operators.CrdtMerge]]) instead of record-level LWW — the
+    * Spark re-expression of Venice's A/A conflict resolution
+    * (MergeConflictResolver.java:111-255: per-field timestamps, per-element
+    * collection timestamps, delete resolved field-by-field). */
+  def enableActiveActive(name: String): Unit =
+    Files.writeString(Paths.get(dir(name, "AA")), "1")
+
+  def isActiveActive(name: String): Boolean =
+    Files.exists(Paths.get(dir(name, "AA")))
+
+  /** Full PUT at tsMs: every scalar field stamped tsMs; collection fields
+    * become full puts (topTs = tsMs). */
+  def putAA(name: String, rows: DataFrame, tsMs: Long): Unit =
+    appendAA(name, rows, "put", "", None, tsMs)
+
+  /** DELETE at tsMs, resolved per-field (Venice A/A semantics): each field
+    * is nulled/emptied iff tsMs wins against that field's timestamp; the
+    * record disappears from the view when every field is gone. */
+  def deleteAA(name: String, keys: DataFrame, tsMs: Long): Unit =
+    appendAA(name, keys, "delete", "", None, tsMs)
+
+  /** Partial update of one scalar field (rows carry key cols + the field). */
+  def setFieldAA(name: String, rows: DataFrame, field: String, tsMs: Long): Unit =
+    appendAA(name, rows, "set", field, None, tsMs)
+
+  /** Add one element to a collection field (observed-remove set add). */
+  def addToSetAA(name: String, rows: DataFrame, field: String,
+      elemCol: String, tsMs: Long): Unit =
+    appendAA(name, rows, "add", field, Some(elemCol), tsMs)
+
+  /** Remove one element from a collection field (tombstone at tsMs —
+    * delete-wins-on-tie against adds). */
+  def removeFromSetAA(name: String, rows: DataFrame, field: String,
+      elemCol: String, tsMs: Long): Unit =
+    appendAA(name, rows, "remove", field, Some(elemCol), tsMs)
+
+  private def appendAA(name: String, rows: DataFrame, op: String,
+      field: String, elemCol: Option[String], tsMs: Long): Unit = {
+    require(isActiveActive(name), s"store $name is not active-active")
+    val tpl = snapshot(name).limit(0)
+    val withElem = rows.withColumn(AaElemCol,
+      elemCol.map(c => col(c).cast("string")).getOrElse(lit(null).cast("string")))
+    val have = withElem.columns.toSet
+    val filled = tpl.schema.fields.foldLeft(withElem) { (d, f) =>
+      if (have(f.name)) d else d.withColumn(f.name, lit(null).cast(f.dataType))
+    }
+    filled
+      .select(tpl.schema.fieldNames.map(col) :+ col(AaElemCol): _*)
+      .withColumn(AaOpCol, lit(op))
+      .withColumn(AaFieldCol, lit(field))
+      .withColumn(TsCol, lit(tsMs))
+      .write.mode("append").parquet(dir(name, "aa_log"))
+  }
+
+  private def hasAaLog(name: String): Boolean =
+    nonEmptyDir(Paths.get(dir(name, "aa_log")))
+
+  /** The A/A serving view: snapshot lifted as a full put at ts 0, unioned
+    * with the op log lifted per-op into CRDT states, folded per key in ONE
+    * keyed shuffle ([[graft.operators.CrdtMerge.mergeEvents]]). Fold order
+    * is irrelevant (commutative lattice) — the multi-region guarantee. */
+  private def aaView(name: String): DataFrame = {
+    import org.apache.spark.sql.types.{ArrayType, StructType}
+    import graft.operators.CrdtMerge
+    val meta = storeMeta(name)
+    val snap = snapshot(name)
+    val valueSchema = StructType(
+      snap.schema.fields.filterNot(f => meta.keyCols.contains(f.name)))
+    val keyCols = meta.keyCols.map(col)
+    val valueStruct = struct(valueSchema.fieldNames.map(col): _*)
+    val snapEvents = snap.select(
+      keyCols :+ CrdtMerge.putState(valueStruct, lit(0L), valueSchema).as("state"): _*)
+    val ts = col(TsCol)
+    var state = when(col(AaOpCol) === "put",
+      CrdtMerge.putState(valueStruct, ts, valueSchema))
+      .when(col(AaOpCol) === "delete",
+        CrdtMerge.putState(lit(null).cast(valueSchema), ts, valueSchema))
+    valueSchema.fields.foreach { f =>
+      f.dataType match {
+        case _: ArrayType =>
+          state = state
+            .when(col(AaOpCol) === "add" && col(AaFieldCol) === f.name,
+              CrdtMerge.elementOpState(f.name, col(AaElemCol), ts,
+                isRemove = false, valueSchema))
+            .when(col(AaOpCol) === "remove" && col(AaFieldCol) === f.name,
+              CrdtMerge.elementOpState(f.name, col(AaElemCol), ts,
+                isRemove = true, valueSchema))
+        case _ =>
+          state = state
+            .when(col(AaOpCol) === "set" && col(AaFieldCol) === f.name,
+              CrdtMerge.setFieldState(f.name, col(f.name), ts, valueSchema))
+      }
+    }
+    val logEvents = spark.read.parquet(dir(name, "aa_log"))
+      .select(keyCols :+ state.as("state"): _*)
+    val merged = CrdtMerge.mergeEvents(
+      snapEvents.unionByName(logEvents), meta.keyCols, valueSchema)
+    // record-level tombstone: a delete that won every field leaves all
+    // scalars null and all collections empty — drop such rows
+    val allGone = valueSchema.fields.map { f =>
+      f.dataType match {
+        case _: ArrayType => size(col(f.name)) === 0
+        case _ => col(f.name).isNull
+      }
+    }.reduce(_ && _)
+    merged.filter(!allGone)
+  }
 
   // ---- views & registration ------------------------------------------------
 
@@ -281,6 +399,15 @@ class GraftEngine(val spark: SparkSession, val root: String) {
   /** Compact snapshot+log into a fresh version (optionally TTL-filtering
     * log entries older than ttlStartMs), then swap. The Venice "repush". */
   def repush(name: String, ttlStartMs: Option[Long] = None): Int = {
+    if (isActiveActive(name) && hasAaLog(name)) {
+      val rows = aaView(name).cache()
+      rows.count()
+      val v = push(name, rows)
+      rows.unpersist()
+      Files.move(Paths.get(dir(name, "aa_log")),
+        Paths.get(dir(name, s"aa_log_applied_v$v")))
+      return v
+    }
     val meta = storeMeta(name)
     val snap = snapshot(name)
       .withColumn(TsCol, lit(0L)).withColumn(DeletedCol, lit(false))
@@ -319,4 +446,7 @@ object GraftEngine {
   val BucketCol = "__bucket"
   val TsCol = "__ts_ms"
   val DeletedCol = "__deleted"
+  val AaOpCol = "__aa_op"
+  val AaFieldCol = "__aa_field"
+  val AaElemCol = "__aa_elem"
 }

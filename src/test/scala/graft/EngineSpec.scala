@@ -143,6 +143,46 @@ class EngineSpec extends AnyFunSuite {
       .head().getLong(0) == 1L)
   }
 
+  test("W7: active-active store resolves field-level CRDT ops") {
+    import spark.implicits._
+    engine.createStore("aa1", Seq("id"))
+    engine.push("aa1",
+      Seq((1L, 10.0, Seq("a", "b")), (2L, 20.0, Seq("x")))
+        .toDF("id", "score", "tags"))
+    engine.enableActiveActive("aa1")
+    // concurrent scalar sets: newer ts wins regardless of arrival order
+    engine.setFieldAA("aa1", Seq((1L, 15.0)).toDF("id", "score"), "score", tsMs = 100L)
+    engine.setFieldAA("aa1", Seq((1L, 12.0)).toDF("id", "score"), "score", tsMs = 50L)
+    // element ops: add c@60; remove a@70 beats the stale re-add a@65
+    engine.addToSetAA("aa1", Seq((1L, "c")).toDF("id", "tag"), "tags", "tag", tsMs = 60L)
+    engine.removeFromSetAA("aa1", Seq((1L, "a")).toDF("id", "tag"), "tags", "tag", tsMs = 70L)
+    engine.addToSetAA("aa1", Seq((1L, "a")).toDF("id", "tag"), "tags", "tag", tsMs = 65L)
+    // full put@80 resets key 2's collection: stale add y@75 is below topTs
+    engine.addToSetAA("aa1", Seq((2L, "y")).toDF("id", "tag"), "tags", "tag", tsMs = 75L)
+    engine.putAA("aa1", Seq((2L, 25.0, Seq("z"))).toDF("id", "score", "tags"), tsMs = 80L)
+    val rows = engine.servingView("aa1").orderBy("id").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getAs[Double]("score") == 15.0)
+    assert(rows(0).getAs[scala.collection.Seq[String]]("tags") == Seq("b", "c"))
+    assert(rows(1).getAs[Double]("score") == 25.0)
+    assert(rows(1).getAs[scala.collection.Seq[String]]("tags") == Seq("z"))
+    // per-field delete: wipes the record…
+    engine.deleteAA("aa1", Seq(1L).toDF("id"), tsMs = 200L)
+    assert(engine.servingView("aa1").filter($"id" === 1L).count() == 0)
+    assert(engine.get("aa1", Seq(1L)).isEmpty)
+    // …but a later partial update resurrects just that field (Venice A/A)
+    engine.setFieldAA("aa1", Seq((1L, 99.0)).toDF("id", "score"), "score", tsMs = 300L)
+    val back = engine.servingView("aa1").filter($"id" === 1L).head()
+    assert(back.getAs[Double]("score") == 99.0)
+    assert(back.getAs[scala.collection.Seq[String]]("tags").isEmpty)
+    // repush folds the op log into an immutable version; view unchanged
+    val before = engine.servingView("aa1").orderBy("id").collect().toSeq
+    val v = engine.repush("aa1")
+    assert(v == 2)
+    val after = engine.servingView("aa1").orderBy("id").collect().toSeq
+    assert(after == before)
+  }
+
   test("compute builder: project + ops + error map + validation") {
     import spark.implicits._
     engine.createStore("emb", Seq("vec_id"))
