@@ -157,26 +157,38 @@ class GraftEngine(val spark: SparkSession, val root: String) {
 
   /** Append PUT rows to the RT log. Rows must carry the value columns. */
   def put(name: String, rows: DataFrame, tsMs: Long): Unit =
-    appendLog(name, rows, tsMs, deleted = false)
+    appendLog(name, rows, lit(tsMs), deleted = false)
+
+  /** Append PUT rows with a per-row event-time column: ONE log write per
+    * call regardless of how many distinct timestamps the batch carries —
+    * the streaming-ingest shape (a driver loop issuing one append per
+    * distinct ts would mean per-row round-trips at per-ms event time). */
+  def put(name: String, rows: DataFrame, tsCol: Column): Unit =
+    appendLog(name, rows, tsCol, deleted = false)
 
   /** Append DELETE tombstones (key columns only needed). */
   def delete(name: String, keys: DataFrame, tsMs: Long): Unit =
-    appendLog(name, keys, tsMs, deleted = true)
+    appendLog(name, keys, lit(tsMs), deleted = true)
 
-  private def conformToValueSchema(df: DataFrame, tpl: DataFrame): DataFrame = {
+  /** Fill value columns missing from df with typed nulls and project to the
+    * template's schema, carrying along any `keep` extra columns. */
+  private def conformToValueSchema(df: DataFrame, tpl: DataFrame,
+      keep: Seq[String] = Nil): DataFrame = {
     val have = df.columns.toSet
     val withMissing = tpl.schema.fields.foldLeft(df) { (d, f) =>
       if (have(f.name)) d
       else d.withColumn(f.name, lit(null).cast(f.dataType))
     }
-    withMissing.select(tpl.schema.fieldNames.map(col): _*)
+    withMissing.select((tpl.schema.fieldNames.map(col) ++ keep.map(col)): _*)
   }
 
-  private def appendLog(name: String, rows: DataFrame, tsMs: Long,
+  private def appendLog(name: String, rows: DataFrame, tsCol: Column,
       deleted: Boolean): Unit = {
     val tpl = snapshot(name).limit(0)
-    conformToValueSchema(rows, tpl)
-      .withColumn(TsCol, lit(tsMs))
+    // stamp ts BEFORE conforming — tsCol may reference a column (e.g. the
+    // stream's event-time) that is not part of the value schema
+    conformToValueSchema(
+      rows.withColumn(TsCol, tsCol.cast("long")), tpl, keep = Seq(TsCol))
       .withColumn(DeletedCol, lit(deleted))
       .write.mode("append").parquet(dir(name, "log"))
   }
@@ -278,12 +290,7 @@ class GraftEngine(val spark: SparkSession, val root: String) {
     val tpl = snapshot(name).limit(0)
     val withElem = rows.withColumn(AaElemCol,
       elemCol.map(c => col(c).cast("string")).getOrElse(lit(null).cast("string")))
-    val have = withElem.columns.toSet
-    val filled = tpl.schema.fields.foldLeft(withElem) { (d, f) =>
-      if (have(f.name)) d else d.withColumn(f.name, lit(null).cast(f.dataType))
-    }
-    filled
-      .select(tpl.schema.fieldNames.map(col) :+ col(AaElemCol): _*)
+    conformToValueSchema(withElem, tpl, keep = Seq(AaElemCol))
       .withColumn(AaOpCol, lit(op))
       .withColumn(AaFieldCol, lit(field))
       .withColumn(TsCol, lit(tsMs))

@@ -7,14 +7,14 @@ import org.apache.spark.sql.functions._
   * input stage (reference shape: VeniceHdfsSource + VeniceAvroRecordReader
   * extract configurable key/value fields from each input record).
   *
-  * This environment ships parquet/orc/json/csv readers (no Avro connector
-  * jar); the format registry is the extension point — `spark.read.format`
-  * resolves any DSv2 source present on the classpath, so an Avro build adds
-  * `"avro"` here with no other change.
+  * parquet/orc/json/csv resolve through the standard DSv2 registry; avro —
+  * the reference's primary push format — goes through [[AvroInput]] (a
+  * HadoopRDD over the public avro-mapred input format, since no Spark Avro
+  * connector ships in this build).
   */
 object InputSource {
 
-  val supportedFormats: Set[String] = Set("parquet", "orc", "json", "csv")
+  val supportedFormats: Set[String] = Set("parquet", "orc", "json", "csv", "avro")
 
   /** Read an input directory and project Venice-style (key, value) columns:
     * keyField names the key column(s); everything else is the value. */
@@ -22,7 +22,8 @@ object InputSource {
       options: Map[String, String] = Map.empty): DataFrame = {
     require(supportedFormats(format), s"unsupported format $format " +
       s"(available: ${supportedFormats.mkString(", ")})")
-    spark.read.format(format).options(options).load(path)
+    if (format == "avro") AvroInput.read(spark, path)
+    else spark.read.format(format).options(options).load(path)
   }
 
   /** Normalize to the push-job's three-column wire shape:

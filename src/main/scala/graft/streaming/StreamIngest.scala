@@ -35,14 +35,11 @@ object StreamIngest {
     rows.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val transformed = transformer(batch)
-        // group identical-ts appends so each batch is a single log write
-        val tss = transformed.select(col(EventTsCol)).distinct()
-          .collect().map(_.getLong(0)).sorted
-        tss.foreach { ts =>
-          engine.put(store,
-            transformed.filter(col(EventTsCol) === ts).drop(EventTsCol), ts)
-        }
+        // ONE log append per microbatch, per-row event time carried as the
+        // LWW timestamp column — no driver-side collect, no per-ts writes
+        // (per-ms event times would otherwise mean per-row round-trips and
+        // thousands of tiny files)
+        engine.put(store, transformer(batch), col(EventTsCol))
         ()
       }
       .trigger(Trigger.AvailableNow())

@@ -80,6 +80,34 @@ class PlumbingSpec extends AnyFunSuite {
       InputSource.read(spark, "avro", s"$dir/json"))
   }
 
+  test("B1 avro: container files written by the engine read back identically") {
+    import graft.sources.AvroInput
+    val root = java.nio.file.Files.createTempDirectory("graft-avro").toString
+    // scalar columns (customer)
+    val cust = Tables.customer(spark, sf)
+    AvroInput.write(cust, s"$root/cust")
+    val custBack = InputSource.read(spark, "avro", s"$root/cust")
+    assert(custBack.schema.fieldNames.toSeq == cust.schema.fieldNames.toSeq)
+    val key = (r: org.apache.spark.sql.Row) => r.getAs[Long]("c_custkey")
+    assert(custBack.collect().sortBy(key).toSeq ==
+      cust.collect().sortBy(key).toSeq)
+    // array column (embeddings: array<float>)
+    val emb = Tables.embeddings(spark, sf).limit(0).unionByName(
+      Tables.embeddings(spark, sf).filter(col("vec_id") < 50))
+    AvroInput.write(emb, s"$root/emb")
+    val embBack = InputSource.read(spark, "avro", s"$root/emb")
+    val gotVec = embBack.filter(col("vec_id") === 7L)
+      .head.getAs[scala.collection.Seq[Float]]("embedding")
+    val wantVec = emb.filter(col("vec_id") === 7L)
+      .head.getAs[scala.collection.Seq[Float]]("embedding")
+    assert(gotVec == wantVec)
+    assert(embBack.count() == emb.count())
+    // key/value extraction composes (the push-job input stage)
+    val kv = InputSource.toKeyValue(custBack, Seq("c_custkey"))
+    assert(kv.columns.toSeq == Seq("key", "value"))
+    assert(kv.count() == cust.count())
+  }
+
   test("B10 job metrics accumulate across stages") {
     val jm = new JobMetrics(spark)
     val recordsIn = jm.counter("records_in")

@@ -38,6 +38,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(view.count() == 151)
   }
 
+  test("S1: per-row-unique event times ingest as ONE append per batch") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    engine.createStore("scust3", Seq("c_custkey"))
+    engine.push("scust3", Tables.customer(spark, sf))
+    val stream = MemoryStream[Upd]
+    stream.addData((0 until 50).map(i =>
+      Upd(20000L + i, s"U$i", 0, i.toDouble, "X", 7000L + i)): _*)
+    val q = StreamIngest.ingest(engine, "scust3", stream.toDF(),
+      checkpoint = s"$root/cp3")
+    q.awaitTermination(60000)
+    // one append per microbatch: the log holds at most one part-file per
+    // df partition — NOT one append per distinct timestamp (50 here)
+    val parts = new java.io.File(s"$root/scust3/log").listFiles()
+      .count(_.getName.startsWith("part-"))
+    assert(parts < 50, s"$parts part files — per-ts driver appends are back")
+    val view = engine.servingView("scust3")
+    assert(view.count() == 200)
+    // each row carries its own event time as the LWW timestamp
+    assert(engine.changelog("scust3", 7049L).count() == 1)
+  }
+
   test("S5: transformer hook filters/maps records during ingest") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
