@@ -61,18 +61,25 @@ class GraftEngine(val spark: SparkSession, val root: String) {
   // ---- batch push (VPJ analog: B1→B4→B8→B9) --------------------------------
 
   /** Push a full dataset as a new immutable version, then swap the pointer.
-    * Dedups on key — last row by input order wins, deterministically: rows
-    * are stamped with a monotonically-increasing input-order surrogate and
-    * compacted on its max, the Spark analog of Venice's max-offset-wins
+    * Dedups on key: the winner is the max of `orderCol` when given (the true
+    * Venice analog — a real offset/timestamp from the source), else of an
+    * input-order surrogate (monotonically_increasing_id orders rows by
+    * (partition, row-within-partition), which reflects input order for file
+    * scans/parallelize but is plan-dependent downstream of a shuffle —
+    * callers pushing shuffled data with duplicate keys should pass an
+    * explicit ordering). The Spark analog of Venice's max-offset-wins
     * compaction (AbstractDataWriterSparkJob.applyCompaction). Partitions by
     * the Venice-style md5-mod bucket so point lookups prune files. */
-  def push(name: String, df: DataFrame, numBuckets: Int = 16): Int = {
+  def push(name: String, df: DataFrame, numBuckets: Int = 16,
+      orderCol: Option[Column] = None): Int = {
     val meta = storeMeta(name)
     Files.writeString(Paths.get(dir(name, "BUCKETS")), numBuckets.toString)
     val v = currentVersion(name) + 1
     val seq = "__push_seq"
+    require(!df.columns.contains(seq),
+      s"input carries reserved column $seq — rename it before push")
     val keyed = Compaction.latestPerKey(
-      df.withColumn(seq, monotonically_increasing_id()),
+      df.withColumn(seq, orderCol.getOrElse(monotonically_increasing_id())),
       meta.keyCols, Seq(col(seq))).drop(seq)
     val bucketed = keyed.withColumn(BucketCol,
       graft.functions.HashOps.partitionId(

@@ -40,7 +40,12 @@ case class VecDot(left: Expression, right: Expression,
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val (aa, ba) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
-    val n = math.min(aa.numElements(), ba.numElements())
+    // length mismatch → null, matching the aggregate(zip_with(...)) HOF
+    // (zip_with pads with nulls, so the fold nulls out) and the SQL oracle —
+    // silently truncating to min(len) would let unguarded callers return a
+    // value where the oracle returns null
+    if (aa.numElements() != ba.numElements()) return null
+    val n = aa.numElements()
     var i = 0
     if (floatAccum) {
       // Venice-exact mode: float multiply + float accumulate, the
@@ -78,12 +83,16 @@ case class VecDot(left: Expression, right: Expression,
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |$accTy $acc = 0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += ($cast $a.$getA($i)) * ($cast $b.$getB($i));
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  $accTy $acc = 0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += ($cast $a.$getA($i)) * ($cast $b.$getB($i));
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
   }

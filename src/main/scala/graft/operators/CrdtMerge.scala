@@ -83,7 +83,12 @@ object CrdtMerge {
               toElemTs(array_sort(keptTombs)).as("deleted"))
               .as(s"${f.name}__rmd"))
         case _ =>
-          val (ta, tb) = (a.getField(s"${f.name}__ts"), b.getField(s"${f.name}__ts"))
+          // null-safe ts: a null timestamp (e.g. outer-join-produced state)
+          // coalesces to MinValue so bWins stays boolean and the join stays
+          // commutative — a NULL comparison would make the a-side win
+          // regardless of argument order
+          val ta = coalesce(a.getField(s"${f.name}__ts"), lit(Long.MinValue))
+          val tb = coalesce(b.getField(s"${f.name}__ts"), lit(Long.MinValue))
           val (va, vb) = (a.getField(f.name), b.getField(f.name))
           // LWW; ts tie → larger value-string wins (deterministic stand-in
           // for Venice's unsigned serialized-byte compare). The tie-break is

@@ -9,9 +9,14 @@ import org.apache.spark.sql.functions._
   * (AQE's skew-join handling covers joins; this covers aggregations.) */
 object Salting {
 
+  /** Deterministic salt: hash of the full row, mod buckets — stable under
+    * task retry and re-evaluation (rand() is not: a retried task would
+    * re-draw salts and double-count rows mid-aggregation). Rows that are
+    * full duplicates share a salt; for salting to spread a hot KEY that is
+    * the point — its rows differ in the value columns. */
   def withSalt(df: DataFrame, buckets: Int): DataFrame =
     df.withColumn("__salt",
-      (rand(42) * buckets).cast("int"))
+      pmod(xxhash64(df.columns.map(col): _*), lit(buckets)).cast("int"))
 
   /** Two-phase count/sum on a possibly-skewed key. `aggs` maps output name
     * → (partial expression, final combiner over the partial column). */

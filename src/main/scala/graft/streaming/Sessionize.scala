@@ -19,16 +19,31 @@ object Sessionize {
   case class Session(user_id: Long, session_start: Long, session_end: Long,
       n_events: Int, total_value: Double)
 
-  def sessionize(ds: Dataset[Evt], gapMs: Long): Dataset[Session] = {
+  /** `idleTimeoutMs > 0` arms a processing-time timeout per key: a session
+    * whose user goes quiet is flushed once the wall clock passes the
+    * timeout, instead of sitting in state forever (an idle key would
+    * otherwise never emit — there is no later event to close it). 0 keeps
+    * the data-driven-only behavior (useful for deterministic tests). */
+  def sessionize(ds: Dataset[Evt], gapMs: Long,
+      idleTimeoutMs: Long = 0L): Dataset[Session] = {
     implicit val stateEnc = Encoders.product[OpenSession]
     implicit val outEnc = Encoders.product[Session]
+    val timeout = if (idleTimeoutMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     ds.groupByKey(_.user_id)(Encoders.scalaLong)
       .flatMapGroupsWithState(OutputMode.Append,
-        GroupStateTimeout.NoTimeout)(process(gapMs))
+        timeout)(process(gapMs, idleTimeoutMs))
   }
 
-  private def process(gapMs: Long)(userId: Long, events: Iterator[Evt],
+  private def process(gapMs: Long, idleTimeoutMs: Long)(userId: Long,
+      events: Iterator[Evt],
       state: GroupState[OpenSession]): Iterator[Session] = {
+    if (state.hasTimedOut) {
+      // idle flush: close and emit the open session, clear state
+      val s = state.get
+      state.remove()
+      return Iterator(Session(userId, s.start, s.last, s.n, s.total))
+    }
     val sorted = events.toSeq.sortBy(e => (e.ts_ms, e.value))
     var open = state.getOption
     val closed = Seq.newBuilder[Session]
@@ -43,7 +58,10 @@ object Sessionize {
           open = Some(OpenSession(e.ts_ms, e.ts_ms, 1, e.value))
       }
     }
-    open.foreach(state.update)
+    open.foreach { s =>
+      state.update(s)
+      if (idleTimeoutMs > 0) state.setTimeoutDuration(idleTimeoutMs)
+    }
     closed.result().iterator
   }
 }

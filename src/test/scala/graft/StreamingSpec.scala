@@ -130,6 +130,29 @@ class StreamingSpec extends AnyFunSuite {
     q2.awaitTermination(60000)
   }
 
+  test("sessionize idle timeout flushes a quiet user's open session") {
+    import spark.implicits._
+    import graft.streaming.Sessionize
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[Sessionize.Evt]
+    val out = Sessionize.sessionize(stream.toDS(), gapMs = 10000L,
+      idleTimeoutMs = 10L)
+    stream.addData(Sessionize.Evt(9L, 1000L, 1.0))
+    val q = out.writeStream.format("memory").queryName("idle_out")
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime("50 milliseconds")).start()
+    // no closing event ever arrives — only the expired processing-time timer
+    // can flush the open session
+    val deadline = System.currentTimeMillis() + 30000
+    while (System.currentTimeMillis() < deadline &&
+      spark.sql("select * from idle_out").count() == 0) Thread.sleep(100)
+    q.stop()
+    val flushed = spark.sql("select * from idle_out").as[Sessionize.Session]
+      .collect()
+    assert(flushed.exists(s => s.user_id == 9L && s.n_events == 1),
+      s"expected idle flush of user 9, got ${flushed.mkString(",")}")
+  }
+
   test("streaming windowed aggregation with watermark (events table)") {
     import spark.implicits._
     val ev = Tables.events(spark, sf)
