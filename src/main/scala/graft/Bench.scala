@@ -51,7 +51,17 @@ object Bench {
       "\"" + k + "\":\"" + esc(e.take(300)) + "\"" }.mkString("{", ",", "}")
     val ok = results.count(_._3.isEmpty)
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ok":$ok,"n":${results.size},"errors":$errs,"sf":"$sfDir"}""")
+    // round-3 added 16 engine-path queries (temp-store pushes, a streaming
+    // ingest) on top of the 38-query set BASELINE.md's sweeps recorded;
+    // "core" is the subtotal over that original set so round-over-round
+    // comparisons stay apples-to-apples. "total" covers everything.
+    val addedR3 = Set("w7_crdt_merge", "r7_count_map", "r12_store_meta", "w1_put_delete",
+      "w2_update_builder", "w4_update_schema", "w9_chunk_roundtrip",
+      "b6_wire_roundtrip", "b1_avro_roundtrip", "w10_compression",
+      "b10_job_metrics", "b11_incremental_push", "b12_etl_normalize",
+      "s1_stream_ingest", "s2_rewind", "s4_changelog", "s6_sql_view")
+    val core = results.filterNot(r => addedR3(r._1)).map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","core38":$core,"queries":$qs,"ok":$ok,"n":${results.size},"errors":$errs,"sf":"$sfDir"}""")
     if (results.exists(_._3.nonEmpty)) System.err.println(
       s"[bench] ${results.count(_._3.nonEmpty)} queries FAILED")
     spark.stop()

@@ -349,6 +349,26 @@ object Queries {
       .orderBy(col("vec_id")),
     Some("SELECT vec_id, len(embedding) AS n_elems FROM embeddings ORDER BY vec_id"))
 
+  /** R7 over a MAP-typed field end-to-end: a per-user map column (event_type
+    * → count) built distributively, counted via the same countElements op
+    * (reference CountOperator.java:14-40 counts map entries too). */
+  val r7CountMap = QueryDef(
+    "r7_count_map",
+    (s, dir) => {
+      val m = Tables.events(s, dir)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("user_id"))
+        .agg(map_from_entries(array_sort(collect_list(
+          struct(col("event_type").as("key"), col("n").as("value")))))
+          .as("type_counts"))
+      m.select(col("user_id"),
+        VectorOps.countElements(col("type_counts")).as("n_types"))
+        .orderBy(col("user_id"))
+    },
+    Some("""SELECT user_id, count(DISTINCT event_type) AS n_types
+            FROM events GROUP BY user_id ORDER BY user_id"""))
+
   /** R8 compute-request validation semantics: an op with a mismatched param
     * length yields 0.0 plus an entry in the __veniceComputationError__ map
     * (surfaced here as sorted keys + the message for hash-comparability). */
@@ -586,8 +606,9 @@ object Queries {
       import s.implicits._
       val e = tempEngine(s, "graft-r12")
       e.createStore("nat", Seq("n_nationkey"))
-      e.push("nat", Tables.nation(s, dir).filter(col("n_nationkey") < 10))
-      e.push("nat", Tables.nation(s, dir))
+      e.push("nat", Tables.nation(s, dir).filter(col("n_nationkey") < 10),
+        numBuckets = 4)
+      e.push("nat", Tables.nation(s, dir), numBuckets = 4)
       val meta = e.storeMeta("nat")
       Seq((meta.name, e.currentVersion("nat"), meta.keyCols.mkString(","),
         e.snapshot("nat").count()))
@@ -602,8 +623,10 @@ object Queries {
     (s, dir) => {
       val e = tempEngine(s, "graft-w1")
       e.createStore("c", Seq("c_custkey"))
-      val cust = t(s, dir, "customer")
-      e.push("c", cust)
+      // bounded key range: the op semantics don't depend on store size, and
+      // a 4-bucket store keeps the per-query push cost flat across SFs
+      val cust = t(s, dir, "customer").filter(col("c_custkey") <= 2000)
+      e.push("c", cust, numBuckets = 4)
       e.put("c", cust.filter(col("c_custkey") <= 5)
         .withColumn("c_name", concat(lit("UPD-"), col("c_custkey").cast("string"))),
         tsMs = 1000L)
@@ -618,7 +641,8 @@ object Queries {
     Some("""SELECT c_custkey,
             CASE WHEN c_custkey <= 5 THEN 'UPD-' || c_custkey ELSE c_name END AS c_name,
             CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_cents, c_mktsegment
-            FROM customer WHERE c_custkey NOT BETWEEN 6 AND 10
+            FROM customer
+            WHERE c_custkey <= 2000 AND c_custkey NOT BETWEEN 6 AND 10
             ORDER BY c_custkey"""))
 
   /** W2 UpdateBuilder → update log → serving view: one builder-constructed
@@ -631,7 +655,8 @@ object Queries {
       import graft.operators.{UpdateBuilder, WriteCompute}
       val e = tempEngine(s, "graft-w2")
       e.createStore("c", Seq("c_custkey"))
-      e.push("c", t(s, dir, "customer"))
+      e.push("c", t(s, dir, "customer").filter(col("c_custkey") <= 2000),
+        numBuckets = 4)
       val valueSchema = StructType(
         e.snapshot("c").schema.fields.filterNot(_.name == "c_custkey"))
       val u = new UpdateBuilder(valueSchema)
@@ -648,7 +673,7 @@ object Queries {
     Some("""SELECT c_custkey, c_name,
             CASE WHEN c_custkey BETWEEN 1 AND 20 THEN 'PARTIAL'
                  ELSE c_mktsegment END AS c_mktsegment
-            FROM customer ORDER BY c_custkey"""))
+            FROM customer WHERE c_custkey <= 2000 ORDER BY c_custkey"""))
 
   /** W4 update-schema derivation dumped as rows, checked against the golden
     * expansion (scalar → nullable; array → +setUnion/setDiff; map →
@@ -782,8 +807,8 @@ object Queries {
     (s, dir) => {
       val e = tempEngine(s, "graft-b11")
       e.createStore("c", Seq("c_custkey"))
-      val cust = t(s, dir, "customer")
-      e.push("c", cust)
+      val cust = t(s, dir, "customer").filter(col("c_custkey") <= 2000)
+      e.push("c", cust, numBuckets = 4)
       e.incrementalPush("c", cust.filter(col("c_custkey") <= 10)
         .withColumn("c_mktsegment", lit("INCR")), tsMs = 1000L)
       e.servingView("c")
@@ -795,7 +820,7 @@ object Queries {
     Some("""SELECT c_custkey, c_name,
             CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_cents,
             CASE WHEN c_custkey <= 10 THEN 'INCR' ELSE c_mktsegment END AS c_mktsegment
-            FROM customer ORDER BY c_custkey"""))
+            FROM customer WHERE c_custkey <= 2000 ORDER BY c_custkey"""))
 
   /** B12 ETL normalization: a nullable live/deleted union pair coalesces to
     * the live column (every event lands in exactly one side). */
@@ -826,11 +851,12 @@ object Queries {
       import graft.streaming.StreamIngest
       val e = tempEngine(s, "graft-s1")
       e.createStore("ev", Seq("user_id"))
-      val evAll = Tables.events(s, dir)
+      // bounded user population — the ingest semantics don't depend on it
+      val evAll = Tables.events(s, dir).filter(col("user_id") < 200)
         .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
       e.push("ev", graft.operators.Compaction.latestPerKey(
         evAll.filter(col("event_id") % 10 < 5), Seq("user_id"),
-        Seq(col("event_id"))))
+        Seq(col("event_id"))), numBuckets = 4)
       // stage the stream's input into a directory (file sources stream
       // directories, not single files)
       val streamIn = s"${e.root}/in"
@@ -854,10 +880,12 @@ object Queries {
                   ORDER BY src DESC, event_id DESC) AS rn
               FROM (
                 SELECT user_id, event_id, event_type, value, 1 AS src
-                FROM events WHERE event_id % 10 >= 5 AND event_type <> 'error'
+                FROM events
+                WHERE user_id < 200 AND event_id % 10 >= 5
+                  AND event_type <> 'error'
                 UNION ALL
                 SELECT user_id, event_id, event_type, value, 0 AS src
-                FROM events WHERE event_id % 10 < 5
+                FROM events WHERE user_id < 200 AND event_id % 10 < 5
                 QUALIFY row_number() OVER (PARTITION BY user_id
                   ORDER BY event_id DESC) = 1))
             WHERE rn = 1 ORDER BY user_id"""))
@@ -869,8 +897,8 @@ object Queries {
     (s, dir) => {
       val e = tempEngine(s, "graft-s2")
       e.createStore("c", Seq("c_custkey"))
-      val cust = t(s, dir, "customer")
-      e.push("c", cust)
+      val cust = t(s, dir, "customer").filter(col("c_custkey") <= 2000)
+      e.push("c", cust, numBuckets = 4)
       e.put("c", cust.filter(col("c_custkey") <= 5)
         .withColumn("c_name", lit("EARLY")), tsMs = 1000L)
       e.put("c", cust.filter(col("c_custkey").between(6, 8))
@@ -893,8 +921,8 @@ object Queries {
     (s, dir) => {
       val e = tempEngine(s, "graft-s4")
       e.createStore("c", Seq("c_custkey"))
-      val cust = t(s, dir, "customer")
-      e.push("c", cust)
+      val cust = t(s, dir, "customer").filter(col("c_custkey") <= 2000)
+      e.push("c", cust, numBuckets = 4)
       e.put("c", cust.filter(col("c_custkey") <= 5)
         .withColumn("c_name", lit("V2")), tsMs = 1000L)
       e.delete("c", cust.filter(col("c_custkey").between(6, 8))
@@ -923,7 +951,7 @@ object Queries {
     (s, dir) => {
       val e = tempEngine(s, "graft-s6")
       e.createStore("nat", Seq("n_nationkey"))
-      e.push("nat", Tables.nation(s, dir))
+      e.push("nat", Tables.nation(s, dir), numBuckets = 4)
       e.registerSql("nat", "nat_view")
       s.sql("""SELECT n_regionkey, count(*) AS n FROM nat_view
                GROUP BY n_regionkey ORDER BY n_regionkey""")
@@ -1269,7 +1297,7 @@ object Queries {
   val all: Seq[QueryDef] = Seq(
     q1Agg, q3JoinTopk,
     r1Get, r2BatchGet, r3Project,
-    r4Dot, r5Cosine, r6Hadamard, r7Count, r8ComputeErrors, r9Prefix,
+    r4Dot, r5Cosine, r6Hadamard, r7Count, r7CountMap, r8ComputeErrors, r9Prefix,
     r10Predicates, r11Stream, qWindow, qRollup, qSemi, qAnti, qSessionize,
     b3Ttl, b4Compaction, b7Quota, b8Partition,
     w3WriteCompute, w5Lww, w7Crdt, w8Squash, w11Div, w12Hll, w13HotKeys,

@@ -27,6 +27,10 @@ import graft.operators.{Compaction, Merge}
   */
 final case class StoreMeta(name: String, keyCols: Seq[String])
 
+/** CDC checkpoint: a (version, log-append-seq) coordinate — exact resume
+  * position, unlike a timestamp seek (S4). */
+final case class ChangeCoordinate(version: Int, seq: Long)
+
 class GraftEngine(val spark: SparkSession, val root: String) {
   import GraftEngine._
 
@@ -137,7 +141,7 @@ class GraftEngine(val spark: SparkSession, val root: String) {
     val merged =
       if (!hasLog(name)) snap
       else {
-        val log = spark.read.parquet(dir(name, "log")).filter(pred)
+        val log = readLog(name).filter(pred)
         Merge.lww(snap, log, meta.keyCols, col(TsCol),
           concat_ws("|", snap.columns.filterNot(Set(TsCol, DeletedCol))
             .map(c => col(c).cast("string")): _*), col(DeletedCol))
@@ -189,6 +193,22 @@ class GraftEngine(val spark: SparkSession, val root: String) {
     withMissing.select((tpl.schema.fieldNames.map(col) ++ keep.map(col)): _*)
   }
 
+  /** Next log-append sequence number (monotone per store) — the Spark
+    * analog of the RT topic offset in Venice's change coordinate
+    * (VeniceChangeCoordinate.java:30 checkpoints (version, offset)). One
+    * seq per append batch: batch appends are the atomic unit here. */
+  private def nextLogSeq(name: String): Long = {
+    val p = Paths.get(dir(name, "SEQ"))
+    val next = (if (Files.exists(p)) Files.readString(p).trim.toLong else 0L) + 1
+    Files.writeString(p, next.toString)
+    next
+  }
+
+  def currentLogSeq(name: String): Long = {
+    val p = Paths.get(dir(name, "SEQ"))
+    if (Files.exists(p)) Files.readString(p).trim.toLong else 0L
+  }
+
   private def appendLog(name: String, rows: DataFrame, tsCol: Column,
       deleted: Boolean): Unit = {
     val tpl = snapshot(name).limit(0)
@@ -197,8 +217,14 @@ class GraftEngine(val spark: SparkSession, val root: String) {
     conformToValueSchema(
       rows.withColumn(TsCol, tsCol.cast("long")), tpl, keep = Seq(TsCol))
       .withColumn(DeletedCol, lit(deleted))
+      .withColumn(LogSeqCol, lit(nextLogSeq(name)))
       .write.mode("append").parquet(dir(name, "log"))
   }
+
+  /** Log read for merge paths: the seq column is CDC plumbing, not value
+    * state — drop it so snapshot/log schemas line up for the LWW union. */
+  private def readLog(name: String): DataFrame =
+    spark.read.parquet(dir(name, "log")).drop(LogSeqCol)
 
   /** Directory-non-empty probe that closes the listing stream (Files.list
     * leaks an fd per call otherwise — every servingView would leak one). */
@@ -220,7 +246,7 @@ class GraftEngine(val spark: SparkSession, val root: String) {
       if (!hasLog(name)) snap
       else {
         val meta = storeMeta(name)
-        val log = spark.read.parquet(dir(name, "log"))
+        val log = readLog(name)
         Merge.lww(snap, log, meta.keyCols, col(TsCol),
           concat_ws("|", snap.columns.filterNot(Set(TsCol, DeletedCol))
             .map(c => col(c).cast("string")): _*), col(DeletedCol))
@@ -391,8 +417,7 @@ class GraftEngine(val spark: SparkSession, val root: String) {
     val merged =
       if (!hasLog(name)) snap
       else {
-        val log = spark.read.parquet(dir(name, "log"))
-          .filter(col(TsCol) <= tsMs)
+        val log = readLog(name).filter(col(TsCol) <= tsMs)
         Merge.lww(snap, log, meta.keyCols, col(TsCol),
           concat_ws("|", snap.columns.filterNot(Set(TsCol, DeletedCol))
             .map(c => col(c).cast("string")): _*), col(DeletedCol))
@@ -405,7 +430,23 @@ class GraftEngine(val spark: SparkSession, val root: String) {
   /** After-image change stream since a timestamp (checkpoint = max ts seen). */
   def changelog(name: String, sinceTsMs: Long): DataFrame = {
     require(hasLog(name), s"store $name has no RT log")
-    spark.read.parquet(dir(name, "log")).filter(col(TsCol) >= sinceTsMs)
+    readLog(name).filter(col(TsCol) >= sinceTsMs)
+  }
+
+  /** Exact CDC checkpoint: (version, log append seq) — the Venice change
+    * coordinate (VeniceChangeCoordinate.java:30). Timestamp seeks are
+    * approximate (duplicate/skewed event times); the coordinate is not. */
+  def latestCoordinate(name: String): ChangeCoordinate =
+    ChangeCoordinate(currentVersion(name), currentLogSeq(name))
+
+  /** Entries strictly after the checkpoint coordinate. A coordinate from an
+    * older version is stale — the consumer re-reads the whole current log
+    * (the post-version-swap resync, Venice's TopicSwitch semantics). */
+  def changelogSince(name: String, coord: ChangeCoordinate): DataFrame = {
+    require(hasLog(name), s"store $name has no RT log")
+    val log = spark.read.parquet(dir(name, "log"))
+    if (coord.version != currentVersion(name)) log
+    else log.filter(col(LogSeqCol) > coord.seq)
   }
 
   // ---- repush (B3/B4: TTL + compaction into a new version) -----------------
@@ -426,7 +467,7 @@ class GraftEngine(val spark: SparkSession, val root: String) {
     val snap = snapshot(name)
       .withColumn(TsCol, lit(0L)).withColumn(DeletedCol, lit(false))
     val merged = if (!hasLog(name)) snap else {
-      val log0 = spark.read.parquet(dir(name, "log"))
+      val log0 = readLog(name)
       val log = ttlStartMs match {
         case Some(t0) => log0.filter(col(TsCol) >= t0 || col(DeletedCol))
         case None => log0
@@ -463,4 +504,5 @@ object GraftEngine {
   val AaOpCol = "__aa_op"
   val AaFieldCol = "__aa_field"
   val AaElemCol = "__aa_elem"
+  val LogSeqCol = "__log_seq"
 }

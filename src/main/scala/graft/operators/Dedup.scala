@@ -20,13 +20,15 @@ object Dedup {
     df.groupBy(TextOps.fingerprint(col(textCol)).as("fingerprint"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("copies"))
 
-  /** Distinct word-n-gram shingle set per doc (the Jaccard universe). */
+  /** Distinct word-n-gram shingle set per doc (the Jaccard universe) — the
+    * one-pass [[graft.functions.ShingleSet]] expression (≡
+    * array_distinct(TextOps.shingles), minus the interpreted lambda chain). */
   def shingleSets(df: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame =
     df.select(col(idCol).as("id"),
-      array_distinct(TextOps.shingles(col(textCol), n)).as("shingles"))
-      // shingling is referenced by every downstream join side; computing the
-      // token/shingle lambdas once per doc beats recomputing per reference
+      graft.functions.ShingleExpr.shingleSet(col(textCol), n).as("shingles"))
+      // shingling is referenced by every downstream join side; computing it
+      // once per doc beats recomputing per reference
       .persist()
 
   /** MinHash-LSH candidate pairs: signature of k md5-min hashes, banded into

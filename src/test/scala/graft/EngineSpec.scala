@@ -143,6 +143,27 @@ class EngineSpec extends AnyFunSuite {
       .head().getLong(0) == 1L)
   }
 
+  test("S4: change coordinates resume exactly where a ts seek cannot") {
+    import spark.implicits._
+    engine.createStore("cdc1", Seq("c_custkey"))
+    engine.push("cdc1", Tables.customer(spark, sf))
+    val row = (k: Long, nm: String) => Seq((k, nm, 0, 0.0, "X"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    engine.put("cdc1", row(1L, "A"), tsMs = 1000L)
+    val cp = engine.latestCoordinate("cdc1")
+    // same timestamp on both sides of the checkpoint — a ts seek can't
+    // split these; the (version, seq) coordinate can
+    engine.put("cdc1", row(2L, "B"), tsMs = 1000L)
+    engine.put("cdc1", row(3L, "C"), tsMs = 1000L)
+    val since = engine.changelogSince("cdc1", cp)
+    assert(since.count() == 2)
+    assert(since.select("c_name").collect().map(_.getString(0)).toSet ==
+      Set("B", "C"))
+    // a coordinate from an older version is stale → full-log resync
+    engine.push("cdc1", Tables.customer(spark, sf))
+    assert(engine.changelogSince("cdc1", cp).count() == 3)
+  }
+
   test("W7: active-active store resolves field-level CRDT ops") {
     import spark.implicits._
     engine.createStore("aa1", Seq("id"))

@@ -88,6 +88,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"))
   }
 
+  test("ShingleSet expression ≡ array_distinct of the HOF shingles") {
+    import graft.functions.{ShingleExpr, TextOps}
+    val docs = Tables.documents(spark, sf)
+    val both = docs.select(
+      array_distinct(TextOps.shingles(col("text"), 3)).as("hof"),
+      ShingleExpr.shingleSet(col("text"), 3).as("expr"))
+    assert(both.filter(col("hof") =!= col("expr")).count() == 0)
+    // edge cases: short docs, repeated shingles, multi-space runs
+    import spark.implicits._
+    val edge = Seq("", "one", "one two", "a b c a b c a b c",
+      "  double  spaces   here x", "Mixed CASE mixed case MIXED case x y")
+      .toDF("text")
+    val eboth = edge.select(
+      array_distinct(TextOps.shingles(col("text"), 3)).as("hof"),
+      ShingleExpr.shingleSet(col("text"), 3).as("expr"))
+    assert(eboth.filter(col("hof") =!= col("expr")).count() == 0)
+  }
+
   test("MinHashSig expression ≡ higher-order-function signature") {
     import graft.functions.{MinHashExpr, TextOps}
     val docs = Tables.documents(spark, sf)

@@ -10,6 +10,47 @@ class SchemaSpec extends AnyFunSuite {
   lazy val spark = GraftSession.build(cpus = 4, appName = "schema-spec")
   val sf = "/root/testdata/sf0.001"
 
+  test("Venice partitioner parity: avro key bytes + MD5 Horner mod") {
+    import spark.implicits._
+    import graft.functions.VenicePartitionExpr._
+    // avro binary encoding parity, checked against the avro library itself
+    def avroBytesOf(schema: org.apache.avro.Schema, v: AnyRef): Seq[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      val enc = org.apache.avro.io.EncoderFactory.get().binaryEncoder(out, null)
+      new org.apache.avro.generic.GenericDatumWriter[AnyRef](schema).write(v, enc)
+      enc.flush(); out.toByteArray.toSeq
+    }
+    val longSchema = org.apache.avro.Schema.create(org.apache.avro.Schema.Type.LONG)
+    val strSchema = org.apache.avro.Schema.create(org.apache.avro.Schema.Type.STRING)
+    val keys = Seq(0L, 1L, -1L, 63L, 64L, -64L, -65L, 8191L, 42424242L,
+      Long.MaxValue, Long.MinValue)
+    val gotLong = keys.toDF("k").select(avroKeyBytes($"k")).collect()
+      .map(_.getAs[Array[Byte]](0).toSeq)
+    keys.zip(gotLong).foreach { case (k, b) =>
+      assert(b == avroBytesOf(longSchema, java.lang.Long.valueOf(k)), s"long key $k")
+    }
+    val strs = Seq("", "a", "key42", "ümlaut-multibyte", "日本語")
+    val gotStr = strs.toDF("k").select(avroKeyBytes($"k")).collect()
+      .map(_.getAs[Array[Byte]](0).toSeq)
+    strs.zip(gotStr).foreach { case (k, b) =>
+      assert(b == avroBytesOf(strSchema, new org.apache.avro.util.Utf8(k)), s"str key $k")
+    }
+    // partition-id parity with the reference math: MD5 digest read as an
+    // unsigned 128-bit integer, mod N (DefaultVenicePartitioner.java:55-77)
+    def refPartition(bytes: Seq[Byte], n: Int): Int =
+      new java.math.BigInteger(1,
+        java.security.MessageDigest.getInstance("MD5").digest(bytes.toArray))
+        .mod(java.math.BigInteger.valueOf(n)).intValue()
+    for (n <- Seq(1, 3, 16, 257)) {
+      val ids = keys.toDF("k").select(venicePartitionIdAvro($"k", n)).collect()
+        .map(_.getInt(0))
+      keys.zip(ids).foreach { case (k, id) =>
+        assert(id == refPartition(avroBytesOf(longSchema, java.lang.Long.valueOf(k)), n),
+          s"key $k n $n")
+      }
+    }
+  }
+
   test("superset merges, widens, recurses, and rejects conflicts") {
     val v1 = StructType(Seq(
       StructField("id", IntegerType, nullable = false),
