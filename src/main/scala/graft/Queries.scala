@@ -1172,16 +1172,26 @@ object Queries {
   val textStats = QueryDef(
     "text_stats",
     (s, dir) => {
-      // tokenize ONCE per row (persist blocks projection re-inlining),
-      // then derive every stat from the materialized tokens column
-      val toks = t(s, dir, "documents")
+      // ONE pass over the tokens per row (TokenStats expression) for every
+      // integer count; persist blocks projection re-inlining so each
+      // derived column reads the struct. The double math and the lang
+      // argmax stay in Catalyst — identical to the SQL oracle's formulas.
+      val stats = t(s, dir, "documents")
         .select(col("doc_id"), col("text"),
-          TextOps.tokens(col("text")).as("toks"))
+          graft.functions.TokenStatsExpr.tokenStats(col("text")).as("st"))
         .persist()
-      toks.select(col("doc_id"),
-        size(col("toks")).as("n_tokens"),
-        TextOps.langIdFrom(col("toks")).as("lang_pred"),
-        TextOps.qualityScoreFrom(col("text"), col("toks")).as("quality"))
+      val st = col("st")
+      val nTok = greatest(st.getField("n_tokens"), lit(1)).cast("double")
+      val lenSig = least(length(col("text")), lit(500)).cast("double") / 500.0
+      val stopSig = least(st.getField("s_en").cast("double") * 5.0 / nTok, lit(1.0))
+      val longSig = st.getField("n_long").cast("double") / nTok
+      stats.select(col("doc_id"),
+        st.getField("n_tokens").as("n_tokens"),
+        TextOps.argmaxLang(Seq(
+          "de" -> st.getField("s_de"), "en" -> st.getField("s_en"),
+          "es" -> st.getField("s_es"), "fr" -> st.getField("s_fr"),
+          "zh" -> st.getField("s_zh"))).as("lang_pred"),
+        round((lenSig + stopSig + longSig) / 3.0, 6).as("quality"))
         .orderBy(col("doc_id"))
     },
     Some(s"""WITH base AS (SELECT doc_id, text, $tokensSql AS toks FROM documents),

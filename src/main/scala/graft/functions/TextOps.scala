@@ -35,12 +35,17 @@ object TextOps {
       lang -> size(filter(toks, t => t.isin(words.map(lit): _*)))
     }
 
-  def langIdFrom(toks: Column): Column =
-    langScoresFrom(toks).foldLeft((lit("und"), lit(0))) {
+  /** Argmax over (lang, score) columns: langs visited in the given
+    * (alphabetical) order, replaced only on a strictly greater score — ties
+    * keep the earlier lang; zero votes everywhere → 'und'. */
+  def argmaxLang(scores: Seq[(String, Column)]): Column =
+    scores.foldLeft((lit("und"), lit(0))) {
       case ((bestLang, bestScore), (lang, score)) =>
         (when(score > bestScore, lit(lang)).otherwise(bestLang),
           when(score > bestScore, score).otherwise(bestScore))
     }._1
+
+  def langIdFrom(toks: Column): Column = argmaxLang(langScoresFrom(toks))
 
   def qualityScoreFrom(text: Column, toks: Column): Column = {
     val nTok = greatest(size(toks), lit(1)).cast("double")

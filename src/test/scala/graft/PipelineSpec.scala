@@ -106,6 +106,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(eboth.filter(col("hof") =!= col("expr")).count() == 0)
   }
 
+  test("TokenStats expression ≡ higher-order-function token stats") {
+    import graft.functions.{TokenStatsExpr, TextOps}
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf).select(col("text"))
+      .unionByName(Seq("", "the und la 的 xx", "  spaced   the  the ",
+        "MIXED The AND Der").toDF("text"))
+    val toks = TextOps.tokens(col("text"))
+    val st = TokenStatsExpr.tokenStats(col("text"))
+    val cmp = docs.select(
+      (st.getField("n_tokens") === size(toks)).as("a"),
+      (st.getField("n_long") ===
+        size(filter(toks, t => length(t) >= 4))).as("b"),
+      TextOps.langScoresFrom(toks).zip(Seq("s_de", "s_en", "s_es", "s_fr", "s_zh"))
+        .map { case ((_, hof), f) => (st.getField(f) === hof) }
+        .reduce(_ && _).as("c"))
+    assert(cmp.filter(!col("a") || !col("b") || !col("c")).count() == 0)
+  }
+
   test("MinHashSig expression ≡ higher-order-function signature") {
     import graft.functions.{MinHashExpr, TextOps}
     val docs = Tables.documents(spark, sf)
