@@ -42,6 +42,41 @@ object StressCheck {
       base.groupBy("user_id").count().orderBy(col("count").desc).limit(10).count()
     }
     base.unpersist()
+    spark.catalog.clearCache()
+
+    // ---- LLM-pipeline operators at 40-100× the bench corpus ----------------
+
+    // 200k synthetic 32-dim vectors, 10k planted exact duplicates: the LSH
+    // near-dup path must stay candidates→verify (near-linear), never n².
+    val dim = 32
+    val nVec = 200000L
+    val nBase = 190000L
+    val vecOf = transform(sequence(lit(0), lit(dim - 1)),
+      i => (pmod(xxhash64(col("base"), i), lit(1000)).cast("double") / 500.0
+        - 1.0).cast("float"))
+    val corpus = spark.range(nVec)
+      .select(col("id"), pmod(col("id"), lit(nBase)).as("base"))
+      .select(col("id"), vecOf.as("vec"))
+    timed(s"LSH cosine near-dup ${nVec / 1000}k vecs") {
+      val pairs = graft.operators.Similarity.lshCosinePairs(
+        corpus, 0.9, dim = dim, bitsPerBand = 16, bands = 4).count()
+      require(pairs >= nVec - nBase,
+        s"missed planted duplicates: $pairs < ${nVec - nBase}")
+      pairs
+    }
+    spark.catalog.clearCache()
+
+    // 50k documents (sf0.1 docs ×10) through shingle → MinHash → LSH bands →
+    // verified Jaccard — one md5 pass per doc, equi-join candidates.
+    timed("minhash near-dup 50k docs") {
+      val docs = Tables.documents(spark, sfDir)
+        .crossJoin(spark.range(10).select(col("id").as("rep")))
+        .select((col("doc_id") + col("rep") * 1000000L).as("doc_id"), col("text"))
+      val sh = graft.operators.Dedup.shingleSets(docs, "doc_id", "text", 3)
+      val cand = graft.operators.Dedup.minhashCandidates(sh, k = 8, bands = 4)
+      graft.operators.Dedup.jaccardVerify(cand, sh, 0.5).count()
+    }
+    spark.catalog.clearCache()
     spark.stop()
   }
 }
