@@ -1163,7 +1163,8 @@ object Queries {
       val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
       val queries = emb.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-      graft.operators.Similarity.lshTopK(corpus, queries, 10, bits = 4, dim = 64)
+      graft.operators.Similarity.lshTopK(corpus, queries, 10, bits = 4,
+          dim = 64, probeRadius = 1)
         .orderBy(col("qid"), col("rank"))
     },
     None)

@@ -70,14 +70,29 @@ object Similarity {
   }
 
   /** Bucketed ANN: candidates share the query's LSH code, then exact cosine
-    * top-k within the bucket. Trades recall for a ~2^bits scan reduction. */
+    * top-k within the bucket. Trades recall for a ~2^bits scan reduction.
+    *
+    * `probeRadius = 1` turns on multi-probe: each query also probes every
+    * code one bit-flip away (bits+1 probes), the standard fix for the
+    * single-probe recall cliff — a near-neighbor differing on ONE
+    * hyperplane's side is still found, at (bits+1)/2^bits of the corpus
+    * scanned instead of 1/2^bits. Probes stay an equi-join (the probe set
+    * is exploded on the broadcast query side, so the corpus is still
+    * scanned once with a hash lookup per row). */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      bits: Int, dim: Int): DataFrame = {
+      bits: Int, dim: Int, probeRadius: Int = 0): DataFrame = {
+    require(probeRadius == 0 || probeRadius == 1,
+      "probeRadius 0 (exact code) or 1 (one bit flip) supported")
     val codedCorpus = corpus
       .withColumn("code", lshCode(col("vec"), bits, dim))
       .withColumn("__n", norm(col("vec")))
+    val qcode = lshCode(col("qvec"), bits, dim)
+    val probes =
+      if (probeRadius == 0) array(qcode)
+      else array(qcode +: (0 until bits).map(j =>
+        qcode.bitwiseXOR(lit(1 << j))): _*)
     val codedQueries = queries
-      .withColumn("qcode", lshCode(col("qvec"), bits, dim))
+      .withColumn("qcode", explode(probes))
       .withColumn("__qn", norm(col("qvec")))
     val joined = codedCorpus
       .join(broadcast(codedQueries), col("code") === col("qcode"))

@@ -63,9 +63,16 @@ object StreamIngest {
       .filter(col(GraftEngine.TsCol) >= sinceTsMs)
   }
 
-  /** S3: readiness gate — a replica serves once its lag is under threshold.
-    * With AvailableNow ingestion, "caught up" = the query drained its
-    * backlog; expose the check so a pointer flip can wait on it. */
+  /** S3: readiness gate — a replica serves once its lag is under threshold
+    * (Venice gates the version swap on follower lag). A terminated query is
+    * trivially caught up; an active one must have no data available AND its
+    * last completed microbatch must have drained zero rows — the status
+    * flag alone flips true between the source buffering data and the batch
+    * that processes it. */
   def isCaughtUp(q: StreamingQuery): Boolean =
-    !q.isActive || q.status.isDataAvailable == false
+    !q.isActive || {
+      !q.status.isDataAvailable && Option(q.lastProgress).forall(
+        _.sources.forall(s =>
+          s.latestOffset == null || s.latestOffset == s.endOffset))
+    }
 }

@@ -41,6 +41,14 @@ class PipelineSpec extends AnyFunSuite {
     // in this number means the bucketing changed, not the data.
     assert(recall > 0.05, s"recall $recall")
     assert(approx.nonEmpty)
+    // multi-probe (radius 1) scans (bits+1)/2^bits ≈ 5/16 of the corpus and
+    // must strictly dominate single-probe recall on the same buckets
+    val multi = Similarity.lshTopK(corpus, queries, 10, bits = 4, dim = 64,
+        probeRadius = 1)
+      .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recallMulti = (exact intersect multi).size.toDouble / exact.size
+    assert(recallMulti >= recall, s"multi $recallMulti < single $recall")
+    assert(recallMulti > 0.3, s"multi-probe recall $recallMulti")
   }
 
   test("blocked cosinePairs ≡ all-pairs result, with no cartesian node") {

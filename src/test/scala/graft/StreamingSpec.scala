@@ -49,6 +49,8 @@ class StreamingSpec extends AnyFunSuite {
     val q = StreamIngest.ingest(engine, "scust3", stream.toDF(),
       checkpoint = s"$root/cp3")
     q.awaitTermination(60000)
+    // S3: a drained AvailableNow query passes the readiness gate
+    assert(StreamIngest.isCaughtUp(q))
     // one append per microbatch: the log holds at most one part-file per
     // df partition — NOT one append per distinct timestamp (50 here)
     val parts = new java.io.File(s"$root/scust3/log").listFiles()
