@@ -1301,6 +1301,44 @@ object Queries {
                 FROM documents))
             ORDER BY media_id"""))
 
+  /** Frame sampling over "video" payloads: n equal byte-chunks per media
+    * row, exploded shuffle-free. Output = per-frame byte lengths (the
+    * oracle recomputes the chunk arithmetic; frame BYTES equality is
+    * covered by the byte-exact chunk/assemble round-trip in w9). */
+  val mmFrames = QueryDef(
+    "mm_frame_sample",
+    (s, dir) => {
+      val media = graft.operators.Multimodal.asMedia(
+        t(s, dir, "documents"), "doc_id", "text")
+      graft.operators.Multimodal.frameSample(media, frames = 4)
+        .select(col("media_id"), col("frame_no"),
+          octet_length(col("frame_bytes")).cast("long").as("frame_len"))
+        .orderBy(col("media_id"), col("frame_no"))
+    },
+    Some("""SELECT media_id, frame_no, least(chunk, n - frame_no * chunk) AS frame_len
+            FROM (SELECT doc_id AS media_id, strlen(text)::BIGINT AS n,
+                    greatest(1, CAST(ceil(strlen(text) / 4.0) AS BIGINT)) AS chunk
+                  FROM documents)
+            CROSS JOIN (SELECT unnest(range(4)) AS frame_no)
+            WHERE least(chunk, n - frame_no * chunk) > 0
+            ORDER BY media_id, frame_no"""))
+
+  /** Token counting both ways a data pipeline needs it: whitespace tokens
+    * and a BPE-ish regex segmentation (letter runs | single digits |
+    * single non-alphanumerics — the GPT-2-style pre-tokenizer shape). */
+  val textTokenCounts = QueryDef(
+    "text_token_counts",
+    (s, dir) => t(s, dir, "documents")
+      .select(col("doc_id"),
+        TextOps.tokenCount(col("text")).as("ws_tokens"),
+        size(regexp_extract_all(col("text"),
+          lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0))).as("bpe_tokens"))
+      .orderBy(col("doc_id")),
+    Some("""SELECT doc_id,
+            len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS ws_tokens,
+            len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS bpe_tokens
+            FROM documents ORDER BY doc_id"""))
+
   // ---------------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------------
@@ -1316,7 +1354,7 @@ object Queries {
     b1Avro, w10Compression, b10Metrics, b11Incremental, b12Etl,
     s1Ingest, s2Rewind, s4Changelog, s6SqlView,
     dedupExact, dedupMinhash, dedupSimhash, dedupNgram, dedupEmbedding,
-    annTopk, annLsh, annIvf, textStats, mmDecode)
+    annTopk, annLsh, annIvf, textStats, textTokenCounts, mmDecode, mmFrames)
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }
