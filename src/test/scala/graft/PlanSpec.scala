@@ -1,0 +1,71 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.{GraftEngine, GraftSession, Tables}
+
+/** Plan-shape pins: what makes these operators scale lives in the physical
+  * PLAN — column pruning, predicate pushdown, partition pruning, broadcast
+  * joins, equi-join candidate generation. Assert those properties so a
+  * refactor can't silently regress the shape while keeping results right.
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = GraftSession.build(cpus = 4, appName = "plan-spec")
+  val sf = "/root/testdata/sf0.001"
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("projection prunes the parquet scan to the selected columns") {
+    val p = plan(Queries.byName("r3_project").fn(spark, sf))
+    assert(p.contains(
+      "ReadSchema: struct<p_partkey:bigint,p_name:string,p_retailprice:double>"),
+      s"scan reads more than the projection:\n${p.take(400)}")
+  }
+
+  test("range predicates push down into the scan") {
+    val p = plan(Queries.byName("r9_prefix_scan").fn(spark, sf))
+    assert(p.contains("GreaterThanOrEqual(o_custkey,100)"), p.take(400))
+    assert(p.contains("LessThan(o_custkey,200)"), p.take(400))
+  }
+
+  test("dimension joins broadcast; no cartesian in the relational core") {
+    val p = plan(Queries.byName("q3_join_topk").fn(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p.take(400))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("batchGet is a broadcast left-semi join") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-plan").toString
+    val e = new GraftEngine(spark, root)
+    e.createStore("c", Seq("c_custkey"))
+    e.push("c", Tables.customer(spark, sf))
+    val p = plan(e.batchGet("c", Seq(1L, 2L).toDF("c_custkey")))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p.take(600))
+  }
+
+  test("bucket filter prunes the snapshot scan's partition directories") {
+    val root = Files.createTempDirectory("graft-plan2").toString
+    val e = new GraftEngine(spark, root)
+    e.createStore("c", Seq("c_custkey"))
+    e.push("c", Tables.customer(spark, sf))
+    val p = plan(spark.read.parquet(s"$root/c/v=1")
+      .filter(col(GraftEngine.BucketCol) === 3))
+    // the bucket predicate must land in PartitionFilters (directory
+    // pruning), not as a post-scan Filter over all buckets
+    assert(p.contains("PartitionFilters") &&
+      p.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+        .contains("__bucket"), p.take(600))
+  }
+
+  test("LSH candidate generation is an equi-join, never a nested loop") {
+    val sh = graft.operators.Dedup.shingleSets(
+      Tables.documents(spark, sf), "doc_id", "text", 3)
+    val p = plan(graft.operators.Dedup.minhashCandidates(sh, k = 8, bands = 4))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      p.take(600))
+    sh.unpersist()
+  }
+}
