@@ -60,7 +60,7 @@ object Bench {
       "b6_wire_roundtrip", "b1_avro_roundtrip", "w10_compression",
       "b10_job_metrics", "b11_incremental_push", "b12_etl_normalize",
       "s1_stream_ingest", "s2_rewind", "s4_changelog", "s6_sql_view",
-      "mm_frame_sample", "text_token_counts")
+      "mm_frame_sample", "text_token_counts", "b4_dup_audit", "w7_crdt_map")
     val core = results.filterNot(r => addedR3(r._1)).map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","core38":$core,"queries":$qs,"ok":$ok,"n":${results.size},"errors":$errs,"sf":"$sfDir"}""")
     if (results.exists(_._3.nonEmpty)) System.err.println(

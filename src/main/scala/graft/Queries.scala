@@ -288,6 +288,18 @@ object Queries {
             ORDER BY user_id"""),
     headline = true)
 
+  /** B4's audit half: per duplicated key, copies and distinct values —
+    * Venice distinguishes identical vs divergent duplicates at compaction. */
+  val b4DupAudit = QueryDef(
+    "b4_dup_audit",
+    (s, dir) => graft.operators.Compaction.duplicateAudit(
+      Tables.events(s, dir), Seq("user_id"), col("event_type"))
+      .orderBy(col("user_id")),
+    Some("""SELECT user_id, count(*) AS copies,
+              count(DISTINCT event_type) AS distinct_values
+            FROM events GROUP BY user_id HAVING count(*) > 1
+            ORDER BY user_id"""))
+
   // ---------------------------------------------------------------------------
   // Venice read compute (SURVEY §2.1 R4–R10) over the embeddings table
   // ---------------------------------------------------------------------------
@@ -561,6 +573,68 @@ object Queries {
             FROM (SELECT DISTINCT user_id FROM ops) u
             LEFT JOIN score s ON u.user_id = s.user_id
             LEFT JOIN tags g ON u.user_id = g.user_id
+            ORDER BY u.user_id"""))
+
+  /** W7 over a MAP field: per-entry RMD merge (put-entry / remove-key /
+    * full put, op = event_id % 3, ts = event_id) — the map half of the
+    * reference's collection handler (SortBasedCollectionFieldOpHandler).
+    * The oracle recomputes per-entry LWW: an entry is live iff its max
+    * put-ts ≥ the max full-put ts and > its max remove-ts; its value is the
+    * arg-max-ts put. */
+  val w7CrdtMap = QueryDef(
+    "w7_crdt_map",
+    (s, dir) => {
+      import org.apache.spark.sql.types._
+      import graft.operators.CrdtMerge
+      val value = StructType(Seq(
+        StructField("props", MapType(StringType, StringType))))
+      val ev = Tables.events(s, dir).select(
+        col("user_id"), col("event_id").as("ts"), col("event_type"),
+        round(col("value") * 100).cast("long").cast("string").as("v"),
+        pmod(col("event_id"), lit(3)).as("op"))
+      val state =
+        when(col("op") === 0, CrdtMerge.mapEntryState(
+          "props", col("event_type"), col("v"), col("ts"), value))
+        .when(col("op") === 1, CrdtMerge.mapRemoveState(
+          "props", col("event_type"), col("ts"), value))
+        .otherwise(CrdtMerge.putState(
+          struct(map(col("event_type"), col("v")).as("props")),
+          col("ts"), value))
+      CrdtMerge.mergeEvents(
+        ev.select(col("user_id"), state.as("state")), Seq("user_id"), value)
+        .select(col("user_id"),
+          array_join(transform(array_sort(map_entries(col("props"))),
+            e => concat(e.getField("key"), lit("="), e.getField("value"))), ",")
+            .as("props"))
+        .orderBy(col("user_id"))
+    },
+    Some("""WITH ops AS (
+              SELECT user_id, event_id AS ts, event_type AS k,
+                CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR) AS v,
+                event_id % 3 AS op
+              FROM events),
+            topts AS (
+              SELECT user_id, max(CASE WHEN op = 2 THEN ts END) AS top_ts
+              FROM ops GROUP BY user_id),
+            adds AS (
+              SELECT user_id, k, max(ts) AS add_ts, arg_max(v, ts) AS v
+              FROM ops WHERE op IN (0, 2) GROUP BY user_id, k),
+            dels AS (
+              SELECT user_id, k, max(ts) AS del_ts
+              FROM ops WHERE op = 1 GROUP BY user_id, k),
+            live AS (
+              SELECT a.user_id, a.k, a.v FROM adds a
+              LEFT JOIN dels d ON a.user_id = d.user_id AND a.k = d.k
+              LEFT JOIN topts t ON a.user_id = t.user_id
+              WHERE a.add_ts >= coalesce(t.top_ts, -9223372036854775808)
+                AND a.add_ts > coalesce(d.del_ts, -9223372036854775808)),
+            m AS (
+              SELECT user_id,
+                array_to_string(list_sort(list(k || '=' || v)), ',') AS props
+              FROM live GROUP BY user_id)
+            SELECT u.user_id, coalesce(m.props, '') AS props
+            FROM (SELECT DISTINCT user_id FROM ops) u
+            LEFT JOIN m ON u.user_id = m.user_id
             ORDER BY u.user_id"""))
 
   /** B7 storage-quota enforcement: total serialized key+value bytes
@@ -1348,8 +1422,8 @@ object Queries {
     r1Get, r2BatchGet, r3Project,
     r4Dot, r5Cosine, r6Hadamard, r7Count, r7CountMap, r8ComputeErrors, r9Prefix,
     r10Predicates, r11Stream, qWindow, qRollup, qSemi, qAnti, qSessionize,
-    b3Ttl, b4Compaction, b7Quota, b8Partition,
-    w3WriteCompute, w5Lww, w7Crdt, w8Squash, w11Div, w12Hll, w13HotKeys,
+    b3Ttl, b4Compaction, b4DupAudit, b7Quota, b8Partition,
+    w3WriteCompute, w5Lww, w7Crdt, w7CrdtMap, w8Squash, w11Div, w12Hll, w13HotKeys,
     r12Meta, w1PutDelete, w2UpdateBuilder, w4UpdateSchema, w9Chunk, b6Wire,
     b1Avro, w10Compression, b10Metrics, b11Incremental, b12Etl,
     s1Ingest, s2Rewind, s4Changelog, s6SqlView,

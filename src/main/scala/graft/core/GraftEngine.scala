@@ -294,36 +294,50 @@ class GraftEngine(val spark: SparkSession, val root: String) {
   /** Full PUT at tsMs: every scalar field stamped tsMs; collection fields
     * become full puts (topTs = tsMs). */
   def putAA(name: String, rows: DataFrame, tsMs: Long): Unit =
-    appendAA(name, rows, "put", "", None, tsMs)
+    appendAA(name, rows, "put", "", None, None, tsMs)
 
   /** DELETE at tsMs, resolved per-field (Venice A/A semantics): each field
     * is nulled/emptied iff tsMs wins against that field's timestamp; the
     * record disappears from the view when every field is gone. */
   def deleteAA(name: String, keys: DataFrame, tsMs: Long): Unit =
-    appendAA(name, keys, "delete", "", None, tsMs)
+    appendAA(name, keys, "delete", "", None, None, tsMs)
 
   /** Partial update of one scalar field (rows carry key cols + the field). */
   def setFieldAA(name: String, rows: DataFrame, field: String, tsMs: Long): Unit =
-    appendAA(name, rows, "set", field, None, tsMs)
+    appendAA(name, rows, "set", field, None, None, tsMs)
 
   /** Add one element to a collection field (observed-remove set add). */
   def addToSetAA(name: String, rows: DataFrame, field: String,
       elemCol: String, tsMs: Long): Unit =
-    appendAA(name, rows, "add", field, Some(elemCol), tsMs)
+    appendAA(name, rows, "add", field, Some(elemCol), None, tsMs)
 
   /** Remove one element from a collection field (tombstone at tsMs —
     * delete-wins-on-tie against adds). */
   def removeFromSetAA(name: String, rows: DataFrame, field: String,
       elemCol: String, tsMs: Long): Unit =
-    appendAA(name, rows, "remove", field, Some(elemCol), tsMs)
+    appendAA(name, rows, "remove", field, Some(elemCol), None, tsMs)
+
+  /** Put one entry (key→value at tsMs) into a map field — per-entry LWW. */
+  def putMapEntryAA(name: String, rows: DataFrame, field: String,
+      keyCol: String, valueCol: String, tsMs: Long): Unit =
+    appendAA(name, rows, "add", field, Some(keyCol), Some(valueCol), tsMs)
+
+  /** Remove one map key (tombstone at tsMs — delete wins ties). */
+  def removeMapKeyAA(name: String, rows: DataFrame, field: String,
+      keyCol: String, tsMs: Long): Unit =
+    appendAA(name, rows, "remove", field, Some(keyCol), None, tsMs)
 
   private def appendAA(name: String, rows: DataFrame, op: String,
-      field: String, elemCol: Option[String], tsMs: Long): Unit = {
+      field: String, elemCol: Option[String], elem2Col: Option[String],
+      tsMs: Long): Unit = {
     require(isActiveActive(name), s"store $name is not active-active")
     val tpl = snapshot(name).limit(0)
-    val withElem = rows.withColumn(AaElemCol,
-      elemCol.map(c => col(c).cast("string")).getOrElse(lit(null).cast("string")))
-    conformToValueSchema(withElem, tpl, keep = Seq(AaElemCol))
+    val withElem = rows
+      .withColumn(AaElemCol,
+        elemCol.map(c => col(c).cast("string")).getOrElse(lit(null).cast("string")))
+      .withColumn(AaElem2Col,
+        elem2Col.map(c => col(c).cast("string")).getOrElse(lit(null).cast("string")))
+    conformToValueSchema(withElem, tpl, keep = Seq(AaElemCol, AaElem2Col))
       .withColumn(AaOpCol, lit(op))
       .withColumn(AaFieldCol, lit(field))
       .withColumn(TsCol, lit(tsMs))
@@ -338,7 +352,7 @@ class GraftEngine(val spark: SparkSession, val root: String) {
     * keyed shuffle ([[graft.operators.CrdtMerge.mergeEvents]]). Fold order
     * is irrelevant (commutative lattice) — the multi-region guarantee. */
   private def aaView(name: String): DataFrame = {
-    import org.apache.spark.sql.types.{ArrayType, StructType}
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
     import graft.operators.CrdtMerge
     val meta = storeMeta(name)
     val snap = snapshot(name)
@@ -363,6 +377,13 @@ class GraftEngine(val spark: SparkSession, val root: String) {
             .when(col(AaOpCol) === "remove" && col(AaFieldCol) === f.name,
               CrdtMerge.elementOpState(f.name, col(AaElemCol), ts,
                 isRemove = true, valueSchema))
+        case _: MapType =>
+          state = state
+            .when(col(AaOpCol) === "add" && col(AaFieldCol) === f.name,
+              CrdtMerge.mapEntryState(f.name, col(AaElemCol), col(AaElem2Col),
+                ts, valueSchema))
+            .when(col(AaOpCol) === "remove" && col(AaFieldCol) === f.name,
+              CrdtMerge.mapRemoveState(f.name, col(AaElemCol), ts, valueSchema))
         case _ =>
           state = state
             .when(col(AaOpCol) === "set" && col(AaFieldCol) === f.name,
@@ -377,7 +398,7 @@ class GraftEngine(val spark: SparkSession, val root: String) {
     // scalars null and all collections empty — drop such rows
     val allGone = valueSchema.fields.map { f =>
       f.dataType match {
-        case _: ArrayType => size(col(f.name)) === 0
+        case _: ArrayType | _: MapType => size(col(f.name)) === 0
         case _ => col(f.name).isNull
       }
     }.reduce(_ && _)
@@ -504,5 +525,6 @@ object GraftEngine {
   val AaOpCol = "__aa_op"
   val AaFieldCol = "__aa_field"
   val AaElemCol = "__aa_elem"
+  val AaElem2Col = "__aa_elem2"
   val LogSeqCol = "__log_seq"
 }

@@ -34,18 +34,32 @@ import org.apache.spark.sql.types._
   */
 object CrdtMerge {
 
-  /** RMD schema for a value schema: f_ts for scalars, f_rmd for arrays. */
+  /** RMD schema for a value schema: f_ts for scalars, f_rmd for arrays
+    * (per-element add/remove ts) and maps (per-entry put/remove-key ts). */
   def rmdSchema(value: StructType): StructType = StructType(value.fields.map {
     case StructField(n, _: ArrayType, _, _) =>
       StructField(s"${n}__rmd", StructType(Seq(
         StructField("topTs", LongType),
         StructField("active", ArrayType(elemTs)),
         StructField("deleted", ArrayType(elemTs)))))
+    case StructField(n, _: MapType, _, _) =>
+      StructField(s"${n}__rmd", StructType(Seq(
+        StructField("topTs", LongType),
+        StructField("active", ArrayType(entryTs)),
+        StructField("deleted", ArrayType(elemTs)))))
     case StructField(n, _, _, _) => StructField(s"${n}__ts", LongType)
   })
 
   val elemTs: StructType = StructType(Seq(
     StructField("elem", StringType), StructField("ts", LongType)))
+
+  /** Map-entry RMD record. Field order (key, ts, value) is load-bearing:
+    * `array_sort` orders entries per key by ts then value-string, so the
+    * LAST_WIN map-dedup keeps the max-(ts, value) entry — LWW per entry
+    * with the same deterministic tie-break as scalars. */
+  val entryTs: StructType = StructType(Seq(
+    StructField("key", StringType), StructField("ts", LongType),
+    StructField("value", StringType)))
 
   /** Join two per-key states (value+rmd structs side by side). */
   def joinStates(a: Column, b: Column, value: StructType): Column = {
@@ -81,6 +95,45 @@ object CrdtMerge {
             struct(topTs.as("topTs"),
               toElemTs(array_sort(live)).as("active"),
               toElemTs(array_sort(keptTombs)).as("deleted"))
+              .as(s"${f.name}__rmd"))
+        case mt: MapType =>
+          val (ra, rb) = (a.getField(s"${f.name}__rmd"), b.getField(s"${f.name}__rmd"))
+          val topTs = greatest(ra.getField("topTs"), rb.getField("topTs"))
+          val actEntries = array_sort(concat(
+            coalesce(ra.getField("active"), array().cast(ArrayType(entryTs))),
+            coalesce(rb.getField("active"), array().cast(ArrayType(entryTs)))))
+          val delEntries = array_sort(concat(
+            coalesce(ra.getField("deleted"), array().cast(ArrayType(elemTs))),
+            coalesce(rb.getField("deleted"), array().cast(ArrayType(elemTs)))))
+          // entries sorted by (key, ts, value) + LAST_WIN ⇒ per key the
+          // max-(ts, value-string) entry survives (LWW, deterministic ties)
+          val actMap = map_from_entries(
+            transform(actEntries, e => struct(e.getField("key").as("key"),
+              struct(e.getField("ts").as("ts"), e.getField("value").as("value"))
+                .as("value"))))
+          val delMap = map_from_entries(
+            transform(delEntries, e =>
+              struct(e.getField("elem").as("key"), e.getField("ts").as("value"))))
+          val live = filter(map_entries(actMap), e =>
+            e.getField("value").getField("ts") >= topTs &&
+              e.getField("value").getField("ts") > coalesce(
+                element_at(delMap, e.getField("key")), lit(Long.MinValue)))
+          val keptTombs = filter(map_entries(delMap), e =>
+            e.getField("value") >= topTs)
+          val liveSorted = array_sort(live)
+          Seq(
+            map_from_entries(transform(liveSorted, e =>
+              struct(e.getField("key").cast(mt.keyType).as("key"),
+                e.getField("value").getField("value").cast(mt.valueType)
+                  .as("value")))).as(f.name),
+            struct(topTs.as("topTs"),
+              transform(liveSorted, e =>
+                struct(e.getField("key").as("key"),
+                  e.getField("value").getField("ts").as("ts"),
+                  e.getField("value").getField("value").as("value"))).as("active"),
+              transform(array_sort(keptTombs), e =>
+                struct(e.getField("key").as("elem"),
+                  e.getField("value").as("ts"))).as("deleted"))
               .as(s"${f.name}__rmd"))
         case _ =>
           // null-safe ts: a null timestamp (e.g. outer-join-produced state)
@@ -120,6 +173,15 @@ object CrdtMerge {
                 e => struct(e.cast("string").as("elem"), ts.as("ts"))).as("active"),
               array().cast(ArrayType(elemTs)).as("deleted"))
               .as(s"${f.name}__rmd"))
+        case mt: MapType =>
+          val m = coalesce(valueStruct.getField(f.name), map().cast(mt))
+          val entries = array_sort(transform(map_entries(m), e =>
+            struct(e.getField("key").cast("string").as("key"), ts.as("ts"),
+              e.getField("value").cast("string").as("value"))))
+          Seq(m.as(f.name),
+            struct(ts.as("topTs"), entries.as("active"),
+              array().cast(ArrayType(elemTs)).as("deleted"))
+              .as(s"${f.name}__rmd"))
         case dt =>
           Seq(valueStruct.getField(f.name).as(f.name), ts.as(s"${f.name}__ts"))
       }
@@ -137,6 +199,12 @@ object CrdtMerge {
               array().cast(ArrayType(elemTs)).as("active"),
               array().cast(ArrayType(elemTs)).as("deleted"))
               .as(s"${f.name}__rmd"))
+        case mt: MapType =>
+          Seq(lit(null).cast(mt).as(f.name),
+            struct(lit(Long.MinValue).as("topTs"),
+              array().cast(ArrayType(entryTs)).as("active"),
+              array().cast(ArrayType(elemTs)).as("deleted"))
+              .as(s"${f.name}__rmd"))
         case dt =>
           Seq(lit(null).cast(dt).as(f.name),
             lit(Long.MinValue).as(s"${f.name}__ts"))
@@ -144,6 +212,55 @@ object CrdtMerge {
     }
     struct(fields.toIndexedSeq: _*)
   }
+
+  /** State for a single map-entry put (key→value at ts) on map field `f`. */
+  def mapEntryState(f: String, key: Column, v: Column, ts: Column,
+      value: StructType): Column = {
+    val bottom = bottomState(value)
+    val fields = value.fields.flatMap { vf =>
+      vf.dataType match {
+        case mt: MapType if vf.name == f =>
+          Seq(lit(null).cast(mt).as(vf.name),
+            struct(lit(Long.MinValue).as("topTs"),
+              array(struct(key.cast("string").as("key"), ts.as("ts"),
+                v.cast("string").as("value"))).as("active"),
+              array().cast(ArrayType(elemTs)).as("deleted"))
+              .as(s"${vf.name}__rmd"))
+        case _ => passthrough(vf, bottom)
+      }
+    }
+    struct(fields.toIndexedSeq: _*)
+  }
+
+  /** State for a single map-key remove (tombstone at ts) on map field `f`. */
+  def mapRemoveState(f: String, key: Column, ts: Column,
+      value: StructType): Column = {
+    val bottom = bottomState(value)
+    val fields = value.fields.flatMap { vf =>
+      vf.dataType match {
+        case mt: MapType if vf.name == f =>
+          Seq(lit(null).cast(mt).as(vf.name),
+            struct(lit(Long.MinValue).as("topTs"),
+              array().cast(ArrayType(entryTs)).as("active"),
+              array(struct(key.cast("string").as("elem"), ts.as("ts")))
+                .as("deleted"))
+              .as(s"${vf.name}__rmd"))
+        case _ => passthrough(vf, bottom)
+      }
+    }
+    struct(fields.toIndexedSeq: _*)
+  }
+
+  /** Bottom-valued (field, rmd/ts) pair for an untouched field. */
+  private def passthrough(vf: StructField, bottom: Column): Seq[Column] =
+    vf.dataType match {
+      case _: ArrayType | _: MapType =>
+        Seq(bottom.getField(vf.name).as(vf.name),
+          bottom.getField(s"${vf.name}__rmd").as(s"${vf.name}__rmd"))
+      case _ =>
+        Seq(bottom.getField(vf.name).as(vf.name),
+          bottom.getField(s"${vf.name}__ts").as(s"${vf.name}__ts"))
+    }
 
   /** State for a single element add/remove op on collection field `f`. */
   def elementOpState(f: String, elem: Column, ts: Column, isRemove: Boolean,
@@ -158,12 +275,7 @@ object CrdtMerge {
               (if (isRemove) array().cast(ArrayType(elemTs)) else entry).as("active"),
               (if (isRemove) entry else array().cast(ArrayType(elemTs))).as("deleted"))
               .as(s"${vf.name}__rmd"))
-        case at: ArrayType =>
-          Seq(bottom.getField(vf.name).as(vf.name),
-            bottom.getField(s"${vf.name}__rmd").as(s"${vf.name}__rmd"))
-        case dt =>
-          Seq(bottom.getField(vf.name).as(vf.name),
-            bottom.getField(s"${vf.name}__ts").as(s"${vf.name}__ts"))
+        case _ => passthrough(vf, bottom)
       }
     }
     struct(fields.toIndexedSeq: _*)
@@ -175,14 +287,10 @@ object CrdtMerge {
     val bottom = bottomState(value)
     val fields = value.fields.flatMap { vf =>
       vf.dataType match {
-        case at: ArrayType =>
-          Seq(bottom.getField(vf.name).as(vf.name),
-            bottom.getField(s"${vf.name}__rmd").as(s"${vf.name}__rmd"))
+        case _: ArrayType | _: MapType => passthrough(vf, bottom)
         case dt if vf.name == f =>
           Seq(v.cast(dt).as(vf.name), ts.as(s"${vf.name}__ts"))
-        case dt =>
-          Seq(bottom.getField(vf.name).as(vf.name),
-            bottom.getField(s"${vf.name}__ts").as(s"${vf.name}__ts"))
+        case _ => passthrough(vf, bottom)
       }
     }
     struct(fields.toIndexedSeq: _*)

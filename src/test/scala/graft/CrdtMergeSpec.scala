@@ -153,4 +153,93 @@ class CrdtMergeSpec extends AnyFunSuite {
       ("remove", "tags", "b", 160L))
     assert(merge(ops ++ ops) == merge(ops))
   }
+
+  // ---- map fields (per-entry RMD) ------------------------------------------
+
+  val mapSchema = StructType(Seq(
+    StructField("name", StringType),
+    StructField("attrs", MapType(StringType, StringType))))
+
+  /** op = (kind, key, value, ts); "put" parses value "k1=v1,k2=v2". */
+  def mapEventsDf(ops: Seq[(String, String, String, Long)]): DataFrame = {
+    import spark.implicits._
+    val rows = ops.toDF("kind", "key", "value", "ts")
+    rows.select(lit(1L).as("k"),
+      when(col("kind") === "putEntry",
+        CrdtMerge.mapEntryState("attrs", col("key"), col("value"), col("ts"),
+          mapSchema))
+        .when(col("kind") === "removeKey",
+          CrdtMerge.mapRemoveState("attrs", col("key"), col("ts"), mapSchema))
+        .when(col("kind") === "putName",
+          CrdtMerge.setFieldState("name", col("value"), col("ts"), mapSchema))
+        .when(col("kind") === "put",
+          CrdtMerge.putState(
+            struct(lit(null).cast("string").as("name"),
+              map_from_entries(transform(split(col("value"), ","),
+                p => struct(split_part(p, lit("="), lit(1)).as("key"),
+                  split_part(p, lit("="), lit(2)).as("value")))).as("attrs")),
+            col("ts"), mapSchema))
+        .as("state"))
+  }
+
+  def mergeMap(ops: Seq[(String, String, String, Long)])
+      : (String, Map[String, String]) = {
+    val out = CrdtMerge.mergeEvents(mapEventsDf(ops), Seq("k"), mapSchema).head()
+    (out.getAs[String]("name"),
+      Option(out.getAs[Map[String, String]]("attrs")).orNull)
+  }
+
+  test("map entries: per-entry LWW with deterministic value tie-break") {
+    assert(mergeMap(Seq(
+      ("putEntry", "a", "old", 100L),
+      ("putEntry", "a", "new", 200L)))._2 == Map("a" -> "new"))
+    // same ts, same key → larger value string wins regardless of fold order
+    assert(mergeMap(Seq(
+      ("putEntry", "a", "bbb", 100L),
+      ("putEntry", "a", "aaa", 100L)))._2 == Map("a" -> "bbb"))
+  }
+
+  test("map: remove tombstones, delete wins ties, newer re-put returns") {
+    val (_, m) = mergeMap(Seq(
+      ("put", "", "a=1,b=2", 100L),
+      ("putEntry", "c", "3", 150L),
+      ("removeKey", "b", "", 160L)))
+    assert(m == Map("a" -> "1", "c" -> "3"))
+    assert(mergeMap(Seq(
+      ("putEntry", "x", "1", 150L),
+      ("removeKey", "x", "", 150L)))._2 == Map.empty) // delete wins tie
+    assert(mergeMap(Seq(
+      ("removeKey", "x", "", 150L),
+      ("putEntry", "x", "9", 200L)))._2 == Map("x" -> "9"))
+  }
+
+  test("map: newer full put supersedes older entries (top-level ts)") {
+    assert(mergeMap(Seq(
+      ("putEntry", "stale", "1", 100L),
+      ("put", "", "fresh=2", 200L)))._2 == Map("fresh" -> "2"))
+    assert(mergeMap(Seq(
+      ("put", "", "base=1", 200L),
+      ("putEntry", "later", "3", 300L)))._2 ==
+      Map("base" -> "1", "later" -> "3"))
+  }
+
+  test("map merge is order-independent and idempotent") {
+    val ops = Seq(
+      ("put", "", "a=1,b=2,c=3", 100L),
+      ("putName", "", "n1", 120L),
+      ("putEntry", "d", "4", 150L),
+      ("removeKey", "a", "", 160L),
+      ("putEntry", "a", "5", 170L),
+      ("removeKey", "d", "", 150L),
+      ("put", "", "z=0", 50L))
+    val expected = mergeMap(ops)
+    val rnd = new Random(11)
+    (1 to 5).foreach { _ =>
+      assert(mergeMap(rnd.shuffle(ops)) == expected)
+    }
+    assert(mergeMap(ops ++ ops) == expected)
+    // a@170 survives its 160 tombstone; d@150 died on the equal-ts delete
+    assert(expected._2 == Map("a" -> "5", "b" -> "2", "c" -> "3"))
+    assert(expected._1 == "n1")
+  }
 }

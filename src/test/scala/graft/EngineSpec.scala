@@ -204,6 +204,23 @@ class EngineSpec extends AnyFunSuite {
     assert(after == before)
   }
 
+  test("W7: active-active MAP field resolves per-entry") {
+    import spark.implicits._
+    engine.createStore("aa2", Seq("id"))
+    engine.push("aa2", Seq((1L, Map("a" -> "1"))).toDF("id", "attrs"))
+    engine.enableActiveActive("aa2")
+    engine.putMapEntryAA("aa2", Seq((1L, "b", "2")).toDF("id", "mk", "mv"),
+      "attrs", "mk", "mv", tsMs = 100L)
+    engine.removeMapKeyAA("aa2", Seq((1L, "a")).toDF("id", "mk"),
+      "attrs", "mk", tsMs = 200L)
+    // stale re-put of 'a' below the tombstone ts loses
+    engine.putMapEntryAA("aa2", Seq((1L, "a", "9")).toDF("id", "mk", "mv"),
+      "attrs", "mk", "mv", tsMs = 150L)
+    val m = engine.servingView("aa2").filter($"id" === 1L)
+      .head.getAs[Map[String, String]]("attrs")
+    assert(m == Map("b" -> "2"))
+  }
+
   test("compute builder: project + ops + error map + validation") {
     import spark.implicits._
     engine.createStore("emb", Seq("vec_id"))
