@@ -276,6 +276,56 @@ class GraftEngine(val spark: SparkSession, val root: String) {
   private def hasUpdates(name: String): Boolean =
     nonEmptyDir(Paths.get(dir(name, "updates")))
 
+  /** W8 wired in: squash the pending update log to ONE row per key —
+    * updates fold pairwise in ts order through
+    * [[graft.operators.WriteCompute.squashExpr]] (op-history-aware: a later
+    * set kills earlier collection ops; collection ops compose), keeping the
+    * max ts. Bounds read-time fold work between repushes the way Venice
+    * compacts the write-compute stream. One keyed shuffle. */
+  def compactUpdates(name: String): Unit = {
+    import org.apache.spark.sql.types.{ArrayType, LongType, StructField, StructType}
+    import graft.operators.WriteCompute
+    if (!hasUpdates(name)) return
+    val meta = storeMeta(name)
+    val valueSchema = StructType(
+      snapshot(name).schema.fields.filterNot(f => meta.keyCols.contains(f.name)))
+    val updates = spark.read.parquet(dir(name, "updates"))
+    val keyCols = meta.keyCols.map(col)
+    val uCols = updates.schema.fieldNames
+      .filterNot(n => meta.keyCols.contains(n) || n == WriteCompute.TsCol).map(col)
+    val pending = updates
+      .select(keyCols :+ col(WriteCompute.TsCol) :+ struct(uCols: _*).as("__u"): _*)
+      .groupBy(keyCols: _*)
+      .agg(max(col(WriteCompute.TsCol)).as(WriteCompute.TsCol),
+        array_sort(
+          collect_list(struct(col(WriteCompute.TsCol).as("ts"), col("__u").as("u"))),
+          (l, r) => when(l.getField("ts") < r.getField("ts"), -1)
+            .when(l.getField("ts") > r.getField("ts"), 1).otherwise(0))
+          .as("__updates"))
+      .withColumn("__squashed",
+        aggregate(slice(col("__updates"), lit(2), size(col("__updates")) - 1),
+          element_at(col("__updates"), 1).getField("u"),
+          (acc, e) => WriteCompute.squashExpr(acc, e.getField("u"), valueSchema)))
+    val out = pending.select(
+      keyCols ++ updates.schema.fieldNames
+        .filterNot(n => meta.keyCols.contains(n) || n == WriteCompute.TsCol)
+        .map(n => col("__squashed").getField(n).as(n))
+        :+ col(WriteCompute.TsCol): _*)
+    // materialize before replacing the directory the plan reads from
+    val rows = out.cache(); rows.count()
+    val tmp = dir(name, ".updates.squashing")
+    rows.write.mode("overwrite").parquet(tmp)
+    rows.unpersist()
+    val target = Paths.get(dir(name, "updates"))
+    val old = Paths.get(dir(name, ".updates.old"))
+    Files.move(target, old)
+    Files.move(Paths.get(tmp), target)
+    val walk = Files.walk(old)
+    try walk.sorted(java.util.Comparator.reverseOrder())
+      .forEach(f => Files.delete(f))
+    finally walk.close()
+  }
+
   // ---- active-active (W7: field-level RMD CRDT) ----------------------------
 
   /** Mark the store active-active: subsequent [[putAA]]/[[deleteAA]]/

@@ -116,10 +116,24 @@ class EngineSpec extends AnyFunSuite {
     val row = engine.servingView("cust5").filter($"c_custkey" === 10L).head()
     assert(row.getAs[String]("c_mktsegment") == "PARTIAL")
     assert(row.getAs[String]("c_name").nonEmpty) // untouched field survives
+    // W8 wired in: a second update on the same key, then squash — ONE log
+    // row per key, serving view unchanged (later set wins)
+    val u2 = new UpdateBuilder(valueSchema)
+      .setField("c_mktsegment", "PARTIAL2").buildRow()
+    engine.update("cust5", spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row.fromSeq(10L +: u2.toSeq)),
+      updSchema), tsMs = 600L)
+    val before = engine.servingView("cust5").orderBy("c_custkey").collect().toSeq
+    engine.compactUpdates("cust5")
+    assert(spark.read.parquet(s"$root/cust5/updates").count() == 1)
+    val after = engine.servingView("cust5").orderBy("c_custkey").collect().toSeq
+    assert(after == before)
+    assert(engine.servingView("cust5").filter($"c_custkey" === 10L).head()
+      .getAs[String]("c_mktsegment") == "PARTIAL2")
     // repush folds updates into the new version and archives the logs
     val v = engine.repush("cust5")
     assert(engine.snapshot("cust5").filter($"c_custkey" === 10L).head()
-      .getAs[String]("c_mktsegment") == "PARTIAL")
+      .getAs[String]("c_mktsegment") == "PARTIAL2")
   }
 
   test("materialized view, incremental push, SQL registration") {
