@@ -344,53 +344,61 @@ class GraftEngine(val spark: SparkSession, val root: String) {
   /** Full PUT at tsMs: every scalar field stamped tsMs; collection fields
     * become full puts (topTs = tsMs). */
   def putAA(name: String, rows: DataFrame, tsMs: Long): Unit =
-    appendAA(name, rows, "put", "", None, None, tsMs)
+    appendAA(name, rows, "put", "", None, None, lit(tsMs))
+
+  /** Full PUTs with a per-row event-time column — the A/A streaming-ingest
+    * shape (each RT record carries its own conflict-resolution timestamp):
+    * ONE op-log append per batch. */
+  def putAA(name: String, rows: DataFrame, tsCol: Column): Unit =
+    appendAA(name, rows, "put", "", None, None, tsCol)
 
   /** DELETE at tsMs, resolved per-field (Venice A/A semantics): each field
     * is nulled/emptied iff tsMs wins against that field's timestamp; the
     * record disappears from the view when every field is gone. */
   def deleteAA(name: String, keys: DataFrame, tsMs: Long): Unit =
-    appendAA(name, keys, "delete", "", None, None, tsMs)
+    appendAA(name, keys, "delete", "", None, None, lit(tsMs))
 
   /** Partial update of one scalar field (rows carry key cols + the field). */
   def setFieldAA(name: String, rows: DataFrame, field: String, tsMs: Long): Unit =
-    appendAA(name, rows, "set", field, None, None, tsMs)
+    appendAA(name, rows, "set", field, None, None, lit(tsMs))
 
   /** Add one element to a collection field (observed-remove set add). */
   def addToSetAA(name: String, rows: DataFrame, field: String,
       elemCol: String, tsMs: Long): Unit =
-    appendAA(name, rows, "add", field, Some(elemCol), None, tsMs)
+    appendAA(name, rows, "add", field, Some(elemCol), None, lit(tsMs))
 
   /** Remove one element from a collection field (tombstone at tsMs —
     * delete-wins-on-tie against adds). */
   def removeFromSetAA(name: String, rows: DataFrame, field: String,
       elemCol: String, tsMs: Long): Unit =
-    appendAA(name, rows, "remove", field, Some(elemCol), None, tsMs)
+    appendAA(name, rows, "remove", field, Some(elemCol), None, lit(tsMs))
 
   /** Put one entry (key→value at tsMs) into a map field — per-entry LWW. */
   def putMapEntryAA(name: String, rows: DataFrame, field: String,
       keyCol: String, valueCol: String, tsMs: Long): Unit =
-    appendAA(name, rows, "add", field, Some(keyCol), Some(valueCol), tsMs)
+    appendAA(name, rows, "add", field, Some(keyCol), Some(valueCol), lit(tsMs))
 
   /** Remove one map key (tombstone at tsMs — delete wins ties). */
   def removeMapKeyAA(name: String, rows: DataFrame, field: String,
       keyCol: String, tsMs: Long): Unit =
-    appendAA(name, rows, "remove", field, Some(keyCol), None, tsMs)
+    appendAA(name, rows, "remove", field, Some(keyCol), None, lit(tsMs))
 
   private def appendAA(name: String, rows: DataFrame, op: String,
       field: String, elemCol: Option[String], elem2Col: Option[String],
-      tsMs: Long): Unit = {
+      tsCol: Column): Unit = {
     require(isActiveActive(name), s"store $name is not active-active")
     val tpl = snapshot(name).limit(0)
+    // stamp ts and elem BEFORE conforming — they may reference columns
+    // (e.g. the stream's event-time) outside the value schema
     val withElem = rows
       .withColumn(AaElemCol,
         elemCol.map(c => col(c).cast("string")).getOrElse(lit(null).cast("string")))
       .withColumn(AaElem2Col,
         elem2Col.map(c => col(c).cast("string")).getOrElse(lit(null).cast("string")))
-    conformToValueSchema(withElem, tpl, keep = Seq(AaElemCol, AaElem2Col))
+      .withColumn(TsCol, tsCol.cast("long"))
+    conformToValueSchema(withElem, tpl, keep = Seq(AaElemCol, AaElem2Col, TsCol))
       .withColumn(AaOpCol, lit(op))
       .withColumn(AaFieldCol, lit(field))
-      .withColumn(TsCol, lit(tsMs))
       .write.mode("append").parquet(dir(name, "aa_log"))
   }
 

@@ -36,10 +36,15 @@ object StreamIngest {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         // ONE log append per microbatch, per-row event time carried as the
-        // LWW timestamp column — no driver-side collect, no per-ts writes
-        // (per-ms event times would otherwise mean per-row round-trips and
-        // thousands of tiny files)
-        engine.put(store, transformer(batch), col(EventTsCol))
+        // conflict-resolution timestamp — no driver-side collect, no
+        // per-ts writes (per-ms event times would otherwise mean per-row
+        // round-trips and thousands of tiny files). Active-active stores
+        // route through the CRDT op log (per-field resolution downstream),
+        // plain hybrid stores through the LWW upsert log.
+        if (engine.isActiveActive(store))
+          engine.putAA(store, transformer(batch), col(EventTsCol))
+        else
+          engine.put(store, transformer(batch), col(EventTsCol))
         ()
       }
       .trigger(Trigger.AvailableNow())

@@ -62,6 +62,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(engine.changelog("scust3", 7049L).count() == 1)
   }
 
+  test("S1×W7: streaming ingest into an active-active store resolves per-field") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    engine.createStore("aast", Seq("c_custkey"))
+    engine.push("aast", Tables.customer(spark, sf))
+    engine.enableActiveActive("aast")
+    val stream = MemoryStream[Upd]
+    // out-of-order events for the same key: the older full put must lose
+    // per-field regardless of arrival order
+    stream.addData(
+      Upd(11L, "OLDER", 0, 1.0, "X", 5000L),
+      Upd(11L, "NEWER", 0, 2.0, "Y", 9000L),
+      Upd(7778L, "AA-NEW", 0, 3.0, "Z", 5000L))
+    val q = StreamIngest.ingest(engine, "aast", stream.toDF(),
+      checkpoint = s"$root/cp-aa")
+    q.awaitTermination(60000)
+    val view = engine.servingView("aast")
+    assert(view.filter($"c_custkey" === 11L).head.getAs[String]("c_name")
+      == "NEWER")
+    assert(view.filter($"c_custkey" === 7778L).count() == 1)
+    assert(view.count() == 151)
+  }
+
   test("S5: transformer hook filters/maps records during ingest") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
