@@ -131,7 +131,7 @@ class GraftEngine(val spark: SparkSession, val root: String) {
       .map { case (c, k) => col(c) === lit(k) }.reduce(_ && _)
     // A/A stores resolve through the CRDT fold (the op log is small by
     // construction — repush compacts it away); key filter prunes the fold
-    if (isActiveActive(name) && hasAaLog(name))
+    if (isActiveActive(name))
       return aaView(name).filter(pred).limit(1).collect().headOption
     val snap = spark.read.parquet(dir(name, s"v=${currentVersion(name)}"))
       .filter(col(BucketCol) === bucketOf(name, key))
@@ -239,7 +239,7 @@ class GraftEngine(val spark: SparkSession, val root: String) {
   /** The hybrid-store read view: snapshot outer-merged with the RT log,
     * LWW per key with delete-wins tie-break (W5/W6). */
   def servingView(name: String): DataFrame = {
-    if (isActiveActive(name) && hasAaLog(name)) return aaView(name)
+    if (isActiveActive(name)) return aaView(name)
     val snap = snapshot(name)
       .withColumn(TsCol, lit(0L)).withColumn(DeletedCol, lit(false))
     val merged =
@@ -405,21 +405,63 @@ class GraftEngine(val spark: SparkSession, val root: String) {
   private def hasAaLog(name: String): Boolean =
     nonEmptyDir(Paths.get(dir(name, "aa_log")))
 
-  /** The A/A serving view: snapshot lifted as a full put at ts 0, unioned
-    * with the op log lifted per-op into CRDT states, folded per key in ONE
-    * keyed shuffle ([[graft.operators.CrdtMerge.mergeEvents]]). Fold order
-    * is irrelevant (commutative lattice) — the multi-region guarantee. */
+  /** RMD sibling columns (f__ts / f__rmd) persisted by an A/A repush. */
+  private def isRmdCol(n: String): Boolean =
+    n.endsWith("__ts") || n.endsWith("__rmd")
+
+  /** The A/A serving view: snapshot lifted into CRDT states — from its
+    * PERSISTED RMD columns when the version was written by an A/A repush
+    * (so late out-of-order events keep losing to what already won), else
+    * as a full put at ts 0 — unioned with the op log lifted per-op, folded
+    * per key in ONE keyed shuffle
+    * ([[graft.operators.CrdtMerge.mergeEvents]]). Fold order is irrelevant
+    * (commutative lattice) — the multi-region guarantee. */
   private def aaView(name: String): DataFrame = {
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    val valueSchema = aaValueSchema(name)
+    val resolved = aaResolve(name, keepRmd = false)
+    // record-level tombstone: a delete that won every field leaves all
+    // scalars null and all collections empty — hide such rows from serving
+    // (their RMD survives compaction via aaResolve(keepRmd = true))
+    val allGone = valueSchema.fields.map { f =>
+      f.dataType match {
+        case _: ArrayType | _: MapType => size(col(f.name)) === 0
+        case _ => col(f.name).isNull
+      }
+    }.reduce(_ && _)
+    resolved.filter(!allGone)
+  }
+
+  private def aaValueSchema(name: String): org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types.StructType
+    val meta = storeMeta(name)
+    StructType(snapshot(name).schema.fields.filterNot(f =>
+      meta.keyCols.contains(f.name) || isRmdCol(f.name)))
+  }
+
+  private def aaResolve(name: String, keepRmd: Boolean): DataFrame = {
     import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
     import graft.operators.CrdtMerge
     val meta = storeMeta(name)
     val snap = snapshot(name)
-    val valueSchema = StructType(
-      snap.schema.fields.filterNot(f => meta.keyCols.contains(f.name)))
+    val valueSchema = aaValueSchema(name)
     val keyCols = meta.keyCols.map(col)
     val valueStruct = struct(valueSchema.fieldNames.map(col): _*)
-    val snapEvents = snap.select(
-      keyCols :+ CrdtMerge.putState(valueStruct, lit(0L), valueSchema).as("state"): _*)
+    val rmdNames = CrdtMerge.rmdSchema(valueSchema).fieldNames
+    // state struct field order must match the op-state constructors'
+    // (interleaved per value field) for the unionByName below
+    val storedState = struct(valueSchema.fields.flatMap { f =>
+      f.dataType match {
+        case _: ArrayType | _: MapType =>
+          Seq(col(f.name), col(s"${f.name}__rmd"))
+        case _ => Seq(col(f.name), col(s"${f.name}__ts"))
+      }
+    }.toIndexedSeq: _*)
+    val snapEvents =
+      if (rmdNames.forall(snap.columns.contains))
+        snap.select(keyCols :+ storedState.as("state"): _*)
+      else snap.select(
+        keyCols :+ CrdtMerge.putState(valueStruct, lit(0L), valueSchema).as("state"): _*)
     val ts = col(TsCol)
     var state = when(col(AaOpCol) === "put",
       CrdtMerge.putState(valueStruct, ts, valueSchema))
@@ -448,19 +490,13 @@ class GraftEngine(val spark: SparkSession, val root: String) {
               CrdtMerge.setFieldState(f.name, col(f.name), ts, valueSchema))
       }
     }
-    val logEvents = spark.read.parquet(dir(name, "aa_log"))
-      .select(keyCols :+ state.as("state"): _*)
-    val merged = CrdtMerge.mergeEvents(
-      snapEvents.unionByName(logEvents), meta.keyCols, valueSchema)
-    // record-level tombstone: a delete that won every field leaves all
-    // scalars null and all collections empty — drop such rows
-    val allGone = valueSchema.fields.map { f =>
-      f.dataType match {
-        case _: ArrayType | _: MapType => size(col(f.name)) === 0
-        case _ => col(f.name).isNull
-      }
-    }.reduce(_ && _)
-    merged.filter(!allGone)
+    val logEvents =
+      if (!hasAaLog(name)) snapEvents.limit(0)
+      else spark.read.parquet(dir(name, "aa_log"))
+        .select(keyCols :+ state.as("state"): _*)
+    CrdtMerge.mergeEvents(
+      snapEvents.unionByName(logEvents), meta.keyCols, valueSchema,
+      keepRmd = keepRmd)
   }
 
   // ---- views & registration ------------------------------------------------
@@ -534,7 +570,12 @@ class GraftEngine(val spark: SparkSession, val root: String) {
     * log entries older than ttlStartMs), then swap. The Venice "repush". */
   def repush(name: String, ttlStartMs: Option[Long] = None): Int = {
     if (isActiveActive(name) && hasAaLog(name)) {
-      val rows = aaView(name).cache()
+      // compact WITH the merged RMD columns: the new version keeps
+      // per-field/per-element timestamps, so late out-of-order events
+      // arriving after the repush still resolve correctly (Venice persists
+      // RMD alongside the value for exactly this reason). Record-level
+      // tombstones ride along too — only serving hides them.
+      val rows = aaResolve(name, keepRmd = true).cache()
       rows.count()
       val v = push(name, rows)
       rows.unpersist()

@@ -299,22 +299,26 @@ object CrdtMerge {
   /** Fold per-key event states into the converged state — one shuffle on the
     * key; the fold order is irrelevant (commutative join), which is the A/A
     * multi-region guarantee. `events` must carry key cols + a "state" struct
-    * column built by the constructors above. */
+    * column built by the constructors above.
+    *
+    * `keepRmd = true` also emits the merged RMD sibling columns
+    * (f__ts / f__rmd) — the compaction shape: persisting them with the
+    * value lets a repushed version keep resolving against late
+    * out-of-order events (Venice stores RMD next to the value for exactly
+    * this reason). */
   def mergeEvents(events: DataFrame, keys: Seq[String],
-      value: StructType): DataFrame = {
+      value: StructType, keepRmd: Boolean = false): DataFrame = {
     val keyCols = keys.map(col)
+    val outNames =
+      if (keepRmd) (value.fieldNames ++ rmdSchema(value).fieldNames).toSeq
+      else value.fieldNames.toSeq
     events
       .groupBy(keyCols: _*)
       .agg(collect_list(col("state")).as("__states"))
       .withColumn("__merged",
         aggregate(col("__states"), bottomState(value),
           (acc, s) => joinStates(acc, s, value)))
-      .select(keyCols :+ col("__merged"): _*)
-      .select(keyCols ++ value.fields.flatMap { f =>
-        f.dataType match {
-          case _: ArrayType => Seq(col("__merged").getField(f.name).as(f.name))
-          case _ => Seq(col("__merged").getField(f.name).as(f.name))
-        }
-      }: _*)
+      .select(keyCols ++ outNames.map(n =>
+        col("__merged").getField(n).as(n)): _*)
   }
 }

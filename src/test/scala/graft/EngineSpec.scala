@@ -216,6 +216,15 @@ class EngineSpec extends AnyFunSuite {
     assert(v == 2)
     val after = engine.servingView("aa1").orderBy("id").collect().toSeq
     assert(after == before)
+    // RMD survives the repush: late out-of-order events that are OLDER
+    // than pre-repush winners still lose (without persisted per-field
+    // timestamps the compacted snapshot would sit at ts 0 and anything
+    // would beat it)
+    engine.setFieldAA("aa1", Seq((2L, 11.0)).toDF("id", "score"), "score", tsMs = 60L)
+    engine.addToSetAA("aa1", Seq((2L, "y")).toDF("id", "tag"), "tags", "tag", tsMs = 75L)
+    val late = engine.servingView("aa1").filter($"id" === 2L).head()
+    assert(late.getAs[Double]("score") == 25.0) // put@80 beat the set@60
+    assert(late.getAs[scala.collection.Seq[String]]("tags") == Seq("z")) // y@75 < topTs 80
   }
 
   test("W7: active-active MAP field resolves per-entry") {
