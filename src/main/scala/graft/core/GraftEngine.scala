@@ -574,8 +574,31 @@ class GraftEngine(val spark: SparkSession, val root: String) {
       // per-field/per-element timestamps, so late out-of-order events
       // arriving after the repush still resolve correctly (Venice persists
       // RMD alongside the value for exactly this reason). Record-level
-      // tombstones ride along too — only serving hides them.
-      val rows = aaResolve(name, keepRmd = true).cache()
+      // tombstones ride along too — only serving hides them — unless the
+      // TTL says they are old enough to garbage-collect.
+      import org.apache.spark.sql.types.{ArrayType, MapType}
+      val resolved = aaResolve(name, keepRmd = true)
+      val valueSchema = aaValueSchema(name)
+      val rows0 = ttlStartMs match {
+        case Some(t0) =>
+          val allGone = valueSchema.fields.map { f =>
+            f.dataType match {
+              case _: ArrayType | _: MapType => size(col(f.name)) === 0
+              case _ => col(f.name).isNull
+            }
+          }.reduce(_ && _)
+          val tsCols = valueSchema.fields.toSeq.map { f =>
+            f.dataType match {
+              case _: ArrayType | _: MapType =>
+                col(s"${f.name}__rmd").getField("topTs")
+              case _ => coalesce(col(s"${f.name}__ts"), lit(Long.MinValue))
+            }
+          }
+          val maxTs = if (tsCols.size == 1) tsCols.head else greatest(tsCols: _*)
+          resolved.filter(!(allGone && maxTs < t0))
+        case None => resolved
+      }
+      val rows = rows0.cache()
       rows.count()
       val v = push(name, rows)
       rows.unpersist()

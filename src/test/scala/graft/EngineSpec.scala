@@ -225,6 +225,13 @@ class EngineSpec extends AnyFunSuite {
     val late = engine.servingView("aa1").filter($"id" === 2L).head()
     assert(late.getAs[Double]("score") == 25.0) // put@80 beat the set@60
     assert(late.getAs[scala.collection.Seq[String]]("tags") == Seq("z")) // y@75 < topTs 80
+    // TTL repush garbage-collects record tombstones older than the cutoff:
+    // delete id 2 at ts 400, repush with TTL at 500 → the tombstone row is
+    // gone from the version entirely (not just hidden)
+    engine.deleteAA("aa1", Seq(2L).toDF("id"), tsMs = 400L)
+    engine.repush("aa1", ttlStartMs = Some(500L))
+    assert(engine.snapshot("aa1").filter($"id" === 2L).count() == 0)
+    assert(engine.servingView("aa1").filter($"id" === 1L).count() == 1)
   }
 
   test("W7: active-active MAP field resolves per-entry") {
