@@ -66,6 +66,35 @@ object StressCheck {
     }
     spark.catalog.clearCache()
 
+    // 1M scripted active-active ops over 10k keys through the commutative
+    // CRDT fold (one keyed shuffle; ~100 events/key ≈ a between-repush
+    // backlog) — the A/A conflict-resolution path at 10× the bench scale.
+    timed("A/A CRDT fold 1M ops") {
+      import org.apache.spark.sql.types._
+      import graft.operators.CrdtMerge
+      val value = StructType(Seq(
+        StructField("score", DoubleType),
+        StructField("tags", ArrayType(StringType))))
+      val ev = spark.range(1000000).select(
+        (col("id") % 10000).as("k"), col("id").as("ts"),
+        pmod(col("id"), lit(4)).as("op"),
+        concat(lit("t"), pmod(col("id"), lit(7))).as("elem"),
+        (col("id") % 100).cast("double").as("v"))
+      val state =
+        when(col("op") === 0, CrdtMerge.putState(
+          struct(col("v").as("score"), array(col("elem")).as("tags")),
+          col("ts"), value))
+          .when(col("op") === 1,
+            CrdtMerge.setFieldState("score", col("v"), col("ts"), value))
+          .when(col("op") === 2, CrdtMerge.elementOpState(
+            "tags", col("elem"), col("ts"), isRemove = false, value))
+          .otherwise(CrdtMerge.elementOpState(
+            "tags", col("elem"), col("ts"), isRemove = true, value))
+      CrdtMerge.mergeEvents(
+        ev.select(col("k"), state.as("state")), Seq("k"), value).count()
+    }
+    spark.catalog.clearCache()
+
     // 50k documents (sf0.1 docs ×10) through shingle → MinHash → LSH bands →
     // verified Jaccard — one md5 pass per doc, equi-join candidates.
     timed("minhash near-dup 50k docs") {

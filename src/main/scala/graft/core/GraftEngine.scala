@@ -387,7 +387,11 @@ class GraftEngine(val spark: SparkSession, val root: String) {
       field: String, elemCol: Option[String], elem2Col: Option[String],
       tsCol: Column): Unit = {
     require(isActiveActive(name), s"store $name is not active-active")
-    val tpl = snapshot(name).limit(0)
+    // conform to the VALUE schema only — after an A/A repush the snapshot
+    // also carries RMD sibling columns, which are compaction state, not
+    // op-row payload
+    val snap0 = snapshot(name).limit(0)
+    val tpl = snap0.drop(snap0.columns.filter(isRmdCol): _*)
     // stamp ts and elem BEFORE conforming — they may reference columns
     // (e.g. the stream's event-time) outside the value schema
     val withElem = rows
