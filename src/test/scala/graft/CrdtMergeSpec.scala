@@ -154,6 +154,62 @@ class CrdtMergeSpec extends AnyFunSuite {
     assert(merge(ops ++ ops) == merge(ops))
   }
 
+  // ---- model-based fuzz ----------------------------------------------------
+
+  /** Independent in-memory model of the documented semantics — per-field
+    * LWW on (ts, value-string, null loses ties), observed-remove set with
+    * full-put topTs, delete-wins-on-equal-ts. Random op sequences with
+    * DELIBERATE timestamp collisions must agree with the column
+    * implementation; a divergence means one of them misreads the spec. */
+  private def modelMerge(ops: Seq[(String, String, String, Long)])
+      : (String, List[String]) = {
+    var nameV: String = null; var nameTs = Long.MinValue
+    var topTs = Long.MinValue
+    val adds = scala.collection.mutable.Map.empty[String, Long]
+    val dels = scala.collection.mutable.Map.empty[String, Long]
+    def scalar(v: String, ts: Long): Unit = {
+      val wins = ts > nameTs ||
+        (ts == nameTs && v != null && (nameV == null || v > nameV))
+      if (wins) { nameV = v; nameTs = ts }
+    }
+    ops.foreach {
+      case ("putName", _, v, ts) => scalar(v, ts)
+      case ("add", _, e, ts) => adds(e) = math.max(adds.getOrElse(e, Long.MinValue), ts)
+      case ("remove", _, e, ts) => dels(e) = math.max(dels.getOrElse(e, Long.MinValue), ts)
+      case ("put", _, payload, ts) =>
+        scalar(null, ts) // a full put stamps every scalar (here: null name)
+        topTs = math.max(topTs, ts)
+        payload.split(",").filter(_.nonEmpty).foreach(e =>
+          adds(e) = math.max(adds.getOrElse(e, Long.MinValue), ts))
+      case other => fail(s"unknown op $other")
+    }
+    val tags = adds.collect { case (e, ts)
+      if ts >= topTs && ts > dels.getOrElse(e, Long.MinValue) => e
+    }.toList.sorted
+    (nameV, tags)
+  }
+
+  test("fuzz: random op sequences with ts collisions match the model") {
+    val rnd = new Random(20260812L)
+    val elems = Seq("a", "b", "c")
+    def randOp(): (String, String, String, Long) = {
+      val ts = 1L + rnd.nextInt(6) // tiny ts range → forced collisions
+      rnd.nextInt(4) match {
+        case 0 => ("putName", "", "v" + rnd.nextInt(3), ts)
+        case 1 => ("add", "tags", elems(rnd.nextInt(3)), ts)
+        case 2 => ("remove", "tags", elems(rnd.nextInt(3)), ts)
+        case _ => ("put", "",
+          rnd.shuffle(elems).take(rnd.nextInt(3) + 1).mkString(","), ts)
+      }
+    }
+    (1 to 20).foreach { i =>
+      val ops = Seq.fill(3 + rnd.nextInt(8))(randOp())
+      val expected = modelMerge(ops)
+      val got = merge(ops)
+      assert(got == expected, s"case $i: ops=$ops got=$got want=$expected")
+    }
+  }
+
   // ---- map fields (per-entry RMD) ------------------------------------------
 
   val mapSchema = StructType(Seq(
@@ -221,6 +277,55 @@ class CrdtMergeSpec extends AnyFunSuite {
       ("put", "", "base=1", 200L),
       ("putEntry", "later", "3", 300L)))._2 ==
       Map("base" -> "1", "later" -> "3"))
+  }
+
+  test("fuzz: random MAP op sequences with ts collisions match the model") {
+    // independent model: per-entry (ts, value-string) LWW, remove-key
+    // tombstones (delete wins ties), full-put topTs supersession
+    def model(ops: Seq[(String, String, String, Long)]): Map[String, String] = {
+      var topTs = Long.MinValue
+      val puts = scala.collection.mutable.Map.empty[String, (Long, String)]
+      val dels = scala.collection.mutable.Map.empty[String, Long]
+      def putEntry(k: String, v: String, ts: Long): Unit = {
+        val cur = puts.get(k)
+        val wins = cur.forall { case (cts, cv) =>
+          ts > cts || (ts == cts && v > cv)
+        }
+        if (wins) puts(k) = (ts, v)
+      }
+      ops.foreach {
+        case ("putEntry", k, v, ts) => putEntry(k, v, ts)
+        case ("removeKey", k, _, ts) =>
+          dels(k) = math.max(dels.getOrElse(k, Long.MinValue), ts)
+        case ("put", _, payload, ts) =>
+          topTs = math.max(topTs, ts)
+          payload.split(",").filter(_.nonEmpty).foreach { kv =>
+            val Array(k, v) = kv.split("=", 2); putEntry(k, v, ts)
+          }
+        case other => fail(s"unknown op $other")
+      }
+      puts.collect { case (k, (ts, v))
+        if ts >= topTs && ts > dels.getOrElse(k, Long.MinValue) => k -> v
+      }.toMap
+    }
+    val rnd = new Random(42424242L)
+    val keys = Seq("a", "b", "c")
+    def randOp(): (String, String, String, Long) = {
+      val ts = 1L + rnd.nextInt(6)
+      rnd.nextInt(4) match {
+        case 0 => ("putEntry", keys(rnd.nextInt(3)), "v" + rnd.nextInt(3), ts)
+        case 1 => ("removeKey", keys(rnd.nextInt(3)), "", ts)
+        case _ => ("put", "",
+          rnd.shuffle(keys).take(rnd.nextInt(3) + 1)
+            .map(k => s"$k=w${rnd.nextInt(3)}").mkString(","), ts)
+      }
+    }
+    (1 to 20).foreach { i =>
+      val ops = Seq.fill(3 + rnd.nextInt(8))(randOp())
+      val expected = model(ops)
+      val got = mergeMap(ops)._2
+      assert(got == expected, s"case $i: ops=$ops got=$got want=$expected")
+    }
   }
 
   test("map merge is order-independent and idempotent") {
