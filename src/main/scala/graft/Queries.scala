@@ -940,7 +940,9 @@ object Queries {
       val q = StreamIngest.ingest(e, "ev", stream,
         transformer = df => df.filter(col("event_type") =!= "error"),
         checkpoint = s"${e.root}/cp")
-      q.awaitTermination(180000)
+      require(q.awaitTermination(180000),
+        "s1_stream_ingest: stream did not drain within 180s — refusing to " +
+          "read a partially-ingested view")
       e.servingView("ev")
         .select(col("user_id"), col("event_id"), col("event_type"),
           round(col("value") * 100).cast("long").as("value_cents"))

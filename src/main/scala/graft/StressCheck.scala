@@ -59,10 +59,15 @@ object StressCheck {
       .select(col("id"), vecOf.as("vec"))
     timed(s"LSH cosine near-dup ${nVec / 1000}k vecs") {
       val pairs = graft.operators.Similarity.lshCosinePairs(
-        corpus, 0.9, dim = dim, bitsPerBand = 16, bands = 4).count()
-      require(pairs >= nVec - nBase,
-        s"missed planted duplicates: $pairs < ${nVec - nBase}")
-      pairs
+        corpus, 0.9, dim = dim, bitsPerBand = 16, bands = 4).persist()
+      // recall pinned on the EXACT planted pairing (id, id + nBase), not a
+      // raw count that coincidental ≥0.9 pairs could satisfy
+      val planted = pairs.filter(col("id_b") - col("id_a") === nBase).count()
+      val total = pairs.count()
+      pairs.unpersist()
+      require(planted == nVec - nBase,
+        s"missed planted duplicates: $planted of ${nVec - nBase}")
+      total
     }
     spark.catalog.clearCache()
 

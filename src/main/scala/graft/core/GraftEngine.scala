@@ -170,6 +170,13 @@ class GraftEngine(val spark: SparkSession, val root: String) {
   def put(name: String, rows: DataFrame, tsMs: Long): Unit =
     appendLog(name, rows, lit(tsMs), deleted = false)
 
+  /** A/A stores must write through the CRDT op log — the record-level LWW
+    * log and update log are never read by the A/A serving view, so writes
+    * there would silently vanish. */
+  private def requireNotAa(name: String, use: String): Unit =
+    require(!isActiveActive(name),
+      s"store $name is active-active — use $use")
+
   /** Append PUT rows with a per-row event-time column: ONE log write per
     * call regardless of how many distinct timestamps the batch carries —
     * the streaming-ingest shape (a driver loop issuing one append per
@@ -211,6 +218,7 @@ class GraftEngine(val spark: SparkSession, val root: String) {
 
   private def appendLog(name: String, rows: DataFrame, tsCol: Column,
       deleted: Boolean): Unit = {
+    requireNotAa(name, "putAA/deleteAA")
     val tpl = snapshot(name).limit(0)
     // stamp ts BEFORE conforming — tsCol may reference a column (e.g. the
     // stream's event-time) that is not part of the value schema
@@ -268,10 +276,12 @@ class GraftEngine(val spark: SparkSession, val root: String) {
     * [[graft.operators.WriteCompute.deriveUpdateSchema]], key cols included).
     * Updates land in their own log and fold onto the merged PUT/DELETE state
     * in timestamp order at read time. */
-  def update(name: String, updateRows: DataFrame, tsMs: Long): Unit =
+  def update(name: String, updateRows: DataFrame, tsMs: Long): Unit = {
+    requireNotAa(name, "setFieldAA/addToSetAA/removeFromSetAA/putMapEntryAA")
     updateRows
       .withColumn(graft.operators.WriteCompute.TsCol, lit(tsMs))
       .write.mode("append").parquet(dir(name, "updates"))
+  }
 
   private def hasUpdates(name: String): Boolean =
     nonEmptyDir(Paths.get(dir(name, "updates")))
@@ -285,6 +295,19 @@ class GraftEngine(val spark: SparkSession, val root: String) {
   def compactUpdates(name: String): Unit = {
     import org.apache.spark.sql.types.{ArrayType, LongType, StructField, StructType}
     import graft.operators.WriteCompute
+    // recover from a previous crash mid-swap: a leftover .updates.old with
+    // no live updates dir means the first move landed but the second never
+    // did — restore it; a stale .updates.squashing is a dead tmp, drop it
+    val targetP = Paths.get(dir(name, "updates"))
+    val oldP = Paths.get(dir(name, ".updates.old"))
+    val tmpP = Paths.get(dir(name, ".updates.squashing"))
+    if (Files.exists(oldP) && !Files.exists(targetP)) Files.move(oldP, targetP)
+    Seq(oldP, tmpP).filter(Files.exists(_)).foreach { p =>
+      val walk = Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.delete(f))
+      finally walk.close()
+    }
     if (!hasUpdates(name)) return
     val meta = storeMeta(name)
     val valueSchema = StructType(
@@ -391,7 +414,8 @@ class GraftEngine(val spark: SparkSession, val root: String) {
     // also carries RMD sibling columns, which are compaction state, not
     // op-row payload
     val snap0 = snapshot(name).limit(0)
-    val tpl = snap0.drop(snap0.columns.filter(isRmdCol): _*)
+    val tpl = snap0.drop(
+      snap0.columns.filter(c => isRmdCol(c) || c == RecCol): _*)
     // stamp ts and elem BEFORE conforming — they may reference columns
     // (e.g. the stream's event-time) outside the value schema
     val withElem = rows
@@ -421,26 +445,34 @@ class GraftEngine(val spark: SparkSession, val root: String) {
     * ([[graft.operators.CrdtMerge.mergeEvents]]). Fold order is irrelevant
     * (commutative lattice) — the multi-region guarantee. */
   private def aaView(name: String): DataFrame = {
-    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
-    val valueSchema = aaValueSchema(name)
     val resolved = aaResolve(name, keepRmd = false)
-    // record-level tombstone: a delete that won every field leaves all
-    // scalars null and all collections empty — hide such rows from serving
-    // (their RMD survives compaction via aaResolve(keepRmd = true))
-    val allGone = valueSchema.fields.map { f =>
+    // visible iff the record-existence marker survived (a put won it) OR
+    // any field carries live state (a partial update after a delete
+    // resurrects those fields — Venice A/A semantics). A record whose
+    // marker lost to a delete and whose fields are all dead is a tombstone
+    // (its RMD still survives compaction via aaResolve(keepRmd = true)).
+    resolved
+      .filter(col(RecCol) === "1" || !aaFieldsGone(aaValueSchema(name)))
+      .drop(RecCol)
+  }
+
+  /** True when every value field is dead: scalars null, collections empty. */
+  private def aaFieldsGone(
+      valueSchema: org.apache.spark.sql.types.StructType): Column = {
+    import org.apache.spark.sql.types.{ArrayType, MapType}
+    valueSchema.fields.map { f =>
       f.dataType match {
         case _: ArrayType | _: MapType => size(col(f.name)) === 0
         case _ => col(f.name).isNull
       }
     }.reduce(_ && _)
-    resolved.filter(!allGone)
   }
 
   private def aaValueSchema(name: String): org.apache.spark.sql.types.StructType = {
     import org.apache.spark.sql.types.StructType
     val meta = storeMeta(name)
     StructType(snapshot(name).schema.fields.filterNot(f =>
-      meta.keyCols.contains(f.name) || isRmdCol(f.name)))
+      meta.keyCols.contains(f.name) || isRmdCol(f.name) || f.name == RecCol))
   }
 
   private def aaResolve(name: String, keepRmd: Boolean): DataFrame = {
@@ -449,12 +481,19 @@ class GraftEngine(val spark: SparkSession, val root: String) {
     val meta = storeMeta(name)
     val snap = snapshot(name)
     val valueSchema = aaValueSchema(name)
+    // the CRDT folds over the value fields PLUS a record-existence marker
+    // (a scalar "1" that every put stamps and every delete nulls) so a
+    // legitimately-all-null record is distinguishable from a tombstone
+    val crdtSchema = StructType(valueSchema.fields :+
+      org.apache.spark.sql.types.StructField(RecCol,
+        org.apache.spark.sql.types.StringType))
     val keyCols = meta.keyCols.map(col)
-    val valueStruct = struct(valueSchema.fieldNames.map(col): _*)
-    val rmdNames = CrdtMerge.rmdSchema(valueSchema).fieldNames
+    val putStruct = struct(
+      valueSchema.fieldNames.map(col) :+ lit("1").as(RecCol): _*)
+    val rmdNames = CrdtMerge.rmdSchema(crdtSchema).fieldNames
     // state struct field order must match the op-state constructors'
     // (interleaved per value field) for the unionByName below
-    val storedState = struct(valueSchema.fields.flatMap { f =>
+    val storedState = struct(crdtSchema.fields.flatMap { f =>
       f.dataType match {
         case _: ArrayType | _: MapType =>
           Seq(col(f.name), col(s"${f.name}__rmd"))
@@ -465,33 +504,33 @@ class GraftEngine(val spark: SparkSession, val root: String) {
       if (rmdNames.forall(snap.columns.contains))
         snap.select(keyCols :+ storedState.as("state"): _*)
       else snap.select(
-        keyCols :+ CrdtMerge.putState(valueStruct, lit(0L), valueSchema).as("state"): _*)
+        keyCols :+ CrdtMerge.putState(putStruct, lit(0L), crdtSchema).as("state"): _*)
     val ts = col(TsCol)
     var state = when(col(AaOpCol) === "put",
-      CrdtMerge.putState(valueStruct, ts, valueSchema))
+      CrdtMerge.putState(putStruct, ts, crdtSchema))
       .when(col(AaOpCol) === "delete",
-        CrdtMerge.putState(lit(null).cast(valueSchema), ts, valueSchema))
+        CrdtMerge.putState(lit(null).cast(crdtSchema), ts, crdtSchema))
     valueSchema.fields.foreach { f =>
       f.dataType match {
         case _: ArrayType =>
           state = state
             .when(col(AaOpCol) === "add" && col(AaFieldCol) === f.name,
               CrdtMerge.elementOpState(f.name, col(AaElemCol), ts,
-                isRemove = false, valueSchema))
+                isRemove = false, crdtSchema))
             .when(col(AaOpCol) === "remove" && col(AaFieldCol) === f.name,
               CrdtMerge.elementOpState(f.name, col(AaElemCol), ts,
-                isRemove = true, valueSchema))
+                isRemove = true, crdtSchema))
         case _: MapType =>
           state = state
             .when(col(AaOpCol) === "add" && col(AaFieldCol) === f.name,
               CrdtMerge.mapEntryState(f.name, col(AaElemCol), col(AaElem2Col),
-                ts, valueSchema))
+                ts, crdtSchema))
             .when(col(AaOpCol) === "remove" && col(AaFieldCol) === f.name,
-              CrdtMerge.mapRemoveState(f.name, col(AaElemCol), ts, valueSchema))
+              CrdtMerge.mapRemoveState(f.name, col(AaElemCol), ts, crdtSchema))
         case _ =>
           state = state
             .when(col(AaOpCol) === "set" && col(AaFieldCol) === f.name,
-              CrdtMerge.setFieldState(f.name, col(f.name), ts, valueSchema))
+              CrdtMerge.setFieldState(f.name, col(f.name), ts, crdtSchema))
       }
     }
     val logEvents =
@@ -499,7 +538,7 @@ class GraftEngine(val spark: SparkSession, val root: String) {
       else spark.read.parquet(dir(name, "aa_log"))
         .select(keyCols :+ state.as("state"): _*)
     CrdtMerge.mergeEvents(
-      snapEvents.unionByName(logEvents), meta.keyCols, valueSchema,
+      snapEvents.unionByName(logEvents), meta.keyCols, crdtSchema,
       keepRmd = keepRmd)
   }
 
@@ -559,13 +598,24 @@ class GraftEngine(val spark: SparkSession, val root: String) {
     ChangeCoordinate(currentVersion(name), currentLogSeq(name))
 
   /** Entries strictly after the checkpoint coordinate. A coordinate from an
-    * older version is stale — the consumer re-reads the whole current log
-    * (the post-version-swap resync, Venice's TopicSwitch semantics). */
+    * older version is stale — the consumer re-reads the whole current state
+    * (the post-version-swap resync, Venice's TopicSwitch semantics): the
+    * current snapshot as after-images (ts 0) plus any surviving log. Output
+    * schema matches [[changelog]] (value cols + ts + deleted). */
   def changelogSince(name: String, coord: ChangeCoordinate): DataFrame = {
-    require(hasLog(name), s"store $name has no RT log")
-    val log = spark.read.parquet(dir(name, "log"))
-    if (coord.version != currentVersion(name)) log
-    else log.filter(col(LogSeqCol) > coord.seq)
+    val logExists = hasLog(name)
+    if (coord.version != currentVersion(name)) {
+      val snap = snapshot(name)
+        .withColumn(TsCol, lit(0L)).withColumn(DeletedCol, lit(false))
+      if (logExists) snap.unionByName(readLog(name)) else snap
+    } else if (!logExists) {
+      // caught up on the current version with nothing appended since
+      snapshot(name).limit(0)
+        .withColumn(TsCol, lit(0L)).withColumn(DeletedCol, lit(false))
+    } else {
+      spark.read.parquet(dir(name, "log"))
+        .filter(col(LogSeqCol) > coord.seq).drop(LogSeqCol)
+    }
   }
 
   // ---- repush (B3/B4: TTL + compaction into a new version) -----------------
@@ -585,21 +635,17 @@ class GraftEngine(val spark: SparkSession, val root: String) {
       val valueSchema = aaValueSchema(name)
       val rows0 = ttlStartMs match {
         case Some(t0) =>
-          val allGone = valueSchema.fields.map { f =>
-            f.dataType match {
-              case _: ArrayType | _: MapType => size(col(f.name)) === 0
-              case _ => col(f.name).isNull
+          val tombstone = col(RecCol).isNull && aaFieldsGone(valueSchema)
+          val tsCols = coalesce(col(s"${RecCol}__ts"), lit(Long.MinValue)) +:
+            valueSchema.fields.toSeq.map { f =>
+              f.dataType match {
+                case _: ArrayType | _: MapType =>
+                  col(s"${f.name}__rmd").getField("topTs")
+                case _ => coalesce(col(s"${f.name}__ts"), lit(Long.MinValue))
+              }
             }
-          }.reduce(_ && _)
-          val tsCols = valueSchema.fields.toSeq.map { f =>
-            f.dataType match {
-              case _: ArrayType | _: MapType =>
-                col(s"${f.name}__rmd").getField("topTs")
-              case _ => coalesce(col(s"${f.name}__ts"), lit(Long.MinValue))
-            }
-          }
           val maxTs = if (tsCols.size == 1) tsCols.head else greatest(tsCols: _*)
-          resolved.filter(!(allGone && maxTs < t0))
+          resolved.filter(!(tombstone && maxTs < t0))
         case None => resolved
       }
       val rows = rows0.cache()
@@ -653,4 +699,8 @@ object GraftEngine {
   val AaElemCol = "__aa_elem"
   val AaElem2Col = "__aa_elem2"
   val LogSeqCol = "__log_seq"
+  /** A/A record-existence marker ("1" when a put won it, null after a
+    * winning delete) — distinguishes empty-but-real records from
+    * tombstones. */
+  val RecCol = "__rec"
 }

@@ -61,8 +61,15 @@ object Similarity {
     * Planes are literal ±1 vectors, so each bit is one codegen'd VecDot over
     * the row — identical output to the historical per-element md5 fold. */
   def lshCode(vec: Column, bits: Int, dim: Int, planeOffset: Int = 0): Column = {
+    // guard: a dim mismatch would make every dot null (VecDot's
+    // length-mismatch semantics), when(null > 0) would zero every bit, and
+    // ALL rows would silently collapse into one bucket — turning the
+    // near-linear candidate join quadratic. Fail loudly instead.
+    val v = when(size(vec) === dim, vec).otherwise(raise_error(concat(
+      lit(s"lshCode: expected $dim-dim vectors, got "),
+      size(vec).cast("string"))))
     val dots = (0 until bits).map { j =>
-      vecDot(vec, typedLit(plane(planeOffset + j, dim)))
+      vecDot(v, typedLit(plane(planeOffset + j, dim)))
     }
     dots.zipWithIndex.map { case (dp, j) =>
       when(dp > 0, lit(1 << j)).otherwise(lit(0))

@@ -173,9 +173,45 @@ class EngineSpec extends AnyFunSuite {
     assert(since.count() == 2)
     assert(since.select("c_name").collect().map(_.getString(0)).toSet ==
       Set("B", "C"))
-    // a coordinate from an older version is stale → full-log resync
+    // a coordinate from an older version is stale → full resync: the
+    // current snapshot as after-images plus the surviving log
     engine.push("cdc1", Tables.customer(spark, sf))
-    assert(engine.changelogSince("cdc1", cp).count() == 3)
+    assert(engine.changelogSince("cdc1", cp).count() ==
+      engine.snapshot("cdc1").count() + 3)
+    // post-REPUSH (log archived) the stale coordinate still resyncs
+    // instead of throwing; a caught-up coordinate yields an empty stream
+    val cpPre = engine.latestCoordinate("cdc1")
+    engine.repush("cdc1")
+    assert(engine.changelogSince("cdc1", cpPre).count() ==
+      engine.snapshot("cdc1").count())
+    assert(engine.changelogSince("cdc1",
+      engine.latestCoordinate("cdc1")).count() == 0)
+  }
+
+  test("W7: empty-value put stays visible; LWW writes on A/A stores throw") {
+    import spark.implicits._
+    engine.createStore("aa3", Seq("id"))
+    engine.push("aa3", Seq((1L, Option(1.0), Seq("a")))
+      .toDF("id", "score", "tags"))
+    engine.enableActiveActive("aa3")
+    // a REAL put whose value happens to be all-null/empty is not a
+    // tombstone — the record-existence marker keeps it visible
+    engine.putAA("aa3",
+      Seq((2L, Option.empty[Double], Seq.empty[String]))
+        .toDF("id", "score", "tags"), tsMs = 100L)
+    assert(engine.servingView("aa3").filter($"id" === 2L).count() == 1)
+    assert(engine.get("aa3", Seq(2L)).isDefined)
+    // ...but a delete still hides it
+    engine.deleteAA("aa3", Seq(2L).toDF("id"), tsMs = 200L)
+    assert(engine.servingView("aa3").filter($"id" === 2L).count() == 0)
+    // record-level LWW writes are rejected loudly, never silently dropped
+    intercept[IllegalArgumentException] {
+      engine.put("aa3", Seq((3L, Option(1.0), Seq("x")))
+        .toDF("id", "score", "tags"), tsMs = 300L)
+    }
+    intercept[IllegalArgumentException] {
+      engine.delete("aa3", Seq(1L).toDF("id"), tsMs = 300L)
+    }
   }
 
   test("W7: active-active store resolves field-level CRDT ops") {

@@ -51,6 +51,18 @@ class PipelineSpec extends AnyFunSuite {
     assert(recallMulti > 0.3, s"multi-probe recall $recallMulti")
   }
 
+  test("lshCode fails loudly on a dimension mismatch") {
+    // a silent mismatch would null every dot, zero every bit, and collapse
+    // ALL rows into one bucket — quadratic candidates instead of an error
+    val emb = Tables.embeddings(spark, sf)
+    val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val queries = emb.filter(col("vec_id") < 2)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    intercept[Exception] {
+      Similarity.lshTopK(corpus, queries, 5, bits = 4, dim = 32).collect()
+    }
+  }
+
   test("blocked cosinePairs ≡ all-pairs result, with no cartesian node") {
     val emb = Tables.embeddings(spark, sf)
     val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))

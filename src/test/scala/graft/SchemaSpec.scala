@@ -95,4 +95,13 @@ class SchemaSpec extends AnyFunSuite {
         abs(col("d.sum") - col("s.sum")) > 1e-6)
     assert(joined.count() == 0)
   }
+
+  test("salting handles map columns (hash() rejects MapType directly)") {
+    import spark.implicits._
+    val df = Seq((1L, 1.0, Map("a" -> "1")), (1L, 2.0, Map("b" -> "2")),
+      (2L, 3.0, Map("a" -> "1"))).toDF("k", "v", "m")
+    val out = Salting.saltedSum(df, Seq("k"), col("v"))
+    assert(out.count() == 2) // no AnalysisException, sums still correct
+    assert(out.filter(col("k") === 1L).head.getAs[Double]("sum") == 3.0)
+  }
 }
