@@ -691,6 +691,42 @@ object Queries {
     Some("""SELECT 'nat' AS store, 2 AS current_version,
             'n_nationkey' AS key_cols, count(*) AS n_rows FROM nation"""))
 
+  /** §1.4 multi-schema value evolution: push under schema v1, register an
+    * evolved v2 (adds a field), then interleave writes from a v2 writer and
+    * a still-running v1 writer. Each log batch carries its writer schema id;
+    * the serving view resolves everything to the registered-schema superset
+    * (old rows read the new field as null) — Venice's writer→reader
+    * resolution (StorageReadRequestHandler.java:932-937 semantics). */
+  val r13SchemaEvolution = QueryDef(
+    "r13_schema_evolution",
+    (s, dir) => {
+      import org.apache.spark.sql.types._
+      val e = tempEngine(s, "graft-sev")
+      e.createStore("c", Seq("c_custkey"))
+      val cust = t(s, dir, "customer").filter(col("c_custkey") <= 2000)
+      e.push("c", cust.select(col("c_custkey"), col("c_name"), col("c_acctbal")),
+        numBuckets = 4)
+      // evolve: v2 adds a nullable segment field
+      e.registerValueSchema("c", StructType(e.valueSchema("c", 1).fields :+
+        StructField("segment", StringType)))
+      // a v2 writer fills the new field…
+      e.put("c", cust.filter(col("c_custkey") <= 50)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+          col("c_mktsegment").as("segment")), tsMs = 1000L)
+      // …while a v1 writer (no segment column) keeps writing
+      e.put("c", cust.filter(col("c_custkey").between(51, 60))
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal")), tsMs = 2000L)
+      e.servingView("c")
+        .select(col("c_custkey"), col("c_name"),
+          round(col("c_acctbal") * 100).cast("long").as("acctbal_cents"),
+          col("segment"))
+        .orderBy(col("c_custkey"))
+    },
+    Some("""SELECT c_custkey, c_name,
+            CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_cents,
+            CASE WHEN c_custkey <= 50 THEN c_mktsegment END AS segment
+            FROM customer WHERE c_custkey <= 2000 ORDER BY c_custkey"""))
+
   /** W1 put/delete through the RT log: puts override, tombstones hide. */
   val w1PutDelete = QueryDef(
     "w1_put_delete",
@@ -1230,8 +1266,11 @@ object Queries {
               FROM cand)
             WHERE rank <= 10 ORDER BY qid, rank"""))
 
-  /** LSH-bucketed ANN (scale path): no SQL oracle — recall is asserted
-    * against the brute-force baseline in PipelineSpec. */
+  /** LSH-bucketed ANN (scale path): the hyperplanes are deterministic md5
+    * literals (Similarity.planeSignVal), so the oracle replays the whole
+    * pipeline — plane construction, sign-bit code, radius-1 multi-probe,
+    * exact rank within probed buckets — in SQL. Recall vs brute force is
+    * additionally asserted in PipelineSpec. */
   val annLsh = QueryDef(
     "ann_lsh",
     (s, dir) => {
@@ -1243,7 +1282,36 @@ object Queries {
           dim = 64, probeRadius = 1)
         .orderBy(col("qid"), col("rank"))
     },
-    None)
+    // plane_j[d] = +1 iff first md5("j|d") hex nibble ≥ 8 — same literal
+    // family as Similarity.planeSignVal; dots/norms use the same
+    // association as the engine (see dedup_embedding note)
+    Some("""WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec,
+              sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS n
+              FROM embeddings),
+            planes AS (SELECT j,
+                list(CASE WHEN substr(md5(j::VARCHAR || '|' || d::VARCHAR), 1, 1) >= '8'
+                  THEN 1.0 ELSE -1.0 END ORDER BY d)::DOUBLE[] AS plane
+              FROM range(4) pj(j), range(64) pd(d) GROUP BY j),
+            codes AS (SELECT v.id,
+                sum(CASE WHEN list_dot_product(v.vec, p.plane) > 0
+                  THEN 1 << p.j ELSE 0 END)::BIGINT AS code
+              FROM v, planes p GROUP BY v.id),
+            probes AS (SELECT v.id AS qid, v.vec AS qvec, v.n AS qn,
+                xor(c.code, m.m) AS pcode
+              FROM v JOIN codes c ON v.id = c.id,
+                (SELECT 0::BIGINT AS m
+                 UNION ALL SELECT (1 << j)::BIGINT FROM range(4) mj(j)) m
+              WHERE v.id < 5),
+            cand AS (SELECT p.qid, v.id,
+                round(list_dot_product(v.vec, p.qvec) / (v.n * p.qn), 6) + 0.0 AS sim
+              FROM v JOIN codes c ON v.id = c.id
+                JOIN probes p ON c.code = p.pcode
+              WHERE v.id <> p.qid)
+            SELECT qid, rank, id, sim FROM (
+              SELECT qid, id, sim,
+                row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id) AS rank
+              FROM cand)
+            WHERE rank <= 10 ORDER BY qid, rank"""))
 
   /** Language id + token count + quality score, all SQL-reproducible. */
   val textStats = QueryDef(
@@ -1426,7 +1494,8 @@ object Queries {
     r10Predicates, r11Stream, qWindow, qRollup, qSemi, qAnti, qSessionize,
     b3Ttl, b4Compaction, b4DupAudit, b7Quota, b8Partition,
     w3WriteCompute, w5Lww, w7Crdt, w7CrdtMap, w8Squash, w11Div, w12Hll, w13HotKeys,
-    r12Meta, w1PutDelete, w2UpdateBuilder, w4UpdateSchema, w9Chunk, b6Wire,
+    r12Meta, r13SchemaEvolution, w1PutDelete, w2UpdateBuilder, w4UpdateSchema,
+    w9Chunk, b6Wire,
     b1Avro, w10Compression, b10Metrics, b11Incremental, b12Etl,
     s1Ingest, s2Rewind, s4Changelog, s6SqlView,
     dedupExact, dedupMinhash, dedupSimhash, dedupNgram, dedupEmbedding,

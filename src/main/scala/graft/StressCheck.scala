@@ -95,8 +95,74 @@ object StressCheck {
             "tags", col("elem"), col("ts"), isRemove = false, value))
           .otherwise(CrdtMerge.elementOpState(
             "tags", col("elem"), col("ts"), isRemove = true, value))
-      CrdtMerge.mergeEvents(
-        ev.select(col("k"), state.as("state")), Seq("k"), value).count()
+      // aggregate OVER the folded values — a bare count() would let Catalyst
+      // prune the merge projection and time only the grouping
+      val out = CrdtMerge.mergeEvents(
+        ev.select(col("k"), state.as("state")), Seq("k"), value)
+        .agg(count(lit(1)), sum(col("score")), sum(size(col("tags"))))
+        .collect()(0)
+      require(out.getLong(0) == 10000, s"expected 10k keys: $out")
+      out.getLong(0)
+    }
+    spark.catalog.clearCache()
+
+    // ONE key × 10M ops: the hot-key case that OOM'd the old single
+    // collect_list shape. The two-phase fold bounds any task's buffer to
+    // its input-partition slice (~312k states at 32 partitions), then folds
+    // 32 partials — per-task memory is O(slice), not O(key history).
+    timed("A/A CRDT 1 key x 10M ops") {
+      import org.apache.spark.sql.types._
+      import graft.operators.CrdtMerge
+      val value = StructType(Seq(
+        StructField("score", DoubleType),
+        StructField("tags", ArrayType(StringType))))
+      val ev = spark.range(10000000).select(
+        lit(0L).as("k"), col("id").as("ts"),
+        pmod(col("id"), lit(3)).as("op"),
+        concat(lit("t"), pmod(col("id"), lit(7))).as("elem"),
+        (col("id") % 100).cast("double").as("v"))
+      val state =
+        when(col("op") === 0,
+          CrdtMerge.setFieldState("score", col("v"), col("ts"), value))
+          .when(col("op") === 1, CrdtMerge.elementOpState(
+            "tags", col("elem"), col("ts"), isRemove = false, value))
+          .otherwise(CrdtMerge.elementOpState(
+            "tags", col("elem"), col("ts"), isRemove = true, value))
+      val out = CrdtMerge.mergeEvents(
+        ev.select(col("k"), state.as("state")), Seq("k"), value).collect()
+      require(out.length == 1 && !out(0).isNullAt(1)
+        && out(0).getSeq[String](2).nonEmpty, s"bad fold: ${out.toSeq}")
+      1L
+    }
+    spark.catalog.clearCache()
+
+    // ONE key × 5M pending partial updates through the chunked squash:
+    // ts-contiguous 4096-op chunks fold in parallel, then ~1.2k partials
+    // fold in chunk order — no task ever holds the 5M-op history.
+    timed("squash 1 key x 5M updates") {
+      import org.apache.spark.sql.types._
+      import graft.operators.WriteCompute
+      val value = StructType(Seq(
+        StructField("score", DoubleType),
+        StructField("tags", ArrayType(StringType))))
+      val upd = spark.range(5000000).select(
+        lit(0L).as("k"), col("id").as(WriteCompute.TsCol),
+        when(pmod(col("id"), lit(3)) === 0, (col("id") % 100).cast("double"))
+          .as("score"),
+        lit(null).cast(ArrayType(StringType)).as("tags"),
+        when(pmod(col("id"), lit(3)) === 1,
+          array(concat(lit("t"), pmod(col("id"), lit(7)))))
+          .as("tags__setUnion"),
+        when(pmod(col("id"), lit(3)) === 2,
+          array(concat(lit("t"), pmod(col("id"), lit(7)))))
+          .as("tags__setDiff"),
+        when(pmod(col("id"), lit(3)) === 0, array(lit("score")))
+          .otherwise(array().cast(ArrayType(StringType)))
+          .as(WriteCompute.SetFieldsCol))
+      val out = WriteCompute.squashUpdates(upd, Seq("k"), value).collect()
+      require(out.length == 1 && !out(0).isNullAt(1),
+        s"bad squash: ${out.toSeq}")
+      1L
     }
     spark.catalog.clearCache()
 

@@ -62,6 +62,79 @@ class GraftEngine(val spark: SparkSession, val root: String) {
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
+  // ---- value-schema registry (§1.4: multi-schema evolution) ----------------
+
+  /** Register an evolved row schema (key cols + value fields) under the next
+    * schema id. Venice semantics (pointers, not code): every record carries
+    * its writer schema id and readers resolve writer→reader through the
+    * superset of registered schemas (StorageReadRequestHandler.java:932-937,
+    * AvroSupersetSchemaUtils). Here: log rows are stamped with
+    * [[GraftEngine.SchemaIdCol]] and every read path conforms both snapshot
+    * and log to [[supersetSchema]]. Registration validates that the new
+    * schema reconciles with what's already registered (same-name fields must
+    * agree or widen) — the compat check Venice's controller runs. */
+  def registerValueSchema(name: String,
+      schema: org.apache.spark.sql.types.StructType): Int = {
+    val d = Paths.get(dir(name, "schemas"))
+    Files.createDirectories(d)
+    supersetSchemaOpt(name).foreach(s => SchemaEvolution.superset(s, schema))
+    val next = registeredSchemaIds(name).lastOption.getOrElse(0) + 1
+    Files.writeString(d.resolve(s"$next.json"), schema.json)
+    next
+  }
+
+  def registeredSchemaIds(name: String): Seq[Int] = {
+    val d = Paths.get(dir(name, "schemas"))
+    if (!Files.exists(d)) Nil
+    else {
+      val s = Files.list(d)
+      try {
+        val b = Seq.newBuilder[Int]
+        s.forEach { p =>
+          val f = p.getFileName.toString
+          if (f.endsWith(".json")) b += f.stripSuffix(".json").toInt
+        }
+        b.result().sorted
+      } finally s.close()
+    }
+  }
+
+  def valueSchema(name: String, id: Int): org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.DataType
+      .fromJson(Files.readString(Paths.get(dir(name, "schemas", s"$id.json"))))
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+
+  private def supersetSchemaOpt(
+      name: String): Option[org.apache.spark.sql.types.StructType] =
+    registeredSchemaIds(name).map(valueSchema(name, _))
+      .reduceOption(SchemaEvolution.superset)
+
+  /** Superset of all registered schemas — the reader-side resolution target. */
+  def supersetSchema(name: String): org.apache.spark.sql.types.StructType =
+    supersetSchemaOpt(name).getOrElse(snapshot(name).schema)
+
+  /** Lowest registered schema covering the writer's columns — the writer
+    * schema id stamped per log batch. Columns outside every registered
+    * schema (e.g. a stream's event-time column) don't count against it. */
+  private def writerSchemaId(name: String, writerCols: Set[String]): Int = {
+    val ids = registeredSchemaIds(name)
+    val known = supersetSchemaOpt(name)
+      .map(s => writerCols.intersect(s.fieldNames.toSet)).getOrElse(writerCols)
+    ids.find(id => known.subsetOf(valueSchema(name, id).fieldNames.toSet))
+      .orElse(ids.lastOption).getOrElse(1)
+  }
+
+  /** Snapshot resolved to the superset schema: fields added after the
+    * version was pushed read as typed nulls, widened fields cast. */
+  private def resolvedSnapshot(name: String,
+      version: Option[Int] = None): DataFrame = {
+    val snap = snapshot(name, version)
+    supersetSchemaOpt(name) match {
+      case Some(s) => SchemaEvolution.conform(snap, s)
+      case None => snap
+    }
+  }
+
   // ---- batch push (VPJ analog: B1→B4→B8→B9) --------------------------------
 
   /** Push a full dataset as a new immutable version, then swap the pointer.
@@ -78,6 +151,12 @@ class GraftEngine(val spark: SparkSession, val root: String) {
       orderCol: Option[Column] = None): Int = {
     val meta = storeMeta(name)
     Files.writeString(Paths.get(dir(name, "BUCKETS")), numBuckets.toString)
+    // first push registers the row schema as id 1 (evolutions come through
+    // registerValueSchema); RMD/bucket plumbing never enters the registry
+    if (registeredSchemaIds(name).isEmpty)
+      registerValueSchema(name, org.apache.spark.sql.types.StructType(
+        df.schema.fields.filterNot(f =>
+          f.name == BucketCol || isRmdCol(f.name) || f.name == RecCol)))
     val v = currentVersion(name) + 1
     val seq = "__push_seq"
     require(!df.columns.contains(seq),
@@ -133,9 +212,11 @@ class GraftEngine(val spark: SparkSession, val root: String) {
     // construction — repush compacts it away); key filter prunes the fold
     if (isActiveActive(name))
       return aaView(name).filter(pred).limit(1).collect().headOption
-    val snap = spark.read.parquet(dir(name, s"v=${currentVersion(name)}"))
+    val pruned = spark.read.parquet(dir(name, s"v=${currentVersion(name)}"))
       .filter(col(BucketCol) === bucketOf(name, key))
       .drop(BucketCol)
+    val snap = supersetSchemaOpt(name)
+      .map(SchemaEvolution.conform(pruned, _)).getOrElse(pruned)
       .filter(pred)
       .withColumn(TsCol, lit(0L)).withColumn(DeletedCol, lit(false))
     val merged =
@@ -151,7 +232,7 @@ class GraftEngine(val spark: SparkSession, val root: String) {
     val resolved =
       if (!hasUpdates(name)) base
       else graft.operators.WriteCompute.applyUpdates(base,
-        spark.read.parquet(dir(name, "updates")).filter(pred), meta.keyCols)
+        readUpdates(name).filter(pred), meta.keyCols)
     resolved.limit(1).collect().headOption
   }
 
@@ -219,20 +300,43 @@ class GraftEngine(val spark: SparkSession, val root: String) {
   private def appendLog(name: String, rows: DataFrame, tsCol: Column,
       deleted: Boolean): Unit = {
     requireNotAa(name, "putAA/deleteAA")
-    val tpl = snapshot(name).limit(0)
+    // conform to the SUPERSET of registered schemas — a writer on an evolved
+    // schema keeps its new fields, an old writer's missing fields become
+    // typed nulls — and stamp the writer schema id per batch
+    val tpl = supersetSchemaOpt(name).map(emptyFrame)
+      .getOrElse(snapshot(name).limit(0))
+    val sid = writerSchemaId(name, rows.columns.toSet)
     // stamp ts BEFORE conforming — tsCol may reference a column (e.g. the
     // stream's event-time) that is not part of the value schema
     conformToValueSchema(
       rows.withColumn(TsCol, tsCol.cast("long")), tpl, keep = Seq(TsCol))
       .withColumn(DeletedCol, lit(deleted))
+      .withColumn(SchemaIdCol, lit(sid))
       .withColumn(LogSeqCol, lit(nextLogSeq(name)))
       .write.mode("append").parquet(dir(name, "log"))
   }
 
-  /** Log read for merge paths: the seq column is CDC plumbing, not value
-    * state — drop it so snapshot/log schemas line up for the LWW union. */
+  private def emptyFrame(s: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), s)
+
+  /** Log read for merge paths: seq + schema-id columns are CDC plumbing, not
+    * value state — drop them, and resolve mixed-writer-schema files to the
+    * superset (mergeSchema unions the parquet footers; conform fills fields
+    * a given writer didn't know about with typed nulls). */
   private def readLog(name: String): DataFrame =
-    spark.read.parquet(dir(name, "log")).drop(LogSeqCol)
+    conformLog(name, spark.read.option("mergeSchema", "true")
+      .parquet(dir(name, "log")).drop(LogSeqCol, SchemaIdCol))
+
+  /** Resolve a log frame to the superset schema, carrying the ts/deleted
+    * meta columns through. */
+  private def conformLog(name: String, raw: DataFrame): DataFrame =
+    supersetSchemaOpt(name) match {
+      case Some(s) => SchemaEvolution.conform(raw,
+        org.apache.spark.sql.types.StructType(
+          s.fields ++ raw.schema.fields.filter(f =>
+            f.name == TsCol || f.name == DeletedCol)))
+      case None => raw
+    }
 
   /** Directory-non-empty probe that closes the listing stream (Files.list
     * leaks an fd per call otherwise — every servingView would leak one). */
@@ -248,7 +352,7 @@ class GraftEngine(val spark: SparkSession, val root: String) {
     * LWW per key with delete-wins tie-break (W5/W6). */
   def servingView(name: String): DataFrame = {
     if (isActiveActive(name)) return aaView(name)
-    val snap = snapshot(name)
+    val snap = resolvedSnapshot(name)
       .withColumn(TsCol, lit(0L)).withColumn(DeletedCol, lit(false))
     val merged =
       if (!hasLog(name)) snap
@@ -266,9 +370,15 @@ class GraftEngine(val spark: SparkSession, val root: String) {
       // fold pending partial updates (ts order) onto the merged state
       val meta = storeMeta(name)
       graft.operators.WriteCompute.applyUpdates(base,
-        spark.read.parquet(dir(name, "updates")), meta.keyCols)
+        readUpdates(name), meta.keyCols)
     }
   }
+
+  /** Update-log read: mergeSchema unions files written against different
+    * registered value schemas; applyUpdates/squashUpdates conform rows to
+    * the derived update schema (missing op columns = NoOp). */
+  private def readUpdates(name: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(dir(name, "updates"))
 
   // ---- write compute (W2/W3: partial-update log) ---------------------------
 
@@ -293,7 +403,7 @@ class GraftEngine(val spark: SparkSession, val root: String) {
     * max ts. Bounds read-time fold work between repushes the way Venice
     * compacts the write-compute stream. One keyed shuffle. */
   def compactUpdates(name: String): Unit = {
-    import org.apache.spark.sql.types.{ArrayType, LongType, StructField, StructType}
+    import org.apache.spark.sql.types.StructType
     import graft.operators.WriteCompute
     // recover from a previous crash mid-swap: a leftover .updates.old with
     // no live updates dir means the first move landed but the second never
@@ -311,29 +421,11 @@ class GraftEngine(val spark: SparkSession, val root: String) {
     if (!hasUpdates(name)) return
     val meta = storeMeta(name)
     val valueSchema = StructType(
-      snapshot(name).schema.fields.filterNot(f => meta.keyCols.contains(f.name)))
-    val updates = spark.read.parquet(dir(name, "updates"))
-    val keyCols = meta.keyCols.map(col)
-    val uCols = updates.schema.fieldNames
-      .filterNot(n => meta.keyCols.contains(n) || n == WriteCompute.TsCol).map(col)
-    val pending = updates
-      .select(keyCols :+ col(WriteCompute.TsCol) :+ struct(uCols: _*).as("__u"): _*)
-      .groupBy(keyCols: _*)
-      .agg(max(col(WriteCompute.TsCol)).as(WriteCompute.TsCol),
-        array_sort(
-          collect_list(struct(col(WriteCompute.TsCol).as("ts"), col("__u").as("u"))),
-          (l, r) => when(l.getField("ts") < r.getField("ts"), -1)
-            .when(l.getField("ts") > r.getField("ts"), 1).otherwise(0))
-          .as("__updates"))
-      .withColumn("__squashed",
-        aggregate(slice(col("__updates"), lit(2), size(col("__updates")) - 1),
-          element_at(col("__updates"), 1).getField("u"),
-          (acc, e) => WriteCompute.squashExpr(acc, e.getField("u"), valueSchema)))
-    val out = pending.select(
-      keyCols ++ updates.schema.fieldNames
-        .filterNot(n => meta.keyCols.contains(n) || n == WriteCompute.TsCol)
-        .map(n => col("__squashed").getField(n).as(n))
-        :+ col(WriteCompute.TsCol): _*)
+      supersetSchema(name).fields.filterNot(f => meta.keyCols.contains(f.name)))
+    val updates = readUpdates(name)
+    // chunked hierarchical squash — bounded per-task memory even for a
+    // hot key with millions of pending ops (see WriteCompute.squashUpdates)
+    val out = WriteCompute.squashUpdates(updates, meta.keyCols, valueSchema)
     // materialize before replacing the directory the plan reads from
     val rows = out.cache(); rows.count()
     val tmp = dir(name, ".updates.squashing")
@@ -570,7 +662,7 @@ class GraftEngine(val spark: SparkSession, val root: String) {
   def servingViewAsOf(name: String, tsMs: Long,
       version: Option[Int] = None): DataFrame = {
     val meta = storeMeta(name)
-    val snap = snapshot(name, version)
+    val snap = resolvedSnapshot(name, version)
       .withColumn(TsCol, lit(0L)).withColumn(DeletedCol, lit(false))
     val merged =
       if (!hasLog(name)) snap
@@ -605,16 +697,17 @@ class GraftEngine(val spark: SparkSession, val root: String) {
   def changelogSince(name: String, coord: ChangeCoordinate): DataFrame = {
     val logExists = hasLog(name)
     if (coord.version != currentVersion(name)) {
-      val snap = snapshot(name)
+      val snap = resolvedSnapshot(name)
         .withColumn(TsCol, lit(0L)).withColumn(DeletedCol, lit(false))
       if (logExists) snap.unionByName(readLog(name)) else snap
     } else if (!logExists) {
       // caught up on the current version with nothing appended since
-      snapshot(name).limit(0)
+      resolvedSnapshot(name).limit(0)
         .withColumn(TsCol, lit(0L)).withColumn(DeletedCol, lit(false))
     } else {
-      spark.read.parquet(dir(name, "log"))
-        .filter(col(LogSeqCol) > coord.seq).drop(LogSeqCol)
+      conformLog(name, spark.read.option("mergeSchema", "true")
+        .parquet(dir(name, "log"))
+        .filter(col(LogSeqCol) > coord.seq).drop(LogSeqCol, SchemaIdCol))
     }
   }
 
@@ -657,7 +750,7 @@ class GraftEngine(val spark: SparkSession, val root: String) {
       return v
     }
     val meta = storeMeta(name)
-    val snap = snapshot(name)
+    val snap = resolvedSnapshot(name)
       .withColumn(TsCol, lit(0L)).withColumn(DeletedCol, lit(false))
     val merged = if (!hasLog(name)) snap else {
       val log0 = readLog(name)
@@ -674,7 +767,7 @@ class GraftEngine(val spark: SparkSession, val root: String) {
     val compacted =
       if (!hasUpdates(name)) base
       else graft.operators.WriteCompute.applyUpdates(base,
-        spark.read.parquet(dir(name, "updates")), meta.keyCols)
+        readUpdates(name), meta.keyCols)
     // materialize BEFORE archiving the logs the plan reads from
     val rows = compacted.cache()
     rows.count()
@@ -699,6 +792,9 @@ object GraftEngine {
   val AaElemCol = "__aa_elem"
   val AaElem2Col = "__aa_elem2"
   val LogSeqCol = "__log_seq"
+  /** Per-batch writer schema id on the RT log (readers resolve to the
+    * registered-schema superset — Venice's writer→reader resolution). */
+  val SchemaIdCol = "__schema_id"
   /** A/A record-existence marker ("1" when a put won it, null after a
     * winning delete) — distinguishes empty-but-real records from
     * tombstones. */

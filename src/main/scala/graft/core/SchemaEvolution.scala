@@ -47,13 +47,27 @@ object SchemaEvolution {
         s"field $name: irreconcilable $dx vs $dy")
     }
 
+  /** Type equality modulo nullability flags — a cast between types that
+    * differ only in containsNull/valueContainsNull/field nullability is
+    * unnecessary (and Spark rejects the narrowing direction outright). */
+  def sameType(x: DataType, y: DataType): Boolean = (x, y) match {
+    case (ArrayType(ex, _), ArrayType(ey, _)) => sameType(ex, ey)
+    case (MapType(kx, vx, _), MapType(ky, vy, _)) =>
+      sameType(kx, ky) && sameType(vx, vy)
+    case (sx: StructType, sy: StructType) =>
+      sx.length == sy.length && sx.fields.zip(sy.fields).forall {
+        case (fx, fy) => fx.name == fy.name && sameType(fx.dataType, fy.dataType)
+      }
+    case _ => x == y
+  }
+
   /** Project a frame (written under an older schema) to the superset:
     * missing fields become typed nulls, widened numerics cast. */
   def conform(df: DataFrame, target: StructType): DataFrame = {
     val have = df.columns.toSet
     target.fields.foldLeft(df) { (d, f) =>
       if (!have(f.name)) d.withColumn(f.name, lit(null).cast(f.dataType))
-      else if (d.schema(f.name).dataType != f.dataType)
+      else if (!sameType(d.schema(f.name).dataType, f.dataType))
         d.withColumn(f.name, col(f.name).cast(f.dataType))
       else d
     }.select(target.fieldNames.map(col): _*)

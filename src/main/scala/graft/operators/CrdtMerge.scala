@@ -296,10 +296,25 @@ object CrdtMerge {
     struct(fields.toIndexedSeq: _*)
   }
 
-  /** Fold per-key event states into the converged state — one shuffle on the
-    * key; the fold order is irrelevant (commutative join), which is the A/A
-    * multi-region guarantee. `events` must carry key cols + a "state" struct
-    * column built by the constructors above.
+  /** Fold per-key event states into the converged state. `events` must
+    * carry key cols + a "state" struct column built by the constructors
+    * above. The fold order is irrelevant (commutative join), which is the
+    * A/A multi-region guarantee.
+    *
+    * Scale shape: a TWO-PHASE fold, legal because the lattice is
+    * commutative + associative (CrdtMergeSpec proves convergence under
+    * permuted folds). Phase 1 folds each input partition's slice of a key
+    * into one partial state — grouping on (key, spark_partition_id) means
+    * every group lives inside a single input split, so no task ever
+    * materializes more ops than one input partition holds (bounded by
+    * spark.sql.files.maxPartitionBytes, not by key popularity). Phase 2
+    * folds the ≤ numPartitions partial states per key. A hot key with
+    * millions of pending ops therefore costs per-task memory O(partition
+    * slice), where the previous single collect_list was O(key history) —
+    * the difference between "spills" and "OOMs" at 100-TB scale.
+    * Reference intent: Venice folds per-record incrementally and never
+    * buffers a key's history (MergeConflictResolver.java:111-255 —
+    * semantics pointer, not code).
     *
     * `keepRmd = true` also emits the merged RMD sibling columns
     * (f__ts / f__rmd) — the compaction shape: persisting them with the
@@ -312,13 +327,18 @@ object CrdtMerge {
     val outNames =
       if (keepRmd) (value.fieldNames ++ rmdSchema(value).fieldNames).toSeq
       else value.fieldNames.toSeq
-    events
-      .groupBy(keyCols: _*)
+    def fold(df: DataFrame, groupCols: Seq[Column]): DataFrame = df
+      .groupBy(groupCols: _*)
       .agg(collect_list(col("state")).as("__states"))
-      .withColumn("__merged",
+      .withColumn("state",
         aggregate(col("__states"), bottomState(value),
           (acc, s) => joinStates(acc, s, value)))
+      .drop("__states")
+    val partial = fold(
+      events.withColumn("__slice", spark_partition_id()),
+      keyCols :+ col("__slice")).drop("__slice")
+    fold(partial, keyCols)
       .select(keyCols ++ outNames.map(n =>
-        col("__merged").getField(n).as(n)): _*)
+        col("state").getField(n).as(n)): _*)
   }
 }

@@ -88,9 +88,64 @@ object WriteCompute {
     struct(outFields: _*)
   }
 
-  /** W3 at scale: fold every pending update (in ts order) onto the snapshot
-    * value, per key. Updates on unknown keys build a row from a null base
-    * (Venice applies the update to the schema default record). */
+  /** W8 at scale: squash an update log to ONE update row per key.
+    *
+    * Chunked hierarchical fold: `row_number` over a (key, ts)-sorted
+    * window slices each key's history into ts-contiguous chunks of
+    * `chunkSize`; each chunk squashes to one partial update (a bounded
+    * array fold), then the partials squash in chunk order. Legal because
+    * squashExpr is associative over ts-contiguous runs (WriteComputeProps:
+    * squash ≡ sequential apply for arbitrary op pairs). The window sort is
+    * Spark's external spilling sort, so no task ever materializes more
+    * than max(chunkSize, numOps/chunkSize) updates for one key — a hot key
+    * with 10M pending ops folds through ~4k-element arrays instead of one
+    * 10M-element collect_list. Reference intent: Venice compacts the
+    * write-compute stream incrementally, never buffering a key's history
+    * (semantics pointer: WriteComputeHandlerV1.java:29-119).
+    *
+    * Output schema = input schema with one row per key and TsCol = max ts.
+    */
+  def squashUpdates(updates0: DataFrame, keys: Seq[String],
+      valueSchema: StructType, chunkSize: Int = 4096): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keyCols = keys.map(col)
+    val updates = conformUpdates(updates0, keys, valueSchema)
+    val uNames = deriveUpdateSchema(valueSchema).fieldNames.toSeq
+    val w = Window.partitionBy(keyCols: _*).orderBy(col(TsCol))
+    val chunked = updates
+      .select(keyCols :+ col(TsCol) :+ struct(uNames.map(col): _*).as("__u"): _*)
+      .withColumn("__chunk",
+        ((row_number().over(w) - 1) / chunkSize).cast("long"))
+    // custom comparator: structs holding maps aren't orderable, but the
+    // lambda only compares the ordering field
+    def fold(df: DataFrame, groupCols: Seq[Column], ord: Column): DataFrame = df
+      .groupBy(groupCols: _*)
+      .agg(max(col(TsCol)).as(TsCol),
+        array_sort(
+          collect_list(struct(ord.as("o"), col("__u").as("u"))),
+          (l, r) => when(l.getField("o") < r.getField("o"), -1)
+            .when(l.getField("o") > r.getField("o"), 1)
+            .otherwise(0)).as("__us"))
+      .withColumn("__u",
+        aggregate(slice(col("__us"), lit(2), size(col("__us")) - 1),
+          element_at(col("__us"), 1).getField("u"),
+          (acc, e) => squashExpr(acc, e.getField("u"), valueSchema)))
+      .drop("__us")
+    val partials = fold(chunked, keyCols :+ col("__chunk"), col(TsCol))
+    fold(partials, keyCols, col("__chunk"))
+      .select(keyCols ++ uNames.map(n => col("__u").getField(n).as(n))
+        :+ col(TsCol): _*)
+  }
+
+  /** W3 at scale: apply every pending update (in ts order) onto the
+    * snapshot value, per key. Updates on unknown keys build a row from a
+    * null base (Venice applies the update to the schema default record).
+    *
+    * Shape: squash the whole log to one update per key via the chunked
+    * [[squashUpdates]] (bounded per-task memory), then ONE applyOne against
+    * the snapshot — equivalent to the sequential ts-ordered fold by the
+    * squash ≡ sequential-apply property, without ever holding a key's
+    * history in a task. */
   def applyUpdates(snapshot: DataFrame, updates: DataFrame,
       keys: Seq[String]): DataFrame = {
     val valueSchema = StructType(
@@ -100,32 +155,34 @@ object WriteCompute {
     val snapStruct = snapshot.select(keyCols :+
       struct(valueSchema.fieldNames.map(col): _*).as("__value"): _*)
 
-    val updStructCols = updates.schema.fieldNames
-      .filterNot(n => keys.contains(n) || n == TsCol).map(col)
-    val pending = updates
-      .select(keyCols :+ col(TsCol) :+ struct(updStructCols: _*).as("__u"): _*)
-      .groupBy(keyCols: _*)
-      // custom comparator: structs holding maps aren't orderable, but the
-      // lambda only compares the ts field
-      .agg(array_sort(
-        collect_list(struct(col(TsCol).as("ts"), col("__u").as("u"))),
-        (l, r) => when(l.getField("ts") < r.getField("ts"), -1)
-          .when(l.getField("ts") > r.getField("ts"), 1)
-          .otherwise(0)).as("__updates"))
+    val uNames = deriveUpdateSchema(valueSchema).fieldNames.toSeq
+    val pending = squashUpdates(updates, keys, valueSchema)
+      .select(keyCols :+ struct(uNames.map(col): _*).as("__u") :+
+        lit(true).as("__has_update"): _*)
 
-    val nullValue = lit(null).cast(valueSchema).as("__value")
+    val base = coalesce(col("__value"), lit(null).cast(valueSchema))
     snapStruct.join(pending, keys, "full_outer")
+      // the no-update guard is load-bearing: applyOne(base, all-null-u) is
+      // NOT identity (array_union dedups a base array's duplicates)
       .withColumn("__merged",
-        aggregate(coalesce(col("__updates"),
-          array().cast(ArrayType(StructType(Seq(
-            StructField("ts", LongType),
-            StructField("u", StructType(deriveUpdateSchema(valueSchema)
-              .fields.toSeq))))))),
-          coalesce(col("__value"), lit(null).cast(valueSchema)),
-          (acc, e) => applyOne(acc, e.getField("u"), valueSchema)))
-      .select(keyCols :+ col("__merged"): _*)
+        when(col("__has_update").isNull, base)
+          .otherwise(applyOne(base, col("__u"), valueSchema)))
       .select(keyCols ++ valueSchema.fieldNames
         .map(n => col("__merged").getField(n).as(n)): _*)
+  }
+
+  /** Conform an update-log frame to the schema derived from `valueSchema`:
+    * op columns an older writer's update schema lacked become typed nulls
+    * (= NoOp — exactly how Venice resolves an old write-compute record
+    * against an evolved value schema), widened numerics cast. Lets one log
+    * directory hold updates written under several registered schemas. */
+  private def conformUpdates(updates: DataFrame, keys: Seq[String],
+      valueSchema: StructType): DataFrame = {
+    val target = StructType(
+      updates.schema.fields.filter(f => keys.contains(f.name)) ++
+        deriveUpdateSchema(valueSchema).fields :+
+        StructField(TsCol, LongType))
+    graft.core.SchemaEvolution.conform(updates, target)
   }
 
   /** W8: squash two pending update rows (u1 earlier, u2 later) into one —

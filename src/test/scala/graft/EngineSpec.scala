@@ -320,4 +320,57 @@ class EngineSpec extends AnyFunSuite {
       engine.compute("emb").dotProduct("label", p, "x").execute()
     }
   }
+
+  test("§1.4: per-batch writer schema id + superset resolution end-to-end") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    engine.createStore("sev", Seq("k"))
+    engine.push("sev", Seq((1L, "a"), (2L, "b")).toDF("k", "name"))
+    assert(engine.registeredSchemaIds("sev") == Seq(1)) // auto id 1 on push
+    // evolve: add a long field; irreconcilable evolution must throw
+    val v2 = StructType(engine.valueSchema("sev", 1).fields :+
+      StructField("score", LongType))
+    assert(engine.registerValueSchema("sev", v2) == 2)
+    intercept[IllegalArgumentException] {
+      engine.registerValueSchema("sev", StructType(Seq(
+        StructField("k", LongType), StructField("name", LongType))))
+    }
+    // v2 writer, then a v1 writer that doesn't know about score
+    engine.put("sev", Seq((3L, "c", 30L)).toDF("k", "name", "score"), 1000L)
+    engine.put("sev", Seq((1L, "a2")).toDF("k", "name"), 2000L)
+    // each log batch carries its writer's schema id
+    val ids = spark.read.parquet(s"$root/sev/log")
+      .select(GraftEngine.SchemaIdCol, "k").collect()
+      .map(r => r.getLong(1) -> r.getInt(0)).toMap
+    assert(ids(3L) == 2 && ids(1L) == 1)
+    // serving view resolves everything to the superset
+    val view = engine.servingView("sev").orderBy("k")
+      .select("k", "name", "score").as[(Long, String, Option[Long])].collect()
+    assert(view.toSeq == Seq((1L, "a2", None), (2L, "b", None),
+      (3L, "c", Some(30L))))
+    // point read resolves too (pre-evolution snapshot row)
+    assert(engine.get("sev", Seq(2L)).get.getAs[Any]("score") == null)
+    // repush compacts into a superset-schema version; ids survive;
+    // a post-repush v2 write keeps resolving
+    engine.repush("sev")
+    assert(engine.snapshot("sev").columns.contains("score"))
+    assert(engine.registeredSchemaIds("sev") == Seq(1, 2))
+    engine.put("sev", Seq((2L, "b2", 20L)).toDF("k", "name", "score"), 3000L)
+    assert(engine.get("sev", Seq(2L)).get.getAs[Long]("score") == 20L)
+    // write-compute across evolution: an update touching only v1 fields
+    // resolves as NoOp on score (conformUpdates)
+    val valueSchema = StructType(engine.supersetSchema("sev").fields
+      .filterNot(_.name == "k"))
+    import graft.operators.{UpdateBuilder, WriteCompute}
+    val u = new UpdateBuilder(StructType(engine.valueSchema("sev", 1).fields
+      .filterNot(_.name == "k"))).setField("name", "upd").buildRow()
+    val updSchema = StructType(StructField("k", LongType) +:
+      WriteCompute.deriveUpdateSchema(StructType(engine.valueSchema("sev", 1)
+        .fields.filterNot(_.name == "k"))).fields)
+    engine.update("sev", spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row.fromSeq(3L +: u.toSeq)),
+      updSchema), 4000L)
+    val r3 = engine.get("sev", Seq(3L)).get
+    assert(r3.getAs[String]("name") == "upd" && r3.getAs[Long]("score") == 30L)
+  }
 }
