@@ -727,6 +727,41 @@ object Queries {
             CASE WHEN c_custkey <= 50 THEN c_mktsegment END AS segment
             FROM customer WHERE c_custkey <= 2000 ORDER BY c_custkey"""))
 
+  /** Incremental materialized-view maintenance: a view re-keyed by
+    * (o_custkey, o_orderkey) — the prefix-scan-by-customer layout — is
+    * refreshed from the source changelog after puts that MOVE rows across
+    * view keys (o_custkey changes) and deletes. Only changed keys are
+    * touched (pinned in EngineSpec); result ≡ full recompute. */
+  val b13IncrementalView = QueryDef(
+    "b13_incremental_view",
+    (s, dir) => {
+      val e = tempEngine(s, "graft-b13")
+      e.createStore("o", Seq("o_orderkey"))
+      val ord = t(s, dir, "orders").filter(col("o_orderkey") <= 3000)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+      e.push("o", ord, numBuckets = 4)
+      e.materializedView("o", "o_by_cust", Seq("o_custkey", "o_orderkey"),
+        numBuckets = 4)
+      // re-key 1..20 to customer 1 (view rows must MOVE), delete 21..30
+      e.put("o", ord.filter(col("o_orderkey") <= 20)
+        .withColumn("o_custkey", lit(1L))
+        .withColumn("o_orderstatus", lit("U")), tsMs = 1000L)
+      e.delete("o", ord.filter(col("o_orderkey").between(21, 30))
+        .select("o_orderkey"), tsMs = 2000L)
+      e.refreshView("o_by_cust")
+      e.servingView("o_by_cust")
+        .select(col("o_custkey"), col("o_orderkey"),
+          round(col("o_totalprice") * 100).cast("long").as("price_cents"),
+          col("o_orderstatus"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+    Some("""SELECT CASE WHEN o_orderkey <= 20 THEN 1 ELSE o_custkey END AS o_custkey,
+            o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+            CASE WHEN o_orderkey <= 20 THEN 'U' ELSE o_orderstatus END AS o_orderstatus
+            FROM orders
+            WHERE o_orderkey <= 3000 AND o_orderkey NOT BETWEEN 21 AND 30
+            ORDER BY 1, 2"""))
+
   /** W1 put/delete through the RT log: puts override, tombstones hide. */
   val w1PutDelete = QueryDef(
     "w1_put_delete",
@@ -1494,8 +1529,8 @@ object Queries {
     r10Predicates, r11Stream, qWindow, qRollup, qSemi, qAnti, qSessionize,
     b3Ttl, b4Compaction, b4DupAudit, b7Quota, b8Partition,
     w3WriteCompute, w5Lww, w7Crdt, w7CrdtMap, w8Squash, w11Div, w12Hll, w13HotKeys,
-    r12Meta, r13SchemaEvolution, w1PutDelete, w2UpdateBuilder, w4UpdateSchema,
-    w9Chunk, b6Wire,
+    r12Meta, r13SchemaEvolution, b13IncrementalView, w1PutDelete,
+    w2UpdateBuilder, w4UpdateSchema, w9Chunk, b6Wire,
     b1Avro, w10Compression, b10Metrics, b11Incremental, b12Etl,
     s1Ingest, s2Rewind, s4Changelog, s6SqlView,
     dedupExact, dedupMinhash, dedupSimhash, dedupNgram, dedupEmbedding,

@@ -638,11 +638,78 @@ class GraftEngine(val spark: SparkSession, val root: String) {
 
   /** Materialized view: a re-partitioned copy of the store under different
     * keys (reference: views/MaterializedView.java — a second output with its
-    * own partitioner), maintained by re-push. */
+    * own partitioner). Captures the source's change coordinate so
+    * [[refreshView]] can maintain it incrementally from the changelog
+    * instead of re-pushing the world. */
   def materializedView(name: String, viewName: String, viewKeys: Seq[String],
       numBuckets: Int = 16): Int = {
     createStore(viewName, viewKeys)
-    push(viewName, servingView(name), numBuckets)
+    // capture BEFORE materializing: writes racing the push are replayed by
+    // the next refresh (at-least-once; LWW upserts make replay idempotent)
+    val coord = latestCoordinate(name)
+    val v = push(viewName, servingView(name), numBuckets)
+    saveViewCoord(viewName, name, coord)
+    v
+  }
+
+  private def saveViewCoord(viewName: String, src: String,
+      c: ChangeCoordinate): Unit =
+    Files.writeString(Paths.get(dir(viewName, "VIEW_SRC")),
+      s"$src,${c.version},${c.seq}")
+
+  private def viewCoord(viewName: String): (String, ChangeCoordinate) = {
+    val parts = Files.readString(Paths.get(dir(viewName, "VIEW_SRC")))
+      .trim.split(",")
+    (parts(0), ChangeCoordinate(parts(1).toInt, parts(2).toLong))
+  }
+
+  /** Incremental view maintenance (reference intent:
+    * views/MaterializedView.java:23-70 — views are maintained from the
+    * ingest path, not by full recompute). Reads the source changelog since
+    * the stored coordinate and touches ONLY the changed keys:
+    *
+    *  1. compact the delta to the latest state per source key;
+    *  2. tombstone every view row derived from a changed source key — this
+    *     is what makes a view-key CHANGE (the re-key column's value moved)
+    *     and a source DELETE correct, which blind upserts are not;
+    *  3. re-insert the still-live delta rows under their (possibly new)
+    *     view keys, one LWW tick later so the insert beats the tombstone.
+    *
+    * A coordinate from an older source version (post-repush/swap) falls
+    * back to a full re-push — exactly the changelog consumer's resync rule.
+    * Both steps are log appends: one broadcast-size semi-join against the
+    * delta keys plus bounded writes, never a scan-rewrite of the view. */
+  def refreshView(viewName: String): Unit = {
+    val (src, coord) = viewCoord(viewName)
+    requireNotAa(src, "full materializedView re-push (A/A changelog TBD)")
+    val meta = storeMeta(src)
+    val vmeta = storeMeta(viewName)
+    val newCoord = latestCoordinate(src)
+    if (coord == newCoord) return // caught up
+    if (coord.version != currentVersion(src)) {
+      push(viewName, servingView(src), numBuckets(viewName))
+      saveViewCoord(viewName, src, newCoord)
+      return
+    }
+    val delta = changelogSince(src, coord)
+    val latest = Compaction.latestPerKey(delta, meta.keyCols, Seq(col(TsCol)))
+      .cache()
+    try {
+      if (latest.limit(1).isEmpty) { saveViewCoord(viewName, src, newCoord); return }
+      // monotone LWW ticks per refresh, above the snapshot's ts 0
+      val tick = 2L * (currentLogSeq(viewName) + 1)
+      // no explicit broadcast hint: a small delta auto-broadcasts, a huge
+      // one (≈ full rebuild) must be allowed to shuffle instead of OOM
+      val changedKeys = latest.select(meta.keyCols.map(col): _*)
+      val stale = servingView(viewName)
+        .join(changedKeys, meta.keyCols, "left_semi")
+        .select(vmeta.keyCols.map(col): _*)
+      delete(viewName, stale, tsMs = tick)
+      put(viewName,
+        latest.filter(!col(DeletedCol)).drop(TsCol, DeletedCol),
+        tsMs = tick + 1)
+      saveViewCoord(viewName, src, newCoord)
+    } finally latest.unpersist()
   }
 
   /** B11 incremental push: delta batch appended to the RT log of the

@@ -321,6 +321,35 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental view refresh touches only changed keys") {
+    import spark.implicits._
+    engine.createStore("src9", Seq("k"))
+    engine.push("src9",
+      (1L to 1000L).map(k => (k, k % 7, s"v$k")).toDF("k", "g", "v"))
+    engine.materializedView("src9", "src9_by_g", Seq("g", "k"), numBuckets = 4)
+    // caught-up refresh appends nothing (no log dir even created)
+    engine.refreshView("src9_by_g")
+    assert(!Files.exists(java.nio.file.Paths.get(s"$root/src9_by_g/log")))
+    // one view-key move (g: 5 -> 99) and one delete
+    engine.put("src9", Seq((5L, 99L, "moved")).toDF("k", "g", "v"), 1000L)
+    engine.delete("src9", Seq(6L).toDF("k"), 2000L)
+    engine.refreshView("src9_by_g")
+    // exactly 2 tombstones (old view rows of k=5,6) + 1 re-insert — the
+    // "only changed keys" pin; a full rebuild would rewrite ~1000 rows
+    assert(spark.read.parquet(s"$root/src9_by_g/log").count() == 3)
+    val view = engine.servingView("src9_by_g")
+    assert(view.count() == 999)
+    assert(view.filter($"k" === 5L).select("g").head().getLong(0) == 99L)
+    assert(view.filter($"k" === 6L).count() == 0)
+    // stale-version coordinate (source repushed) → resync via full rebuild
+    engine.repush("src9")
+    engine.put("src9", Seq((7L, 100L, "v7b")).toDF("k", "g", "v"), 3000L)
+    engine.refreshView("src9_by_g")
+    val view2 = engine.servingView("src9_by_g")
+    assert(view2.filter($"k" === 7L).select("g").head().getLong(0) == 100L)
+    assert(view2.count() == 999)
+  }
+
   test("§1.4: per-batch writer schema id + superset resolution end-to-end") {
     import spark.implicits._
     import org.apache.spark.sql.types._
