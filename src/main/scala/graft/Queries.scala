@@ -1261,9 +1261,11 @@ object Queries {
             WHERE rank <= 10 ORDER BY qid, rank"""),
     headline = true)
 
-  /** IVF ANN (scale path #2): deterministic coarse quantizer (centroids =
-    * ids < 8), 2-probe search, exact rank within probed cells. The oracle
-    * replays the same assignment/probe/rank pipeline in SQL. */
+  /** IVF ANN (scale path #2): k-means-trained coarse quantizer (2 Lloyd
+    * steps from the deterministic ids&lt;8 seed, scaled-integer recentring so
+    * the means are engine-exact), 2-probe search, exact rank within probed
+    * cells. The oracle replays training, assignment, probing and ranking
+    * in SQL. */
   val annIvf = QueryDef(
     "ann_ivf",
     (s, dir) => {
@@ -1278,19 +1280,41 @@ object Queries {
     Some("""WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec,
               sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS n
               FROM embeddings),
-            cent AS (SELECT id AS cid, vec AS cvec, n AS cn FROM v WHERE id < 8),
+            c0 AS (SELECT id AS cid, vec AS cvec FROM v WHERE id < 8),
+            a0 AS (SELECT id, vec, cid FROM (
+              SELECT v.id, v.vec, c.cid, row_number() OVER (PARTITION BY v.id
+                ORDER BY round(list_dot_product(v.vec, c.cvec) /
+                  (v.n * sqrt(list_dot_product(c.cvec, c.cvec))), 6) + 0.0 DESC,
+                  c.cid) AS rn
+              FROM v, c0 c) WHERE rn = 1),
+            c1 AS (SELECT cid, list(val ORDER BY pos) AS cvec FROM (
+              SELECT cid, p.p AS pos,
+                CAST(sum(CAST(round(vec[p.p + 1] * 1000) AS BIGINT)) AS DOUBLE)
+                  / (count(*) * 1000.0) AS val
+              FROM a0, range(64) p(p) GROUP BY cid, p.p) GROUP BY cid),
+            a1 AS (SELECT id, vec, cid FROM (
+              SELECT v.id, v.vec, c.cid, row_number() OVER (PARTITION BY v.id
+                ORDER BY round(list_dot_product(v.vec, c.cvec) /
+                  (v.n * sqrt(list_dot_product(c.cvec, c.cvec))), 6) + 0.0 DESC,
+                  c.cid) AS rn
+              FROM v, c1 c) WHERE rn = 1),
+            c2 AS (SELECT cid, list(val ORDER BY pos) AS cvec FROM (
+              SELECT cid, p.p AS pos,
+                CAST(sum(CAST(round(vec[p.p + 1] * 1000) AS BIGINT)) AS DOUBLE)
+                  / (count(*) * 1000.0) AS val
+              FROM a1, range(64) p(p) GROUP BY cid, p.p) GROUP BY cid),
             assign AS (SELECT id, vec, n, cid FROM (
-              SELECT v.id, v.vec, v.n, c.cid,
-                row_number() OVER (PARTITION BY v.id ORDER BY
-                  round(list_dot_product(v.vec, c.cvec) / (v.n * c.cn), 6) + 0.0 DESC,
+              SELECT v.id, v.vec, v.n, c.cid, row_number() OVER (PARTITION BY v.id
+                ORDER BY round(list_dot_product(v.vec, c.cvec) /
+                  (v.n * sqrt(list_dot_product(c.cvec, c.cvec))), 6) + 0.0 DESC,
                   c.cid) AS rn
-              FROM v, cent c) WHERE rn = 1),
+              FROM v, c2 c) WHERE rn = 1),
             probes AS (SELECT id AS qid, vec AS qvec, n AS qn, cid FROM (
-              SELECT v.id, v.vec, v.n, c.cid,
-                row_number() OVER (PARTITION BY v.id ORDER BY
-                  round(list_dot_product(v.vec, c.cvec) / (v.n * c.cn), 6) + 0.0 DESC,
+              SELECT v.id, v.vec, v.n, c.cid, row_number() OVER (PARTITION BY v.id
+                ORDER BY round(list_dot_product(v.vec, c.cvec) /
+                  (v.n * sqrt(list_dot_product(c.cvec, c.cvec))), 6) + 0.0 DESC,
                   c.cid) AS rn
-              FROM v, cent c WHERE v.id < 5) WHERE rn <= 2),
+              FROM v, c2 c WHERE v.id < 5) WHERE rn <= 2),
             cand AS (SELECT DISTINCT p.qid, a.id,
                 round(list_dot_product(a.vec, p.qvec) / (a.n * p.qn), 6) + 0.0 AS sim
               FROM assign a JOIN probes p ON a.cid = p.cid

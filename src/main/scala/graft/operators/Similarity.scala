@@ -132,9 +132,39 @@ object Similarity {
       .withColumn("rn", row_number().over(w))
   }
 
+  /** Deterministic IVF training: `iters` Lloyd steps from the ids&lt;k seed
+    * sample. Assignment = [[ivfAssign]] (broadcast centroids, linear scan);
+    * recentring = one groupBy(cell, dimension) — both plain shuffles,
+    * linear per iteration. The mean is computed in scaled-integer space
+    * (per-dimension sum of round(1000·x) as BIGINT, one division at the
+    * end): float partial sums would differ across partition orders and
+    * engines, breaking determinism and the SQL oracle; exact integer sums
+    * are order-independent. */
+  def kmeansCentroids(corpus: DataFrame, k: Int, iters: Int): DataFrame = {
+    var cent = corpus.filter(col("id") < k).select(col("id"), col("vec"))
+    for (_ <- 0 until iters) {
+      cent = ivfAssign(corpus, cent).filter(col("rn") === 1)
+        .select(col("cid"), posexplode(col("vec")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(sum(round(col("col").cast("double") * 1000).cast("long")).as("s"),
+          count(lit(1)).as("c"))
+        .groupBy(col("cid"))
+        .agg(array_sort(collect_list(struct(col("pos"),
+          (col("s").cast("double") / (col("c") * lit(1000.0))).as("v"))))
+          .as("pv"))
+        .select(col("cid").as("id"),
+          transform(col("pv"), e => e.getField("v")).as("vec"))
+    }
+    cent
+  }
+
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, numCells: Int,
-      nProbe: Int): DataFrame = {
-    val centroids = corpus.filter(col("id") < numCells)
+      nProbe: Int, trainIters: Int = 2): DataFrame = {
+    val centroids =
+      if (trainIters <= 0) corpus.filter(col("id") < numCells)
+      // trained centroids are used twice (corpus assign + query probes) —
+      // persist so the Lloyd iterations run once, not per consumer
+      else kmeansCentroids(corpus, numCells, trainIters).persist()
     val assigned = ivfAssign(corpus, centroids)
       .filter(col("rn") === 1)
       .select(col("id"), col("vec"), col("__n"), col("cid"))
@@ -170,19 +200,25 @@ object Similarity {
     * pairs in memory) but a block-partitioned self-join: ids hash into B
     * blocks, the B(B+1)/2 unordered block pairs become join keys, and each
     * task computes one block×block tile with bounded memory. Shuffle cost =
-    * (B+1)/2 × data replication; parallelism = B(B+1)/2 even tiles. Pick
-    * B ≈ 2·√(cluster cores) at scale. For genuine near-dup thresholds
-    * (cos ≳ 0.7) use [[lshCosinePairs]] — near-linear, tunable recall. */
+    * (B+1)/2 × data replication; parallelism = B(B+1)/2 even tiles.
+    * `blocks = 0` (the default) resolves to ≈ 2·√(defaultParallelism) so
+    * the tile count tracks the cluster size without a parameter — 32 local
+    * cores → 12 blocks / 78 tiles; 1000 executors·4 cores → 127 blocks /
+    * 8128 tiles. For genuine near-dup thresholds (cos ≳ 0.7) use
+    * [[lshCosinePairs]] — near-linear, tunable recall. */
   def cosinePairs(corpus: DataFrame, threshold: Double,
-      blocks: Int = 8): DataFrame = {
+      blocks: Int = 0): DataFrame = {
+    val b = if (blocks > 0) blocks
+      else math.max(8, 2 * math.ceil(math.sqrt(
+        corpus.sparkSession.sparkContext.defaultParallelism)).toInt)
     val withNorm = corpus
       .withColumn("__n", norm(col("vec")))
-      .withColumn("__b", pmod(xxhash64(col("id")), lit(blocks)).cast("int"))
+      .withColumn("__b", pmod(xxhash64(col("id")), lit(b)).cast("int"))
     // row in block b plays the LEFT role of tiles (b, j) for j ≥ b …
     val left = withNorm
       .withColumn("__tile",
-        explode(transform(sequence(col("__b"), lit(blocks - 1)),
-          j => col("__b") * blocks + j)))
+        explode(transform(sequence(col("__b"), lit(b - 1)),
+          j => col("__b") * b + j)))
       .select(col("__tile"), col("id").as("id_a"), col("vec").as("vec_a"),
         col("__n").as("n_a"), col("__b").as("b_a"))
     // … and the RIGHT role of tiles (i, b) for i ≤ b, so every unordered
@@ -190,7 +226,7 @@ object Similarity {
     val right = withNorm
       .withColumn("__tile",
         explode(transform(sequence(lit(0), col("__b")),
-          i => i * blocks + col("__b"))))
+          i => i * b + col("__b"))))
       .select(col("__tile"), col("id").as("id_b"), col("vec").as("vec_b"),
         col("__n").as("n_b"), col("__b").as("b_b"))
     left.join(right, "__tile")

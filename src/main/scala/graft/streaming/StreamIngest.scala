@@ -74,10 +74,50 @@ object StreamIngest {
     * last completed microbatch must have drained zero rows — the status
     * flag alone flips true between the source buffering data and the batch
     * that processes it. */
-  def isCaughtUp(q: StreamingQuery): Boolean =
+  def isCaughtUp(q: StreamingQuery): Boolean = isCaughtUp(q, maxOffsetLag = 0L)
+
+  /** S3 thresholded readiness, offset-lag strategy (HybridStoreConfig.java:
+    * 17-19 — offsetLagThresholdToGoOnline): the replica may serve while the
+    * un-consumed source position is within `maxOffsetLag` of the latest,
+    * instead of demanding an exact drain. A query that has produced no
+    * progress yet is NOT ready (unknown lag ≠ zero lag). */
+  def isCaughtUp(q: StreamingQuery, maxOffsetLag: Long): Boolean =
     !q.isActive || {
-      !q.status.isDataAvailable && Option(q.lastProgress).forall(
+      !q.status.isDataAvailable && Option(q.lastProgress).exists(
         _.sources.forall(s =>
-          s.latestOffset == null || s.latestOffset == s.endOffset))
+          s.latestOffset == null ||
+            offsetPos(s.latestOffset) - offsetPos(s.endOffset) <= maxOffsetLag))
     }
+
+  /** First integer inside a source-offset JSON (file source:
+    * {"logOffset":N}); MinValue when absent so an unparseable latest reads
+    * as "not ready", never as caught up. */
+  private def offsetPos(o: String): Long =
+    Option(o).flatMap("""-?\d+""".r.findFirstIn).map(_.toLong)
+      .getOrElse(Long.MinValue)
+
+  /** S3 time-lag strategy (producerTimestampLagThresholdToGoOnline): ready
+    * when the newest conflict-resolution timestamp durably ingested is
+    * within `maxTimeLagMs` of `nowMs`. A store with no log yet has ingested
+    * nothing — infinitely behind. */
+  def isCaughtUpByTime(engine: GraftEngine, store: String,
+      maxTimeLagMs: Long, nowMs: Long): Boolean =
+    latestIngestedTs(engine, store)
+      .exists(ts => nowMs - ts <= maxTimeLagMs)
+
+  /** Newest event-time the store has durably applied (max log ts). */
+  def latestIngestedTs(engine: GraftEngine, store: String): Option[Long] =
+    scala.util.Try(engine.changelog(store, 0L)).toOption
+      .flatMap(df => Option(df.agg(max(col(GraftEngine.TsCol))).head().get(0))
+        .map(_.asInstanceOf[Long]))
+
+  /** The gated version swap: Venice refuses to swap a hybrid version until
+    * the replica's lag is under threshold (VersionBackend
+    * .isPartitionReadyToServe semantics). Returns the new version, or None
+    * — with nothing consumed or swapped — while the store lags. */
+  def swapIfCaughtUp(engine: GraftEngine, store: String,
+      maxTimeLagMs: Long, nowMs: Long): Option[Int] =
+    if (isCaughtUpByTime(engine, store, maxTimeLagMs, nowMs))
+      Some(engine.repush(store))
+    else None
 }

@@ -188,6 +188,14 @@ class PipelineSpec extends AnyFunSuite {
     val recall = (exact intersect ivf).size.toDouble / exact.size
     // 2/8 cells probed ⇒ ~25% of the corpus scanned; recall beats that
     assert(recall > 0.25, s"recall $recall")
+    // k-means-trained centroids (the default) must not regress materially
+    // against the raw deterministic sample
+    val sampled = Similarity.ivfTopK(corpus, queries, 10, numCells = 8,
+        nProbe = 2, trainIters = 0)
+      .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recallSampled = (exact intersect sampled).size.toDouble / exact.size
+    assert(recall >= recallSampled - 0.05,
+      s"trained recall $recall < sampled $recallSampled - 0.05")
   }
 
   test("HLL approx distinct within Venice-like error bound") {

@@ -124,6 +124,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(engine.changelog("scust", 0L).count() == 3)
   }
 
+  test("S3: thresholded lag gate refuses the version swap while behind") {
+    import spark.implicits._
+    engine.createStore("lagst", Seq("k"))
+    engine.push("lagst", Seq((1L, "a")).toDF("k", "v"))
+    // nothing ingested yet → infinitely behind → no swap
+    assert(StreamIngest.swapIfCaughtUp(engine, "lagst",
+      maxTimeLagMs = 500L, nowMs = 10000L).isEmpty)
+    assert(engine.currentVersion("lagst") == 1)
+    // stale ingest (ts 1000, now 10000, threshold 500) → still refused
+    engine.put("lagst", Seq((2L, "b")).toDF("k", "v"), tsMs = 1000L)
+    assert(StreamIngest.swapIfCaughtUp(engine, "lagst",
+      maxTimeLagMs = 500L, nowMs = 10000L).isEmpty)
+    assert(engine.currentVersion("lagst") == 1)
+    // fresh ingest within threshold → gate opens, swap lands
+    engine.put("lagst", Seq((3L, "c")).toDF("k", "v"), tsMs = 9800L)
+    assert(StreamIngest.swapIfCaughtUp(engine, "lagst",
+      maxTimeLagMs = 500L, nowMs = 10000L).contains(2))
+    assert(engine.currentVersion("lagst") == 2)
+    assert(engine.servingView("lagst").count() == 3)
+    // offset-lag strategy: a drained query is within any threshold, and an
+    // unparseable/absent progress is NOT treated as caught up
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[Upd]
+    stream.addData(Upd(30000L, "X", 0, 1.0, "B", 9900L))
+    engine.createStore("lagst2", Seq("c_custkey"))
+    engine.push("lagst2", Tables.customer(spark, sf))
+    val q = StreamIngest.ingest(engine, "lagst2", stream.toDF(),
+      checkpoint = s"$root/cp-lag")
+    q.awaitTermination(60000)
+    assert(StreamIngest.isCaughtUp(q, maxOffsetLag = 3L))
+  }
+
   test("S2: rewind re-feeds recent log entries onto a new version") {
     val recent = StreamIngest.rewind(engine, "scust", nowMs = 10000L,
       rewindMs = 2000L)
