@@ -11,7 +11,10 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // arg overrides env: the sbt server freezes fork env at boot, so ad-hoc
+    // sweeps (e.g. the sf1 scale point) pass the dir explicitly
+    val sfDir = args.headOption.getOrElse(
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -51,17 +54,19 @@ object Bench {
       "\"" + k + "\":\"" + esc(e.take(300)) + "\"" }.mkString("{", ",", "}")
     val ok = results.count(_._3.isEmpty)
     val total = results.map(_._2).sum
-    // round-3 added 16 engine-path queries (temp-store pushes, a streaming
-    // ingest) on top of the 38-query set BASELINE.md's sweeps recorded;
-    // "core" is the subtotal over that original set so round-over-round
-    // comparisons stay apples-to-apples. "total" covers everything.
-    val addedR3 = Set("w7_crdt_merge", "r7_count_map", "r12_store_meta", "w1_put_delete",
+    // rounds 3-4 added engine-path queries (temp-store pushes, a streaming
+    // ingest, schema evolution, incremental views) on top of the 38-query
+    // set BASELINE.md's sweeps recorded; "core" is the subtotal over that
+    // original set so round-over-round comparisons stay apples-to-apples.
+    // "total" covers everything.
+    val addedLater = Set("w7_crdt_merge", "r7_count_map", "r12_store_meta", "w1_put_delete",
       "w2_update_builder", "w4_update_schema", "w9_chunk_roundtrip",
       "b6_wire_roundtrip", "b1_avro_roundtrip", "w10_compression",
       "b10_job_metrics", "b11_incremental_push", "b12_etl_normalize",
       "s1_stream_ingest", "s2_rewind", "s4_changelog", "s6_sql_view",
-      "mm_frame_sample", "text_token_counts", "b4_dup_audit", "w7_crdt_map")
-    val core = results.filterNot(r => addedR3(r._1)).map(_._2).sum
+      "mm_frame_sample", "text_token_counts", "b4_dup_audit", "w7_crdt_map",
+      "r13_schema_evolution", "b13_incremental_view")
+    val core = results.filterNot(r => addedLater(r._1)).map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","core38":$core,"queries":$qs,"ok":$ok,"n":${results.size},"errors":$errs,"sf":"$sfDir"}""")
     if (results.exists(_._3.nonEmpty)) System.err.println(
       s"[bench] ${results.count(_._3.nonEmpty)} queries FAILED")

@@ -19,9 +19,20 @@ class UpdateBuilder(valueSchema: StructType) {
   private val mapPuts = mutable.Map.empty[String, Map[Any, Any]]
   private val mapRemoves = mutable.Map.empty[String, Seq[Any]]
 
-  private def field(name: String): StructField =
-    valueSchema.fields.find(_.name == name)
-      .getOrElse(throw new IllegalArgumentException(s"unknown field $name"))
+  /** Resolve a (possibly dotted) field path — "u.s" addresses branch s of
+    * union-as-struct-of-optionals field u (SURVEY §1.2). */
+  private def field(path: String): StructField = {
+    def go(st: StructType, parts: List[String]): StructField = parts match {
+      case p :: Nil => st.fields.find(_.name == p).getOrElse(
+        throw new IllegalArgumentException(s"unknown field $path"))
+      case p :: rest => st.fields.find(_.name == p) match {
+        case Some(StructField(_, sub: StructType, _, _)) => go(sub, rest)
+        case _ => throw new IllegalArgumentException(s"unknown field $path")
+      }
+      case Nil => throw new IllegalArgumentException("empty field path")
+    }
+    go(valueSchema, path.split("\\.").toList)
+  }
 
   private def checkNoOps(name: String): Unit =
     require(!listAdds.contains(name) && !listRemoves.contains(name) &&
@@ -33,8 +44,25 @@ class UpdateBuilder(valueSchema: StructType) {
       s"cannot apply collection ops to field $name after setting it")
 
   def setField(name: String, value: Any): this.type = {
-    field(name); checkNoOps(name)
+    require(!field(name).dataType.isInstanceOf[StructType],
+      s"$name is a union/record — set its branches (setUnionField) instead")
+    checkNoOps(name)
     sets(name) = value; this
+  }
+
+  /** Set a union field to one branch: the chosen branch gets `value`, every
+    * sibling branch is explicitly nulled — the struct-of-optionals encoding
+    * of Avro "set union to branch X" (at most one branch non-null). */
+  def setUnionField(name: String, branch: String, value: Any): this.type = {
+    val st = field(name).dataType match {
+      case s: StructType => s
+      case _ => throw new IllegalArgumentException(s"$name is not a union")
+    }
+    require(st.fieldNames.contains(branch), s"$name has no branch $branch")
+    st.fields.foreach { sf =>
+      setField(s"$name.${sf.name}", if (sf.name == branch) value else null)
+    }
+    this
   }
 
   def setElementsToAddToListField(name: String, elems: Seq[Any]): this.type = {
@@ -57,23 +85,26 @@ class UpdateBuilder(valueSchema: StructType) {
     checkNotSet(name); mapRemoves(name) = keys; this
   }
 
-  /** Row in deriveUpdateSchema(valueSchema) field order. */
+  /** Row in deriveUpdateSchema(valueSchema) field order. Union/record
+    * fields nest recursively (an all-NoOp branch struct collapses to null —
+    * the nested-NoOp encoding applyField expects). */
   def buildRow(): Row = {
-    val updSchema = WriteCompute.deriveUpdateSchema(valueSchema)
-    val values = updSchema.fields.map { f =>
-      f.name match {
-        case WriteCompute.SetFieldsCol => sets.keys.toSeq
-        case n if n.endsWith("__setUnion") =>
-          listAdds.get(n.stripSuffix("__setUnion")).orNull
-        case n if n.endsWith("__setDiff") =>
-          listRemoves.get(n.stripSuffix("__setDiff")).orNull
-        case n if n.endsWith("__mapUnion") =>
-          mapPuts.get(n.stripSuffix("__mapUnion")).orNull
-        case n if n.endsWith("__mapDiff") =>
-          mapRemoves.get(n.stripSuffix("__mapDiff")).orNull
-        case n => sets.get(n).orNull
+    def cells(value: StructType, prefix: String): Seq[Any] =
+      value.fields.toSeq.flatMap { f =>
+        val path = prefix + f.name
+        f.dataType match {
+          case _: ArrayType => Seq(sets.get(path).orNull,
+            listAdds.get(path).orNull, listRemoves.get(path).orNull)
+          case _: MapType => Seq(sets.get(path).orNull,
+            mapPuts.get(path).orNull, mapRemoves.get(path).orNull)
+          case st: StructType =>
+            val inner = cells(st, path + ".")
+            val touched = sets.keys.exists(_.startsWith(path + "."))
+            Seq(if (!touched && inner.forall(_ == null)) null
+              else Row.fromSeq(inner.toIndexedSeq))
+          case _ => Seq(sets.get(path).orNull)
+        }
       }
-    }
-    Row.fromSeq(values.toIndexedSeq)
+    Row.fromSeq((cells(valueSchema, "") :+ sets.keys.toSeq).toIndexedSeq)
   }
 }

@@ -33,9 +33,10 @@ object WriteCompute {
   def mapUnionCol(f: String) = s"${f}__mapUnion"
   def mapDiffCol(f: String) = s"${f}__mapDiff"
 
-  /** W4: derive the update (write-compute) schema from a value schema. */
-  def deriveUpdateSchema(value: StructType): StructType = {
-    val fields = value.fields.flatMap { f =>
+  /** Update-schema fields for one value level (no SetFieldsCol — paths in
+    * the TOP-level set list address nested branches as "field.branch"). */
+  private def updateFields(value: StructType): Array[StructField] =
+    value.fields.flatMap { f =>
       f.dataType match {
         case at: ArrayType => Seq(
           StructField(f.name, at, nullable = true),
@@ -45,47 +46,72 @@ object WriteCompute {
           StructField(f.name, mt, nullable = true),
           StructField(mapUnionCol(f.name), mt, nullable = true),
           StructField(mapDiffCol(f.name), ArrayType(mt.keyType), nullable = true))
+        case st: StructType =>
+          // union-as-struct-of-optionals (SURVEY §1.2) / nested record:
+          // the update schema recurses, mirroring Venice's recursion into
+          // unions (WriteComputeHandlerV1.updateUnion/mergeUnion — which
+          // locates collection branches inside a union and applies
+          // collection semantics there rather than whole-field set)
+          Seq(StructField(f.name, StructType(updateFields(st)),
+            nullable = true))
         case dt => Seq(StructField(f.name, dt, nullable = true))
       }
     }
-    StructType(fields :+ StructField(SetFieldsCol, ArrayType(StringType)))
-  }
+
+  /** W4: derive the update (write-compute) schema from a value schema. */
+  def deriveUpdateSchema(value: StructType): StructType =
+    StructType(updateFields(value) :+
+      StructField(SetFieldsCol, ArrayType(StringType)))
 
   /** W3: apply one update struct onto an accumulator value struct.
     * `valueSchema` drives per-field semantics. */
   private def applyOne(acc: Column, u: Column,
       valueSchema: StructType): Column = {
-    val outFields: Seq[Column] = valueSchema.fields.map { f =>
-      val cur = acc.getField(f.name)
-      val explicitlySet =
-        array_contains(coalesce(u.getField(SetFieldsCol),
-          array().cast("array<string>")), f.name)
-      val base = when(explicitlySet, u.getField(f.name)).otherwise(cur)
-      val result = f.dataType match {
-        case at: ArrayType =>
-          val empty = array().cast(at)
-          val adds = u.getField(unionCol(f.name))
-          val removes = u.getField(diffCol(f.name))
-          when(base.isNull && adds.isNull && removes.isNull,
-            lit(null).cast(at))
-            .otherwise(array_except(
-              array_union(coalesce(base, empty), coalesce(adds, empty)),
-              coalesce(removes, empty)))
-        case mt: MapType =>
-          val emptyM = map().cast(mt)
-          val emptyK = array().cast(ArrayType(mt.keyType))
-          val adds = u.getField(mapUnionCol(f.name))
-          val removes = u.getField(mapDiffCol(f.name))
-          when(base.isNull && adds.isNull && removes.isNull,
-            lit(null).cast(mt))
-            .otherwise(map_filter(
-              map_concat(coalesce(base, emptyM), coalesce(adds, emptyM)),
-              (k, _) => !array_contains(coalesce(removes, emptyK), k)))
-        case _ => base
-      }
-      result.as(f.name)
+    val setFields = coalesce(u.getField(SetFieldsCol),
+      array().cast("array<string>"))
+    struct(valueSchema.fields.map(f =>
+      applyField(acc.getField(f.name), n => u.getField(n), f, f.name,
+        setFields).as(f.name)).toIndexedSeq: _*)
+  }
+
+  private def applyField(cur: Column, getU: String => Column, f: StructField,
+      path: String, setFields: Column): Column = {
+    val explicitlySet = array_contains(setFields, path)
+    f.dataType match {
+      case at: ArrayType =>
+        val base = when(explicitlySet, getU(f.name)).otherwise(cur)
+        val empty = array().cast(at)
+        val adds = getU(unionCol(f.name))
+        val removes = getU(diffCol(f.name))
+        when(base.isNull && adds.isNull && removes.isNull,
+          lit(null).cast(at))
+          .otherwise(array_except(
+            array_union(coalesce(base, empty), coalesce(adds, empty)),
+            coalesce(removes, empty)))
+      case mt: MapType =>
+        val base = when(explicitlySet, getU(f.name)).otherwise(cur)
+        val emptyM = map().cast(mt)
+        val emptyK = array().cast(ArrayType(mt.keyType))
+        val adds = getU(mapUnionCol(f.name))
+        val removes = getU(mapDiffCol(f.name))
+        when(base.isNull && adds.isNull && removes.isNull,
+          lit(null).cast(mt))
+          .otherwise(map_filter(
+            map_concat(coalesce(base, emptyM), coalesce(adds, emptyM)),
+            (k, _) => !array_contains(coalesce(removes, emptyK), k)))
+      case st: StructType =>
+        // recurse per branch; a whole-union set is expressed as setting
+        // every branch path (the at-most-one-non-null discipline lives in
+        // UpdateBuilder.setUnionField)
+        val sub = getU(f.name)
+        val touched = exists(setFields, p => p.startsWith(lit(path + ".")))
+        val applied = struct(st.fields.map(sf =>
+          applyField(cur.getField(sf.name), n => sub.getField(n), sf,
+            s"$path.${sf.name}", setFields).as(sf.name)).toIndexedSeq: _*)
+        when(cur.isNull && sub.isNull && !touched, lit(null).cast(st))
+          .otherwise(applied.cast(st))
+      case _ => when(explicitlySet, getU(f.name)).otherwise(cur)
     }
-    struct(outFields: _*)
   }
 
   /** W8 at scale: squash an update log to ONE update row per key.
@@ -193,62 +219,80 @@ object WriteCompute {
   def squashExpr(u1: Column, u2: Column, valueSchema: StructType): Column = {
     val set1 = coalesce(u1.getField(SetFieldsCol), array().cast("array<string>"))
     val set2 = coalesce(u2.getField(SetFieldsCol), array().cast("array<string>"))
-    val outFields = valueSchema.fields.flatMap { f =>
-      val in2 = array_contains(set2, f.name)
-      val in1 = array_contains(set1, f.name)
+    val outFields = squashFields(n => u1.getField(n), n => u2.getField(n),
+      valueSchema, "", set1, set2)
+    struct((outFields :+
+      array_union(set1, set2).as(SetFieldsCol)).toIndexedSeq: _*)
+  }
+
+  private def squashFields(g1: String => Column, g2: String => Column,
+      value: StructType, prefix: String, set1: Column,
+      set2: Column): Seq[Column] =
+    value.fields.toSeq.flatMap { f =>
+      val path = prefix + f.name
+      val in2 = array_contains(set2, path)
+      val in1 = array_contains(set1, path)
       f.dataType match {
         case at: ArrayType =>
           val empty = array().cast(at)
           // if u2 sets the field outright, u1's ops are dead; else if u1 set
           // it, fold u2's ops into the set value; else compose op lists
-          val setVal = when(in2, u2.getField(f.name))
+          val setVal = when(in2, g2(f.name))
             .when(in1, array_except(
-              array_union(coalesce(u1.getField(f.name), empty),
-                coalesce(u2.getField(unionCol(f.name)), empty)),
-              coalesce(u2.getField(diffCol(f.name)), empty)))
+              array_union(coalesce(g1(f.name), empty),
+                coalesce(g2(unionCol(f.name)), empty)),
+              coalesce(g2(diffCol(f.name)), empty)))
             .otherwise(lit(null).cast(at))
           val union = when(in2 || in1, lit(null).cast(at)).otherwise(
             array_except(
-              array_union(coalesce(u1.getField(unionCol(f.name)), empty),
-                coalesce(u2.getField(unionCol(f.name)), empty)),
-              coalesce(u2.getField(diffCol(f.name)), empty)))
+              array_union(coalesce(g1(unionCol(f.name)), empty),
+                coalesce(g2(unionCol(f.name)), empty)),
+              coalesce(g2(diffCol(f.name)), empty)))
           val diff = when(in2 || in1, lit(null).cast(at)).otherwise(
             array_union(
-              array_except(coalesce(u1.getField(diffCol(f.name)), empty),
-                coalesce(u2.getField(unionCol(f.name)), empty)),
-              coalesce(u2.getField(diffCol(f.name)), empty)))
+              array_except(coalesce(g1(diffCol(f.name)), empty),
+                coalesce(g2(unionCol(f.name)), empty)),
+              coalesce(g2(diffCol(f.name)), empty)))
           Seq(setVal.as(f.name), union.as(unionCol(f.name)),
             diff.as(diffCol(f.name)))
         case mt: MapType =>
           val emptyM = map().cast(mt)
           val emptyK = array().cast(ArrayType(mt.keyType))
-          val setVal = when(in2, u2.getField(f.name))
+          val setVal = when(in2, g2(f.name))
             .when(in1, map_filter(
-              map_concat(coalesce(u1.getField(f.name), emptyM),
-                coalesce(u2.getField(mapUnionCol(f.name)), emptyM)),
+              map_concat(coalesce(g1(f.name), emptyM),
+                coalesce(g2(mapUnionCol(f.name)), emptyM)),
               (k, _) => !array_contains(
-                coalesce(u2.getField(mapDiffCol(f.name)), emptyK), k)))
+                coalesce(g2(mapDiffCol(f.name)), emptyK), k)))
             .otherwise(lit(null).cast(mt))
           val union = when(in2 || in1, lit(null).cast(mt)).otherwise(
             map_filter(
-              map_concat(coalesce(u1.getField(mapUnionCol(f.name)), emptyM),
-                coalesce(u2.getField(mapUnionCol(f.name)), emptyM)),
+              map_concat(coalesce(g1(mapUnionCol(f.name)), emptyM),
+                coalesce(g2(mapUnionCol(f.name)), emptyM)),
               (k, _) => !array_contains(
-                coalesce(u2.getField(mapDiffCol(f.name)), emptyK), k)))
+                coalesce(g2(mapDiffCol(f.name)), emptyK), k)))
           val diff = when(in2 || in1, lit(null).cast(ArrayType(mt.keyType)))
             .otherwise(array_union(
-              array_except(coalesce(u1.getField(mapDiffCol(f.name)), emptyK),
-                map_keys(coalesce(u2.getField(mapUnionCol(f.name)), emptyM))),
-              coalesce(u2.getField(mapDiffCol(f.name)), emptyK)))
+              array_except(coalesce(g1(mapDiffCol(f.name)), emptyK),
+                map_keys(coalesce(g2(mapUnionCol(f.name)), emptyM))),
+              coalesce(g2(mapDiffCol(f.name)), emptyK)))
           Seq(setVal.as(f.name), union.as(mapUnionCol(f.name)),
             diff.as(mapDiffCol(f.name)))
+        case st: StructType =>
+          // union branch / nested record: compose per branch path; both
+          // sides NoOp (null, no set paths underneath) stays NoOp
+          val (s1c, s2c) = (g1(f.name), g2(f.name))
+          val updSt = StructType(updateFields(st))
+          val touched = exists(array_union(set1, set2),
+            p => p.startsWith(lit(path + ".")))
+          val merged = struct(squashFields(n => s1c.getField(n),
+            n => s2c.getField(n), st, path + ".", set1, set2): _*)
+          Seq(when(s1c.isNull && s2c.isNull && !touched,
+            lit(null).cast(updSt)).otherwise(merged.cast(updSt)).as(f.name))
         case dt =>
-          Seq(when(in2, u2.getField(f.name))
-            .when(in1, u1.getField(f.name))
+          Seq(when(in2, g2(f.name))
+            .when(in1, g1(f.name))
             .otherwise(lit(null).cast(dt)).as(f.name))
       }
     }
-    struct((outFields :+
-      array_union(set1, set2).as(SetFieldsCol)).toIndexedSeq: _*)
-  }
 }

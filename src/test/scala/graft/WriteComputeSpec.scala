@@ -134,4 +134,78 @@ class WriteComputeSpec extends AnyFunSuite {
       sqOut.getAs[Map[String, String]]("attrs"))
     assert(seqOut.getAs[Long]("score") == sqOut.getAs[Long]("score"))
   }
+
+  // union-as-struct-of-optionals (SURVEY §1.2): branches s | n | arr
+  val unionSchema = StructType(Seq(
+    StructField("name", StringType),
+    StructField("u", StructType(Seq(
+      StructField("s", StringType),
+      StructField("n", LongType),
+      StructField("arr", ArrayType(StringType)))))))
+  val unionKeyed = StructType(StructField("id", LongType) +: unionSchema.fields)
+
+  def unionSnapshot: DataFrame = spark.createDataFrame(Seq(
+    Row(1L, "alice", Row("hello", null, null)),
+    Row(2L, "bob", Row(null, 7L, null))).asJava, unionKeyed)
+
+  def unionUpdates(rows: Seq[(Long, Long, Row)]): DataFrame = {
+    val updSchema = WriteCompute.deriveUpdateSchema(unionSchema)
+    val full = StructType(StructField("id", LongType) +:
+      StructField(WriteCompute.TsCol, LongType) +: updSchema.fields)
+    spark.createDataFrame(
+      rows.map { case (id, ts, u) => Row.fromSeq(id +: ts +: u.toSeq) }.asJava,
+      full)
+  }
+
+  test("unions: branch switch nulls siblings; collection ops reach a branch") {
+    // switch key 1 from string branch to the list branch, then add elements
+    // in a later update (Venice recurses into unions for collection ops)
+    val u1 = new UpdateBuilder(unionSchema)
+      .setUnionField("u", "arr", Seq("a")).buildRow()
+    val u2 = new UpdateBuilder(unionSchema)
+      .setElementsToAddToListField("u.arr", Seq("b", "c"))
+      .setElementsToRemoveFromListField("u.arr", Seq("a")).buildRow()
+    // switch key 2 from the long branch to the string branch
+    val u3 = new UpdateBuilder(unionSchema)
+      .setUnionField("u", "s", "now-a-string").buildRow()
+    val out = WriteCompute.applyUpdates(unionSnapshot,
+      unionUpdates(Seq((1L, 100L, u1), (1L, 200L, u2), (2L, 100L, u3))),
+      Seq("id")).orderBy("id").collect()
+    val r1u = out(0).getAs[Row]("u")
+    assert(r1u.getAs[String]("s") == null && r1u.isNullAt(1))
+    assert(r1u.getAs[scala.collection.Seq[String]]("arr").toList == List("b", "c"))
+    val r2u = out(1).getAs[Row]("u")
+    assert(r2u.getAs[String]("s") == "now-a-string" && r2u.isNullAt(1))
+    // untouched union field on a NoOp update row stays intact (NoOp nesting)
+    val noop = new UpdateBuilder(unionSchema).setField("name", "x").buildRow()
+    val out2 = WriteCompute.applyUpdates(unionSnapshot,
+      unionUpdates(Seq((1L, 100L, noop))), Seq("id"))
+      .orderBy("id").collect()
+    assert(out2(0).getAs[Row]("u").getAs[String]("s") == "hello")
+  }
+
+  test("unions: squash ≡ sequential apply across a branch switch") {
+    val updSchema = WriteCompute.deriveUpdateSchema(unionSchema)
+    val u1 = new UpdateBuilder(unionSchema)
+      .setUnionField("u", "arr", Seq("a", "b")).buildRow()
+    val u2 = new UpdateBuilder(unionSchema)
+      .setElementsToAddToListField("u.arr", Seq("c"))
+      .setElementsToRemoveFromListField("u.arr", Seq("a"))
+      .setField("name", "squashed").buildRow()
+    val seqOut = WriteCompute.applyUpdates(unionSnapshot,
+      unionUpdates(Seq((1L, 100L, u1), (1L, 200L, u2))), Seq("id"))
+      .filter(col("id") === 1L).head()
+    val sqRow = unionUpdates(Seq((1L, 100L, u1)))
+      .select(struct(updSchema.fieldNames.map(col): _*).as("u1"))
+      .crossJoin(unionUpdates(Seq((1L, 200L, u2)))
+        .select(struct(updSchema.fieldNames.map(col): _*).as("u2")))
+      .select(WriteCompute.squashExpr(col("u1"), col("u2"), unionSchema).as("sq"))
+      .select(updSchema.fieldNames.map(n => col("sq").getField(n).as(n)): _*)
+      .head()
+    val sqOut = WriteCompute.applyUpdates(unionSnapshot,
+      unionUpdates(Seq((1L, 150L, sqRow))), Seq("id"))
+      .filter(col("id") === 1L).head()
+    assert(seqOut.getAs[Row]("u") == sqOut.getAs[Row]("u"))
+    assert(seqOut.getAs[String]("name") == sqOut.getAs[String]("name"))
+  }
 }
