@@ -61,80 +61,103 @@ object CrdtMerge {
     StructField("key", StringType), StructField("ts", LongType),
     StructField("value", StringType)))
 
+  /** Array-field lattice merge over a BAG of add/remove entries (any number
+    * of states' entries concatenated) — the single source of truth for
+    * element-level semantics, shared by the pairwise [[joinStates]] and the
+    * batch [[partialStates]] fold. Equivalent to pairwise folding because
+    * per-element max-ts is associative and the liveness/GC filters are
+    * monotone in topTs (an entry dropped early could never survive the
+    * final filter). */
+  private def mergedArray(f: StructField, topTs: Column, actRaw: Column,
+      delRaw: Column): Seq[Column] = {
+    val actEntries = array_sort(actRaw)
+    val delEntries = array_sort(delRaw)
+    // LAST_WIN after (elem, ts) sort ⇒ max ts per element
+    val actMap = map_from_entries(
+      transform(actEntries, e =>
+        struct(e.getField("elem").as("key"), e.getField("ts").as("value"))))
+    val delMap = map_from_entries(
+      transform(delEntries, e =>
+        struct(e.getField("elem").as("key"), e.getField("ts").as("value"))))
+    val live = filter(map_entries(actMap), e =>
+      e.getField("value") >= topTs &&
+        e.getField("value") > coalesce(
+          element_at(delMap, e.getField("key")), lit(Long.MinValue)))
+    val keptTombs = filter(map_entries(delMap), e =>
+      e.getField("value") >= topTs)
+    val toElemTs = (c: Column) => transform(c, e =>
+      struct(e.getField("key").as("elem"), e.getField("value").as("ts")))
+    Seq(
+      transform(array_sort(live), e => e.getField("key"))
+        .cast(f.dataType).as(f.name),
+      struct(topTs.as("topTs"),
+        toElemTs(array_sort(live)).as("active"),
+        toElemTs(array_sort(keptTombs)).as("deleted"))
+        .as(s"${f.name}__rmd"))
+  }
+
+  /** Map-field twin of [[mergedArray]] (per-entry LWW with value-string
+    * tie-break). */
+  private def mergedMap(f: StructField, mt: MapType, topTs: Column,
+      actRaw: Column, delRaw: Column): Seq[Column] = {
+    val actEntries = array_sort(actRaw)
+    val delEntries = array_sort(delRaw)
+    // entries sorted by (key, ts, value) + LAST_WIN ⇒ per key the
+    // max-(ts, value-string) entry survives (LWW, deterministic ties)
+    val actMap = map_from_entries(
+      transform(actEntries, e => struct(e.getField("key").as("key"),
+        struct(e.getField("ts").as("ts"), e.getField("value").as("value"))
+          .as("value"))))
+    val delMap = map_from_entries(
+      transform(delEntries, e =>
+        struct(e.getField("elem").as("key"), e.getField("ts").as("value"))))
+    val live = filter(map_entries(actMap), e =>
+      e.getField("value").getField("ts") >= topTs &&
+        e.getField("value").getField("ts") > coalesce(
+          element_at(delMap, e.getField("key")), lit(Long.MinValue)))
+    val keptTombs = filter(map_entries(delMap), e =>
+      e.getField("value") >= topTs)
+    val liveSorted = array_sort(live)
+    Seq(
+      map_from_entries(transform(liveSorted, e =>
+        struct(e.getField("key").cast(mt.keyType).as("key"),
+          e.getField("value").getField("value").cast(mt.valueType)
+            .as("value")))).as(f.name),
+      struct(topTs.as("topTs"),
+        transform(liveSorted, e =>
+          struct(e.getField("key").as("key"),
+            e.getField("value").getField("ts").as("ts"),
+            e.getField("value").getField("value").as("value"))).as("active"),
+        transform(array_sort(keptTombs), e =>
+          struct(e.getField("key").as("elem"),
+            e.getField("value").as("ts"))).as("deleted"))
+        .as(s"${f.name}__rmd"))
+  }
+
   /** Join two per-key states (value+rmd structs side by side). */
   def joinStates(a: Column, b: Column, value: StructType): Column = {
     val outFields: Seq[Column] = value.fields.flatMap { f =>
       f.dataType match {
         case _: ArrayType =>
           val (ra, rb) = (a.getField(s"${f.name}__rmd"), b.getField(s"${f.name}__rmd"))
-          val topTs = greatest(ra.getField("topTs"), rb.getField("topTs"))
-          val actEntries = array_sort(concat(
-            coalesce(ra.getField("active"), array().cast(ArrayType(elemTs))),
-            coalesce(rb.getField("active"), array().cast(ArrayType(elemTs)))))
-          val delEntries = array_sort(concat(
-            coalesce(ra.getField("deleted"), array().cast(ArrayType(elemTs))),
-            coalesce(rb.getField("deleted"), array().cast(ArrayType(elemTs)))))
-          // LAST_WIN after (elem, ts) sort ⇒ max ts per element
-          val actMap = map_from_entries(
-            transform(actEntries, e =>
-              struct(e.getField("elem").as("key"), e.getField("ts").as("value"))))
-          val delMap = map_from_entries(
-            transform(delEntries, e =>
-              struct(e.getField("elem").as("key"), e.getField("ts").as("value"))))
-          val live = filter(map_entries(actMap), e =>
-            e.getField("value") >= topTs &&
-              e.getField("value") > coalesce(
-                element_at(delMap, e.getField("key")), lit(Long.MinValue)))
-          val keptTombs = filter(map_entries(delMap), e =>
-            e.getField("value") >= topTs)
-          val toElemTs = (c: Column) => transform(c, e =>
-            struct(e.getField("key").as("elem"), e.getField("value").as("ts")))
-          Seq(
-            transform(array_sort(live), e => e.getField("key"))
-              .cast(f.dataType).as(f.name),
-            struct(topTs.as("topTs"),
-              toElemTs(array_sort(live)).as("active"),
-              toElemTs(array_sort(keptTombs)).as("deleted"))
-              .as(s"${f.name}__rmd"))
+          mergedArray(f,
+            greatest(ra.getField("topTs"), rb.getField("topTs")),
+            concat(
+              coalesce(ra.getField("active"), array().cast(ArrayType(elemTs))),
+              coalesce(rb.getField("active"), array().cast(ArrayType(elemTs)))),
+            concat(
+              coalesce(ra.getField("deleted"), array().cast(ArrayType(elemTs))),
+              coalesce(rb.getField("deleted"), array().cast(ArrayType(elemTs)))))
         case mt: MapType =>
           val (ra, rb) = (a.getField(s"${f.name}__rmd"), b.getField(s"${f.name}__rmd"))
-          val topTs = greatest(ra.getField("topTs"), rb.getField("topTs"))
-          val actEntries = array_sort(concat(
-            coalesce(ra.getField("active"), array().cast(ArrayType(entryTs))),
-            coalesce(rb.getField("active"), array().cast(ArrayType(entryTs)))))
-          val delEntries = array_sort(concat(
-            coalesce(ra.getField("deleted"), array().cast(ArrayType(elemTs))),
-            coalesce(rb.getField("deleted"), array().cast(ArrayType(elemTs)))))
-          // entries sorted by (key, ts, value) + LAST_WIN ⇒ per key the
-          // max-(ts, value-string) entry survives (LWW, deterministic ties)
-          val actMap = map_from_entries(
-            transform(actEntries, e => struct(e.getField("key").as("key"),
-              struct(e.getField("ts").as("ts"), e.getField("value").as("value"))
-                .as("value"))))
-          val delMap = map_from_entries(
-            transform(delEntries, e =>
-              struct(e.getField("elem").as("key"), e.getField("ts").as("value"))))
-          val live = filter(map_entries(actMap), e =>
-            e.getField("value").getField("ts") >= topTs &&
-              e.getField("value").getField("ts") > coalesce(
-                element_at(delMap, e.getField("key")), lit(Long.MinValue)))
-          val keptTombs = filter(map_entries(delMap), e =>
-            e.getField("value") >= topTs)
-          val liveSorted = array_sort(live)
-          Seq(
-            map_from_entries(transform(liveSorted, e =>
-              struct(e.getField("key").cast(mt.keyType).as("key"),
-                e.getField("value").getField("value").cast(mt.valueType)
-                  .as("value")))).as(f.name),
-            struct(topTs.as("topTs"),
-              transform(liveSorted, e =>
-                struct(e.getField("key").as("key"),
-                  e.getField("value").getField("ts").as("ts"),
-                  e.getField("value").getField("value").as("value"))).as("active"),
-              transform(array_sort(keptTombs), e =>
-                struct(e.getField("key").as("elem"),
-                  e.getField("value").as("ts"))).as("deleted"))
-              .as(s"${f.name}__rmd"))
+          mergedMap(f, mt,
+            greatest(ra.getField("topTs"), rb.getField("topTs")),
+            concat(
+              coalesce(ra.getField("active"), array().cast(ArrayType(entryTs))),
+              coalesce(rb.getField("active"), array().cast(ArrayType(entryTs)))),
+            concat(
+              coalesce(ra.getField("deleted"), array().cast(ArrayType(elemTs))),
+              coalesce(rb.getField("deleted"), array().cast(ArrayType(elemTs)))))
         case _ =>
           // null-safe ts: a null timestamp (e.g. outer-join-produced state)
           // coalesces to MinValue so bWins stays boolean and the join stays
@@ -321,23 +344,67 @@ object CrdtMerge {
     * value lets a repushed version keep resolving against late
     * out-of-order events (Venice stores RMD next to the value for exactly
     * this reason). */
+  /** Phase-1 batch fold: one partial state per (key, input-partition slice)
+    * computed with NATIVE aggregates — codegen'd `max(struct(ts, value))`
+    * per scalar (the LWW tie-break IS lexicographic struct ordering:
+    * null-first matches "null loses", string compare matches the
+    * value-string tie-break), `max(topTs)` + flattened entry bags per
+    * collection, with the element-level merge expression applied ONCE per
+    * group. Replaces an interpreted `aggregate()` lambda that evaluated the
+    * full two-sided lattice join per event (~20× the work for op-shaped
+    * states that are bottom in every field but one). */
+  private def foldStates(events: DataFrame, groupCols: Seq[String],
+      value: StructType): DataFrame = {
+    val st = col("state")
+    val aggs: Seq[Column] = value.fields.toSeq.flatMap { f =>
+      f.dataType match {
+        case _: ArrayType | _: MapType => Seq(
+          max(st.getField(s"${f.name}__rmd").getField("topTs"))
+            .as(s"__top_${f.name}"),
+          flatten(collect_list(st.getField(s"${f.name}__rmd").getField("active")))
+            .as(s"__act_${f.name}"),
+          flatten(collect_list(st.getField(s"${f.name}__rmd").getField("deleted")))
+            .as(s"__del_${f.name}"))
+        case _ => Seq(
+          max(struct(
+            coalesce(st.getField(s"${f.name}__ts"), lit(Long.MinValue)).as("ts"),
+            st.getField(f.name).cast("string").as("vs"),
+            st.getField(f.name).as("v"))).as(s"__m_${f.name}"))
+      }
+    }
+    val grouped = events
+      .groupBy(groupCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+    val stateFields: Seq[Column] = value.fields.toSeq.flatMap { f =>
+      f.dataType match {
+        case _: ArrayType =>
+          mergedArray(f, col(s"__top_${f.name}"),
+            col(s"__act_${f.name}"), col(s"__del_${f.name}"))
+        case mt: MapType =>
+          mergedMap(f, mt, col(s"__top_${f.name}"),
+            col(s"__act_${f.name}"), col(s"__del_${f.name}"))
+        case _ => Seq(
+          col(s"__m_${f.name}").getField("v").as(f.name),
+          col(s"__m_${f.name}").getField("ts").as(s"${f.name}__ts"))
+      }
+    }
+    grouped.select(groupCols.map(col) :+ struct(stateFields: _*).as("state"): _*)
+  }
+
   def mergeEvents(events: DataFrame, keys: Seq[String],
       value: StructType, keepRmd: Boolean = false): DataFrame = {
     val keyCols = keys.map(col)
     val outNames =
       if (keepRmd) (value.fieldNames ++ rmdSchema(value).fieldNames).toSeq
       else value.fieldNames.toSeq
-    def fold(df: DataFrame, groupCols: Seq[Column]): DataFrame = df
-      .groupBy(groupCols: _*)
-      .agg(collect_list(col("state")).as("__states"))
-      .withColumn("state",
-        aggregate(col("__states"), bottomState(value),
-          (acc, s) => joinStates(acc, s, value)))
-      .drop("__states")
-    val partial = fold(
+    // phase 1 bounds per-task memory to the input slice; phase 2 merges the
+    // ≤ numPartitions partials per key — both through the same native
+    // bag-merge ([[foldStates]]); [[joinStates]] remains the pairwise
+    // reference semantics (property-tested equivalent)
+    val partial = foldStates(
       events.withColumn("__slice", spark_partition_id()),
-      keyCols :+ col("__slice")).drop("__slice")
-    fold(partial, keyCols)
+      keys :+ "__slice", value).drop("__slice")
+    foldStates(partial, keys, value)
       .select(keyCols ++ outNames.map(n =>
         col("state").getField(n).as(n)): _*)
   }
