@@ -75,6 +75,13 @@ class GraftEngine(val spark: SparkSession, val root: String) {
     * agree or widen) — the compat check Venice's controller runs. */
   def registerValueSchema(name: String,
       schema: org.apache.spark.sql.types.StructType): Int = {
+    // A/A stores persist RMD siblings per field through repush; evolving
+    // the value schema would leave new fields without RMD and silently
+    // degrade conflict resolution to ts-0 puts — refuse rather than corrupt
+    // (evolve A/A stores by repushing into a fresh store for now)
+    require(!isActiveActive(name) || registeredSchemaIds(name).isEmpty,
+      s"store $name is active-active — value-schema evolution on A/A " +
+        "stores is not supported")
     val d = Paths.get(dir(name, "schemas"))
     Files.createDirectories(d)
     supersetSchemaOpt(name).foreach(s => SchemaEvolution.superset(s, schema))

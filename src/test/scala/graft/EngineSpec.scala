@@ -401,5 +401,14 @@ class EngineSpec extends AnyFunSuite {
       updSchema), 4000L)
     val r3 = engine.get("sev", Seq(3L)).get
     assert(r3.getAs[String]("name") == "upd" && r3.getAs[Long]("score") == 30L)
+    // A/A stores refuse value-schema EVOLUTION (new fields would lack RMD
+    // siblings and silently degrade conflict resolution)
+    engine.createStore("sevaa", Seq("k"))
+    engine.push("sevaa", Seq((1L, "a")).toDF("k", "name"))
+    engine.enableActiveActive("sevaa")
+    intercept[IllegalArgumentException] {
+      engine.registerValueSchema("sevaa", StructType(
+        engine.valueSchema("sevaa", 1).fields :+ StructField("x", LongType)))
+    }
   }
 }
