@@ -1,6 +1,6 @@
 package graft.core
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -61,14 +61,41 @@ object SchemaEvolution {
     case _ => x == y
   }
 
+  /** Conform one column from its current type to the target type.
+    * Recursive where a plain cast is illegal or lossy: a struct gains
+    * fields as typed nulls (Spark refuses struct casts that change field
+    * count), arrays/maps conform element-wise. */
+  def conformCol(c: Column, from: DataType, to: DataType): Column =
+    (from, to) match {
+      case (f, t) if sameType(f, t) => c
+      case (fs: StructType, ts: StructType) =>
+        val have = fs.fieldNames.toSet
+        when(c.isNull, lit(null).cast(ts)).otherwise(struct(ts.fields.map {
+          tf =>
+            (if (have(tf.name))
+              conformCol(c.getField(tf.name), fs(tf.name).dataType, tf.dataType)
+            else lit(null).cast(tf.dataType)).as(tf.name)
+        }.toIndexedSeq: _*).cast(ts))
+      case (ArrayType(fe, _), ArrayType(te, _)) =>
+        transform(c, e => conformCol(e, fe, te)).cast(to)
+      case (MapType(_, fv, _), MapType(_, tv, _)) =>
+        map_from_entries(transform(map_entries(c), e =>
+          struct(e.getField("key").as("key"),
+            conformCol(e.getField("value"), fv, tv).as("value")))).cast(to)
+      case _ => c.cast(to)
+    }
+
   /** Project a frame (written under an older schema) to the superset:
-    * missing fields become typed nulls, widened numerics cast. */
+    * missing fields become typed nulls, widened numerics cast, nested
+    * structs conform field-wise (a field ADDED inside a struct reads as a
+    * typed null on old rows — a plain cast would be rejected). */
   def conform(df: DataFrame, target: StructType): DataFrame = {
     val have = df.columns.toSet
     target.fields.foldLeft(df) { (d, f) =>
       if (!have(f.name)) d.withColumn(f.name, lit(null).cast(f.dataType))
       else if (!sameType(d.schema(f.name).dataType, f.dataType))
-        d.withColumn(f.name, col(f.name).cast(f.dataType))
+        d.withColumn(f.name,
+          conformCol(col(f.name), d.schema(f.name).dataType, f.dataType))
       else d
     }.select(target.fieldNames.map(col): _*)
   }

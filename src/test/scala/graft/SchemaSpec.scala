@@ -85,6 +85,31 @@ class SchemaSpec extends AnyFunSuite {
     assert(out.head.isNullAt(2))
   }
 
+  test("conform recurses: a field added INSIDE a struct reads as null") {
+    import org.apache.spark.sql.Row
+    import scala.jdk.CollectionConverters._
+    val oldSchema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("meta", StructType(Seq(StructField("a", IntegerType)))),
+      StructField("tags", ArrayType(
+        StructType(Seq(StructField("t", StringType)))))))
+    val target = StructType(Seq(
+      StructField("id", LongType),
+      StructField("meta", StructType(Seq(
+        StructField("a", LongType), StructField("b", StringType)))),
+      StructField("tags", ArrayType(StructType(Seq(
+        StructField("t", StringType), StructField("w", DoubleType)))))))
+    val old = spark.createDataFrame(
+      Seq(Row(1L, Row(7), Seq(Row("x"))), Row(2L, null, null)).asJava,
+      oldSchema)
+    val out = SchemaEvolution.conform(old, target).orderBy("id").collect()
+    val m = out(0).getStruct(1)
+    assert(m.getLong(0) == 7L && m.isNullAt(1)) // widened + added-null
+    val tag = out(0).getSeq[Row](2).head
+    assert(tag.getString(0) == "x" && tag.isNullAt(1))
+    assert(out(1).isNullAt(1) && out(1).isNullAt(2)) // null structs stay null
+  }
+
   test("salted aggregation matches direct aggregation") {
     val ev = Tables.events(spark, sf)
     val direct = ev.groupBy("event_type")
