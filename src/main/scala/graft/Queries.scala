@@ -1125,18 +1125,11 @@ object Queries {
             min(doc_id) AS keep_id, count(*) AS copies
             FROM documents GROUP BY 1 ORDER BY fingerprint"""))
 
-  /** MinHash (k=8) + LSH (4 bands × 2 rows) candidates, verified with exact
-    * 3-gram Jaccard ≥ 0.5. Candidate generation is an equi-join on band
-    * keys — the 100 TB-safe shape. */
-  val dedupMinhash = QueryDef(
-    "dedup_minhash_lsh",
-    (s, dir) => {
-      val sh = graft.operators.Dedup.shingleSets(t(s, dir, "documents"), "doc_id", "text", 3)
-      val cand = graft.operators.Dedup.minhashCandidates(sh, k = 8, bands = 4)
-      graft.operators.Dedup.jaccardVerify(cand, sh, 0.5)
-        .orderBy(col("id_a"), col("id_b"))
-    },
-    Some(s"""WITH sh AS (
+  /** The full MinHash→LSH→Jaccard-verify pair pipeline as one (unordered)
+    * DuckDB query — shared by the dedup_minhash_lsh oracle and, as a
+    * subquery edge list, by the dedup_clusters oracle. */
+  private val minhashPairsSql: String =
+    s"""WITH sh AS (
                SELECT doc_id AS id, ${shinglesSql("t")} AS shingles
                FROM (SELECT doc_id, $tokensSql AS t FROM documents)),
              sh2 AS (SELECT id, shingles FROM sh WHERE len(shingles) > 0),
@@ -1168,9 +1161,53 @@ object Queries {
                          JOIN sh2 b ON b.id = cand.id_b)
              SELECT id_a, id_b,
                round(inter::DOUBLE / (na + nb - inter), 6) AS jaccard
-             FROM j WHERE inter::DOUBLE / (na + nb - inter) >= 0.5
-             ORDER BY id_a, id_b"""),
+             FROM j WHERE inter::DOUBLE / (na + nb - inter) >= 0.5"""
+
+  /** MinHash (k=8) + LSH (4 bands × 2 rows) candidates, verified with exact
+    * 3-gram Jaccard ≥ 0.5. Candidate generation is an equi-join on band
+    * keys — the 100 TB-safe shape. */
+  val dedupMinhash = QueryDef(
+    "dedup_minhash_lsh",
+    (s, dir) => {
+      val sh = graft.operators.Dedup.shingleSets(t(s, dir, "documents"), "doc_id", "text", 3)
+      val cand = graft.operators.Dedup.minhashCandidates(sh, k = 8, bands = 4)
+      graft.operators.Dedup.jaccardVerify(cand, sh, 0.5)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some(s"$minhashPairsSql ORDER BY id_a, id_b"),
     headline = true)
+
+  /** Duplicate clusters: connected components over the verified MinHash
+    * near-dup pairs (min-label propagation + pointer jumping engine-side;
+    * the oracle replays component discovery with a recursive CTE — the
+    * component min propagates along every path, so min(label) per node is
+    * exactly the component id). */
+  val dedupClusters = QueryDef(
+    "dedup_clusters",
+    (s, dir) => {
+      val sh = graft.operators.Dedup.shingleSets(t(s, dir, "documents"), "doc_id", "text", 3)
+      val cand = graft.operators.Dedup.minhashCandidates(sh, k = 8, bands = 4)
+      val pairs = graft.operators.Dedup.jaccardVerify(cand, sh, 0.5)
+      graft.operators.Dedup.clusters(pairs)
+        .select(col("id").as("doc_id"), col("cluster_id"),
+          count(lit(1)).over(Window.partitionBy(col("cluster_id")))
+            .as("cluster_size"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH RECURSIVE pairs AS (
+               SELECT id_a, id_b FROM ($minhashPairsSql)),
+             und AS (SELECT id_a AS a, id_b AS b FROM pairs
+               UNION SELECT id_b, id_a FROM pairs),
+             cc AS (
+               SELECT DISTINCT a AS node, a AS lbl FROM und
+               UNION
+               SELECT u.b AS node, cc.lbl FROM cc JOIN und u ON u.a = cc.node
+               WHERE cc.lbl < u.b),
+             lab AS (SELECT node AS doc_id, min(lbl) AS cluster_id
+               FROM cc GROUP BY node)
+             SELECT doc_id, cluster_id,
+               count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+             FROM lab ORDER BY doc_id"""))
 
   /** SimHash near-dups: 16-bit signature, 2×8-bit bands, Hamming ≤ 1. */
   val dedupSimhash = QueryDef(
@@ -1467,15 +1504,33 @@ object Queries {
             ORDER BY user_id, event_id"""))
 
   /** W12 HLL cardinality sketch: approx_count_distinct at Venice's ~1.15%
-    * rsd (lgK=13 analog). No DuckDB oracle (different sketch impl) —
-    * rows-only check; accuracy asserted in PipelineSpec. */
+    * rsd (lgK=13 analog). DuckDB's HLL differs bit-for-bit, so the sketch
+    * value itself can't be hash-compared — instead the query surfaces the
+    * EXACT distinct count (both engines agree) plus a Spark-side
+    * `approx_within_bound` flag asserting the sketch landed within 5× rsd
+    * of exact; the oracle expects literal `true`. The row hash-matches iff
+    * the exact counts match AND the sketch was in bound — a real
+    * cross-engine accuracy check, not rows-only. Tight 1-rsd behavior is
+    * additionally asserted in PipelineSpec. */
   val w12Hll = QueryDef(
     "w12_hll_distinct",
     (s, dir) => Tables.events(s, dir)
+      // HLL is duplicate-insensitive, so exact and approx both come off the
+      // deduped (type, user) pairs — one distinct-shuffle, no Expand (the
+      // mixed countDistinct+approx_count_distinct aggregate doubles the
+      // input through an Expand node; this shape measured 2× faster)
+      .select(col("event_type"), col("user_id")).distinct()
       .groupBy(col("event_type"))
-      .agg(approx_count_distinct(col("user_id"), 0.0115).as("approx_users"))
+      .agg(
+        count(lit(1)).as("exact_users"),
+        approx_count_distinct(col("user_id"), 0.0115).as("approx"))
+      .select(col("event_type"), col("exact_users"),
+        (abs(col("approx") - col("exact_users")).cast("double") <=
+          lit(5 * 0.0115) * col("exact_users")).as("approx_within_bound"))
       .orderBy(col("event_type")),
-    None)
+    Some("""SELECT event_type, count(DISTINCT user_id) AS exact_users,
+            true AS approx_within_bound
+            FROM events GROUP BY event_type ORDER BY event_type"""))
 
   /** Multimodal decode pipeline: documents as binary payloads → typed
     * mapPartitions batch decode (STUB codec, md5-derived fake dims) →
@@ -1542,6 +1597,93 @@ object Queries {
             len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS bpe_tokens
             FROM documents ORDER BY doc_id"""))
 
+  /** S7 read-quota token bucket, replayed as a batch audit over the event
+    * log: per-user bucket of 5 tokens, 1 token per minute refill, cost 1
+    * per event. Integer scaled-unit math (1 unit = 1/60000 token) keeps
+    * the replay bit-exact; the oracle walks each user's event sequence
+    * with a recursive CTE. Engine shape: one shuffle + in-order partition
+    * pass, O(1) state per task. */
+  val s7TokenBucket = QueryDef(
+    "s7_token_bucket",
+    (s, dir) => graft.operators.TokenBucket.simulate(
+        Tables.events(s, dir), col("user_id"), unix_millis(col("ts")),
+        col("event_id"), capacityTokens = 5, refillIntervalMs = 60000L)
+      .select(col("id").as("event_id"), col("key").as("user_id"),
+        col("allowed"), col("tokens_after"))
+      .orderBy(col("event_id")),
+    Some("""WITH RECURSIVE e AS (
+              SELECT user_id::BIGINT AS user_id, epoch_ms(ts) AS ts,
+                event_id::BIGINT AS event_id,
+                row_number() OVER (PARTITION BY user_id
+                  ORDER BY epoch_ms(ts), event_id) AS rn
+              FROM events),
+            sim AS (
+              SELECT user_id, rn, ts, event_id, true AS allowed,
+                (5 * 60000 - 60000)::BIGINT AS tokens
+              FROM e WHERE rn = 1
+              UNION ALL
+              SELECT e.user_id, e.rn, e.ts, e.event_id,
+                least(5 * 60000, s.tokens + (e.ts - s.ts)) >= 60000 AS allowed,
+                (CASE WHEN least(5 * 60000, s.tokens + (e.ts - s.ts)) >= 60000
+                  THEN least(5 * 60000, s.tokens + (e.ts - s.ts)) - 60000
+                  ELSE least(5 * 60000, s.tokens + (e.ts - s.ts))
+                  END)::BIGINT AS tokens
+              FROM sim s JOIN e ON e.user_id = s.user_id AND e.rn = s.rn + 1)
+            SELECT event_id, user_id, allowed, tokens AS tokens_after
+            FROM sim ORDER BY event_id"""))
+
+  /** PII scrubbing over the corpus: URLs/emails/phones → placeholders with
+    * per-kind counts. The input plants one of each PII kind per doc (the
+    * raw corpus has none), so the redaction paths are actually exercised;
+    * output carries md5(redacted) to keep rows compact. */
+  val textPiiRedact = QueryDef(
+    "text_pii_redact",
+    (s, dir) => {
+      val aug = concat(col("text"),
+        lit(" reach user"), col("doc_id"), lit("@example.com or"),
+        lit(" https://docs.example.com/d/"), col("doc_id"),
+        lit(" tel +1 555 0100 42"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextOps.redactPii(aug).as("p"))
+        .select(col("doc_id"),
+          md5(col("p.redacted")).as("redacted_hash"),
+          col("p.n_urls"), col("p.n_emails"), col("p.n_phones"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH aug AS (SELECT doc_id,
+               text || ' reach user' || doc_id || '@example.com or' ||
+               ' https://docs.example.com/d/' || doc_id ||
+               ' tel +1 555 0100 42' AS t
+               FROM documents),
+             st AS (SELECT doc_id, t,
+               regexp_replace(t, '${TextOps.urlRe}', '<URL>', 'g') AS r1
+               FROM aug),
+             st2 AS (SELECT doc_id, t, r1,
+               regexp_replace(r1, '${TextOps.emailRe}', '<EMAIL>', 'g') AS r2
+               FROM st)
+             SELECT doc_id,
+               md5(regexp_replace(r2, '${TextOps.phoneRe}', '<PHONE>', 'g')) AS redacted_hash,
+               len(regexp_extract_all(t, '${TextOps.urlRe}')) AS n_urls,
+               len(regexp_extract_all(r1, '${TextOps.emailRe}')) AS n_emails,
+               len(regexp_extract_all(r2, '${TextOps.phoneRe}')) AS n_phones
+             FROM st2 ORDER BY doc_id"""))
+
+  /** Deterministic train/val/test split (80/10/10) keyed on md5(doc_id) —
+    * reproducible across engines, row orders and partitionings. */
+  val splitAssignQ = QueryDef(
+    "split_assign",
+    (s, dir) => t(s, dir, "documents")
+      .select(col("doc_id"),
+        TextOps.splitBucket(col("doc_id")).as("bucket"),
+        TextOps.splitAssign(col("doc_id")).as("split"))
+      .orderBy(col("doc_id")),
+    Some("""SELECT doc_id,
+              ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::INT % 100 AS bucket,
+              CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::INT % 100 < 80 THEN 'train'
+                   WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::INT % 100 < 90 THEN 'val'
+                   ELSE 'test' END AS split
+            FROM documents ORDER BY doc_id"""))
+
   // ---------------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------------
@@ -1556,9 +1698,10 @@ object Queries {
     r12Meta, r13SchemaEvolution, b13IncrementalView, w1PutDelete,
     w2UpdateBuilder, w4UpdateSchema, w9Chunk, b6Wire,
     b1Avro, w10Compression, b10Metrics, b11Incremental, b12Etl,
-    s1Ingest, s2Rewind, s4Changelog, s6SqlView,
+    s1Ingest, s2Rewind, s4Changelog, s6SqlView, s7TokenBucket,
     dedupExact, dedupMinhash, dedupSimhash, dedupNgram, dedupEmbedding,
-    annTopk, annLsh, annIvf, textStats, textTokenCounts, mmDecode, mmFrames)
+    dedupClusters, annTopk, annLsh, annIvf, textStats, textTokenCounts,
+    mmDecode, mmFrames, textPiiRedact, splitAssignQ)
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }

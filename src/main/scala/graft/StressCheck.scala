@@ -177,6 +177,41 @@ object StressCheck {
       graft.operators.Dedup.jaccardVerify(cand, sh, 0.5).count()
     }
     spark.catalog.clearCache()
+
+    // Connected components over 1M edges whose worst component is a
+    // 100k-node CHAIN (diameter 100k — the adversarial case for label
+    // propagation; pointer jumping must close it in ~log rounds) plus 450k
+    // small components. Output checked, not just timed.
+    timed("dup-clusters 1M edges") {
+      val chain = spark.range(100000 - 1)
+        .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
+      val smalls = spark.range(450000).select(
+        (col("id") * 2 + 1000000L).as("id_a"),
+        (col("id") * 2 + 1000001L).as("id_b"))
+      val extra = spark.range(450000).select(
+        (col("id") * 2 + 1000000L).as("id_a"),
+        (col("id") * 2 + 1000000L).as("id_b")) // self-loops: must be inert
+      val labels = graft.operators.Dedup.clusters(
+        chain.union(smalls).union(extra)).persist()
+      val chainOk = labels.filter(col("id") < 100000L)
+        .filter(col("cluster_id") =!= 0L).count()
+      val nComp = labels.select(countDistinct(col("cluster_id"))).head().getLong(0)
+      labels.unpersist()
+      require(chainOk == 0, s"chain mislabeled: $chainOk nodes")
+      require(nComp == 450001L, s"expected 450001 components, got $nComp")
+      nComp
+    }
+    spark.catalog.clearCache()
+
+    // Token-bucket admission replay over the 12M-row event log: one
+    // shuffle + one ordered pass per partition, O(1) task state.
+    timed("token-bucket replay 12M") {
+      graft.operators.TokenBucket.simulate(base, col("user_id"),
+        unix_millis(col("ts")), col("event_id"),
+        capacityTokens = 5, refillIntervalMs = 60000L)
+        .filter(!col("allowed")).count()
+    }
+    spark.catalog.clearCache()
     spark.stop()
   }
 }

@@ -143,4 +143,49 @@ object TextOps {
     * whitespace collapsed to single spaces, trimmed) — the exact-dedup key. */
   def fingerprint(text: Column): Column =
     md5(trim(regexp_replace(lower(text), "\\s+", " ")))
+
+  // ---- PII scrubbing ---------------------------------------------------------
+
+  /** Patterns chosen to be valid in BOTH Java regex (Spark) and RE2
+    * (DuckDB): no lookaround, no backreferences. URLs are replaced before
+    * emails (an email never contains '://', but a URL's \S+ would swallow a
+    * trailing email), phones last (placeholders contain no digits, so the
+    * phone pass can't match across an earlier replacement). */
+  val urlRe = "https?://\\S+"
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phoneRe = "\\+?[0-9][0-9()\\- ]{6,}[0-9]"
+
+  /** PII redaction for training corpora: URLs, emails, phone numbers →
+    * typed placeholders, with per-kind match counts (the audit signal a
+    * scrubbing pipeline reports). Pure codegen'd column ops — one pass per
+    * pattern, no UDF. Returns struct(redacted, n_urls, n_emails, n_phones). */
+  def redactPii(text: Column): Column = {
+    val afterUrl = regexp_replace(text, urlRe, "<URL>")
+    val afterEmail = regexp_replace(afterUrl, emailRe, "<EMAIL>")
+    val afterPhone = regexp_replace(afterEmail, phoneRe, "<PHONE>")
+    struct(
+      afterPhone.as("redacted"),
+      size(regexp_extract_all(text, lit(urlRe), lit(0))).as("n_urls"),
+      size(regexp_extract_all(afterUrl, lit(emailRe), lit(0))).as("n_emails"),
+      size(regexp_extract_all(afterEmail, lit(phoneRe), lit(0))).as("n_phones"))
+  }
+
+  // ---- Deterministic dataset splits ------------------------------------------
+
+  /** Stable train/val/test assignment from the id alone: bucket =
+    * first 4 md5 hex digits mod 100, so membership is reproducible across
+    * runs/engines and independent of row order or partitioning (never use
+    * rand() for splits — resuming a pipeline would reshuffle membership).
+    * DuckDB twin: ('0x' || substr(md5(id::VARCHAR), 1, 4))::INT % 100. */
+  def splitBucket(id: Column): Column =
+    conv(substring(md5(id.cast("string")), 1, 4), 16, 10).cast("int") % 100
+
+  /** Named split from percentage cut points: [0,trainPct) → 'train',
+    * [trainPct, trainPct+valPct) → 'val', rest → 'test'. */
+  def splitAssign(id: Column, trainPct: Int = 80, valPct: Int = 10): Column = {
+    val b = splitBucket(id)
+    when(b < trainPct, "train")
+      .when(b < trainPct + valPct, "val")
+      .otherwise("test")
+  }
 }

@@ -137,4 +137,55 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
+
+  /** Connected components over duplicate pairs → duplicate CLUSTERS: the
+    * step after pair detection in a real dedup pipeline (near-duplication
+    * is transitive in intent — keep one doc per component, not per pair;
+    * pairwise keeps A of (A,B) and B of (B,C) and still ships two
+    * near-copies).
+    *
+    * Algorithm: min-label propagation with pointer jumping. Each round is
+    * (1) lbl(v) := min(lbl(v), min over neighbors lbl(u)) — one equi-join +
+    * keyed agg — and (2) lbl(v) := lbl(lbl(v)) — one more equi-join — so a
+    * length-L chain converges in O(log L) rounds, not O(L). Every round
+    * `localCheckpoint`s to truncate lineage (mandatory for iterative plans;
+    * without it round k replays rounds 1..k-1). All shuffles are on node
+    * ids — no broadcast of anything unbounded, no driver-side graph.
+    *
+    * @param pairs frame with two node-id columns (each row one undirected
+    *              edge; orientation and duplicates don't matter)
+    * @return (id, cluster_id) — one row per node that appears in any pair;
+    *         cluster_id = min node id of its component
+    */
+  def clusters(pairs: DataFrame, idA: String = "id_a",
+      idB: String = "id_b"): DataFrame = {
+    val e = pairs.select(col(idA).cast("long").as("a"),
+      col(idB).cast("long").as("b"))
+    val und = e.union(e.select(col("b").as("a"), col("a").as("b")))
+      .distinct().persist()
+    var labels = und.select(col("a").as("id")).distinct()
+      .select(col("id"), col("id").as("lbl")).localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      // (1) neighbor-min
+      val nbrMin = und
+        .join(labels.withColumnRenamed("id", "a"), "a")
+        .groupBy(col("b").as("id")).agg(min(col("lbl")).as("nlbl"))
+      val prop = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+      // (2) pointer jump: follow lbl one hop (lbl is itself a node id)
+      val jump = prop.as("x")
+        .join(prop.select(col("id").as("lbl"), col("lbl").as("plbl")).as("p"),
+          Seq("lbl"), "left")
+        .select(col("id"), coalesce(col("plbl"), col("lbl")).as("lbl"))
+        .localCheckpoint()
+      changed = jump.as("n")
+        .join(labels.withColumnRenamed("lbl", "old"), "id")
+        .filter(col("lbl") =!= col("old")).count()
+      labels = jump
+    }
+    und.unpersist()
+    labels.select(col("id"), col("lbl").as("cluster_id"))
+  }
 }

@@ -289,6 +289,72 @@ class PipelineSpec extends AnyFunSuite {
     assert(exact.nonEmpty ==> lsh.nonEmpty)
   }
 
+  test("duplicate clusters: components from planted pairs, incl. a chain") {
+    import spark.implicits._
+    // components: {1,2,3} (triangle-ish), {10,11} (pair),
+    // {100..199} (a 100-node chain — exercises pointer jumping: naive
+    // propagation needs 99 rounds; log-rounds must still get min=100)
+    val chain = (100L until 199L).map(i => (i, i + 1))
+    val pairs = (Seq((1L, 2L), (2L, 3L), (10L, 11L)) ++ chain)
+      .toDF("id_a", "id_b")
+    val got = Dedup.clusters(pairs).as[(Long, Long)].collect().toMap
+    assert(got(1L) == 1L && got(2L) == 1L && got(3L) == 1L)
+    assert(got(10L) == 10L && got(11L) == 10L)
+    assert((100L to 199L).forall(got(_) == 100L))
+    assert(got.size == 3 + 2 + 100)
+  }
+
+  test("duplicate clusters agree with brute-force components on real pairs") {
+    val docs = Tables.documents(spark, sf)
+    val sh = Dedup.shingleSets(docs, "doc_id", "text", 3)
+    val pairs = Dedup.jaccardVerify(Dedup.minhashCandidates(sh, 8, 4), sh, 0.5)
+    val edges = pairs.select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // driver-side union-find as the oracle-of-the-test
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = parent.keys.map(k => k -> find(k)).toMap
+    val got = Dedup.clusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+  }
+
+  test("PII redaction scrubs urls, emails and phones with exact counts") {
+    import spark.implicits._
+    val df = Seq(
+      "see https://a.example/x?q=1 or mail bob@corp.example.org now",
+      "call +1 (555) 010-4242 or 555 010 9999 today",
+      "no pii here at all").toDF("text")
+    val got = df.select(graft.functions.TextOps.redactPii(col("text")).as("p"))
+      .select("p.redacted", "p.n_urls", "p.n_emails", "p.n_phones")
+      .as[(String, Int, Int, Int)].collect().toSeq
+    assert(got(0) == ("see <URL> or mail <EMAIL> now", 1, 1, 0))
+    assert(got(1) == ("call <PHONE> or <PHONE> today", 0, 0, 2))
+    assert(got(2) == ("no pii here at all", 0, 0, 0))
+  }
+
+  test("deterministic split: stable, id-keyed, roughly 80/10/10") {
+    import spark.implicits._
+    val ids = (0L until 10000L).toDF("id")
+    val counts = ids.select(graft.functions.TextOps.splitAssign(col("id")).as("s"))
+      .groupBy("s").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(counts("train") - 8000L) < 300)
+    assert(math.abs(counts("val") - 1000L) < 150)
+    assert(math.abs(counts("test") - 1000L) < 150)
+    // determinism: same assignment under a different row order/partitioning
+    val a = ids.select(col("id"), graft.functions.TextOps.splitAssign(col("id")).as("s"))
+    val b = ids.orderBy(col("id").desc).repartition(17)
+      .select(col("id"), graft.functions.TextOps.splitAssign(col("id")).as("s"))
+    assert(a.exceptAll(b).count() == 0)
+  }
+
   private implicit class BoolOps(b: Boolean) {
     def ==>(other: Boolean): Boolean = !b || other
   }
