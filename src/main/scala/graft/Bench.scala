@@ -65,7 +65,8 @@ object Bench {
       "b10_job_metrics", "b11_incremental_push", "b12_etl_normalize",
       "s1_stream_ingest", "s2_rewind", "s4_changelog", "s6_sql_view",
       "mm_frame_sample", "text_token_counts", "b4_dup_audit", "w7_crdt_map",
-      "r13_schema_evolution", "b13_incremental_view")
+      "r13_schema_evolution", "b13_incremental_view",
+      "s7_token_bucket", "dedup_clusters", "text_pii_redact", "split_assign")
     val core = results.filterNot(r => addedLater(r._1)).map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","core38":$core,"queries":$qs,"ok":$ok,"n":${results.size},"errors":$errs,"sf":"$sfDir"}""")
     if (results.exists(_._3.nonEmpty)) System.err.println(
