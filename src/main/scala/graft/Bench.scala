@@ -37,13 +37,23 @@ object Bench {
     // timed (cold cache per query — persists inside operators still help
     // within a query, which is the production shape). A failing query is
     // recorded with its error, never silently timed as near-zero.
+    // MIN OF TWO timed passes per query: a one-shot timing on a contended
+    // host can post multi-x phantoms (round 4's driver run showed five
+    // 3-7x outliers a fresh rerun disproved); the min of two consecutive
+    // passes is robust to transient contention while still measuring
+    // steady-state plan execution.
     val results = queries.map { q =>
-      val t0 = System.nanoTime()
-      val err =
-        try { q.fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
-        catch { case e: Throwable => Some(Option(e.getMessage).getOrElse(e.getClass.getName)) }
-      spark.catalog.clearCache()
-      (q.name, (System.nanoTime() - t0) / 1e9, err)
+      def onePass(): (Double, Option[String]) = {
+        val t0 = System.nanoTime()
+        val err =
+          try { q.fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
+          catch { case e: Throwable => Some(Option(e.getMessage).getOrElse(e.getClass.getName)) }
+        spark.catalog.clearCache()
+        ((System.nanoTime() - t0) / 1e9, err)
+      }
+      val (t1, e1) = onePass()
+      val (t2, e2) = if (e1.isEmpty) onePass() else (t1, e1)
+      (q.name, math.min(t1, t2), e1.orElse(e2))
     }
     def esc(s: String): String =
       s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"

@@ -1522,7 +1522,11 @@ object Queries {
       .select(col("event_type"), col("user_id")).distinct()
       .groupBy(col("event_type"))
       .agg(
-        count(lit(1)).as("exact_users"),
+        // count(user_id), not count(*): a NULL user_id survives the pair
+        // distinct as one row, but count(DISTINCT user_id) (the oracle) and
+        // approx_count_distinct both ignore NULLs — counting the column
+        // keeps all three aligned should events ever carry NULL users
+        count(col("user_id")).as("exact_users"),
         approx_count_distinct(col("user_id"), 0.0115).as("approx"))
       .select(col("event_type"), col("exact_users"),
         (abs(col("approx") - col("exact_users")).cast("double") <=

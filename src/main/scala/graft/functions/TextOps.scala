@@ -148,10 +148,13 @@ object TextOps {
 
   /** Patterns chosen to be valid in BOTH Java regex (Spark) and RE2
     * (DuckDB): no lookaround, no backreferences. URLs are replaced before
-    * emails (an email never contains '://', but a URL's \S+ would swallow a
-    * trailing email), phones last (placeholders contain no digits, so the
-    * phone pass can't match across an earlier replacement). */
-  val urlRe = "https?://\\S+"
+    * emails (an email never contains '://', but a URL's non-space run would
+    * swallow a trailing email), phones last (placeholders contain no
+    * digits, so the phone pass can't match across an earlier replacement).
+    * The URL tail is an explicit character class, not \S: Java's \s
+    * includes vertical tab (\x0B) while RE2's does not, so \S would bound
+    * the match differently in Spark vs DuckDB on control-character text. */
+  val urlRe = "https?://[^ \\t\\n\\x0B\\f\\r]+"
   val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val phoneRe = "\\+?[0-9][0-9()\\- ]{6,}[0-9]"
 

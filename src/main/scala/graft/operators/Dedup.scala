@@ -167,23 +167,26 @@ object Dedup {
       .select(col("id"), col("id").as("lbl")).localCheckpoint()
     var changed = 1L
     while (changed > 0) {
-      // (1) neighbor-min
+      // (1) neighbor-min, carrying the previous label as `old` so the
+      // convergence check below is a filter on the already-materialized
+      // round result — not an extra join+count against the prior labels
       val nbrMin = und
         .join(labels.withColumnRenamed("id", "a"), "a")
         .groupBy(col("b").as("id")).agg(min(col("lbl")).as("nlbl"))
-      val prop = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+      // checkpointed BEFORE the self-join so prop computes once, not twice
+      val prop = labels.select(col("id"), col("lbl").as("old"))
+        .join(nbrMin, Seq("id"), "left")
+        .select(col("id"), col("old"),
+          least(col("old"), coalesce(col("nlbl"), col("old"))).as("lbl"))
+        .localCheckpoint()
       // (2) pointer jump: follow lbl one hop (lbl is itself a node id)
-      val jump = prop.as("x")
+      val jump = prop
         .join(prop.select(col("id").as("lbl"), col("lbl").as("plbl")).as("p"),
           Seq("lbl"), "left")
-        .select(col("id"), coalesce(col("plbl"), col("lbl")).as("lbl"))
+        .select(col("id"), col("old"), coalesce(col("plbl"), col("lbl")).as("lbl"))
         .localCheckpoint()
-      changed = jump.as("n")
-        .join(labels.withColumnRenamed("lbl", "old"), "id")
-        .filter(col("lbl") =!= col("old")).count()
-      labels = jump
+      changed = jump.filter(col("lbl") =!= col("old")).count()
+      labels = jump.drop("old")
     }
     und.unpersist()
     labels.select(col("id"), col("lbl").as("cluster_id"))

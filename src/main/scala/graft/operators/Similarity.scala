@@ -141,9 +141,10 @@ object Similarity {
     * engines, breaking determinism and the SQL oracle; exact integer sums
     * are order-independent. */
   def kmeansCentroids(corpus: DataFrame, k: Int, iters: Int): DataFrame = {
-    var cent = corpus.filter(col("id") < k).select(col("id"), col("vec"))
+    val seeds = corpus.filter(col("id") < k).select(col("id"), col("vec"))
+    var cent = seeds
     for (_ <- 0 until iters) {
-      cent = ivfAssign(corpus, cent).filter(col("rn") === 1)
+      val recentred = ivfAssign(corpus, cent).filter(col("rn") === 1)
         .select(col("cid"), posexplode(col("vec")))
         .groupBy(col("cid"), col("pos"))
         .agg(sum(round(col("col").cast("double") * 1000).cast("long")).as("s"),
@@ -154,6 +155,13 @@ object Similarity {
           .as("pv"))
         .select(col("cid").as("id"),
           transform(col("pv"), e => e.getField("v")).as("vec"))
+      // a cell that loses every member would vanish from the groupBy and
+      // silently shrink the codebook below k; re-seed it with its original
+      // seed vector (deterministic) so the quantizer always returns k
+      // centroids. A no-op anti-join when every cell kept members, so the
+      // common-case result (and the SQL oracle replay) is unchanged.
+      cent = recentred.unionByName(
+        seeds.join(recentred.select(col("id")), Seq("id"), "left_anti"))
     }
     cent
   }
@@ -162,13 +170,19 @@ object Similarity {
       nProbe: Int, trainIters: Int = 2): DataFrame = {
     val centroids =
       if (trainIters <= 0) corpus.filter(col("id") < numCells)
-      // trained centroids are used twice (corpus assign + query probes) —
-      // persist so the Lloyd iterations run once, not per consumer
-      else kmeansCentroids(corpus, numCells, trainIters).persist()
+      else {
+        // the codebook is numCells rows — driver-sized by design.
+        // Materializing it once replaces a persist that the lazy return
+        // value could never unpersist (dead cached blocks in a long-lived
+        // session) and hands both consumers (corpus assign + query probes)
+        // a local relation Spark broadcasts for free.
+        val trained = kmeansCentroids(corpus, numCells, trainIters)
+        corpus.sparkSession.createDataFrame(
+          java.util.Arrays.asList(trained.collect(): _*), trained.schema)
+      }
     val assigned = ivfAssign(corpus, centroids)
       .filter(col("rn") === 1)
       .select(col("id"), col("vec"), col("__n"), col("cid"))
-      .persist()
     val probes = ivfAssign(
       queries.select(col("qid").as("id"), col("qvec").as("vec")), centroids)
       .filter(col("rn") <= nProbe)
@@ -250,9 +264,15 @@ object Similarity {
     * 8 bands → ~0.97). PipelineSpec pins recall on planted near-dups. */
   def lshCosinePairs(corpus: DataFrame, threshold: Double, dim: Int,
       bitsPerBand: Int = 8, bands: Int = 8): DataFrame = {
+    // referenced by three consumers (band keys + both verify sides);
+    // localCheckpoint instead of persist: same one-time materialization,
+    // but the blocks are released by the ContextCleaner once the result
+    // plan is dropped — a bare persist here could never be unpersisted
+    // (the return value is lazy) and leaked cached blocks in a long-lived
+    // session
     val withNorm = corpus
       .withColumn("__n", norm(col("vec")))
-      .persist()
+      .localCheckpoint()
     val banded = withNorm
       .select(col("id"), explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),

@@ -51,13 +51,21 @@ object TokenBucket {
       id: org.apache.spark.sql.Column, capacityTokens: Long,
       refillIntervalMs: Long, costTokens: Long = 1L)
       : org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{col, lit, raise_error, when}
     val spark = events.sparkSession
     import spark.implicits._
     val capS = capacityTokens * refillIntervalMs
     val costS = costTokens * refillIntervalMs
-    events.select(key.cast("long").as("key"), tsMs.cast("long").as("ts"),
-        id.cast("long").as("id"))
+    // fail fast with a clear message: a NULL (or a string that casts to
+    // NULL) in any replay column would otherwise surface as an opaque
+    // "null value in non-nullable field" encoder error mid-job
+    def req(c: org.apache.spark.sql.Column, name: String) =
+      when(c.isNull, raise_error(lit(s"TokenBucket.simulate: $name is " +
+        "null or not castable to long — the replay needs non-null " +
+        "key/ts/id"))).otherwise(c)
+    events.select(req(key.cast("long"), "key").as("key"),
+        req(tsMs.cast("long"), "ts").as("ts"),
+        req(id.cast("long"), "id").as("id"))
       .as[(Long, Long, Long)]
       .repartition(col("key"))
       .sortWithinPartitions(col("key"), col("ts"), col("id"))

@@ -198,6 +198,22 @@ class PipelineSpec extends AnyFunSuite {
       s"trained recall $recall < sampled $recallSampled - 0.05")
   }
 
+  test("k-means re-seeds emptied cells: always k centroids, even degenerate") {
+    import spark.implicits._
+    // two far-apart tight clumps + k=4 seeds (ids 0..3) that all sit inside
+    // clump A: every vector assigns to one or two seeds, so at least one
+    // cell MUST lose all members after the first Lloyd step
+    val clumpA = (0L until 20L).map(i => (i, Seq(1.0, 0.0, 0.0 + i * 1e-4)))
+    val clumpB = (20L until 40L).map(i => (i, Seq(0.0, 1.0, 0.0 + i * 1e-4)))
+    val corpus = (clumpA ++ clumpB).toDF("id", "vec")
+    val cents = Similarity.kmeansCentroids(corpus, k = 4, iters = 2).collect()
+    assert(cents.length == 4, s"expected 4 centroids, got ${cents.length}")
+    assert(cents.map(_.getLong(0)).toSet == Set(0L, 1L, 2L, 3L))
+    // determinism: the re-seeded codebook is identical across runs
+    val again = Similarity.kmeansCentroids(corpus, k = 4, iters = 2).collect()
+    assert(cents.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
+  }
+
   test("HLL approx distinct within Venice-like error bound") {
     val ev = Tables.events(spark, sf)
     val exact = ev.select(countDistinct(col("user_id"))).head.getLong(0)
