@@ -75,13 +75,10 @@ class GraftEngine(val spark: SparkSession, val root: String) {
     * agree or widen) — the compat check Venice's controller runs. */
   def registerValueSchema(name: String,
       schema: org.apache.spark.sql.types.StructType): Int = {
-    // A/A stores persist RMD siblings per field through repush; evolving
-    // the value schema would leave new fields without RMD and silently
-    // degrade conflict resolution to ts-0 puts — refuse rather than corrupt
-    // (evolve A/A stores by repushing into a fresh store for now)
-    require(!isActiveActive(name) || registeredSchemaIds(name).isEmpty,
-      s"store $name is active-active — value-schema evolution on A/A " +
-        "stores is not supported")
+    // A/A stores evolve too (round 5): the resolver gives fields outside a
+    // writer's schema BOTTOM RMD state and fields newer than a snapshot
+    // version bottom timestamps, so late events on old and new fields keep
+    // resolving correctly — see aaResolve
     val d = Paths.get(dir(name, "schemas"))
     Files.createDirectories(d)
     supersetSchemaOpt(name).foreach(s => SchemaEvolution.superset(s, schema))
@@ -200,11 +197,14 @@ class GraftEngine(val spark: SparkSession, val root: String) {
   /** Driver-side twin of HashOps.partitionId (md5 of the rendered key,
     * first 15 hex chars mod N) — lets point reads compute the bucket
     * WITHOUT a scan, so the snapshot read prunes to one partition dir. */
-  private def bucketOf(name: String, key: Seq[Any]): Int = {
+  private def bucketOf(name: String, key: Seq[Any]): Int =
+    bucketHash(key, numBuckets(name))
+
+  private def bucketHash(key: Seq[Any], nb: Int): Int = {
     val rendered = key.map(String.valueOf).mkString("|")
     val hex = java.security.MessageDigest.getInstance("MD5")
       .digest(rendered.getBytes("UTF-8")).map(b => f"$b%02x").mkString
-    (java.lang.Long.parseLong(hex.substring(0, 15), 16) % numBuckets(name)).toInt
+    (java.lang.Long.parseLong(hex.substring(0, 15), 16) % nb).toInt
   }
 
   /** Point lookup. The bucket predicate prunes the snapshot scan to a
@@ -215,10 +215,18 @@ class GraftEngine(val spark: SparkSession, val root: String) {
     val meta = storeMeta(name)
     val pred = meta.keyCols.zip(key)
       .map { case (c, k) => col(c) === lit(k) }.reduce(_ && _)
-    // A/A stores resolve through the CRDT fold (the op log is small by
-    // construction — repush compacts it away); key filter prunes the fold
+    // A/A stores resolve through the CRDT fold, pruned like the LWW path:
+    // the snapshot scan reads ONE bucket directory, the op log (bucketed
+    // on append) reads one too, and the key predicate prunes the fold to
+    // this key's events — a fat store with a lagging repush cadence no
+    // longer folds the world per point read
     if (isActiveActive(name))
-      return aaView(name).filter(pred).limit(1).collect().headOption
+      return aaView(name,
+        snapBucket = Some(bucketOf(name, key)),
+        logBucket = aaLogBuckets(name, createIfAbsent = false)
+          .map(nb => bucketHash(key, nb)),
+        keyPred = Some(pred))
+        .limit(1).collect().headOption
     val pruned = spark.read.parquet(dir(name, s"v=${currentVersion(name)}"))
       .filter(col(BucketCol) === bucketOf(name, key))
       .drop(BucketCol)
@@ -509,12 +517,23 @@ class GraftEngine(val spark: SparkSession, val root: String) {
       field: String, elemCol: Option[String], elem2Col: Option[String],
       tsCol: Column): Unit = {
     require(isActiveActive(name), s"store $name is not active-active")
-    // conform to the VALUE schema only — after an A/A repush the snapshot
-    // also carries RMD sibling columns, which are compaction state, not
-    // op-row payload
-    val snap0 = snapshot(name).limit(0)
-    val tpl = snap0.drop(
-      snap0.columns.filter(c => isRmdCol(c) || c == RecCol): _*)
+    val meta = storeMeta(name)
+    // conform to the SUPERSET of registered value schemas (never the raw
+    // snapshot — post-repush it carries RMD sibling columns, which are
+    // compaction state, not op-row payload): an evolved writer keeps its
+    // new fields, an old writer's missing fields become typed nulls. The
+    // batch is stamped with its writer schema id so the resolver can give
+    // fields OUTSIDE the writer's schema bottom RMD state — an old-schema
+    // put must not clobber a new field another region already set (Venice
+    // resolves puts per-field against the superset;
+    // AvroSupersetSchemaUtils / MergeConflictResolver.java:89-95
+    // semantics, not code).
+    val tpl = supersetSchemaOpt(name).map(emptyFrame).getOrElse {
+      val snap0 = snapshot(name).limit(0)
+      snap0.drop(snap0.columns.filter(c => isRmdCol(c) || c == RecCol): _*)
+    }
+    val sid = writerSchemaId(name, rows.columns.toSet)
+    val nb = aaLogBuckets(name, createIfAbsent = true).get
     // stamp ts and elem BEFORE conforming — they may reference columns
     // (e.g. the stream's event-time) outside the value schema
     val withElem = rows
@@ -526,11 +545,57 @@ class GraftEngine(val spark: SparkSession, val root: String) {
     conformToValueSchema(withElem, tpl, keep = Seq(AaElemCol, AaElem2Col, TsCol))
       .withColumn(AaOpCol, lit(op))
       .withColumn(AaFieldCol, lit(field))
-      .write.mode("append").parquet(dir(name, "aa_log"))
+      .withColumn(SchemaIdCol, lit(sid))
+      .withColumn(LogSeqCol, lit(nextLogSeq(name)))
+      // bucketed like the snapshot so point reads prune BOTH sides of the
+      // fold to one partition directory each
+      .withColumn(BucketCol, graft.functions.HashOps.partitionId(
+        concat_ws("|", meta.keyCols.map(col): _*), nb))
+      .write.mode("append").partitionBy(BucketCol).parquet(dir(name, "aa_log"))
   }
 
   private def hasAaLog(name: String): Boolean =
     nonEmptyDir(Paths.get(dir(name, "aa_log")))
+
+  /** Bucket count pinned for the LIFETIME of the current op log (a later
+    * push may change the snapshot's numBuckets; mixing layouts inside one
+    * log directory would break pruning). Re-pinned after each repush
+    * archives the log. */
+  private def aaLogBuckets(name: String,
+      createIfAbsent: Boolean): Option[Int] = {
+    val p = Paths.get(dir(name, "AA_BUCKETS"))
+    if (Files.exists(p)) Some(Files.readString(p).trim.toInt)
+    else if (createIfAbsent) {
+      val n = numBuckets(name)
+      Files.writeString(p, n.toString)
+      Some(n)
+    } else None
+  }
+
+  /** A/A op-log read resolved to the superset value schema (mixed writer
+    * schemas union via mergeSchema; an old writer's missing fields read as
+    * typed nulls), op/meta columns carried through; optional bucket
+    * pruning. */
+  private def readAaLog(name: String,
+      logBucket: Option[Int] = None): DataFrame = {
+    val raw0 = spark.read.option("mergeSchema", "true")
+      .parquet(dir(name, "aa_log"))
+    val raw1 = logBucket match {
+      case Some(b) if raw0.columns.contains(BucketCol) =>
+        raw0.filter(col(BucketCol) === b)
+      case _ => raw0
+    }
+    val raw = if (raw1.columns.contains(BucketCol)) raw1.drop(BucketCol)
+      else raw1
+    supersetSchemaOpt(name) match {
+      case Some(s) =>
+        val metaFields = raw.schema.fields.filterNot(f =>
+          s.fieldNames.contains(f.name))
+        SchemaEvolution.conform(raw,
+          org.apache.spark.sql.types.StructType(s.fields ++ metaFields))
+      case None => raw
+    }
+  }
 
   /** RMD sibling columns (f__ts / f__rmd) persisted by an A/A repush. */
   private def isRmdCol(n: String): Boolean =
@@ -542,9 +607,18 @@ class GraftEngine(val spark: SparkSession, val root: String) {
     * as a full put at ts 0 — unioned with the op log lifted per-op, folded
     * per key in ONE keyed shuffle
     * ([[graft.operators.CrdtMerge.mergeEvents]]). Fold order is irrelevant
-    * (commutative lattice) — the multi-region guarantee. */
-  private def aaView(name: String): DataFrame = {
-    val resolved = aaResolve(name, keepRmd = false)
+    * (commutative lattice) — the multi-region guarantee.
+    *
+    * `snapBucket`/`logBucket` prune the two scans to one partition
+    * directory each (the point-read shape); `keyPred` prunes the fold to
+    * matching keys — both prunings are sound because the fold groups by
+    * key, so dropping other keys' events cannot change a kept key's
+    * state. */
+  private[graft] def aaView(name: String, snapBucket: Option[Int] = None,
+      logBucket: Option[Int] = None,
+      keyPred: Option[Column] = None): DataFrame = {
+    val resolved = aaResolve(name, keepRmd = false, snapBucket = snapBucket,
+      logBucket = logBucket, keyPred = keyPred)
     // visible iff the record-existence marker survived (a put won it) OR
     // any field carries live state (a partial update after a delete
     // resurrects those fields — Venice A/A semantics). A record whose
@@ -554,6 +628,12 @@ class GraftEngine(val spark: SparkSession, val root: String) {
       .filter(col(RecCol) === "1" || !aaFieldsGone(aaValueSchema(name)))
       .drop(RecCol)
   }
+
+  /** Record-tombstone predicate over a resolved (RecCol-bearing) frame:
+    * the existence marker lost to a delete AND every field is dead. */
+  private def aaTombstone(name: String): Column =
+    not(coalesce(col(RecCol) === "1", lit(false))) &&
+      aaFieldsGone(aaValueSchema(name))
 
   /** True when every value field is dead: scalars null, collections empty. */
   private def aaFieldsGone(
@@ -570,72 +650,135 @@ class GraftEngine(val spark: SparkSession, val root: String) {
   private def aaValueSchema(name: String): org.apache.spark.sql.types.StructType = {
     import org.apache.spark.sql.types.StructType
     val meta = storeMeta(name)
-    StructType(snapshot(name).schema.fields.filterNot(f =>
+    // the superset of REGISTERED schemas, not the current snapshot: fields
+    // registered after the version was pushed must exist in the resolved
+    // view (as typed nulls with bottom RMD)
+    StructType(supersetSchema(name).fields.filterNot(f =>
       meta.keyCols.contains(f.name) || isRmdCol(f.name) || f.name == RecCol))
   }
 
-  private def aaResolve(name: String, keepRmd: Boolean): DataFrame = {
-    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+  /** Resolve the store's CRDT state per key: snapshot + op log lifted to
+    * state structs and folded ([[graft.operators.CrdtMerge.mergeEvents]]).
+    *
+    * Schema evolution is handled per FIELD:
+    *  - a field whose RMD sibling the version persisted → stored state
+    *    (late out-of-order events keep losing to what already won);
+    *  - a field the version carries without RMD (plain batch push) → full
+    *    put at ts 0;
+    *  - a field REGISTERED AFTER the version was written → BOTTOM state
+    *    (Long.MinValue timestamps — loses to everything), NOT a ts-0 null
+    *    put: ts-0 would still win ties deterministically, but bottom is
+    *    the honest "this version never saw the field";
+    *  - a PUT op row gives fields outside its writer's schema bottom state
+    *    (dispatch on the batch's [[GraftEngine.SchemaIdCol]]) — an
+    *    old-schema put at ts T must not null out a new field another
+    *    region set at ts < T. Venice: per-field merge against the
+    *    superset schema (MergeConflictResolver.java:89-95, semantics).
+    */
+  private def aaResolve(name: String, keepRmd: Boolean,
+      snapBucket: Option[Int] = None, logBucket: Option[Int] = None,
+      keyPred: Option[Column] = None,
+      keys: Option[DataFrame] = None): DataFrame = {
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType, StructField, StringType}
     import graft.operators.CrdtMerge
     val meta = storeMeta(name)
-    val snap = snapshot(name)
-    val valueSchema = aaValueSchema(name)
+    val valSchema = aaValueSchema(name)
     // the CRDT folds over the value fields PLUS a record-existence marker
     // (a scalar "1" that every put stamps and every delete nulls) so a
     // legitimately-all-null record is distinguishable from a tombstone
-    val crdtSchema = StructType(valueSchema.fields :+
-      org.apache.spark.sql.types.StructField(RecCol,
-        org.apache.spark.sql.types.StringType))
+    val crdtSchema = StructType(valSchema.fields :+
+      StructField(RecCol, StringType))
     val keyCols = meta.keyCols.map(col)
+    def rmdName(f: StructField): String = f.dataType match {
+      case _: ArrayType | _: MapType => s"${f.name}__rmd"
+      case _ => s"${f.name}__ts"
+    }
+
+    // ---- snapshot side: optionally directory-pruned, conformed to the
+    // superset, lifted per-field (stored RMD / ts-0 put / bottom)
+    val snapRaw0 = spark.read.parquet(dir(name, s"v=${currentVersion(name)}"))
+    val snapRaw = snapBucket
+      .map(b => snapRaw0.filter(col(BucketCol) === b)).getOrElse(snapRaw0)
+      .drop(BucketCol)
+    val snapCols0 = snapRaw.columns.toSet
+    val keyFields = snapRaw.schema.fields.filter(f => meta.keyCols.contains(f.name))
+    val carried = snapRaw.schema.fields.filter(f =>
+      isRmdCol(f.name) || f.name == RecCol)
+    var snap = SchemaEvolution.conform(snapRaw,
+      StructType(keyFields ++ valSchema.fields ++ carried))
+    keyPred.foreach(p => snap = snap.filter(p))
+    keys.foreach(k => snap = snap.join(k, meta.keyCols, "left_semi"))
     val putStruct = struct(
-      valueSchema.fieldNames.map(col) :+ lit("1").as(RecCol): _*)
-    val rmdNames = CrdtMerge.rmdSchema(crdtSchema).fieldNames
+      valSchema.fieldNames.map(col) :+ lit("1").as(RecCol): _*)
+    val put0 = CrdtMerge.putState(putStruct, lit(0L), crdtSchema)
+    val bot = CrdtMerge.bottomState(crdtSchema)
     // state struct field order must match the op-state constructors'
     // (interleaved per value field) for the unionByName below
-    val storedState = struct(crdtSchema.fields.flatMap { f =>
-      f.dataType match {
-        case _: ArrayType | _: MapType =>
-          Seq(col(f.name), col(s"${f.name}__rmd"))
-        case _ => Seq(col(f.name), col(s"${f.name}__ts"))
-      }
+    val snapState = struct(crdtSchema.fields.flatMap { f =>
+      val rn = rmdName(f)
+      if (snapCols0(rn)) Seq(col(f.name).as(f.name), col(rn).as(rn))
+      else if (snapCols0(f.name) || f.name == RecCol)
+        Seq(put0.getField(f.name).as(f.name), put0.getField(rn).as(rn))
+      else Seq(bot.getField(f.name).as(f.name), bot.getField(rn).as(rn))
     }.toIndexedSeq: _*)
-    val snapEvents =
-      if (rmdNames.forall(snap.columns.contains))
-        snap.select(keyCols :+ storedState.as("state"): _*)
-      else snap.select(
-        keyCols :+ CrdtMerge.putState(putStruct, lit(0L), crdtSchema).as("state"): _*)
+    val snapEvents = snap.select(keyCols :+ snapState.as("state"): _*)
+
+    // ---- op-log side
     val ts = col(TsCol)
-    var state = when(col(AaOpCol) === "put",
-      CrdtMerge.putState(putStruct, ts, crdtSchema))
-      .when(col(AaOpCol) === "delete",
-        CrdtMerge.putState(lit(null).cast(crdtSchema), ts, crdtSchema))
-    valueSchema.fields.foreach { f =>
-      f.dataType match {
-        case _: ArrayType =>
-          state = state
-            .when(col(AaOpCol) === "add" && col(AaFieldCol) === f.name,
-              CrdtMerge.elementOpState(f.name, col(AaElemCol), ts,
-                isRemove = false, crdtSchema))
-            .when(col(AaOpCol) === "remove" && col(AaFieldCol) === f.name,
-              CrdtMerge.elementOpState(f.name, col(AaElemCol), ts,
-                isRemove = true, crdtSchema))
-        case _: MapType =>
-          state = state
-            .when(col(AaOpCol) === "add" && col(AaFieldCol) === f.name,
-              CrdtMerge.mapEntryState(f.name, col(AaElemCol), col(AaElem2Col),
-                ts, crdtSchema))
-            .when(col(AaOpCol) === "remove" && col(AaFieldCol) === f.name,
-              CrdtMerge.mapRemoveState(f.name, col(AaElemCol), ts, crdtSchema))
-        case _ =>
-          state = state
-            .when(col(AaOpCol) === "set" && col(AaFieldCol) === f.name,
-              CrdtMerge.setFieldState(f.name, col(f.name), ts, crdtSchema))
-      }
-    }
+    val putBase = CrdtMerge.putState(putStruct, ts, crdtSchema)
+    def mixPut(known: Set[String]): Column =
+      struct(crdtSchema.fields.flatMap { f =>
+        val rn = rmdName(f)
+        val src = if (known(f.name) || f.name == RecCol) putBase else bot
+        Seq(src.getField(f.name).as(f.name), src.getField(rn).as(rn))
+      }.toIndexedSeq: _*)
     val logEvents =
       if (!hasAaLog(name)) snapEvents.limit(0)
-      else spark.read.parquet(dir(name, "aa_log"))
-        .select(keyCols :+ state.as("state"): _*)
+      else {
+        var log = readAaLog(name, logBucket)
+        keyPred.foreach(p => log = log.filter(p))
+        keys.foreach(k => log = log.join(k, meta.keyCols, "left_semi"))
+        // writer-schema-aware put dispatch: only registered schemas that
+        // MISS some superset field need a branch (the common, un-evolved
+        // store adds none)
+        val partialIds =
+          if (!log.columns.contains(SchemaIdCol)) Nil
+          else registeredSchemaIds(name)
+            .map(id => id -> valueSchema(name, id).fieldNames.toSet)
+            .filterNot { case (_, known) =>
+              valSchema.fieldNames.forall(known) }
+        var state = partialIds.foldLeft(when(lit(false), putBase)) {
+          case (acc, (id, known)) =>
+            acc.when(col(AaOpCol) === "put" && col(SchemaIdCol) === id,
+              mixPut(known))
+        }.when(col(AaOpCol) === "put", putBase)
+          .when(col(AaOpCol) === "delete",
+            CrdtMerge.putState(lit(null).cast(crdtSchema), ts, crdtSchema))
+        valSchema.fields.foreach { f =>
+          f.dataType match {
+            case _: ArrayType =>
+              state = state
+                .when(col(AaOpCol) === "add" && col(AaFieldCol) === f.name,
+                  CrdtMerge.elementOpState(f.name, col(AaElemCol), ts,
+                    isRemove = false, crdtSchema))
+                .when(col(AaOpCol) === "remove" && col(AaFieldCol) === f.name,
+                  CrdtMerge.elementOpState(f.name, col(AaElemCol), ts,
+                    isRemove = true, crdtSchema))
+            case _: MapType =>
+              state = state
+                .when(col(AaOpCol) === "add" && col(AaFieldCol) === f.name,
+                  CrdtMerge.mapEntryState(f.name, col(AaElemCol), col(AaElem2Col),
+                    ts, crdtSchema))
+                .when(col(AaOpCol) === "remove" && col(AaFieldCol) === f.name,
+                  CrdtMerge.mapRemoveState(f.name, col(AaElemCol), ts, crdtSchema))
+            case _ =>
+              state = state
+                .when(col(AaOpCol) === "set" && col(AaFieldCol) === f.name,
+                  CrdtMerge.setFieldState(f.name, col(f.name), ts, crdtSchema))
+          }
+        }
+        log.select(keyCols :+ state.as("state"): _*)
+      }
     CrdtMerge.mergeEvents(
       snapEvents.unionByName(logEvents), meta.keyCols, crdtSchema,
       keepRmd = keepRmd)
@@ -688,7 +831,9 @@ class GraftEngine(val spark: SparkSession, val root: String) {
     * delta keys plus bounded writes, never a scan-rewrite of the view. */
   def refreshView(viewName: String): Unit = {
     val (src, coord) = viewCoord(viewName)
-    requireNotAa(src, "full materializedView re-push (A/A changelog TBD)")
+    // A/A sources work too (round 5): changelogSince emits resolved
+    // after-images for A/A stores, which is exactly the delta shape the
+    // tombstone+reinsert steps below consume
     val meta = storeMeta(src)
     val vmeta = storeMeta(viewName)
     val newCoord = latestCoordinate(src)
@@ -751,10 +896,40 @@ class GraftEngine(val spark: SparkSession, val root: String) {
 
   // ---- CDC (S4) ------------------------------------------------------------
 
-  /** After-image change stream since a timestamp (checkpoint = max ts seen). */
+  /** After-image change stream since a timestamp (checkpoint = max ts seen).
+    * A/A stores emit conflict-RESOLVED after-images of the touched keys, not
+    * raw CRDT ops — the Venice changelog contract for A/A
+    * (ActiveActiveStoreIngestionTask.java:97 produces resolved records into
+    * the version topic the changelog consumer reads; semantics, not code). */
   def changelog(name: String, sinceTsMs: Long): DataFrame = {
+    if (isActiveActive(name)) {
+      require(hasAaLog(name), s"store $name has no A/A op log")
+      return aaAfterImages(name, col(TsCol) >= sinceTsMs)
+    }
     require(hasLog(name), s"store $name has no RT log")
     readLog(name).filter(col(TsCol) >= sinceTsMs)
+  }
+
+  /** Resolved after-images for the keys touched by op-log rows matching
+    * `opFilter` — the A/A changelog unit. One row per touched key: the
+    * full CRDT fold restricted to those keys (their snapshot slice + their
+    * COMPLETE op history, because an after-image reflects all of a key's
+    * state, not just the new ops), stamped with the max matching op ts and
+    * a tombstone flag. Output schema matches [[changelog]]'s LWW shape:
+    * key + value cols + ts + deleted. Cost scales with the delta (one
+    * semi-join against the touched keys on each fold side), not the
+    * store. */
+  private def aaAfterImages(name: String, opFilter: Column): DataFrame = {
+    val meta = storeMeta(name)
+    val touched = readAaLog(name).filter(opFilter)
+      .groupBy(meta.keyCols.map(col): _*).agg(max(col(TsCol)).as(TsCol))
+    val resolved = aaResolve(name, keepRmd = false,
+      keys = Some(touched.select(meta.keyCols.map(col): _*)))
+    val valueCols = resolved.columns.filterNot(_ == RecCol).map(col)
+    resolved
+      .withColumn(DeletedCol, aaTombstone(name))
+      .join(touched, meta.keyCols)
+      .select(valueCols :+ col(TsCol) :+ col(DeletedCol): _*)
   }
 
   /** Exact CDC checkpoint: (version, log append seq) — the Venice change
@@ -769,6 +944,23 @@ class GraftEngine(val spark: SparkSession, val root: String) {
     * current snapshot as after-images (ts 0) plus any surviving log. Output
     * schema matches [[changelog]] (value cols + ts + deleted). */
   def changelogSince(name: String, coord: ChangeCoordinate): DataFrame = {
+    if (isActiveActive(name)) {
+      if (coord.version != currentVersion(name)) {
+        // post-swap resync: the full resolved state as after-images at
+        // ts 0, tombstoned records flagged deleted (the consumer's
+        // TopicSwitch-style re-read)
+        val resolved = aaResolve(name, keepRmd = false)
+        val valueCols = resolved.columns.filterNot(_ == RecCol).map(col)
+        return resolved
+          .withColumn(DeletedCol, aaTombstone(name))
+          .withColumn(TsCol, lit(0L))
+          .select(valueCols :+ col(TsCol) :+ col(DeletedCol): _*)
+      }
+      if (!hasAaLog(name))
+        return servingView(name).limit(0)
+          .withColumn(TsCol, lit(0L)).withColumn(DeletedCol, lit(false))
+      return aaAfterImages(name, col(LogSeqCol) > coord.seq)
+    }
     val logExists = hasLog(name)
     if (coord.version != currentVersion(name)) {
       val snap = resolvedSnapshot(name)
@@ -821,6 +1013,9 @@ class GraftEngine(val spark: SparkSession, val root: String) {
       rows.unpersist()
       Files.move(Paths.get(dir(name, "aa_log")),
         Paths.get(dir(name, s"aa_log_applied_v$v")))
+      // the archived log's bucket layout dies with it — the next append
+      // re-pins to the (possibly changed) snapshot bucket count
+      Files.deleteIfExists(Paths.get(dir(name, "AA_BUCKETS")))
       return v
     }
     val meta = storeMeta(name)

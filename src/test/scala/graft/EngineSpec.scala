@@ -350,6 +350,46 @@ class EngineSpec extends AnyFunSuite {
     assert(view2.count() == 999)
   }
 
+  test("A/A changelog + incremental view refresh touch only changed keys") {
+    import spark.implicits._
+    engine.createStore("aasrc", Seq("k"))
+    engine.push("aasrc",
+      (1L to 1000L).map(k => (k, k % 7, s"v$k")).toDF("k", "g", "v"))
+    engine.enableActiveActive("aasrc")
+    engine.materializedView("aasrc", "aasrc_by_g", Seq("g", "k"), numBuckets = 4)
+    // caught-up refresh appends nothing
+    engine.refreshView("aasrc_by_g")
+    assert(!Files.exists(java.nio.file.Paths.get(s"$root/aasrc_by_g/log")))
+    // one view-key move (g: 5 -> 99 via a field set), one delete, one add
+    engine.setFieldAA("aasrc", Seq((5L, 99L)).toDF("k", "g"), "g", tsMs = 1000L)
+    engine.deleteAA("aasrc", Seq(6L).toDF("k"), tsMs = 2000L)
+    engine.putAA("aasrc", Seq((2000L, 3L, "new")).toDF("k", "g", "v"), tsMs = 3000L)
+    // the changelog emits RESOLVED after-images for exactly the 3 touched
+    // keys, tombstone flagged
+    val delta = engine.changelogSince("aasrc",
+      graft.core.ChangeCoordinate(1, 0L)).collect()
+    assert(delta.length == 3)
+    val byKey = delta.map(r => r.getAs[Long]("k") -> r).toMap
+    assert(byKey(5L).getAs[Long]("g") == 99L &&
+      !byKey(5L).getAs[Boolean](GraftEngine.DeletedCol))
+    assert(byKey(6L).getAs[Boolean](GraftEngine.DeletedCol))
+    assert(byKey(2000L).getAs[String]("v") == "new")
+    engine.refreshView("aasrc_by_g")
+    // 2 tombstones (old view rows of k=5,6) + 2 re-inserts (k=5 moved,
+    // k=2000 new) — only changed keys, never a view rewrite
+    assert(spark.read.parquet(s"$root/aasrc_by_g/log").count() == 4)
+    val view = engine.servingView("aasrc_by_g")
+    assert(view.count() == 1000) // 1000 - 1 deleted + 1 added
+    assert(view.filter($"k" === 5L).select("g").head().getLong(0) == 99L)
+    assert(view.filter($"k" === 6L).count() == 0)
+    assert(view.filter($"k" === 2000L).select("v").head().getString(0) == "new")
+    // view ≡ full recompute of the A/A serving view
+    val full = engine.servingView("aasrc").orderBy("k").collect().toSeq
+    val viaView = view.select("k", "g", "v").orderBy("k").collect().toSeq
+    assert(viaView == full.map(r => org.apache.spark.sql.Row(
+      r.getAs[Long]("k"), r.getAs[Long]("g"), r.getAs[String]("v"))))
+  }
+
   test("§1.4: per-batch writer schema id + superset resolution end-to-end") {
     import spark.implicits._
     import org.apache.spark.sql.types._
@@ -401,14 +441,43 @@ class EngineSpec extends AnyFunSuite {
       updSchema), 4000L)
     val r3 = engine.get("sev", Seq(3L)).get
     assert(r3.getAs[String]("name") == "upd" && r3.getAs[Long]("score") == 30L)
-    // A/A stores refuse value-schema EVOLUTION (new fields would lack RMD
-    // siblings and silently degrade conflict resolution)
+  }
+
+  test("A/A value-schema evolution: late events on old AND new fields resolve") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
     engine.createStore("sevaa", Seq("k"))
-    engine.push("sevaa", Seq((1L, "a")).toDF("k", "name"))
+    engine.push("sevaa", Seq((1L, "a"), (2L, "b")).toDF("k", "name"))
     engine.enableActiveActive("sevaa")
-    intercept[IllegalArgumentException] {
-      engine.registerValueSchema("sevaa", StructType(
-        engine.valueSchema("sevaa", 1).fields :+ StructField("x", LongType)))
-    }
+    // evolve: add a long field `x`
+    assert(engine.registerValueSchema("sevaa", StructType(
+      engine.valueSchema("sevaa", 1).fields :+ StructField("x", LongType))) == 2)
+    // a new-schema writer sets x at ts 100…
+    engine.setFieldAA("sevaa", Seq((1L, 7L)).toDF("k", "x"), "x", tsMs = 100L)
+    // …then an OLD-schema full put arrives LATER (ts 200). It must win the
+    // fields it knows (name) but MUST NOT clobber x — the old writer's
+    // schema has no x, so its put carries bottom state there, not a
+    // ts-200 null
+    engine.putAA("sevaa", Seq((1L, "a2")).toDF("k", "name"), tsMs = 200L)
+    val r1 = engine.servingView("sevaa").filter($"k" === 1L).head()
+    assert(r1.getAs[String]("name") == "a2")
+    assert(r1.getAs[Long]("x") == 7L)
+    // the pre-evolution snapshot reads x as null (bottom), and a late set
+    // on an old field still loses to the snapshot-later put
+    val r2 = engine.servingView("sevaa").filter($"k" === 2L).head()
+    assert(r2.getAs[Any]("x") == null)
+    // point read resolves the evolved field too (pruned path)
+    assert(engine.get("sevaa", Seq(1L)).get.getAs[Long]("x") == 7L)
+    // repush persists RMD for x; a late old-schema put after the repush
+    // still cannot clobber it
+    engine.repush("sevaa")
+    engine.putAA("sevaa", Seq((1L, "a3")).toDF("k", "name"), tsMs = 300L)
+    val r3 = engine.servingView("sevaa").filter($"k" === 1L).head()
+    assert(r3.getAs[String]("name") == "a3")
+    assert(r3.getAs[Long]("x") == 7L)
+    // a NEW-schema put (knows x) replaces it wholesale
+    engine.putAA("sevaa", Seq((1L, "a4", 9L)).toDF("k", "name", "x"), tsMs = 400L)
+    assert(engine.servingView("sevaa").filter($"k" === 1L).head()
+      .getAs[Long]("x") == 9L)
   }
 }

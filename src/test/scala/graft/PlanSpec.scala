@@ -60,6 +60,24 @@ class PlanSpec extends AnyFunSuite {
         .contains("__bucket"), p.take(600))
   }
 
+  test("A/A point read prunes BOTH the snapshot and the op log to one bucket") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-plan3").toString
+    val e = new GraftEngine(spark, root)
+    e.createStore("aa", Seq("id"))
+    e.push("aa", Seq((1L, 1.0), (2L, 2.0)).toDF("id", "score"), numBuckets = 8)
+    e.enableActiveActive("aa")
+    e.setFieldAA("aa", Seq((1L, 9.0)).toDF("id", "score"), "score", tsMs = 10L)
+    // the point-read plan: every parquet scan (snapshot v=1 AND aa_log)
+    // must carry a __bucket PartitionFilter — directory pruning on both
+    // fold sides, the one-replica-routing analog
+    val p = plan(e.aaView("aa", snapBucket = Some(3), logBucket = Some(3),
+      keyPred = Some(col("id") === 1L)))
+    val scans = "PartitionFilters: \\[[^\\]]*\\]".r.findAllIn(p).toSeq
+    assert(scans.size >= 2, s"expected 2 pruned scans, plan: ${p.take(800)}")
+    assert(scans.forall(_.contains("__bucket")), scans.mkString("\n"))
+  }
+
   test("LSH candidate generation is an equi-join, never a nested loop") {
     val sh = graft.operators.Dedup.shingleSets(
       Tables.documents(spark, sf), "doc_id", "text", 3)
