@@ -1688,6 +1688,139 @@ object Queries {
                    ELSE 'test' END AS split
             FROM documents ORDER BY doc_id"""))
 
+  /** A/A incremental materialized view: an ACTIVE-ACTIVE source (field-level
+    * CRDT ops — a scalar set that MOVES rows across view keys, a collection
+    * add, a collection remove, record deletes) maintained into a re-keyed
+    * view through the A/A after-image changelog. Only changed keys are
+    * touched (pinned in EngineSpec); result ≡ full recompute. */
+  val b14AaView = QueryDef(
+    "b14_aa_incremental_view",
+    (s, dir) => {
+      val e = tempEngine(s, "graft-b14")
+      e.createStore("o", Seq("o_orderkey"))
+      val ord = t(s, dir, "orders").filter(col("o_orderkey") <= 3000)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          array(col("o_orderstatus")).as("tags"))
+      e.push("o", ord, numBuckets = 4)
+      e.enableActiveActive("o")
+      e.materializedView("o", "o_by_cust", Seq("o_custkey", "o_orderkey"),
+        numBuckets = 4)
+      // move keys 1..20 to customer 1 (view rows must MOVE)
+      e.setFieldAA("o", ord.filter(col("o_orderkey") <= 20)
+        .select(col("o_orderkey"), lit(1L).as("o_custkey")),
+        "o_custkey", tsMs = 1000L)
+      // tag keys 1..40 with X (collection add)
+      e.addToSetAA("o", ord.filter(col("o_orderkey") <= 40)
+        .select(col("o_orderkey"), lit("X").as("tag")), "tags", "tag",
+        tsMs = 1100L)
+      // strip keys 41..60 of their status tag (collection remove)
+      e.removeFromSetAA("o", t(s, dir, "orders")
+        .filter(col("o_orderkey").between(41, 60))
+        .select(col("o_orderkey"), col("o_orderstatus").as("tag")),
+        "tags", "tag", tsMs = 1200L)
+      // delete keys 21..30 (record tombstones — delete wins the earlier add)
+      e.deleteAA("o", ord.filter(col("o_orderkey").between(21, 30))
+        .select("o_orderkey"), tsMs = 2000L)
+      e.refreshView("o_by_cust")
+      e.servingView("o_by_cust")
+        .select(col("o_custkey"), col("o_orderkey"),
+          round(col("o_totalprice") * 100).cast("long").as("price_cents"),
+          array_join(col("tags"), ",").as("tags"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+    // tags: snapshot element at ts0 + X@1100, sorted ⇒ status,X (every
+    // status letter sorts before X); removed status for 41..60 ⇒ ''
+    Some("""SELECT CASE WHEN o_orderkey <= 20 THEN 1 ELSE o_custkey END AS o_custkey,
+            o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+            CASE WHEN o_orderkey <= 40 THEN o_orderstatus || ',X'
+                 WHEN o_orderkey BETWEEN 41 AND 60 THEN ''
+                 ELSE o_orderstatus END AS tags
+            FROM orders
+            WHERE o_orderkey <= 3000 AND o_orderkey NOT BETWEEN 21 AND 30
+            ORDER BY 1, 2"""))
+
+  /** A/A value-schema evolution (§1.4 × W7): evolve an ACTIVE-ACTIVE store
+    * (v2 adds `segment`), then interleave a v2 writer setting the new field,
+    * a v2 writer bumping an old field, and a LATE v1 full put that does not
+    * know `segment`. The old-schema put wins the fields it knows but
+    * carries BOTTOM state for `segment` — it must not clobber the value a
+    * v2 writer set earlier (Venice superset-schema put resolution). */
+  val r14AaEvolution = QueryDef(
+    "r14_aa_schema_evolution",
+    (s, dir) => {
+      import org.apache.spark.sql.types._
+      val e = tempEngine(s, "graft-r14")
+      e.createStore("c", Seq("c_custkey"))
+      val cust = t(s, dir, "customer").filter(col("c_custkey") <= 2000)
+      e.push("c", cust.select(col("c_custkey"), col("c_name"), col("c_acctbal")),
+        numBuckets = 4)
+      e.enableActiveActive("c")
+      e.registerValueSchema("c", StructType(e.valueSchema("c", 1).fields :+
+        StructField("segment", StringType)))
+      // v2 writer fills the NEW field at ts 1000…
+      e.setFieldAA("c", cust.filter(col("c_custkey") <= 50)
+        .select(col("c_custkey"), col("c_mktsegment").as("segment")),
+        "segment", tsMs = 1000L)
+      // …and bumps an OLD field at ts 1500…
+      e.setFieldAA("c", cust.filter(col("c_custkey").between(10, 40))
+        .select(col("c_custkey"),
+          (col("c_acctbal") + lit(100.0)).as("c_acctbal")),
+        "c_acctbal", tsMs = 1500L)
+      // …then a late v1 full put (no segment column → writer schema 1)
+      e.putAA("c", cust.filter(col("c_custkey") <= 30)
+        .select(col("c_custkey"),
+          concat(col("c_name"), lit("!")).as("c_name"), col("c_acctbal")),
+        tsMs = 2000L)
+      e.servingView("c")
+        .select(col("c_custkey"), col("c_name"),
+          round(col("c_acctbal") * 100).cast("long").as("acctbal_cents"),
+          col("segment"))
+        .orderBy(col("c_custkey"))
+    },
+    Some("""SELECT c_custkey,
+            CASE WHEN c_custkey <= 30 THEN c_name || '!' ELSE c_name END AS c_name,
+            CAST(round((CASE WHEN c_custkey <= 30 THEN c_acctbal
+                             WHEN c_custkey BETWEEN 10 AND 40 THEN c_acctbal + 100
+                             ELSE c_acctbal END) * 100) AS BIGINT) AS acctbal_cents,
+            CASE WHEN c_custkey <= 50 THEN c_mktsegment END AS segment
+            FROM customer WHERE c_custkey <= 2000 ORDER BY c_custkey"""))
+
+  /** S3 gated version swap, end-to-end: a store lagging beyond the time
+    * threshold REFUSES the swap (nothing consumed, version unchanged); once
+    * a fresh batch lands within the threshold the swap proceeds and the new
+    * version carries both batches' LWW-merged state. */
+  val s3LagGate = QueryDef(
+    "s3_lag_gate",
+    (s, dir) => {
+      val e = tempEngine(s, "graft-s3")
+      e.createStore("n", Seq("n_nationkey"))
+      val nat = t(s, dir, "nation")
+      e.push("n", nat.select(col("n_nationkey"), col("n_name")), numBuckets = 2)
+      // stale batch: event time 1000 vs now 100000 → lag 99000 > 10000
+      e.put("n", nat.filter(col("n_nationkey") < 5)
+        .select(col("n_nationkey"),
+          concat(col("n_name"), lit("_A")).as("n_name")), tsMs = 1000L)
+      val refused = graft.streaming.StreamIngest.swapIfCaughtUp(e, "n",
+        maxTimeLagMs = 10000L, nowMs = 100000L)
+      // drained: newest ingested ts 95000 → lag 5000 ≤ 10000 → swap
+      e.put("n", nat.filter(col("n_nationkey").between(5, 9))
+        .select(col("n_nationkey"),
+          concat(col("n_name"), lit("_B")).as("n_name")), tsMs = 95000L)
+      val swapped = graft.streaming.StreamIngest.swapIfCaughtUp(e, "n",
+        maxTimeLagMs = 10000L, nowMs = 100000L)
+      e.snapshot("n")
+        .select(col("n_nationkey"), col("n_name"))
+        .withColumn("first_swap_refused", lit(refused.isEmpty))
+        .withColumn("swapped_version", lit(swapped.getOrElse(-1)))
+        .orderBy(col("n_nationkey"))
+    },
+    Some("""SELECT n_nationkey,
+            CASE WHEN n_nationkey < 5 THEN n_name || '_A'
+                 WHEN n_nationkey BETWEEN 5 AND 9 THEN n_name || '_B'
+                 ELSE n_name END AS n_name,
+            true AS first_swap_refused, 2 AS swapped_version
+            FROM nation ORDER BY n_nationkey"""))
+
   // ---------------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------------
@@ -1699,7 +1832,8 @@ object Queries {
     r10Predicates, r11Stream, qWindow, qRollup, qSemi, qAnti, qSessionize,
     b3Ttl, b4Compaction, b4DupAudit, b7Quota, b8Partition,
     w3WriteCompute, w5Lww, w7Crdt, w7CrdtMap, w8Squash, w11Div, w12Hll, w13HotKeys,
-    r12Meta, r13SchemaEvolution, b13IncrementalView, w1PutDelete,
+    r12Meta, r13SchemaEvolution, b13IncrementalView, b14AaView,
+    r14AaEvolution, s3LagGate, w1PutDelete,
     w2UpdateBuilder, w4UpdateSchema, w9Chunk, b6Wire,
     b1Avro, w10Compression, b10Metrics, b11Incremental, b12Etl,
     s1Ingest, s2Rewind, s4Changelog, s6SqlView, s7TokenBucket,
