@@ -1688,6 +1688,106 @@ object Queries {
                    ELSE 'test' END AS split
             FROM documents ORDER BY doc_id"""))
 
+  /** Benchmark decontamination: docs with id &lt; 50 act as the eval set, the
+    * rest is the training corpus; every training doc gets its best eval
+    * overlap (|shared 3-gram shingles| / |eval shingles|) and a
+    * contaminated flag at ≥ 0.5. The tiny eval n-gram index broadcasts —
+    * the corpus side never shuffles (the 100 TB decontamination shape). */
+  val decontaminate = QueryDef(
+    "decontaminate",
+    (s, dir) => {
+      val sh = graft.operators.Dedup.shingleSets(
+        t(s, dir, "documents"), "doc_id", "text", 3)
+      graft.operators.Dedup.contamination(
+        sh.filter(col("id") >= 50), sh.filter(col("id") < 50), 0.5)
+        .orderBy(col("train_id"))
+    },
+    Some(s"""WITH sh AS (SELECT doc_id AS id, ${shinglesSql("t")} AS shingles
+               FROM (SELECT doc_id, $tokensSql AS t FROM documents)),
+             ev AS (SELECT id AS eval_id, shingles, len(shingles) AS n_eval
+               FROM sh WHERE id < 50 AND len(shingles) > 0),
+             tr AS (SELECT id AS train_id, shingles FROM sh WHERE id >= 50),
+             tp AS (SELECT train_id, unnest(shingles) AS s FROM tr),
+             ep AS (SELECT eval_id, n_eval, unnest(shingles) AS s FROM ev),
+             ov AS (SELECT train_id, eval_id, n_eval, count(*) AS inter
+               FROM tp JOIN ep USING (s) GROUP BY 1, 2, 3),
+             best AS (SELECT train_id, eval_id,
+                 round(inter::DOUBLE / n_eval, 6) AS overlap,
+                 row_number() OVER (PARTITION BY train_id
+                   ORDER BY inter::DOUBLE / n_eval DESC, eval_id) AS rn
+               FROM ov)
+             SELECT t.train_id, b.eval_id,
+               coalesce(b.overlap, 0.0) AS overlap,
+               coalesce(b.overlap, 0.0) >= 0.5 AS contaminated
+             FROM tr t LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
+               USING (train_id)
+             ORDER BY train_id"""))
+
+  /** Stratified hash sampling with per-language keep rates (en 30%, zh 80%,
+    * default 50%) — a salted-md5 filter, no shuffle, reproducible across
+    * engines and row orders. */
+  val sampleStratified = QueryDef(
+    "sample_stratified",
+    (s, dir) => graft.operators.Sampling.stratifiedSample(
+      t(s, dir, "documents"), col("lang"), col("doc_id"),
+      Map("en" -> 30, "zh" -> 80), defaultPct = 50)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy(col("doc_id")),
+    Some("""SELECT doc_id, lang, source FROM documents
+            WHERE ('0x' || substr(md5('strat' || doc_id::VARCHAR), 1, 4))::INT % 100 <
+              CASE lang WHEN 'en' THEN 30 WHEN 'zh' THEN 80 ELSE 50 END
+            ORDER BY doc_id"""))
+
+  /** Domain-mix curation: admit documents per language, in stable hash
+    * order, until each language's running token count reaches a 3000-token
+    * budget (the "sample each domain down to N tokens" step of a training
+    * mix). One shuffle on the group key; window cumsum. */
+  val mixTokenBudget = QueryDef(
+    "mix_token_budget",
+    (s, dir) => graft.operators.Sampling.tokenBudgetSample(
+      t(s, dir, "documents"), "lang", "doc_id",
+      TextOps.tokenCount(col("text")), budgetTokens = 3000L)
+      .select(col("lang"), col("doc_id"),
+        col("n_tokens").cast("long").as("n_tokens"), col("cum_tokens"))
+      .orderBy(col("lang"), col("cum_tokens")),
+    Some(s"""WITH d AS (SELECT lang, doc_id, len($tokensSql) AS n_tokens
+               FROM documents),
+             c AS (SELECT lang, doc_id, n_tokens,
+                 sum(n_tokens) OVER (PARTITION BY lang
+                   ORDER BY md5(doc_id::VARCHAR), doc_id
+                   ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_tokens
+               FROM d)
+             SELECT lang, doc_id, n_tokens, cum_tokens FROM c
+             WHERE cum_tokens <= 3000 ORDER BY lang, cum_tokens"""))
+
+  /** Winnowing fingerprints (rolling-hash sketch; k=3-gram hashes, window
+    * w=4 minima): detects verbatim passage reuse that whole-doc Jaccard
+    * dilutes. Output is the sorted distinct fingerprint set per doc. */
+  val textWinnow = QueryDef(
+    "text_winnow",
+    (s, dir) => t(s, dir, "documents")
+      .select(col("doc_id"),
+        TextOps.winnowFingerprints(col("text"), 3, 4).as("fps"))
+      .select(col("doc_id"), size(col("fps")).as("n_fps"),
+        array_join(col("fps"), ",").as("fps_str"))
+      .orderBy(col("doc_id")),
+    Some(s"""WITH tk AS (SELECT doc_id, $tokensSql AS t FROM documents),
+             g AS (SELECT doc_id, CASE WHEN len(t) >= 3 THEN
+                 list_transform(range(1, len(t) - 1),
+                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+               ELSE [] END AS grams FROM tk),
+             h AS (SELECT doc_id, list_transform(grams,
+                 g2 -> ('0x' || substr(md5(g2), 1, 8))::BIGINT) AS hs FROM g),
+             w AS (SELECT doc_id, CASE
+                 WHEN len(hs) = 0 THEN []
+                 WHEN len(hs) >= 4 THEN list_transform(range(1, len(hs) - 2),
+                   i -> list_min(hs[i:i+3]))
+                 ELSE [list_min(hs)] END AS wins FROM h),
+             f AS (SELECT doc_id, list_sort(list_distinct(wins)) AS fps FROM w)
+             SELECT doc_id, len(fps)::INT AS n_fps,
+               array_to_string(fps, ',') AS fps_str
+             FROM f ORDER BY doc_id"""))
+
   /** A/A incremental materialized view: an ACTIVE-ACTIVE source (field-level
     * CRDT ops — a scalar set that MOVES rows across view keys, a collection
     * add, a collection remove, record deletes) maintained into a re-keyed
@@ -1839,7 +1939,8 @@ object Queries {
     s1Ingest, s2Rewind, s4Changelog, s6SqlView, s7TokenBucket,
     dedupExact, dedupMinhash, dedupSimhash, dedupNgram, dedupEmbedding,
     dedupClusters, annTopk, annLsh, annIvf, textStats, textTokenCounts,
-    mmDecode, mmFrames, textPiiRedact, splitAssignQ)
+    mmDecode, mmFrames, textPiiRedact, splitAssignQ,
+    decontaminate, sampleStratified, mixTokenBudget, textWinnow)
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }

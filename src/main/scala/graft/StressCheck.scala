@@ -212,6 +212,68 @@ object StressCheck {
         .filter(!col("allowed")).count()
     }
     spark.catalog.clearCache()
+
+    // A/A changelog-driven incremental view maintenance at scale: a
+    // 1.5M-key ACTIVE-ACTIVE store with a re-keyed materialized view, then
+    // a 15k-op delta (0.5% of keys: scalar sets that MOVE view keys,
+    // collection adds, record deletes). The refresh consumes resolved
+    // after-images from the A/A op log and must touch only the changed
+    // keys — its cost scales with the DELTA, while the full-rebuild
+    // alternative (timed alongside for contrast) scales with the STORE.
+    // Result is checked ≡ a full recompute of the re-keyed serving view.
+    {
+      val eng = new graft.core.GraftEngine(spark,
+        java.nio.file.Files.createTempDirectory("graft-stress-aav").toString)
+      val nKeys = 1500000L
+      val rows = spark.range(nKeys).select(
+        col("id").as("k"),
+        pmod(col("id"), lit(100000)).as("grp"),
+        (col("id") % 1000).cast("double").as("score"),
+        array(concat(lit("t"), pmod(col("id"), lit(5)))).as("tags"))
+      eng.createStore("src", Seq("k"))
+      eng.push("src", rows, numBuckets = 32)
+      eng.enableActiveActive("src")
+      timed("A/A view build 1.5M") {
+        eng.materializedView("src", "by_grp", Seq("grp", "k"),
+          numBuckets = 32).toLong
+      }
+      // the delta: 5k group moves (view rows MUST move), 5k tag adds,
+      // 5k record deletes — disjoint key ranges so expected counts are exact
+      eng.setFieldAA("src", spark.range(5000)
+        .select(col("id").as("k"), (col("id") % 7 + 200000L).as("grp")),
+        "grp", tsMs = 1000L)
+      eng.addToSetAA("src", spark.range(5000, 10000)
+        .select(col("id").as("k"), lit("hot").as("tag")), "tags", "tag",
+        tsMs = 1100L)
+      eng.deleteAA("src", spark.range(10000, 15000).select(col("id").as("k")),
+        tsMs = 1200L)
+      timed("A/A view refresh 15k delta") {
+        eng.refreshView("by_grp")
+        1L
+      }
+      val got = eng.servingView("by_grp")
+      val nRows = got.count()
+      require(nRows == nKeys - 5000,
+        s"view rows: $nRows, expected ${nKeys - 5000}")
+      val moved = got.filter(col("grp") >= 200000L).count()
+      require(moved == 5000, s"moved view keys: $moved, expected 5000")
+      val tagged = got.filter(array_contains(col("tags"), "hot")).count()
+      require(tagged == 5000, s"tagged rows: $tagged, expected 5000")
+      // spot-equivalence vs a full recompute on the delta ranges + a
+      // same-size untouched control range
+      val recompute = eng.servingView("src")
+        .filter(col("k") < 30000L)
+        .select(col("grp"), col("k"), col("score"),
+          array_join(col("tags"), ",").as("tags"))
+      val viewSlice = got.filter(col("k") < 30000L)
+        .select(col("grp"), col("k"), col("score"),
+          array_join(col("tags"), ",").as("tags"))
+      val diff = viewSlice.exceptAll(recompute)
+        .union(recompute.exceptAll(viewSlice)).count()
+      require(diff == 0, s"view != recompute on $diff rows")
+      println("[stress] A/A view refresh ≡ full recompute (checked)")
+    }
+    spark.catalog.clearCache()
     spark.stop()
   }
 }

@@ -139,6 +139,14 @@ object TextOps {
   def qualityScore(text: Column): Column =
     qualityScoreFrom(text, tokens(text))
 
+  /** Winnowing fingerprint (rolling-hash document sketch) — the one-pass
+    * [[graft.functions.WinnowFingerprints]] expression; see its scaladoc
+    * for the semantics twin and why a column-function formulation (which
+    * re-inlines tokenization into every transform lambda) goes quadratic
+    * in document length. */
+  def winnowFingerprints(text: Column, k: Int = 3, w: Int = 4): Column =
+    WinnowExpr.winnow(text, k, w)
+
   /** Document fingerprint: md5 of the normalized text (lowercased,
     * whitespace collapsed to single spaces, trimmed) — the exact-dedup key. */
   def fingerprint(text: Column): Column =

@@ -138,6 +138,51 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Training-corpus decontamination: for every training doc, the best
+    * (max) overlap with any eval-set doc, where overlap = |shared shingles|
+    * / |eval shingles| — "what fraction of this eval example's n-grams
+    * appear in this training doc" (the standard n-gram contamination
+    * metric: the eval set leaking INTO training is what poisons a
+    * benchmark, so the denominator is the eval side, not Jaccard).
+    *
+    * Scale shape: the eval set is always tiny next to the corpus (hundreds
+    * of benchmark examples vs billions of docs), so its exploded n-gram
+    * index is BROADCAST — the training side streams through a map-side
+    * join + one keyed aggregation, no shuffle of the corpus and no
+    * inverted-index self-join. Returns one row per training doc (docs with
+    * no shared shingle keep overlap 0.0 and a null eval id), so the output
+    * is a complete audit column, joinable back onto the corpus.
+    *
+    * @param train shingled training corpus (id, shingles) — [[shingleSets]]
+    * @param evalSet shingled eval/benchmark set (id, shingles)
+    * @param minOverlap contamination threshold for the `contaminated` flag
+    */
+  def contamination(train: DataFrame, evalSet: DataFrame,
+      minOverlap: Double = 0.5): DataFrame = {
+    val evalN = evalSet.filter(size(col("shingles")) > 0)
+      .select(col("id").as("eval_id"), size(col("shingles")).as("n_eval"))
+    val evalPosts = evalSet.filter(size(col("shingles")) > 0)
+      .select(col("id").as("eval_id"), explode(col("shingles")).as("sh"))
+    val trainPosts = train.select(col("id").as("train_id"),
+      explode(col("shingles")).as("sh"))
+    val overlaps = trainPosts.join(broadcast(evalPosts), "sh")
+      .groupBy("train_id", "eval_id").agg(count(lit(1)).as("inter"))
+      .join(broadcast(evalN), "eval_id")
+      .withColumn("overlap", col("inter").cast("double") / col("n_eval"))
+    // best eval match per training doc (ties → smallest eval id)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("train_id"))
+      .orderBy(col("overlap").desc, col("eval_id"))
+    val best = overlaps
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .select(col("train_id"), col("eval_id"),
+        round(col("overlap"), 6).as("overlap"))
+    train.select(col("id").as("train_id")).join(best, Seq("train_id"), "left")
+      .select(col("train_id"), col("eval_id"),
+        coalesce(col("overlap"), lit(0.0)).as("overlap"),
+        (coalesce(col("overlap"), lit(0.0)) >= minOverlap).as("contaminated"))
+  }
+
   /** Connected components over duplicate pairs → duplicate CLUSTERS: the
     * step after pair detection in a real dedup pipeline (near-duplication
     * is transitive in intent — keep one doc per component, not per pair;

@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextOps
+
+/** Deterministic corpus-curation sampling for training-data pipelines.
+  *
+  * Both samplers key every decision on a stable content hash of the row id —
+  * never `rand()` — so membership is reproducible across runs, engines, and
+  * partitionings (resuming or re-running a 100 TB curation job must not
+  * reshuffle which documents made the cut), and both are single-shuffle
+  * shapes that hold at cluster scale.
+  */
+object Sampling {
+
+  /** Hash-uniform position of an id in [0, 100): the same md5-prefix bucket
+    * [[TextOps.splitBucket]] uses for splits, so sampling and splitting
+    * compose without correlation only if callers SALT one of them — mixing
+    * a salt string into the hash decorrelates the two decisions. */
+  def hashPct(id: Column, salt: String = ""): Column =
+    conv(substring(md5(concat(lit(salt), id.cast("string"))), 1, 4), 16, 10)
+      .cast("int") % 100
+
+  /** Stratified sampling with per-stratum rates: keep a row iff its hash
+    * bucket falls under its stratum's percentage. `rates` maps stratum value
+    * → keep-percentage (0..100); strata absent from the map keep
+    * `defaultPct`. The rate table is a literal CASE expression — no join,
+    * no shuffle, a pure narrow filter that pushes into the scan. */
+  def stratifiedSample(df: DataFrame, stratumCol: Column, idCol: Column,
+      rates: Map[String, Int], defaultPct: Int = 100,
+      salt: String = "strat"): DataFrame = {
+    val pct = rates.foldLeft(lit(defaultPct)) { case (acc, (k, p)) =>
+      when(stratumCol === k, lit(p)).otherwise(acc)
+    }
+    df.filter(hashPct(idCol, salt) < pct)
+  }
+
+  /** Domain-mix curation to a token budget: per group (language, source
+    * domain, …), admit documents in stable hash order until the group's
+    * cumulative token count reaches `budgetTokens` — the "sample each
+    * domain down to N tokens" step of assembling a training mix with
+    * controlled proportions.
+    *
+    * Hash order makes the admitted set a uniform random-looking but
+    * deterministic subset; the first document that would overflow the
+    * budget is the cut (truncation semantics — admitted iff the RUNNING
+    * SUM through this doc still fits). One shuffle on the group key; the
+    * running sum is a window cumsum, O(1) state per task.
+    *
+    * @return admitted docs with `n_tokens` and the running `cum_tokens`
+    *         (≤ budgetTokens by construction)
+    */
+  def tokenBudgetSample(df: DataFrame, groupCol: String, idCol: String,
+      tokensCol: Column, budgetTokens: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("n_tokens", tokensCol)
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= budgetTokens)
+  }
+}

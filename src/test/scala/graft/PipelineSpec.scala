@@ -371,6 +371,98 @@ class PipelineSpec extends AnyFunSuite {
     assert(a.exceptAll(b).count() == 0)
   }
 
+  test("contamination: planted eval leak found, clean docs score zero") {
+    import spark.implicits._
+    val evalDoc = "the quick brown fox jumps over the lazy dog"
+    val docs = Seq(
+      (1L, evalDoc),                                      // the eval doc
+      (100L, s"prefix words here $evalDoc and a suffix"), // verbatim leak
+      (101L, "totally unrelated content about spark engines"),
+      (102L, "the quick brown fox stops")                 // partial overlap
+    ).toDF("doc_id", "text")
+    val sh = Dedup.shingleSets(docs, "doc_id", "text", 3)
+    val got = Dedup.contamination(
+      sh.filter(col("id") >= 100), sh.filter(col("id") < 100), 0.9)
+      .orderBy(col("train_id"))
+      .collect()
+    // doc 100 contains every eval shingle → overlap 1.0, contaminated
+    assert(got(0).getLong(0) == 100L && got(0).getDouble(2) == 1.0
+      && got(0).getBoolean(3))
+    // doc 101 shares nothing: null eval id, overlap 0, clean
+    assert(got(1).getLong(0) == 101L && got(1).isNullAt(1)
+      && got(1).getDouble(2) == 0.0 && !got(1).getBoolean(3))
+    // doc 102 shares exactly two of the 7 eval shingles
+    // ("the quick brown", "quick brown fox")
+    assert(got(2).getLong(0) == 102L
+      && math.abs(got(2).getDouble(2) - 2.0 / 7) < 1e-4 && !got(2).getBoolean(3))
+  }
+
+  test("stratified sample: per-stratum rates hit, deterministic") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    val rows = (0L until 6000L).map(i => (i, if (i % 3 == 0) "en" else "de"))
+      .toDF("id", "lang")
+    val kept = Sampling.stratifiedSample(rows, col("lang"), col("id"),
+      Map("en" -> 25), defaultPct = 75).persist()
+    val byLang = kept.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(byLang("en") - 500L) < 120, s"en: ${byLang("en")}")   // 2000*0.25
+    assert(math.abs(byLang("de") - 3000L) < 250, s"de: ${byLang("de")}")  // 4000*0.75
+    // membership is a pure function of (salt, id, lang) — row order immaterial
+    val again = Sampling.stratifiedSample(rows.orderBy(col("id").desc)
+      .repartition(13), col("lang"), col("id"), Map("en" -> 25), 75)
+    assert(kept.exceptAll(again).count() == 0
+      && again.exceptAll(kept).count() == 0)
+    kept.unpersist()
+  }
+
+  test("token-budget mix: per-group running sum never exceeds the budget") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    val docs = (0L until 400L)
+      .map(i => (i, if (i % 2 == 0) "a" else "b",
+        ("w " * (i % 30 + 1).toInt).trim))
+      .toDF("id", "grp", "text")
+    val got = Sampling.tokenBudgetSample(docs, "grp", "id",
+      graft.functions.TextOps.tokenCount(col("text")), budgetTokens = 500L)
+      .persist()
+    val maxCum = got.groupBy("grp").agg(max("cum_tokens").as("m"))
+      .collect().map(_.getLong(1))
+    assert(maxCum.forall(_ <= 500L), s"budget exceeded: ${maxCum.toSeq}")
+    // the cut is tight: admitting the NEXT doc in hash order would overflow
+    // (so the sampler is maximal for truncation semantics), and both groups
+    // admitted something
+    assert(got.groupBy("grp").count().count() == 2)
+    // deterministic under reordering
+    val again = Sampling.tokenBudgetSample(docs.repartition(7), "grp", "id",
+      graft.functions.TextOps.tokenCount(col("text")), budgetTokens = 500L)
+    assert(got.exceptAll(again).count() == 0)
+    got.unpersist()
+  }
+
+  test("winnowing: shared passage guarantees a shared fingerprint") {
+    import spark.implicits._
+    import graft.functions.TextOps
+    // guarantee: any shared run of w+k-1 = 6 tokens ⇒ ≥1 common fingerprint
+    val passage = "alpha beta gamma delta epsilon zeta"
+    val docs = Seq(
+      (1L, s"one two three $passage four five six"),
+      (2L, s"$passage entirely different tail words here"),
+      (3L, "no overlap with anything else at all"),
+      (4L, "ti ny")) // < k tokens → empty fingerprint set
+      .toDF("doc_id", "text")
+    val fps = docs.select(col("doc_id"),
+      TextOps.winnowFingerprints(col("text"), 3, 4).as("fps"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert((fps(1) intersect fps(2)).nonEmpty, "shared passage missed")
+    assert((fps(1) intersect fps(3)).isEmpty && (fps(2) intersect fps(3)).isEmpty)
+    assert(fps(4).isEmpty)
+    // sketch is sub-linear: ≤ #windows, and windows ≤ #grams
+    val n1 = docs.filter(col("doc_id") === 1)
+      .select(size(TextOps.tokens(col("text")))).head().getInt(0)
+    assert(fps(1).size <= n1 - 3 + 1)
+  }
+
   private implicit class BoolOps(b: Boolean) {
     def ==>(other: Boolean): Boolean = !b || other
   }
