@@ -48,8 +48,14 @@ object Bench {
         val err =
           try { q.fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
           catch { case e: Throwable => Some(Option(e.getMessage).getOrElse(e.getClass.getName)) }
+        val sec = (System.nanoTime() - t0) / 1e9
+        // harness hygiene OUTSIDE the clock: drop this query's cached
+        // blocks and collect its garbage now, so accumulated heap debt
+        // from 70+ earlier queries can't bill an innocent later one with
+        // a full-GC stall mid-measurement
         spark.catalog.clearCache()
-        ((System.nanoTime() - t0) / 1e9, err)
+        System.gc()
+        (sec, err)
       }
       val (t1, e1) = onePass()
       val (t2, e2) = if (e1.isEmpty) onePass() else (t1, e1)

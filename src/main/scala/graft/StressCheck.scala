@@ -14,12 +14,18 @@ object StressCheck {
     val spark = GraftSession.build(appName = "stress")
     import spark.implicits._
 
+    // optional section tags as args (keyed lsh crdt1m crdt10m squash
+    // minhash clusters bucket aaview) — no args runs everything
+    val only = args.toSet
+    def on(tag: String): Boolean = only.isEmpty || only(tag)
+
     val base = Tables.events(spark, sfDir)
       .crossJoin(spark.range(120).select(col("id").as("rep")))
       .withColumn("user_id", col("user_id") + col("rep") * 1000L)
       .withColumn("event_id", col("event_id") + col("rep") * 10000000L)
-      .persist()
-    val n = base.count()
+    val n = if (on("keyed") || on("bucket")) {
+      base.persist(); base.count()
+    } else 0L
 
     def timed(label: String)(f: => Long): Unit = {
       val t0 = System.nanoTime()
@@ -28,6 +34,7 @@ object StressCheck {
       println(f"[stress] $label%-24s $sec%7.2f s  ${n / sec / 1e6}%6.2f M rows/s  (out=$out)")
     }
 
+    if (on("keyed")) {
     timed("compaction latest/key") {
       graft.operators.Compaction.latestPerKey(base, Seq("user_id"),
         Seq(col("ts"), col("event_id"))).count()
@@ -43,6 +50,7 @@ object StressCheck {
     }
     base.unpersist()
     spark.catalog.clearCache()
+    }
 
     // ---- LLM-pipeline operators at 40-100× the bench corpus ----------------
 
@@ -57,6 +65,7 @@ object StressCheck {
     val corpus = spark.range(nVec)
       .select(col("id"), pmod(col("id"), lit(nBase)).as("base"))
       .select(col("id"), vecOf.as("vec"))
+    if (on("lsh"))
     timed(s"LSH cosine near-dup ${nVec / 1000}k vecs") {
       val pairs = graft.operators.Similarity.lshCosinePairs(
         corpus, 0.9, dim = dim, bitsPerBand = 16, bands = 4).persist()
@@ -74,6 +83,7 @@ object StressCheck {
     // 1M scripted active-active ops over 10k keys through the commutative
     // CRDT fold (one keyed shuffle; ~100 events/key ≈ a between-repush
     // backlog) — the A/A conflict-resolution path at 10× the bench scale.
+    if (on("crdt1m"))
     timed("A/A CRDT fold 1M ops") {
       import org.apache.spark.sql.types._
       import graft.operators.CrdtMerge
@@ -110,6 +120,7 @@ object StressCheck {
     // collect_list shape. The two-phase fold bounds any task's buffer to
     // its input-partition slice (~312k states at 32 partitions), then folds
     // 32 partials — per-task memory is O(slice), not O(key history).
+    if (on("crdt10m"))
     timed("A/A CRDT 1 key x 10M ops") {
       import org.apache.spark.sql.types._
       import graft.operators.CrdtMerge
@@ -139,6 +150,7 @@ object StressCheck {
     // ONE key × 5M pending partial updates through the chunked squash:
     // ts-contiguous 4096-op chunks fold in parallel, then ~1.2k partials
     // fold in chunk order — no task ever holds the 5M-op history.
+    if (on("squash"))
     timed("squash 1 key x 5M updates") {
       import org.apache.spark.sql.types._
       import graft.operators.WriteCompute
@@ -168,6 +180,7 @@ object StressCheck {
 
     // 50k documents (sf0.1 docs ×10) through shingle → MinHash → LSH bands →
     // verified Jaccard — one md5 pass per doc, equi-join candidates.
+    if (on("minhash"))
     timed("minhash near-dup 50k docs") {
       val docs = Tables.documents(spark, sfDir)
         .crossJoin(spark.range(10).select(col("id").as("rep")))
@@ -182,6 +195,7 @@ object StressCheck {
     // 100k-node CHAIN (diameter 100k — the adversarial case for label
     // propagation; pointer jumping must close it in ~log rounds) plus 450k
     // small components. Output checked, not just timed.
+    if (on("clusters"))
     timed("dup-clusters 1M edges") {
       val chain = spark.range(100000 - 1)
         .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
@@ -205,6 +219,7 @@ object StressCheck {
 
     // Token-bucket admission replay over the 12M-row event log: one
     // shuffle + one ordered pass per partition, O(1) task state.
+    if (on("bucket"))
     timed("token-bucket replay 12M") {
       graft.operators.TokenBucket.simulate(base, col("user_id"),
         unix_millis(col("ts")), col("event_id"),
@@ -221,7 +236,7 @@ object StressCheck {
     // keys — its cost scales with the DELTA, while the full-rebuild
     // alternative (timed alongside for contrast) scales with the STORE.
     // Result is checked ≡ a full recompute of the re-keyed serving view.
-    {
+    if (on("aaview")) {
       val eng = new graft.core.GraftEngine(spark,
         java.nio.file.Files.createTempDirectory("graft-stress-aav").toString)
       val nKeys = 1500000L

@@ -779,9 +779,30 @@ class GraftEngine(val spark: SparkSession, val root: String) {
         }
         log.select(keyCols :+ state.as("state"): _*)
       }
-    CrdtMerge.mergeEvents(
-      snapEvents.unionByName(logEvents), meta.keyCols, crdtSchema,
-      keepRmd = keepRmd)
+    // The fold is the identity on a key with no pending ops, so only
+    // op-touched keys pay it (Venice equivalent: snapshot records are
+    // already conflict-resolved; only RT ops go through the resolver).
+    // At 100 TB with a bounded between-repush delta this turns the read
+    // from an O(store) keyed shuffle into O(delta) fold + a narrow
+    // pass-through of the rest.
+    if (!hasAaLog(name))
+      CrdtMerge.flattenStates(snapEvents, meta.keyCols, crdtSchema, keepRmd)
+    else if (keys.isDefined)
+      // caller already restricted both sides to the requested keys
+      CrdtMerge.mergeEvents(
+        snapEvents.unionByName(logEvents), meta.keyCols, crdtSchema,
+        keepRmd = keepRmd)
+    else {
+      val touched = logEvents.select(meta.keyCols.map(col): _*).distinct()
+      val folded = CrdtMerge.mergeEvents(
+        snapEvents.join(touched, meta.keyCols, "left_semi")
+          .unionByName(logEvents),
+        meta.keyCols, crdtSchema, keepRmd = keepRmd)
+      val untouched = CrdtMerge.flattenStates(
+        snapEvents.join(touched, meta.keyCols, "left_anti"),
+        meta.keyCols, crdtSchema, keepRmd)
+      folded.unionByName(untouched)
+    }
   }
 
   // ---- views & registration ------------------------------------------------

@@ -324,88 +324,156 @@ object CrdtMerge {
     * above. The fold order is irrelevant (commutative join), which is the
     * A/A multi-region guarantee.
     *
-    * Scale shape: a TWO-PHASE fold, legal because the lattice is
-    * commutative + associative (CrdtMergeSpec proves convergence under
-    * permuted folds). Phase 1 folds each input partition's slice of a key
-    * into one partial state — grouping on (key, spark_partition_id) means
-    * every group lives inside a single input split, so no task ever
-    * materializes more ops than one input partition holds (bounded by
-    * spark.sql.files.maxPartitionBytes, not by key popularity). Phase 2
-    * folds the ≤ numPartitions partial states per key. A hot key with
-    * millions of pending ops therefore costs per-task memory O(partition
-    * slice), where the previous single collect_list was O(key history) —
-    * the difference between "spills" and "OOMs" at 100-TB scale.
-    * Reference intent: Venice folds per-record incrementally and never
-    * buffers a key's history (MergeConflictResolver.java:111-255 —
-    * semantics pointer, not code).
+    * Scale shape: everything PARTIAL-AGGREGATES. Scalars (and each
+    * collection's top-level put ts) fold through a codegen'd
+    * `max(struct(ts, value-string, value))` per key — the LWW tie-break IS
+    * lexicographic struct ordering (null-first matches "null loses", the
+    * string leg matches the value-string tie-break). Collection
+    * element/entry ops are EXPLODED to long format and LWW-reduced per
+    * (key, element) with the same native max — per-element max is
+    * associative, so the map-side combine does almost all the work and a
+    * hot key with millions of pending ops shrinks to its distinct elements
+    * BEFORE any shuffle or bag materializes. (An earlier
+    * collect_list-of-bags formulation allocated one small array per op and
+    * died of GC at 10M ops on one key; this shape folds the same input in
+    * seconds.) Per-task state is a spillable hash-agg map — nothing is
+    * ever O(key history). Reference intent: Venice folds per-record
+    * incrementally and never buffers a key's history
+    * (MergeConflictResolver.java:111-255 — semantics pointer, not code).
+    * [[joinStates]] remains the pairwise reference semantics; CrdtMergeSpec
+    * proves convergence under permuted folds and equality with the model.
     *
     * `keepRmd = true` also emits the merged RMD sibling columns
     * (f__ts / f__rmd) — the compaction shape: persisting them with the
     * value lets a repushed version keep resolving against late
     * out-of-order events (Venice stores RMD next to the value for exactly
     * this reason). */
-  /** Phase-1 batch fold: one partial state per (key, input-partition slice)
-    * computed with NATIVE aggregates — codegen'd `max(struct(ts, value))`
-    * per scalar (the LWW tie-break IS lexicographic struct ordering:
-    * null-first matches "null loses", string compare matches the
-    * value-string tie-break), `max(topTs)` + flattened entry bags per
-    * collection, with the element-level merge expression applied ONCE per
-    * group. Replaces an interpreted `aggregate()` lambda that evaluated the
-    * full two-sided lattice join per event (~20× the work for op-shaped
-    * states that are bottom in every field but one). */
-  private def foldStates(events: DataFrame, groupCols: Seq[String],
-      value: StructType): DataFrame = {
+  def mergeEvents(events: DataFrame, keys: Seq[String],
+      value: StructType, keepRmd: Boolean = false): DataFrame = {
+    val keyCols = keys.map(col)
     val st = col("state")
-    val aggs: Seq[Column] = value.fields.toSeq.flatMap { f =>
+    val outNames =
+      if (keepRmd) (value.fieldNames ++ rmdSchema(value).fieldNames).toSeq
+      else value.fieldNames.toSeq
+
+    // per-key scalar LWW + per-collection top-level put ts: one shuffle of
+    // already-reduced partials, all codegen'd max aggregates
+    val scalarAggs: Seq[Column] = value.fields.toSeq.map { f =>
       f.dataType match {
-        case _: ArrayType | _: MapType => Seq(
+        case _: ArrayType | _: MapType =>
           max(st.getField(s"${f.name}__rmd").getField("topTs"))
-            .as(s"__top_${f.name}"),
-          flatten(collect_list(st.getField(s"${f.name}__rmd").getField("active")))
-            .as(s"__act_${f.name}"),
-          flatten(collect_list(st.getField(s"${f.name}__rmd").getField("deleted")))
-            .as(s"__del_${f.name}"))
-        case _ => Seq(
+            .as(s"__top_${f.name}")
+        case _ =>
           max(struct(
             coalesce(st.getField(s"${f.name}__ts"), lit(Long.MinValue)).as("ts"),
             st.getField(f.name).cast("string").as("vs"),
-            st.getField(f.name).as("v"))).as(s"__m_${f.name}"))
+            st.getField(f.name).as("v"))).as(s"__m_${f.name}")
       }
     }
-    val grouped = events
-      .groupBy(groupCols.map(col): _*)
-      .agg(aggs.head, aggs.tail: _*)
+    var merged = events.groupBy(keyCols: _*)
+      .agg(scalarAggs.head, scalarAggs.tail: _*)
+
+    // per-element LWW bag for an array-style entry set {elem, ts}: explode,
+    // reduce max ts per (key, elem) — partial-agged — then one tiny
+    // collect_list of the ≤ |distinct elements| winners per key
+    def elemBag(entries: Column, out: String): DataFrame =
+      events.select(keyCols :+ explode(entries).as("__e"): _*)
+        .select(keyCols ++ Seq(col("__e").getField("elem").as("__el"),
+          col("__e").getField("ts").as("__ts")): _*)
+        .groupBy(keyCols :+ col("__el"): _*)
+        .agg(max(col("__ts")).as("__ts"))
+        .groupBy(keyCols: _*)
+        .agg(collect_list(struct(col("__el").as("elem"),
+          col("__ts").as("ts"))).as(out))
+
+    // map-entry twin {key, ts, value}: per-entry LWW = max(struct(ts,
+    // value-string)) — the same deterministic tie-break as scalars
+    def entryBag(entries: Column, out: String): DataFrame =
+      events.select(keyCols :+ explode(entries).as("__e"): _*)
+        .select(keyCols ++ Seq(col("__e").getField("key").as("__el"),
+          struct(col("__e").getField("ts").as("ts"),
+            col("__e").getField("value").as("value")).as("__tv")): _*)
+        .groupBy(keyCols :+ col("__el"): _*)
+        .agg(max(col("__tv")).as("__tv"))
+        .groupBy(keyCols: _*)
+        .agg(collect_list(struct(col("__el").as("key"),
+          col("__tv").getField("ts").as("ts"),
+          col("__tv").getField("value").as("value"))).as(out))
+
+    value.fields.toSeq.foreach { f =>
+      val rmd = st.getField(s"${f.name}__rmd")
+      f.dataType match {
+        case _: ArrayType =>
+          merged = merged
+            .join(elemBag(rmd.getField("active"), s"__act_${f.name}"),
+              keys, "left")
+            .join(elemBag(rmd.getField("deleted"), s"__del_${f.name}"),
+              keys, "left")
+        case _: MapType =>
+          merged = merged
+            .join(entryBag(rmd.getField("active"), s"__act_${f.name}"),
+              keys, "left")
+            .join(elemBag(rmd.getField("deleted"), s"__del_${f.name}"),
+              keys, "left")
+        case _ => ()
+      }
+    }
+
     val stateFields: Seq[Column] = value.fields.toSeq.flatMap { f =>
       f.dataType match {
         case _: ArrayType =>
           mergedArray(f, col(s"__top_${f.name}"),
-            col(s"__act_${f.name}"), col(s"__del_${f.name}"))
+            coalesce(col(s"__act_${f.name}"), array().cast(ArrayType(elemTs))),
+            coalesce(col(s"__del_${f.name}"), array().cast(ArrayType(elemTs))))
         case mt: MapType =>
           mergedMap(f, mt, col(s"__top_${f.name}"),
-            col(s"__act_${f.name}"), col(s"__del_${f.name}"))
+            coalesce(col(s"__act_${f.name}"), array().cast(ArrayType(entryTs))),
+            coalesce(col(s"__del_${f.name}"), array().cast(ArrayType(elemTs))))
         case _ => Seq(
           col(s"__m_${f.name}").getField("v").as(f.name),
           col(s"__m_${f.name}").getField("ts").as(s"${f.name}__ts"))
       }
     }
-    grouped.select(groupCols.map(col) :+ struct(stateFields: _*).as("state"): _*)
+    merged
+      .select(keyCols :+ struct(stateFields: _*).as("state"): _*)
+      .select(keyCols ++ outNames.map(n =>
+        col("state").getField(n).as(n)): _*)
   }
 
-  def mergeEvents(events: DataFrame, keys: Seq[String],
-      value: StructType, keepRmd: Boolean = false): DataFrame = {
-    val keyCols = keys.map(col)
+  /** [[mergeEvents]] for a frame that already holds exactly ONE state per
+    * key: the same per-field canonicalization the fold applies (collection
+    * bags → live elements via [[mergedArray]]/[[mergedMap]], null scalar ts
+    * → bottom) WITHOUT the keyed shuffle. This is the A/A read fast path
+    * for keys with no pending ops — at any real delta cadence the
+    * overwhelming majority of a 100-TB store — whose snapshot states must
+    * not pay a fold that is the identity on them. Fold-of-one equivalence
+    * is pinned by EngineSpec. */
+  def flattenStates(events: DataFrame, keys: Seq[String], value: StructType,
+      keepRmd: Boolean = false): DataFrame = {
+    val st = col("state")
+    val stateFields: Seq[Column] = value.fields.toSeq.flatMap { f =>
+      val rmd = st.getField(s"${f.name}__rmd")
+      f.dataType match {
+        case _: ArrayType =>
+          mergedArray(f, rmd.getField("topTs"),
+            coalesce(rmd.getField("active"), array().cast(ArrayType(elemTs))),
+            coalesce(rmd.getField("deleted"), array().cast(ArrayType(elemTs))))
+        case mt: MapType =>
+          mergedMap(f, mt, rmd.getField("topTs"),
+            coalesce(rmd.getField("active"), array().cast(ArrayType(entryTs))),
+            coalesce(rmd.getField("deleted"), array().cast(ArrayType(elemTs))))
+        case _ => Seq(
+          st.getField(f.name).as(f.name),
+          coalesce(st.getField(s"${f.name}__ts"), lit(Long.MinValue))
+            .as(s"${f.name}__ts"))
+      }
+    }
     val outNames =
       if (keepRmd) (value.fieldNames ++ rmdSchema(value).fieldNames).toSeq
       else value.fieldNames.toSeq
-    // phase 1 bounds per-task memory to the input slice; phase 2 merges the
-    // ≤ numPartitions partials per key — both through the same native
-    // bag-merge ([[foldStates]]); [[joinStates]] remains the pairwise
-    // reference semantics (property-tested equivalent)
-    val partial = foldStates(
-      events.withColumn("__slice", spark_partition_id()),
-      keys :+ "__slice", value).drop("__slice")
-    foldStates(partial, keys, value)
-      .select(keyCols ++ outNames.map(n =>
+    events
+      .select(keys.map(col) :+ struct(stateFields: _*).as("state"): _*)
+      .select(keys.map(col) ++ outNames.map(n =>
         col("state").getField(n).as(n)): _*)
   }
 }

@@ -347,4 +347,40 @@ class CrdtMergeSpec extends AnyFunSuite {
     assert(expected._2 == Map("a" -> "5", "b" -> "2", "c" -> "3"))
     assert(expected._1 == "n1")
   }
+
+  test("flattenStates ≡ mergeEvents on one-state-per-key frames") {
+    // the A/A read fast path: untouched snapshot keys skip the fold via
+    // flattenStates — pinned exactly equal to a fold of one, across every
+    // state constructor (put / setField / element add+remove / map entry /
+    // map remove), both with and without RMD columns
+    val rnd = new Random(13)
+    val arrOps = (0 until 100).map { i =>
+      val kind = Seq("putName", "add", "remove", "put")(rnd.nextInt(4))
+      (kind, "", if (kind == "put") s"a${i % 3},b${i % 5}" else s"v${i % 7}",
+        rnd.nextInt(100).toLong)
+    }
+    val arrStates = eventsDf(arrOps)
+      .withColumn("k", monotonically_increasing_id()).persist()
+    val mapOps = (0 until 100).map { i =>
+      val kind = Seq("putEntry", "removeKey", "putName", "put")(rnd.nextInt(4))
+      (kind, s"k${i % 4}",
+        if (kind == "put") s"a${i % 3}=1,b${i % 5}=2" else s"v${i % 7}",
+        rnd.nextInt(100).toLong)
+    }
+    val mapStates = mapEventsDf(mapOps)
+      .withColumn("k", monotonically_increasing_id()).persist()
+    for {
+      (states, schema) <- Seq((arrStates, valueSchema), (mapStates, mapSchema))
+      keepRmd <- Seq(false, true)
+    } {
+      val folded = CrdtMerge.mergeEvents(states, Seq("k"), schema, keepRmd)
+        .orderBy("k").collect().map(_.toString)
+      val flat = CrdtMerge.flattenStates(states, Seq("k"), schema, keepRmd)
+        .orderBy("k").collect().map(_.toString)
+      assert(folded.sameElements(flat),
+        s"fold-of-one mismatch (keepRmd=$keepRmd): " +
+          folded.zip(flat).find(p => p._1 != p._2))
+    }
+    arrStates.unpersist(); mapStates.unpersist()
+  }
 }
