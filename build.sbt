@@ -26,8 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // default sized for the 125 GiB bench host: an 8g heap made long
-  // multi-query runs accumulate GC debt that billed innocent queries with
-  // multi-second full-GC stalls (observed 20x phantoms late in the suite)
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // 12g, measured, not arbitrary: 8g let 70 bench queries' GC debt bill
+  // later queries with multi-second full-GC stalls (a 20x phantom on
+  // dedup_minhash_lsh), while >=24g sends G1 off a cliff on the
+  // allocation-heavy chunked folds (squash 5M/1key: 34 s at 8-12g,
+  // 25+ min at 24g — humongous-region churn). 12g is flat across both.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "12g")}",
 )
