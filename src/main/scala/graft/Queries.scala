@@ -1788,6 +1788,99 @@ object Queries {
                array_to_string(fps, ',') AS fps_str
              FROM f ORDER BY doc_id"""))
 
+  /** Intra-document repetition metrics (the Gopher-rules family): distinct
+    * token fraction and most-frequent-bigram coverage, plus a repetitive
+    * flag. Explode + two keyed aggregations — both partial-aggregate
+    * map-side, the 100 TB shape (no per-doc lambda fold). */
+  val textRepetition = QueryDef(
+    "text_repetition",
+    (s, dir) => {
+      val base = t(s, dir, "documents")
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+        .withColumn("n_tokens", size(col("t")))
+      val stats = base.select(col("doc_id"), col("n_tokens"),
+        size(array_distinct(col("t"))).as("n_distinct"))
+      val topBigram = base.filter(col("n_tokens") >= 2)
+        .select(col("doc_id"), explode(zip_with(
+          slice(col("t"), lit(1), size(col("t")) - 1),
+          slice(col("t"), lit(2), size(col("t")) - 1),
+          (a, b) => concat(a, lit(" "), b))).as("bg"))
+        .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(max(col("c")).as("top_bigram_n"))
+      val distinctFrac = round(col("n_distinct").cast("double") /
+        greatest(col("n_tokens"), lit(1)), 6)
+      val bigramFrac = when(col("n_tokens") >= 2,
+        round(coalesce(col("top_bigram_n"), lit(0L)).cast("double") /
+          (col("n_tokens") - 1), 6)).otherwise(lit(0.0))
+      stats.join(topBigram, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          distinctFrac.as("distinct_frac"),
+          coalesce(col("top_bigram_n"), lit(0L)).as("top_bigram_n"),
+          bigramFrac.as("top_bigram_frac"),
+          (distinctFrac < 0.3 || bigramFrac > 0.1).as("repetitive"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH tk AS (SELECT doc_id, $tokensSql AS t FROM documents),
+             st AS (SELECT doc_id, len(t) AS n_tokens,
+                 len(list_distinct(t)) AS n_distinct FROM tk),
+             g AS (SELECT doc_id, unnest(list_transform(range(1, len(t)),
+                 i -> t[i] || ' ' || t[i+1])) AS bg
+               FROM tk WHERE len(t) >= 2),
+             c AS (SELECT doc_id, bg, count(*) AS c FROM g GROUP BY 1, 2),
+             m AS (SELECT doc_id, max(c) AS top_bigram_n FROM c GROUP BY 1)
+             SELECT s.doc_id, s.n_tokens,
+               round(s.n_distinct::DOUBLE / greatest(s.n_tokens, 1), 6)
+                 AS distinct_frac,
+               coalesce(m.top_bigram_n, 0) AS top_bigram_n,
+               CASE WHEN s.n_tokens >= 2 THEN
+                 round(coalesce(m.top_bigram_n, 0)::DOUBLE / (s.n_tokens - 1), 6)
+               ELSE 0.0 END AS top_bigram_frac,
+               (round(s.n_distinct::DOUBLE / greatest(s.n_tokens, 1), 6) < 0.3
+                OR CASE WHEN s.n_tokens >= 2 THEN
+                     round(coalesce(m.top_bigram_n, 0)::DOUBLE / (s.n_tokens - 1), 6)
+                   ELSE 0.0 END > 0.1) AS repetitive
+             FROM st s LEFT JOIN m USING (doc_id)
+             ORDER BY s.doc_id"""))
+
+  /** Rule-based corpus cleaning: every doc gets a keep flag and the FIRST
+    * failing rule as its reject reason (blocked source → too short →
+    * language allowlist → quality floor) — the audit-friendly shape (a
+    * dropped doc is always explainable). Pure narrow per-row expressions
+    * over metadata + the shared quality formula; filters push to the scan. */
+  val corpusFilter = QueryDef(
+    "corpus_filter",
+    (s, dir) => {
+      val toks = TextOps.tokens(col("text"))
+      val reason = when(col("source").isin("src13", "src7"), "blocked_source")
+        .when(size(toks) < 20, "too_short")
+        .when(!col("lang").isin("en", "de", "zh"), "lang")
+        .when(TextOps.qualityScore(col("text")) < 0.35, "low_quality")
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"),
+          reason.isNull.as("keep"), reason.as("reject_reason"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH base AS (SELECT doc_id, lang, source, text,
+                 $tokensSql AS toks FROM documents),
+             sig AS (SELECT doc_id, lang, source,
+                 len(toks) AS n_tokens,
+                 round((least(length(text), 500)::DOUBLE / 500.0
+                   + least(len(list_filter(toks, t -> list_contains(
+                       ['the','and','of','to','is','in','that','it','for','with'],
+                       t)))::DOUBLE * 5.0 / greatest(len(toks), 1), 1.0)
+                   + len(list_filter(toks, t -> length(t) >= 4))::DOUBLE
+                     / greatest(len(toks), 1)) / 3.0, 6) AS quality
+               FROM base),
+             r AS (SELECT doc_id, lang, source,
+                 CASE WHEN source IN ('src13', 'src7') THEN 'blocked_source'
+                      WHEN n_tokens < 20 THEN 'too_short'
+                      WHEN lang NOT IN ('en', 'de', 'zh') THEN 'lang'
+                      WHEN quality < 0.35 THEN 'low_quality'
+                 END AS reject_reason FROM sig)
+             SELECT doc_id, lang, source,
+               reject_reason IS NULL AS keep, reject_reason
+             FROM r ORDER BY doc_id"""))
+
   /** A/A incremental materialized view: an ACTIVE-ACTIVE source (field-level
     * CRDT ops — a scalar set that MOVES rows across view keys, a collection
     * add, a collection remove, record deletes) maintained into a re-keyed
@@ -1940,7 +2033,8 @@ object Queries {
     dedupExact, dedupMinhash, dedupSimhash, dedupNgram, dedupEmbedding,
     dedupClusters, annTopk, annLsh, annIvf, textStats, textTokenCounts,
     mmDecode, mmFrames, textPiiRedact, splitAssignQ,
-    decontaminate, sampleStratified, mixTokenBudget, textWinnow)
+    decontaminate, sampleStratified, mixTokenBudget, textWinnow,
+    textRepetition, corpusFilter)
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }

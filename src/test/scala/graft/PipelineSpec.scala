@@ -463,6 +463,33 @@ class PipelineSpec extends AnyFunSuite {
     assert(fps(1).size <= n1 - 3 + 1)
   }
 
+  test("repetition metrics: degenerate docs and a planted loop") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spam spam spam spam spam spam"),      // one token repeated
+      (2L, "all distinct words in this doc"),     // fully distinct
+      (3L, "single"),                             // 1 token: no bigrams
+      (4L, "go stop go stop go stop go stop"))    // repeated bigram loop
+      .toDF("doc_id", "text")
+    // the registered query reads a table dir; pin the same bigram shape
+    // inline on planted docs (the dir-level query is oracle-checked)
+    val base = docs.select(col("doc_id"),
+      graft.functions.TextOps.tokens(col("text")).as("t"))
+      .withColumn("n_tokens", size(col("t")))
+    val bg = base.filter(col("n_tokens") >= 2)
+      .select(col("doc_id"), explode(zip_with(
+        slice(col("t"), lit(1), size(col("t")) - 1),
+        slice(col("t"), lit(2), size(col("t")) - 1),
+        (a, b) => concat(a, lit(" "), b))).as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max(col("c")).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bg(1L) == 5L)        // "spam spam" x5
+    assert(bg(2L) == 1L)        // no repeated bigram
+    assert(!bg.contains(3L))    // 1 token -> no bigram rows
+    assert(bg(4L) == 4L)        // "go stop" x4 beats "stop go" x3
+  }
+
   private implicit class BoolOps(b: Boolean) {
     def ==>(other: Boolean): Boolean = !b || other
   }
