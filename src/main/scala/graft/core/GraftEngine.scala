@@ -313,7 +313,14 @@ class GraftEngine(val spark: SparkSession, val root: String) {
   }
 
   private def appendLog(name: String, rows: DataFrame, tsCol: Column,
-      deleted: Boolean): Unit = {
+      deleted: Boolean): Unit =
+    appendLogRows(name, rows, tsCol, lit(deleted))
+
+  /** Generalized log append with PER-ROW ts and tombstone flag: lets one
+    * batch atomically carry deletes and puts (the view-refresh shape — a
+    * crash can never land the tombstones without their reinserts). */
+  private def appendLogRows(name: String, rows: DataFrame, tsCol: Column,
+      deletedCol: Column): Unit = {
     requireNotAa(name, "putAA/deleteAA")
     // conform to the SUPERSET of registered schemas — a writer on an evolved
     // schema keeps its new fields, an old writer's missing fields become
@@ -321,11 +328,12 @@ class GraftEngine(val spark: SparkSession, val root: String) {
     val tpl = supersetSchemaOpt(name).map(emptyFrame)
       .getOrElse(snapshot(name).limit(0))
     val sid = writerSchemaId(name, rows.columns.toSet)
-    // stamp ts BEFORE conforming — tsCol may reference a column (e.g. the
-    // stream's event-time) that is not part of the value schema
+    // stamp ts/deleted BEFORE conforming — they may reference columns (e.g.
+    // the stream's event-time) that are not part of the value schema
     conformToValueSchema(
-      rows.withColumn(TsCol, tsCol.cast("long")), tpl, keep = Seq(TsCol))
-      .withColumn(DeletedCol, lit(deleted))
+      rows.withColumn(TsCol, tsCol.cast("long"))
+        .withColumn(DeletedCol, deletedCol),
+      tpl, keep = Seq(TsCol, DeletedCol))
       .withColumn(SchemaIdCol, lit(sid))
       .withColumn(LogSeqCol, lit(nextLogSeq(name)))
       .write.mode("append").parquet(dir(name, "log"))
@@ -874,13 +882,22 @@ class GraftEngine(val spark: SparkSession, val root: String) {
       // no explicit broadcast hint: a small delta auto-broadcasts, a huge
       // one (≈ full rebuild) must be allowed to shuffle instead of OOM
       val changedKeys = latest.select(meta.keyCols.map(col): _*)
+      // ONE atomic log batch: tombstones for every view row derived from a
+      // changed source key (at `tick`) + reinserts of the still-live delta
+      // under their new view keys (at `tick`+1, so the insert beats the
+      // tombstone). Two separate appends would leave a crash window where
+      // the view has lost rows it was about to re-gain.
       val stale = servingView(viewName)
         .join(changedKeys, meta.keyCols, "left_semi")
         .select(vmeta.keyCols.map(col): _*)
-      delete(viewName, stale, tsMs = tick)
-      put(viewName,
-        latest.filter(!col(DeletedCol)).drop(TsCol, DeletedCol),
-        tsMs = tick + 1)
+        .withColumn("__r_ts", lit(tick))
+        .withColumn("__r_del", lit(true))
+      val live = latest.filter(!col(DeletedCol)).drop(TsCol, DeletedCol)
+        .withColumn("__r_ts", lit(tick + 1))
+        .withColumn("__r_del", lit(false))
+      appendLogRows(viewName,
+        stale.unionByName(live, allowMissingColumns = true),
+        tsCol = col("__r_ts"), deletedCol = col("__r_del"))
       saveViewCoord(viewName, src, newCoord)
     } finally latest.unpersist()
   }

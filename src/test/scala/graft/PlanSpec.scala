@@ -78,6 +78,28 @@ class PlanSpec extends AnyFunSuite {
     assert(scans.forall(_.contains("__bucket")), scans.mkString("\n"))
   }
 
+  test("A/A read with no pending ops is shuffle-free (fast path)") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-plan4").toString
+    val e = new GraftEngine(spark, root)
+    e.createStore("aaq", Seq("id"))
+    e.push("aaq", Seq((1L, 1.0, Seq("a")), (2L, 2.0, Seq("b")))
+      .toDF("id", "score", "tags"), numBuckets = 4)
+    e.enableActiveActive("aaq")
+    // empty op log: the serving view must pass snapshot states through
+    // flattenStates — a narrow projection, NO keyed shuffle and NO
+    // aggregate (at 100 TB this is a scan, not a store-wide fold)
+    val p = plan(e.servingView("aaq"))
+    assert(!p.contains("Exchange") && !p.contains("Aggregate"),
+      s"quiescent A/A read should be narrow, plan: ${p.take(900)}")
+    // with one pending op the fold returns, but only for touched keys:
+    // the plan splits into a folded (joined) side and a pass-through side
+    e.setFieldAA("aaq", Seq((1L, 9.0)).toDF("id", "score"), "score", 10L)
+    val rows = e.servingView("aaq").orderBy(col("id")).collect()
+    assert(rows.length == 2 && rows(0).getDouble(1) == 9.0
+      && rows(1).getDouble(1) == 2.0)
+  }
+
   test("LSH candidate generation is an equi-join, never a nested loop") {
     val sh = graft.operators.Dedup.shingleSets(
       Tables.documents(spark, sf), "doc_id", "text", 3)
