@@ -1881,6 +1881,59 @@ object Queries {
                reject_reason IS NULL AS keep, reject_reason
              FROM r ORDER BY doc_id"""))
 
+  /** Corpus mix report: per (lang, source) doc/token totals, mean quality,
+    * and the kept fraction under [[corpusFilter]]'s rules — the planning
+    * input for a training-mix (what's available per domain BEFORE
+    * sampling). One partial-aggregated groupBy over narrow per-row
+    * signals. */
+  val mixReport = QueryDef(
+    "mix_report",
+    (s, dir) => {
+      val toks = TextOps.tokens(col("text"))
+      val keep = !col("source").isin("src13", "src7") &&
+        size(toks) >= 20 && col("lang").isin("en", "de", "zh") &&
+        TextOps.qualityScore(col("text")) >= 0.35
+      t(s, dir, "documents")
+        .select(col("lang"), col("source"), size(toks).as("n_tok"),
+          TextOps.qualityScore(col("text")).as("q"), keep.as("keep"))
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok").cast("long")).as("total_tokens"),
+          // mean quality in exact micro-units with INTEGER division — a
+          // double avg() exposes summation-order noise, and even an exact
+          // integer sum divided as doubles lands on .5 rounding boundaries
+          // the two engines break differently
+          { val sq = sum(round(col("q") * 1e6).cast("long"))
+            val n = count(lit(1))
+            // (sq - sq%n)/n is an exact multiple, so the double division is
+            // exact — integral mean without engine-specific div operators
+            ((sq - pmod(sq, n)) / n).cast("long").as("mean_quality_micro") },
+          round(sum(when(col("keep"), 1L).otherwise(0L)).cast("double") /
+            count(lit(1)), 6).as("kept_frac"))
+        .orderBy(col("lang"), col("source"))
+    },
+    Some(s"""WITH base AS (SELECT lang, source, text, $tokensSql AS toks
+               FROM documents),
+             sig AS (SELECT lang, source, len(toks) AS n_tok,
+                 round((least(length(text), 500)::DOUBLE / 500.0
+                   + least(len(list_filter(toks, t -> list_contains(
+                       ['the','and','of','to','is','in','that','it','for','with'],
+                       t)))::DOUBLE * 5.0 / greatest(len(toks), 1), 1.0)
+                   + len(list_filter(toks, t -> length(t) >= 4))::DOUBLE
+                     / greatest(len(toks), 1)) / 3.0, 6) AS q
+               FROM base),
+             k AS (SELECT lang, source, n_tok, q,
+                 (source NOT IN ('src13', 'src7') AND n_tok >= 20
+                  AND lang IN ('en', 'de', 'zh') AND q >= 0.35) AS keep
+               FROM sig)
+             SELECT lang, source, count(*) AS n_docs,
+               sum(n_tok)::BIGINT AS total_tokens,
+               sum(round(q * 1000000)::BIGINT) // count(*)
+                 AS mean_quality_micro,
+               round(sum(CASE WHEN keep THEN 1 ELSE 0 END)::DOUBLE
+                 / count(*), 6) AS kept_frac
+             FROM k GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   /** A/A incremental materialized view: an ACTIVE-ACTIVE source (field-level
     * CRDT ops — a scalar set that MOVES rows across view keys, a collection
     * add, a collection remove, record deletes) maintained into a re-keyed
@@ -2034,7 +2087,7 @@ object Queries {
     dedupClusters, annTopk, annLsh, annIvf, textStats, textTokenCounts,
     mmDecode, mmFrames, textPiiRedact, splitAssignQ,
     decontaminate, sampleStratified, mixTokenBudget, textWinnow,
-    textRepetition, corpusFilter)
+    textRepetition, corpusFilter, mixReport)
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }
