@@ -1934,6 +1934,82 @@ object Queries {
                  / count(*), 6) AS kept_frac
              FROM k GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  /** Sequence packing manifest: every document's tokens laid end-to-end in
+    * doc_id order, cut into 2048-token training sequences — each doc gets
+    * its exact global start offset and the sequence ids it spans. The
+    * offset is a DISTRIBUTED two-phase prefix sum ([[graft.operators.Packing]]):
+    * one range shuffle + per-partition running sums + O(#partitions)
+    * driver state, never a single-partition global window (PlanSpec-pinned).
+    * The oracle spells the same total order as a plain window cumsum. */
+  val packSequences = QueryDef(
+    "pack_sequences",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_tok"))
+      graft.operators.Packing
+        .packSequences(docs, "doc_id", "n_tok", seqLen = 2048L)
+        .select(col("doc_id"), col("n_tok"), col("start_offset"),
+          col("first_seq"), col("last_seq"), col("n_seqs"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH tk AS (SELECT doc_id, len($tokensSql) AS n_tok
+               FROM documents),
+             o AS (SELECT doc_id, n_tok,
+                 coalesce(sum(n_tok) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS start_offset
+               FROM tk)
+             SELECT doc_id, n_tok, start_offset,
+               CASE WHEN n_tok > 0 THEN start_offset // 2048 END AS first_seq,
+               CASE WHEN n_tok > 0 THEN (start_offset + n_tok - 1) // 2048 END
+                 AS last_seq,
+               CASE WHEN n_tok > 0 THEN (start_offset + n_tok - 1) // 2048
+                 - start_offset // 2048 + 1 ELSE 0 END AS n_seqs
+             FROM o ORDER BY doc_id"""))
+
+  /** Unigram-LM rarity scoring (the integer-exact stand-in for perplexity
+    * filtering): corpus-wide term frequencies, then each doc scored by the
+    * mean and max "surprisal" of its tokens — rarity(tok) = total_tokens
+    * div tf(tok), so stopwords score ~1 and hapaxes score ~corpus size.
+    * All integer arithmetic: bit-exact across engines, no log() whose last
+    * ulp differs between libm implementations. Shape: ONE explode feeding
+    * a per-(doc,token) partial-aggregated count; the vocabulary and the
+    * corpus total both derive from that compact table, so the raw token
+    * stream is materialized once. The vocab join is an equi-join on token
+    * (AQE handles the stopword skew); everything else is keyed aggs. */
+  val lmRarity = QueryDef(
+    "lm_rarity",
+    (s, dir) => {
+      val dtc = t(s, dir, "documents")
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+        .groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("c"))
+        .persist()
+      val vocab = dtc.groupBy(col("tok")).agg(sum(col("c")).as("tf"))
+      val tot = dtc.agg(sum(col("c")).as("t_total"))
+      dtc.join(vocab, Seq("tok"))
+        .crossJoin(broadcast(tot))
+        .withColumn("r", expr("t_total div tf"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c") * col("r")).as("ssum"),
+          sum(col("c")).as("n_tok"),
+          max(col("r")).as("rarity_max"))
+        .select(col("doc_id"), col("n_tok"),
+          expr("ssum div n_tok").as("rarity_mean"), col("rarity_max"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH tk AS (SELECT doc_id, unnest($tokensSql) AS tok
+               FROM documents),
+             dtc AS (SELECT doc_id, tok, count(*) AS c FROM tk GROUP BY 1, 2),
+             vocab AS (SELECT tok, sum(c) AS tf FROM dtc GROUP BY 1),
+             tot AS (SELECT sum(c) AS t_total FROM dtc)
+             SELECT doc_id, sum(c)::BIGINT AS n_tok,
+               (sum(c * (t.t_total // v.tf)) // sum(c))::BIGINT AS rarity_mean,
+               max(t.t_total // v.tf)::BIGINT AS rarity_max
+             FROM dtc JOIN vocab v USING (tok) CROSS JOIN tot t
+             GROUP BY doc_id ORDER BY doc_id"""))
+
   /** A/A incremental materialized view: an ACTIVE-ACTIVE source (field-level
     * CRDT ops — a scalar set that MOVES rows across view keys, a collection
     * add, a collection remove, record deletes) maintained into a re-keyed
@@ -2087,7 +2163,7 @@ object Queries {
     dedupClusters, annTopk, annLsh, annIvf, textStats, textTokenCounts,
     mmDecode, mmFrames, textPiiRedact, splitAssignQ,
     decontaminate, sampleStratified, mixTokenBudget, textWinnow,
-    textRepetition, corpusFilter, mixReport)
+    textRepetition, corpusFilter, mixReport, packSequences, lmRarity)
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }

@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Sequence packing for training-data pipelines: lay every document's
+  * tokens end-to-end in one deterministic global order and cut fixed-length
+  * training sequences, so each document knows exactly which sequences it
+  * lands in (the manifest a packed-dataset writer needs).
+  *
+  * The core primitive is an EXACT prefix sum over a total order. The naive
+  * Spark spelling — `Window.orderBy(key)` with no partitionBy — collapses
+  * the whole table into ONE partition and dies at scale. This one never
+  * materializes a global window:
+  *
+  *   1. range-shuffle on the order key + sort within partitions (the only
+  *      wide operation over the data);
+  *   2. one streaming pass per partition for the LOCAL running sum —
+  *      genuine per-partition imperative state, the documented
+  *      mapPartitions exception;
+  *   3. per-partition totals (one tiny aggregate, #partitions rows) →
+  *      cumulative base offsets on the driver → broadcast-joined back.
+  *
+  * At 100 TB the data crosses the network once; driver state is
+  * O(#partitions). The result is invariant to where the range boundaries
+  * land, so sampling nondeterminism in the range partitioner cannot change
+  * the answer.
+  */
+object Packing {
+
+  /** Adds `start_offset`: the exact sum of `weightCol` over all rows
+    * strictly before this one in ascending `orderCol` order. `orderCol`
+    * must be unique (ties would make "before" ambiguous across engines);
+    * null weights count as 0.
+    */
+  def withGlobalOffsets(df: DataFrame, orderCol: String, weightCol: String,
+      numParts: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val parts =
+      if (numParts > 0) numParts else spark.sessionState.conf.numShufflePartitions
+    val ranged = df
+      .withColumn("__w", coalesce(col(weightCol).cast(LongType), lit(0L)))
+      .repartitionByRange(parts, col(orderCol))
+      .sortWithinPartitions(col(orderCol))
+      .withColumn("__pid", spark_partition_id())
+    val schema = ranged.schema.add("__local_off", LongType, nullable = false)
+    val wIdx = ranged.schema.fieldIndex("__w")
+    val local = ranged.mapPartitions { it =>
+      var acc = 0L
+      it.map { r =>
+        val out = Row.fromSeq(r.toSeq :+ acc)
+        acc += r.getLong(wIdx)
+        out
+      }
+    }(Encoders.row(schema))
+    // consumed twice (per-partition totals now, the caller's action later);
+    // the caller — or the per-query clearCache in Verify/Bench — drops it
+    val cached = local.persist()
+    val bases = cached.groupBy(col("__pid"))
+      .agg(sum(col("__w")).as("__psum"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+      .sortBy(_._1)
+      .scanLeft((0, 0L, 0L)) { case ((_, _, running), (pid, s)) =>
+        (pid, running, running + s)
+      }
+      .drop(1)
+      .map { case (pid, base, _) => (pid, base) }
+    val baseDf = spark.createDataFrame(bases.toIndexedSeq).toDF("__pid", "__base")
+    cached.join(broadcast(baseDf), Seq("__pid"))
+      .withColumn("start_offset", col("__base") + col("__local_off"))
+      .drop("__pid", "__base", "__local_off", "__w")
+  }
+
+  /** Packs weighted rows into fixed-length sequences of `seqLen` tokens:
+    * each row gets its global `start_offset` plus the first/last sequence
+    * index it touches and how many sequences it spans. Zero-weight rows
+    * occupy no sequence (`n_seqs` 0, null first/last).
+    */
+  def packSequences(df: DataFrame, orderCol: String, weightCol: String,
+      seqLen: Long, numParts: Int = 0): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    val w = col(weightCol).cast(LongType)
+    val first = col("start_offset") - pmod(col("start_offset"), lit(seqLen))
+    val last = (col("start_offset") + w - 1) -
+      pmod(col("start_offset") + w - 1, lit(seqLen))
+    withGlobalOffsets(df, orderCol, weightCol, numParts)
+      .withColumn("first_seq", when(w > 0, (first / seqLen).cast(LongType)))
+      .withColumn("last_seq", when(w > 0, (last / seqLen).cast(LongType)))
+      .withColumn("n_seqs",
+        when(w > 0, col("last_seq") - col("first_seq") + 1).otherwise(lit(0L)))
+  }
+}

@@ -440,6 +440,38 @@ class PipelineSpec extends AnyFunSuite {
     got.unpersist()
   }
 
+  test("packing: offsets exact, partition-count-invariant, zero-weight safe") {
+    import spark.implicits._
+    import graft.operators.Packing
+    // weights with a zero and a null mixed in; ids deliberately unsorted
+    val rows = Seq((5L, 10L), (1L, 3L), (3L, 0L), (2L, 7L), (4L, -0L + 5L))
+      .toDF("id", "w").withColumn("w",
+        when(col("id") === 3L, lit(null)).otherwise(col("w")))
+    val got = Packing.withGlobalOffsets(rows, "id", "w", numParts = 3)
+      .orderBy("id").select("id", "start_offset").as[(Long, Long)]
+      .collect().toSeq
+    // sorted by id: w = 3, 7, null→0, 5, 10 → offsets 0, 3, 10, 10, 15
+    assert(got == Seq((1L, 0L), (2L, 3L), (3L, 10L), (4L, 10L), (5L, 15L)))
+    // invariant to partitioning choice
+    val again = Packing.withGlobalOffsets(rows.repartition(7), "id", "w",
+      numParts = 1).orderBy("id").select("id", "start_offset")
+      .as[(Long, Long)].collect().toSeq
+    assert(again == got)
+    // sequence spans: doc straddling a boundary counts both sides
+    val packed = Packing.packSequences(rows, "id", "w", seqLen = 8L,
+        numParts = 2)
+      .orderBy("id").select("id", "first_seq", "last_seq", "n_seqs")
+      .collect().map(r => (r.getLong(0),
+        Option(r.get(1)).map(_.asInstanceOf[Long]),
+        Option(r.get(2)).map(_.asInstanceOf[Long]), r.getLong(3))).toSeq
+    assert(packed == Seq(
+      (1L, Some(0L), Some(0L), 1L),   // [0,3) in seq 0
+      (2L, Some(0L), Some(1L), 2L),   // [3,10) straddles 0→1
+      (3L, None, None, 0L),           // zero tokens: no sequence
+      (4L, Some(1L), Some(1L), 1L),   // [10,15) in seq 1
+      (5L, Some(1L), Some(3L), 3L)))  // [15,25) spans 1..3
+  }
+
   test("winnowing: shared passage guarantees a shared fingerprint") {
     import spark.implicits._
     import graft.functions.TextOps

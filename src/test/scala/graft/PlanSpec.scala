@@ -100,6 +100,18 @@ class PlanSpec extends AnyFunSuite {
       && rows(1).getDouble(1) == 2.0)
   }
 
+  test("global prefix sum never collapses to a single partition") {
+    // the scale property of pack_sequences: offsets come from a range
+    // shuffle + per-partition sums, NOT a global Window.orderBy (which
+    // plans as Exchange SinglePartition + Window and dies at 100 TB)
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), length(col("text")).cast("long").as("w"))
+    val p = plan(graft.operators.Packing.withGlobalOffsets(docs, "doc_id", "w"))
+    assert(!p.contains("Exchange SinglePartition"),
+      s"prefix sum collapsed to one partition:\n${p.take(600)}")
+    assert(!p.contains("Window"), s"prefix sum used a window:\n${p.take(600)}")
+  }
+
   test("LSH candidate generation is an equi-join, never a nested loop") {
     val sh = graft.operators.Dedup.shingleSets(
       Tables.documents(spark, sf), "doc_id", "text", 3)
