@@ -1271,6 +1271,62 @@ object Queries {
               FROM c a JOIN c b ON a.id < b.id)
             WHERE sim >= 0.4 ORDER BY id_a, id_b"""))
 
+  /** SemDeDup: semantic dedup via k-means cells + within-cell cosine. The
+    * oracle replays the deterministic 2-step Lloyd training exactly (the
+    * ann_ivf CTE chain), then the same smaller-id-wins pair rule in SQL.
+    * Cells turn the global n² pair problem into K bounded cell problems —
+    * the 100 TB shape is "numCells grows with the corpus". */
+  val semdedup = QueryDef(
+    "semdedup",
+    (s, dir) => graft.operators.Similarity.semDedup(
+        t(s, dir, "embeddings")
+          .select(col("vec_id").as("id"), col("embedding").as("vec")),
+        threshold = 0.4, numCells = 8)
+      .orderBy(col("vec_id")),
+    Some("""WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec,
+              sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS n
+              FROM embeddings),
+            c0 AS (SELECT id AS cid, vec AS cvec FROM v WHERE id < 8),
+            a0 AS (SELECT id, vec, cid FROM (
+              SELECT v.id, v.vec, c.cid, row_number() OVER (PARTITION BY v.id
+                ORDER BY round(list_dot_product(v.vec, c.cvec) /
+                  (v.n * sqrt(list_dot_product(c.cvec, c.cvec))), 6) + 0.0 DESC,
+                  c.cid) AS rn
+              FROM v, c0 c) WHERE rn = 1),
+            c1 AS (SELECT cid, list(val ORDER BY pos) AS cvec FROM (
+              SELECT cid, p.p AS pos,
+                CAST(sum(CAST(round(vec[p.p + 1] * 1000) AS BIGINT)) AS DOUBLE)
+                  / (count(*) * 1000.0) AS val
+              FROM a0, range(64) p(p) GROUP BY cid, p.p) GROUP BY cid),
+            a1 AS (SELECT id, vec, cid FROM (
+              SELECT v.id, v.vec, c.cid, row_number() OVER (PARTITION BY v.id
+                ORDER BY round(list_dot_product(v.vec, c.cvec) /
+                  (v.n * sqrt(list_dot_product(c.cvec, c.cvec))), 6) + 0.0 DESC,
+                  c.cid) AS rn
+              FROM v, c1 c) WHERE rn = 1),
+            c2 AS (SELECT cid, list(val ORDER BY pos) AS cvec FROM (
+              SELECT cid, p.p AS pos,
+                CAST(sum(CAST(round(vec[p.p + 1] * 1000) AS BIGINT)) AS DOUBLE)
+                  / (count(*) * 1000.0) AS val
+              FROM a1, range(64) p(p) GROUP BY cid, p.p) GROUP BY cid),
+            assign AS (SELECT id, vec, n, cid FROM (
+              SELECT v.id, v.vec, v.n, c.cid, row_number() OVER (PARTITION BY v.id
+                ORDER BY round(list_dot_product(v.vec, c.cvec) /
+                  (v.n * sqrt(list_dot_product(c.cvec, c.cvec))), 6) + 0.0 DESC,
+                  c.cid) AS rn
+              FROM v, c2 c) WHERE rn = 1),
+            d AS (SELECT id_b AS vec_id, min(id_a) AS dup_of FROM (
+                SELECT a.id AS id_a, b.id AS id_b,
+                  round(list_dot_product(a.vec, b.vec) / (a.n * b.n), 6) + 0.0
+                    AS sim
+                FROM assign a JOIN assign b
+                  ON a.cid = b.cid AND a.id < b.id)
+              WHERE sim >= 0.4 GROUP BY 1)
+            SELECT s.id AS vec_id, s.cid AS cell, d.dup_of,
+              d.dup_of IS NOT NULL AS is_dup
+            FROM assign s LEFT JOIN d ON s.id = d.vec_id
+            ORDER BY vec_id"""))
+
   /** Brute-force cosine top-10 for 5 query vectors (the exact-ANN baseline;
     * the LSH-bucketed scale path is ann_lsh, verified by recall test). */
   val annTopk = QueryDef(
@@ -2163,7 +2219,7 @@ object Queries {
     dedupClusters, annTopk, annLsh, annIvf, textStats, textTokenCounts,
     mmDecode, mmFrames, textPiiRedact, splitAssignQ,
     decontaminate, sampleStratified, mixTokenBudget, textWinnow,
-    textRepetition, corpusFilter, mixReport, packSequences, lmRarity)
+    textRepetition, corpusFilter, mixReport, packSequences, lmRarity, semdedup)
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }

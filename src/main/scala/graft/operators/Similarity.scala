@@ -297,4 +297,47 @@ object Similarity {
       .filter(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), col("sim"))
   }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster the
+    * embedding space with the deterministic k-means quantizer, then compare
+    * pairs only WITHIN a cell — each vector with a ≥threshold cosine
+    * neighbor of smaller id in its cell is a duplicate of the smallest such
+    * neighbor. The cluster pass turns the n² global pair problem into K
+    * independent (n/K)² cell problems: at 100 TB you raise numCells with
+    * corpus size so cells stay bounded (the standard SemDeDup deployment),
+    * and the within-cell pass is a plain equi-join on the cell id — one
+    * shuffle, no CartesianProduct. Output: every vector with its cell, a
+    * nullable `dup_of` (the keeper) and an `is_dup` flag.
+    */
+  def semDedup(corpus: DataFrame, threshold: Double, numCells: Int,
+      trainIters: Int = 2): DataFrame = {
+    // codebook is numCells rows — collect to a local relation once, so the
+    // two assign consumers below don't re-run Lloyd training (same pattern
+    // as ivfTopK)
+    val trained = kmeansCentroids(corpus, numCells, trainIters)
+    val centroids = corpus.sparkSession.createDataFrame(
+      java.util.Arrays.asList(trained.collect(): _*), trained.schema)
+    // assignment feeds both sides of the pair join AND the final output;
+    // localCheckpoint (not persist) so the blocks free with the plan
+    val assigned = ivfAssign(corpus, centroids)
+      .filter(col("rn") === 1)
+      .select(col("id"), col("vec"), col("__n"), col("cid"))
+      .localCheckpoint()
+    val a = assigned.select(col("cid"), col("id").as("id_a"),
+      col("vec").as("vec_a"), col("__n").as("n_a"))
+    val b = assigned.select(col("cid"), col("id").as("id_b"),
+      col("vec").as("vec_b"), col("__n").as("n_b"))
+    val dups = a.join(b, Seq("cid"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("sim",
+        round(vecDot(col("vec_a"), col("vec_b")) / (col("n_a") * col("n_b")), 6)
+          + lit(0.0))
+      .filter(col("sim") >= threshold)
+      .groupBy(col("id_b"))
+      .agg(min(col("id_a")).as("dup_of"))
+      .select(col("id_b").as("vec_id"), col("dup_of"))
+    assigned.select(col("id").as("vec_id"), col("cid").as("cell"))
+      .join(dups, Seq("vec_id"), "left")
+      .withColumn("is_dup", col("dup_of").isNotNull)
+  }
 }

@@ -440,6 +440,29 @@ class PipelineSpec extends AnyFunSuite {
     got.unpersist()
   }
 
+  test("semdedup: planted duplicates collapse to the smallest id in-cell") {
+    import graft.operators.Similarity
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    // plant: copies of vector 20 under fresh ids (identical vectors tie on
+    // every centroid similarity and tie-break identically → same cell, so
+    // the in-cell pass MUST catch them)
+    val maxId = emb.agg(max("id")).head().getLong(0)
+    val copies = emb.filter(col("id") === 20L)
+      .withColumn("id", lit(maxId + 1))
+      .unionByName(emb.filter(col("id") === 20L)
+        .withColumn("id", lit(maxId + 2)))
+    val got = Similarity.semDedup(emb.unionByName(copies),
+        threshold = 0.95, numCells = 8)
+      .filter(col("vec_id").isin(20L, maxId + 1, maxId + 2))
+      .orderBy(col("vec_id")).collect()
+    assert(got.length == 3)
+    val keeper = got(0)
+    assert(!keeper.getBoolean(3), "smallest id must be kept")
+    assert(got.drop(1).forall(r => r.getBoolean(3) && r.getLong(2) == 20L),
+      s"planted copies must point at 20: ${got.toSeq}")
+  }
+
   test("packing: offsets exact, partition-count-invariant, zero-weight safe") {
     import spark.implicits._
     import graft.operators.Packing
