@@ -2066,6 +2066,103 @@ object Queries {
              FROM dtc JOIN vocab v USING (tok) CROSS JOIN tot t
              GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** Cross-document boilerplate detection (the C4/RefinedWeb repeated-span
+    * signal): 5-gram spans appearing in ≥2 DISTINCT documents are
+    * boilerplate; every doc reports how much of it is covered by such
+    * spans. Shape: one explode to per-doc distinct grams (document
+    * frequency), one to gram occurrences; both aggregations partial
+    * map-side, the join an equi-join on the gram — no per-doc lambda
+    * folds, integer counts + one terminal round. */
+  val boilerplateNgrams = QueryDef(
+    "boilerplate_ngrams",
+    (s, dir) => {
+      val n = 5
+      // three consumers (DF pass, occurrence pass, final projection) —
+      // materialize the gram table ONCE so the tokenizer + interpreted
+      // gram lambdas don't run three times (localCheckpoint over persist:
+      // blocks free with the plan; at 100 TB this is the "write the gram
+      // table once" step any boilerplate pass starts with)
+      val base = t(s, dir, "documents")
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+        .withColumn("grams", when(size(col("t")) >= n,
+          transform(sequence(lit(1), size(col("t")) - (n - 1)),
+            i => array_join(slice(col("t"), i, lit(n)), " ")))
+          .otherwise(array().cast("array<string>")))
+        .drop("t")
+        .localCheckpoint()
+      val df5 = base
+        .select(col("doc_id"), explode(array_distinct(col("grams"))).as("g"))
+        .groupBy(col("g")).agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 2)
+      val occ = base
+        .select(col("doc_id"), explode(col("grams")).as("g"))
+        .join(df5, Seq("g"), "left_semi")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_boiler"))
+      base.select(col("doc_id"), size(col("grams")).cast("long").as("n_grams"))
+        .join(occ, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_grams"),
+          coalesce(col("n_boiler"), lit(0L)).as("n_boiler"),
+          round(coalesce(col("n_boiler"), lit(0L)).cast("double") /
+            greatest(col("n_grams"), lit(1L)), 6).as("boiler_frac"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH tk AS (SELECT doc_id, $tokensSql AS t FROM documents),
+             g AS (SELECT doc_id, CASE WHEN len(t) >= 5 THEN
+                 list_transform(range(1, len(t) - 3),
+                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' '
+                     || t[i+3] || ' ' || t[i+4])
+               ELSE [] END AS grams FROM tk),
+             df AS (SELECT g2 AS g, count(*) AS df FROM (
+                 SELECT doc_id, unnest(list_distinct(grams)) AS g2 FROM g)
+               GROUP BY 1 HAVING count(*) >= 2),
+             occ AS (SELECT doc_id, count(*) AS n_boiler FROM (
+                 SELECT doc_id, unnest(grams) AS g2 FROM g) o
+               WHERE EXISTS (SELECT 1 FROM df WHERE df.g = o.g2)
+               GROUP BY 1)
+             SELECT g.doc_id, len(g.grams)::BIGINT AS n_grams,
+               coalesce(occ.n_boiler, 0) AS n_boiler,
+               round(coalesce(occ.n_boiler, 0)::DOUBLE /
+                 greatest(len(g.grams), 1), 6) AS boiler_frac
+             FROM g LEFT JOIN occ USING (doc_id)
+             ORDER BY g.doc_id"""))
+
+  /** Int8 embedding quantization (the 4× storage cut a 100 TB embedding
+    * store takes before ANN): per-vector max-abs scaling, codes =
+    * floor(127·x/m + 0.5) — floor-of-shifted instead of round() because
+    * both engines floor identically while their round() halfway rules can
+    * differ — plus the worst-element reconstruction error. Pure narrow
+    * per-row HOFs, no shuffle at all. */
+  val embedQuantize = QueryDef(
+    "embed_quantize",
+    (s, dir) => {
+      val m = col("__m")
+      t(s, dir, "embeddings")
+        .withColumn("__m", array_max(transform(col("embedding"), x => abs(x))))
+        .withColumn("codes", when(m > 0, transform(col("embedding"),
+            x => floor(x * 127.0d / m + 0.5d).cast("int")))
+          .otherwise(transform(col("embedding"), _ => lit(0))))
+        // m is FloatType (array_max over float[]): round to 6 in DOUBLE —
+        // a float can't hold 0.303005 and would surface its full double
+        // expansion in the compare
+        .select(col("vec_id"), round(m.cast("double"), 6).as("max_abs"),
+          col("codes"),
+          round(array_max(zip_with(col("embedding"), col("codes"),
+            (x, c) => abs(x - c * m / 127.0d))), 6).as("max_err"))
+        .orderBy(col("vec_id"))
+    },
+    Some("""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+            s AS (SELECT vec_id, vec,
+                list_max(list_transform(vec, x -> abs(x))) AS m FROM v),
+            c AS (SELECT vec_id, vec, m,
+                CASE WHEN m > 0 THEN list_transform(vec,
+                  x -> floor(x * 127.0 / m + 0.5)::INT)
+                ELSE list_transform(vec, x -> 0) END AS codes
+              FROM s)
+            SELECT vec_id, round(m, 6) AS max_abs, codes,
+              round(list_max(list_transform(range(1, len(vec) + 1),
+                i -> abs(vec[i] - codes[i] * m / 127.0))), 6) AS max_err
+            FROM c ORDER BY vec_id"""))
+
   /** A/A incremental materialized view: an ACTIVE-ACTIVE source (field-level
     * CRDT ops — a scalar set that MOVES rows across view keys, a collection
     * add, a collection remove, record deletes) maintained into a re-keyed
@@ -2219,7 +2316,8 @@ object Queries {
     dedupClusters, annTopk, annLsh, annIvf, textStats, textTokenCounts,
     mmDecode, mmFrames, textPiiRedact, splitAssignQ,
     decontaminate, sampleStratified, mixTokenBudget, textWinnow,
-    textRepetition, corpusFilter, mixReport, packSequences, lmRarity, semdedup)
+    textRepetition, corpusFilter, mixReport, packSequences, lmRarity, semdedup,
+    boilerplateNgrams, embedQuantize)
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }
