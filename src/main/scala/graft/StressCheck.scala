@@ -80,6 +80,26 @@ object StressCheck {
     }
     spark.catalog.clearCache()
 
+    // SemDeDup over the same 200k vectors with an AUTO-scaled codebook
+    // (numCells = 0 → 2·parallelism): the per-cell quadratic term must stay
+    // bounded, and every planted exact duplicate must be flagged (identical
+    // vectors tie on every centroid similarity → same cell, so the in-cell
+    // pass cannot miss them).
+    if (on("semdedup"))
+    timed(s"semdedup ${nVec / 1000}k vecs, auto cells") {
+      val flagged = graft.operators.Similarity
+        .semDedup(corpus, threshold = 0.95)
+        .filter(col("vec_id") >= nBase).persist()
+      val caught = flagged.filter(col("is_dup")).count()
+      val n = flagged.count()
+      flagged.unpersist()
+      require(n == nVec - nBase, s"expected ${nVec - nBase} planted rows, got $n")
+      require(caught == nVec - nBase,
+        s"missed planted duplicates: $caught of ${nVec - nBase}")
+      caught
+    }
+    spark.catalog.clearCache()
+
     // 1M scripted active-active ops over 10k keys through the commutative
     // CRDT fold (one keyed shuffle; ~100 events/key ≈ a between-repush
     // backlog) — the A/A conflict-resolution path at 10× the bench scale.

@@ -308,13 +308,21 @@ object Similarity {
     * and the within-cell pass is a plain equi-join on the cell id — one
     * shuffle, no CartesianProduct. Output: every vector with its cell, a
     * nullable `dup_of` (the keeper) and an `is_dup` flag.
+    *
+    * `numCells = 0` auto-scales the codebook to 2·defaultParallelism
+    * (min 16) so cell size — and with it the per-cell quadratic term —
+    * tracks the cluster without a hand-tuned parameter; pass an explicit
+    * K to pin reproducible cells (the oracle query does).
     */
-  def semDedup(corpus: DataFrame, threshold: Double, numCells: Int,
+  def semDedup(corpus: DataFrame, threshold: Double, numCells: Int = 0,
       trainIters: Int = 2): DataFrame = {
-    // codebook is numCells rows — collect to a local relation once, so the
+    val k = if (numCells > 0) numCells
+      else math.max(16,
+        2 * corpus.sparkSession.sparkContext.defaultParallelism)
+    // codebook is k rows — collect to a local relation once, so the
     // two assign consumers below don't re-run Lloyd training (same pattern
     // as ivfTopK)
-    val trained = kmeansCentroids(corpus, numCells, trainIters)
+    val trained = kmeansCentroids(corpus, k, trainIters)
     val centroids = corpus.sparkSession.createDataFrame(
       java.util.Arrays.asList(trained.collect(): _*), trained.schema)
     // assignment feeds both sides of the pair join AND the final output;
