@@ -86,7 +86,8 @@ object Bench {
       "b14_aa_incremental_view", "r14_aa_schema_evolution", "s3_lag_gate",
       "decontaminate", "sample_stratified", "mix_token_budget", "text_winnow",
       "text_repetition", "corpus_filter", "mix_report", "pack_sequences",
-      "lm_rarity", "semdedup", "boilerplate_ngrams", "embed_quantize")
+      "lm_rarity", "semdedup", "boilerplate_ngrams", "embed_quantize",
+      "mix_temperature")
     val core = results.filterNot(r => addedLater(r._1)).map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","core38":$core,"queries":$qs,"ok":$ok,"n":${results.size},"errors":$errs,"sf":"$sfDir"}""")
     if (results.exists(_._3.nonEmpty)) System.err.println(

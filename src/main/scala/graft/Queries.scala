@@ -2037,11 +2037,13 @@ object Queries {
   val lmRarity = QueryDef(
     "lm_rarity",
     (s, dir) => {
+      // three consumers (vocab, total, the scoring join) — localCheckpoint
+      // over persist so the blocks free with the plan, not never
       val dtc = t(s, dir, "documents")
         .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
         .groupBy(col("doc_id"), col("tok"))
         .agg(count(lit(1)).as("c"))
-        .persist()
+        .localCheckpoint()
       val vocab = dtc.groupBy(col("tok")).agg(sum(col("c")).as("tf"))
       val tot = dtc.agg(sum(col("c")).as("t_total"))
       dtc.join(vocab, Seq("tok"))
@@ -2065,6 +2067,25 @@ object Queries {
                max(t.t_total // v.tf)::BIGINT AS rarity_max
              FROM dtc JOIN vocab v USING (tok) CROSS JOIN tot t
              GROUP BY doc_id ORDER BY doc_id"""))
+
+  /** Temperature-flattened language mix (α = 0.5): per-language keep rates
+    * (n_min/n_g)^0.5 — sqrt, so both engines agree bit-exactly — and the
+    * deterministic salted-md5 admission per doc. The counts aggregate is
+    * tiny and broadcast back; the admission is a pure narrow expression. */
+  val mixTemperature = QueryDef(
+    "mix_temperature",
+    (s, dir) => graft.operators.Sampling
+      .temperatureSample(t(s, dir, "documents"), "lang", col("doc_id"))
+      .select(col("doc_id"), col("lang"), col("rate"), col("kept"))
+      .orderBy(col("doc_id")),
+    Some("""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+            m AS (SELECT min(n) AS nmin FROM c),
+            r AS (SELECT lang, round(sqrt(nmin::DOUBLE / n), 6) AS rate
+              FROM c, m)
+            SELECT d.doc_id, d.lang, r.rate,
+              ('0x' || substr(md5('mixt' || d.doc_id::VARCHAR), 1, 6))::BIGINT
+                ::DOUBLE / 16777216.0 < r.rate AS kept
+            FROM documents d JOIN r USING (lang) ORDER BY d.doc_id"""))
 
   /** Cross-document boilerplate detection (the C4/RefinedWeb repeated-span
     * signal): 5-gram spans appearing in ≥2 DISTINCT documents are
@@ -2317,7 +2338,7 @@ object Queries {
     mmDecode, mmFrames, textPiiRedact, splitAssignQ,
     decontaminate, sampleStratified, mixTokenBudget, textWinnow,
     textRepetition, corpusFilter, mixReport, packSequences, lmRarity, semdedup,
-    boilerplateNgrams, embedQuantize)
+    boilerplateNgrams, embedQuantize, mixTemperature)
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }

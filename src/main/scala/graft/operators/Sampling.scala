@@ -60,4 +60,37 @@ object Sampling {
       .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
       .filter(col("cum_tokens") <= budgetTokens)
   }
+
+  /** Temperature-flattened mixture resampling (the multilingual
+    * training-mix recipe): group g keeps rate r_g = (n_min/n_g)^(1−α) —
+    * the without-replacement filter analog of sampling ∝ p_g^α. α = 1
+    * keeps everything (proportional mix), α = 0 equalizes every group down
+    * to the smallest; in between, rare groups are up-weighted relative to
+    * their share. The smallest group always keeps rate 1.
+    *
+    * Rates derive from one tiny per-group count (broadcast back — a narrow
+    * join at any scale); admission is the stable salted-md5 uniform, so
+    * membership is reproducible across runs/engines/partitionings.
+    * α = 0.5 computes through `sqrt` (IEEE-correctly-rounded, so both
+    * engines agree bit-exactly); other α go through `pow`, whose last ulp
+    * may differ across libm implementations — fine for pipelines, not for
+    * a hash-compare oracle.
+    *
+    * @return input rows + the group `rate` (rounded to 6) and a `kept` flag
+    */
+  def temperatureSample(df: DataFrame, groupCol: String, idCol: Column,
+      alpha: Double = 0.5, salt: String = "mixt"): DataFrame = {
+    require(alpha >= 0 && alpha <= 1, s"alpha in [0,1], got $alpha")
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
+    val nmin = counts.agg(min(col("__n")).as("__nmin"))
+    val ratio = col("__nmin").cast("double") / col("__n")
+    val rate =
+      round(if (alpha == 0.5) sqrt(ratio) else pow(ratio, 1.0 - alpha), 6)
+    val rates = counts.crossJoin(broadcast(nmin))
+      .select(col(groupCol), rate.as("rate"))
+    val u = conv(substring(md5(concat(lit(salt), idCol.cast("string"))),
+      1, 6), 16, 10).cast("double") / 16777216.0d
+    df.join(broadcast(rates), Seq(groupCol))
+      .withColumn("kept", u < col("rate"))
+  }
 }

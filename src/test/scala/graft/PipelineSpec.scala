@@ -440,6 +440,29 @@ class PipelineSpec extends AnyFunSuite {
     got.unpersist()
   }
 
+  test("temperature mix: smallest group keeps all, big group near sqrt rate") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    // 100 docs of 'rare', 400 of 'big' → rates 1.0 and sqrt(1/4) = 0.5
+    val docs = (0L until 500L)
+      .map(i => (i, if (i < 100) "rare" else "big")).toDF("id", "grp")
+    val got = Sampling.temperatureSample(docs, "grp", col("id")).persist()
+    val rates = got.groupBy("grp").agg(max("rate").as("r"), min("rate").as("r2"),
+      sum(when(col("kept"), 1).otherwise(0)).as("k"), count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getLong(3), r.getLong(4))).toMap
+    assert(rates("rare") == (1.0, 1.0, 100L, 100L), s"rare: ${rates("rare")}")
+    val (bigR, bigR2, bigKept, bigN) = rates("big")
+    assert(bigR == 0.5 && bigR2 == 0.5)
+    assert(bigKept > (0.35 * bigN) && bigKept < (0.65 * bigN),
+      s"big kept $bigKept of $bigN at rate 0.5")
+    // deterministic under reordering/partitioning
+    val again = Sampling.temperatureSample(docs.repartition(7), "grp", col("id"))
+    assert(got.select("id", "kept").exceptAll(again.select("id", "kept"))
+      .count() == 0)
+    got.unpersist()
+  }
+
   test("semdedup: planted duplicates collapse to the smallest id in-cell") {
     import graft.operators.Similarity
     val emb = Tables.embeddings(spark, sf)
