@@ -516,6 +516,9 @@ class PipelineSpec extends AnyFunSuite {
       (3L, None, None, 0L),           // zero tokens: no sequence
       (4L, Some(1L), Some(1L), 1L),   // [10,15) in seq 1
       (5L, Some(1L), Some(3L), 3L)))  // [15,25) spans 1..3
+    // empty input: no partitions, no bases — must return empty, not throw
+    assert(Packing.withGlobalOffsets(rows.filter(col("id") < 0), "id", "w")
+      .count() == 0)
   }
 
   test("winnowing: shared passage guarantees a shared fingerprint") {
