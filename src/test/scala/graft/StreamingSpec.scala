@@ -11,6 +11,8 @@ import graft.streaming.StreamIngest
 case class Upd(c_custkey: Long, c_name: String, c_nationkey: Int,
     c_acctbal: Double, c_mktsegment: String, __event_ts_ms: Long)
 
+case class Doc(doc_id: Long, text: String, __event_ts_ms: Long)
+
 class StreamingSpec extends AnyFunSuite {
   lazy val spark = GraftSession.build(cpus = 4, appName = "streaming-spec")
   val sf = "/root/testdata/sf0.001"
@@ -154,6 +156,39 @@ class StreamingSpec extends AnyFunSuite {
       checkpoint = s"$root/cp-lag")
     q.awaitTermination(60000)
     assert(StreamIngest.isCaughtUp(q, maxOffsetLag = 3L))
+  }
+
+  test("streaming dedup drops exact duplicates ACROSS microbatches") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    engine.createStore("sdocs", Seq("doc_id"))
+    engine.push("sdocs", Seq((0L, "seed doc")).toDF("doc_id", "text"))
+
+    val stream = MemoryStream[Doc]
+    // batch 1: two distinct docs + an in-batch duplicate (same text,
+    // different whitespace/case — the normalized fingerprint must match)
+    stream.addData(
+      Doc(1L, "alpha beta gamma", 1000L),
+      Doc(2L, "delta epsilon", 1000L),
+      Doc(3L, "  Alpha   BETA gamma ", 1001L))
+    val q = StreamIngest.ingest(engine, "sdocs",
+      graft.streaming.StreamDedup.exact(stream.toDF()),
+      checkpoint = s"$root/cpdedup")
+    q.awaitTermination(60000)
+    // batch 2: a cross-batch duplicate of doc 1 and one genuinely new doc —
+    // the fingerprint state must remember batch 1
+    stream.addData(
+      Doc(4L, "alpha beta gamma", 2000L),
+      Doc(5L, "zeta eta theta", 2000L))
+    val q2 = StreamIngest.ingest(engine, "sdocs",
+      graft.streaming.StreamDedup.exact(stream.toDF()),
+      checkpoint = s"$root/cpdedup")
+    q2.awaitTermination(60000)
+
+    val view = engine.servingView("sdocs")
+    val ids = view.select("doc_id").as[Long].collect().toSet
+    // 3 (in-batch dup) and 4 (cross-batch dup) must be dropped
+    assert(ids == Set(0L, 1L, 2L, 5L), s"got $ids")
   }
 
   test("S2: rewind re-feeds recent log entries onto a new version") {
