@@ -55,8 +55,9 @@ object Packing {
       }
     }(Encoders.row(schema))
     // consumed twice (per-partition totals now, the caller's action later);
-    // the caller — or the per-query clearCache in Verify/Bench — drops it
-    val cached = local.persist()
+    // localCheckpoint over persist so the blocks free with the plan instead
+    // of leaking in a long-lived session
+    val cached = local.localCheckpoint()
     val bases = cached.groupBy(col("__pid"))
       .agg(sum(col("__w")).as("__psum"))
       .collect()
