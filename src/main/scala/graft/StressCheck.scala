@@ -85,6 +85,11 @@ object StressCheck {
     // bounded, and every planted exact duplicate must be flagged (identical
     // vectors tie on every centroid similarity → same cell, so the in-cell
     // pass cannot miss them).
+    // Full-corpus training here, measured: trainFraction 0.05 SLOWED this
+    // case 14.2 → 19.2 s — sampled centroids balance cells worse, and the
+    // quadratic in-cell pair join charges more for a fat cell than the
+    // linear training scan saves. Sampling pays off when the corpus scan
+    // itself is the cost (the 100-TB regime), not at 200k rows.
     if (on("semdedup"))
     timed(s"semdedup ${nVec / 1000}k vecs, auto cells") {
       val flagged = graft.operators.Similarity

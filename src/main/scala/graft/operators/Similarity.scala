@@ -140,11 +140,23 @@ object Similarity {
     * end): float partial sums would differ across partition orders and
     * engines, breaking determinism and the SQL oracle; exact integer sums
     * are order-independent. */
-  def kmeansCentroids(corpus: DataFrame, k: Int, iters: Int): DataFrame = {
+  def kmeansCentroids(corpus: DataFrame, k: Int, iters: Int,
+      trainFraction: Double = 1.0): DataFrame = {
+    require(trainFraction > 0 && trainFraction <= 1,
+      s"trainFraction in (0,1], got $trainFraction")
+    // At 100 TB, Lloyd iterations over the FULL corpus are waste: centroid
+    // positions converge on a sample long before the scan pays off. The
+    // sample is a deterministic id-hash slice (reproducible across runs and
+    // partitionings, like every sampler here); the seed rows always train
+    // so the codebook can never lose a cell to sampling.
+    val train = if (trainFraction >= 1.0) corpus
+      else corpus.filter(col("id") < k ||
+        pmod(xxhash64(col("id")), lit(10000)) <
+          math.max(1, (trainFraction * 10000).toInt))
     val seeds = corpus.filter(col("id") < k).select(col("id"), col("vec"))
     var cent = seeds
     for (_ <- 0 until iters) {
-      val recentred = ivfAssign(corpus, cent).filter(col("rn") === 1)
+      val recentred = ivfAssign(train, cent).filter(col("rn") === 1)
         .select(col("cid"), posexplode(col("vec")))
         .groupBy(col("cid"), col("pos"))
         .agg(sum(round(col("col").cast("double") * 1000).cast("long")).as("s"),
@@ -167,7 +179,8 @@ object Similarity {
   }
 
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, numCells: Int,
-      nProbe: Int, trainIters: Int = 2): DataFrame = {
+      nProbe: Int, trainIters: Int = 2,
+      trainFraction: Double = 1.0): DataFrame = {
     val centroids =
       if (trainIters <= 0) corpus.filter(col("id") < numCells)
       else {
@@ -176,7 +189,8 @@ object Similarity {
         // value could never unpersist (dead cached blocks in a long-lived
         // session) and hands both consumers (corpus assign + query probes)
         // a local relation Spark broadcasts for free.
-        val trained = kmeansCentroids(corpus, numCells, trainIters)
+        val trained = kmeansCentroids(corpus, numCells, trainIters,
+          trainFraction)
         corpus.sparkSession.createDataFrame(
           java.util.Arrays.asList(trained.collect(): _*), trained.schema)
       }
@@ -315,14 +329,14 @@ object Similarity {
     * K to pin reproducible cells (the oracle query does).
     */
   def semDedup(corpus: DataFrame, threshold: Double, numCells: Int = 0,
-      trainIters: Int = 2): DataFrame = {
+      trainIters: Int = 2, trainFraction: Double = 1.0): DataFrame = {
     val k = if (numCells > 0) numCells
       else math.max(16,
         2 * corpus.sparkSession.sparkContext.defaultParallelism)
     // codebook is k rows — collect to a local relation once, so the
     // two assign consumers below don't re-run Lloyd training (same pattern
     // as ivfTopK)
-    val trained = kmeansCentroids(corpus, k, trainIters)
+    val trained = kmeansCentroids(corpus, k, trainIters, trainFraction)
     val centroids = corpus.sparkSession.createDataFrame(
       java.util.Arrays.asList(trained.collect(): _*), trained.schema)
     // assignment feeds both sides of the pair join AND the final output;

@@ -198,6 +198,19 @@ class PipelineSpec extends AnyFunSuite {
       s"trained recall $recall < sampled $recallSampled - 0.05")
   }
 
+  test("k-means sampled training: k centroids, deterministic, seeds kept") {
+    import graft.operators.Similarity
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val a = Similarity.kmeansCentroids(emb, k = 8, iters = 2,
+      trainFraction = 0.2).orderBy("id").collect()
+    assert(a.length == 8, s"expected 8 centroids, got ${a.length}")
+    // reproducible: the sample is id-hash-keyed, not rand()
+    val b = Similarity.kmeansCentroids(emb.repartition(7), k = 8, iters = 2,
+      trainFraction = 0.2).orderBy("id").collect()
+    assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq)
+  }
+
   test("k-means re-seeds emptied cells: always k centroids, even degenerate") {
     import spark.implicits._
     // two far-apart tight clumps + k=4 seeds (ids 0..3) that all sit inside
