@@ -15,6 +15,9 @@ object Bench {
     // sweeps (e.g. the sf1 scale point) pass the dir explicitly
     val sfDir = args.headOption.getOrElse(
       sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    // args after the dir select a query subset — for adjudicating a
+    // suspicious per-query timing by focused rerun without a full sweep
+    val only: Set[String] = args.drop(1).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -25,7 +28,8 @@ object Bench {
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val queries = Queries.all
+    val queries0 = Queries.all
+    val queries = if (only.isEmpty) queries0 else queries0.filter(q => only(q.name))
     // warmup (untimed; failures surface in the timed pass's error map)
     queries.foreach { q =>
       try q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -87,7 +91,8 @@ object Bench {
       "decontaminate", "sample_stratified", "mix_token_budget", "text_winnow",
       "text_repetition", "corpus_filter", "mix_report", "pack_sequences",
       "lm_rarity", "semdedup", "boilerplate_ngrams", "embed_quantize",
-      "mix_temperature")
+      "mix_temperature", "stream_window_agg", "corpus_shuffle",
+      "mm_audio_resample")
     val core = results.filterNot(r => addedLater(r._1)).map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","core38":$core,"queries":$qs,"ok":$ok,"n":${results.size},"errors":$errs,"sf":"$sfDir"}""")
     if (results.exists(_._3.nonEmpty)) System.err.println(

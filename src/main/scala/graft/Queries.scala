@@ -2317,6 +2317,108 @@ object Queries {
             true AS first_swap_refused, 2 AS swapped_version
             FROM nation ORDER BY n_nationkey"""))
 
+  /** Streaming watermarked window aggregation, oracle-checked END TO END:
+    * hourly (bucket, event_type) counts + cent-sums over a file-source
+    * stream in APPEND mode — each window is emitted exactly once, when the
+    * watermark passes its end. Draining tail windows uses the production
+    * close-out pattern: a second run whose data (one sentinel row beyond
+    * max+delay) advances the watermark past every real window. The same
+    * run carries a LATE row whose window was already finalized — true
+    * watermark semantics must DROP it; if the engine merged or re-emitted,
+    * the sentinel/late rows would surface and the oracle hash would break.
+    * So the DuckDB batch GROUP BY is a full oracle for emit-once,
+    * drop-late streaming semantics. */
+  val streamWindowAgg = QueryDef(
+    "stream_window_agg",
+    (s, dir) => {
+      import graft.streaming.StreamWindow
+      import org.apache.spark.sql.streaming.Trigger
+      val root = java.nio.file.Files.createTempDirectory("graft-swin").toString
+      val ev = Tables.events(s, dir)
+        .select(col("ts"), col("event_type"), col("value"))
+      ev.write.parquet(s"$root/in")
+      val maxTs = ev.agg(max(unix_millis(col("ts")))).head().getLong(0)
+
+      def drainOnce(): Unit = {
+        val stream = s.readStream.schema(ev.schema).parquet(s"$root/in")
+        val agged = StreamWindow.windowedAgg(stream, "ts",
+          delay = "1 hour", window = "1 hour", keys = Seq("event_type"),
+          aggs = Seq(count(lit(1)).as("n_events"),
+            sum(round(col("value") * 100).cast("long")).as("value_cents")))
+        val q = agged.writeStream.format("parquet")
+          .option("path", s"$root/out").option("checkpointLocation", s"$root/cp")
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        require(q.awaitTermination(180000),
+          "stream_window_agg: stream did not drain within 180s")
+      }
+      drainOnce()
+      // close-out run: sentinel 3h past max advances the watermark to
+      // max+2h (> every real window end); the late row's window closed in
+      // run 1, so the watermark filter must drop it
+      import s.implicits._
+      Seq((maxTs + 3 * 3600 * 1000L, "zz_sentinel", 0.0),
+        (maxTs - 3 * 3600 * 1000L, "zz_late", 1e9))
+        .toDF("ts_ms", "event_type", "value")
+        .select(timestamp_millis(col("ts_ms")).as("ts"), col("event_type"),
+          col("value"))
+        .write.mode("append").parquet(s"$root/in")
+      drainOnce()
+      s.read.parquet(s"$root/out")
+        .select(col("bucket_ms"), col("event_type"), col("n_events"),
+          col("value_cents"))
+        .orderBy(col("bucket_ms"), col("event_type"))
+    },
+    Some("""SELECT (epoch_ms(ts) // 3600000) * 3600000 AS bucket_ms,
+              event_type, count(*) AS n_events,
+              sum(CAST(round(value * 100) AS BIGINT)) AS value_cents
+            FROM events GROUP BY 1, 2 ORDER BY bucket_ms, event_type"""))
+
+  /** Deterministic corpus shuffle for a training epoch: seeded-md5 global
+    * order + exact position from the distributed prefix sum (no
+    * single-partition window), sharded for parallel epoch writers. The
+    * oracle replays the order with a window row_number — safe in DuckDB at
+    * oracle scale, fatal in Spark at 100 TB, which is the point of the
+    * operator. */
+  val corpusShuffle = QueryDef(
+    "corpus_shuffle",
+    (s, dir) => graft.operators.Packing.globalShuffleOrder(
+        t(s, dir, "documents").select(col("doc_id")),
+        "doc_id", seed = 42L, shardSize = 1000L)
+      .select(col("doc_id"), col("position"), col("shard"))
+      .orderBy(col("doc_id")),
+    Some("""SELECT doc_id,
+              row_number() OVER (ORDER BY md5('42-' || CAST(doc_id AS VARCHAR))
+                || '-' || CAST(doc_id AS VARCHAR)) - 1 AS position,
+              (row_number() OVER (ORDER BY md5('42-' || CAST(doc_id AS VARCHAR))
+                || '-' || CAST(doc_id AS VARCHAR)) - 1) // 1000 AS shard
+            FROM documents ORDER BY doc_id"""))
+
+  /** Audio resample plumbing: PCM16 metadata (md5-derived stub source rate
+    * standing in for the container header), exact integer sample-count /
+    * duration math for the 16 kHz target, stub byte truncation where a real
+    * resampler would go. Narrow and shuffle-free at any scale. */
+  val mmAudioResample = QueryDef(
+    "mm_audio_resample",
+    (s, dir) => {
+      val media = graft.operators.Multimodal.asMedia(
+        t(s, dir, "documents"), "doc_id", "text")
+      graft.operators.Multimodal.resampleAudio(media, targetRate = 16000)
+        .select(col("media_id"), col("n_samples"), col("src_rate"),
+          col("duration_us"), col("out_samples"),
+          octet_length(col("resampled")).cast("long").as("stub_bytes"))
+        .orderBy(col("media_id"))
+    },
+    Some("""SELECT media_id, n_samples, src_rate,
+              (n_samples * 1000000) // src_rate AS duration_us,
+              (n_samples * 16000) // src_rate AS out_samples,
+              least((n_samples * 16000) // src_rate * 2, n_bytes) AS stub_bytes
+            FROM (SELECT doc_id AS media_id, strlen(text)::BIGINT AS n_bytes,
+                    strlen(text)::BIGINT // 2 AS n_samples,
+                    [8000, 16000, 22050, 44100, 48000]
+                      [('0x' || substr(md5(text), 1, 4))::INT % 5 + 1] AS src_rate
+                  FROM documents)
+            ORDER BY media_id"""))
+
   // ---------------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------------
@@ -2338,7 +2440,8 @@ object Queries {
     mmDecode, mmFrames, textPiiRedact, splitAssignQ,
     decontaminate, sampleStratified, mixTokenBudget, textWinnow,
     textRepetition, corpusFilter, mixReport, packSequences, lmRarity, semdedup,
-    boilerplateNgrams, embedQuantize, mixTemperature)
+    boilerplateNgrams, embedQuantize, mixTemperature,
+    streamWindowAgg, corpusShuffle, mmAudioResample)
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }

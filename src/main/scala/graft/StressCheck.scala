@@ -14,8 +14,9 @@ object StressCheck {
     val spark = GraftSession.build(appName = "stress")
     import spark.implicits._
 
-    // optional section tags as args (keyed lsh crdt1m crdt10m squash
-    // minhash clusters bucket aaview) — no args runs everything
+    // optional section tags as args (keyed lsh semdedup crdt1m crdt10m
+    // squash minhash clusters bucket shuffleorder aaview) — no args runs
+    // everything
     val only = args.toSet
     def on(tag: String): Boolean = only.isEmpty || only(tag)
 
@@ -250,6 +251,26 @@ object StressCheck {
         unix_millis(col("ts")), col("event_id"),
         capacityTokens = 5, refillIntervalMs = 60000L)
         .filter(!col("allowed")).count()
+    }
+    spark.catalog.clearCache()
+
+    // Deterministic corpus shuffle at 20M rows: the seeded-md5 global
+    // order + distributed prefix sum must produce an EXACT permutation
+    // (sum identity pins it) without a single-partition window.
+    if (on("shuffleorder"))
+    timed("corpus shuffle 20M rows") {
+      val nDocs = 20000000L
+      val got = graft.operators.Packing.globalShuffleOrder(
+        spark.range(nDocs).select(col("id")), "id", seed = 5L,
+        shardSize = 1000000L)
+        .agg(sum(col("position")).as("s"),
+          countDistinct(col("shard")).as("nsh"))
+        .head()
+      require(got.getLong(0) == nDocs * (nDocs - 1) / 2,
+        s"position sum ${got.getLong(0)} != exact-permutation identity")
+      require(got.getLong(1) == nDocs / 1000000L,
+        s"expected ${nDocs / 1000000L} shards, got ${got.getLong(1)}")
+      nDocs
     }
     spark.catalog.clearCache()
 

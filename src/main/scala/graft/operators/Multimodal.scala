@@ -64,6 +64,39 @@ object Multimodal {
       .withColumn("out_width", floor(col("width") * col("scale")).cast("int"))
       .withColumn("out_height", floor(col("height") * col("scale")).cast("int"))
 
+  /** Audio plumbing: treat the payload as PCM16 mono whose source sample
+    * rate a real decoder would read from the container header — the STUB
+    * derives it deterministically from the content hash (md5-based so the
+    * DuckDB oracle reproduces it). All durations/counts are exact integer
+    * arithmetic (multiply before divide — no float drift across engines).
+    */
+  val AudioRates: Seq[Int] = Seq(8000, 16000, 22050, 44100, 48000)
+
+  def audioMeta(media: DataFrame): DataFrame =
+    media
+      .withColumn("n_bytes", octet_length(col("payload")).cast("long"))
+      .withColumn("n_samples", expr("n_bytes div 2"))
+      .withColumn("src_rate",
+        element_at(
+          array(AudioRates.map(lit): _*),
+          (conv(substring(md5(col("payload")), 1, 4), 16, 10).cast("long")
+            % AudioRates.size + 1).cast("int")))
+      .withColumn("duration_us",
+        expr("(n_samples * 1000000L) div src_rate"))
+
+  /** "Resample" to targetRate: the sample-count math is the real contract
+    * (out_samples = floor(n·target/src), exact in integers); the byte
+    * transform is a stub truncation a real resampler (libsamplerate etc.)
+    * would replace — swapping it in changes no plan shape: still a narrow,
+    * shuffle-free map. */
+  def resampleAudio(media: DataFrame, targetRate: Int): DataFrame =
+    audioMeta(media)
+      .withColumn("out_samples",
+        expr(s"(n_samples * ${targetRate}L) div src_rate"))
+      .withColumn("out_bytes", expr("out_samples * 2"))
+      .withColumn("resampled",
+        expr("substring(payload, 1, cast(least(out_bytes, n_bytes) as int))"))
+
   /** Frame sampling for "video" payloads: split the payload into n equal
     * chunks and emit (media_id, frame_no, frame_bytes) — an explode, still
     * shuffle-free. */

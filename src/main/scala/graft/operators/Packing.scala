@@ -74,6 +74,35 @@ object Packing {
       .drop("__pid", "__base", "__local_off", "__w")
   }
 
+  /** Deterministic global training order ("corpus shuffle"): every row gets
+    * the exact 0-based position it holds when the corpus is ordered by a
+    * seeded md5 of its id, plus the shard that position lands in — the
+    * manifest an epoch writer needs to emit shuffled shards in parallel.
+    *
+    * Ordering by a cryptographic hash IS the shuffle (uniform, seed-keyed,
+    * reproducible across runs/partitionings); the position comes from the
+    * same two-phase distributed prefix sum as sequence packing, so there is
+    * never a single-partition global window. The md5 is suffixed with the
+    * id to keep the order key unique even under hash collision.
+    *
+    * @param idCol   unique row id (cast to string for hashing)
+    * @param seed    epoch seed — different seeds give independent orders
+    * @param shardSize rows per output shard (> 0)
+    */
+  def globalShuffleOrder(df: DataFrame, idCol: String, seed: Long,
+      shardSize: Long, numParts: Int = 0): DataFrame = {
+    require(shardSize > 0, s"shardSize must be positive, got $shardSize")
+    val ord = concat(
+      md5(concat_ws("-", lit(seed.toString), col(idCol).cast("string"))),
+      lit("-"), col(idCol).cast("string"))
+    withGlobalOffsets(
+      df.withColumn("__shuffle_ord", ord).withColumn("__one", lit(1L)),
+      "__shuffle_ord", "__one", numParts)
+      .withColumnRenamed("start_offset", "position")
+      .withColumn("shard", expr(s"position div ${shardSize}L"))
+      .drop("__shuffle_ord", "__one")
+  }
+
   /** Packs weighted rows into fixed-length sequences of `seqLen` tokens:
     * each row gets its global `start_offset` plus the first/last sequence
     * index it touches and how many sequences it spans. Zero-weight rows

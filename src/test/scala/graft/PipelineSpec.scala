@@ -584,6 +584,53 @@ class PipelineSpec extends AnyFunSuite {
     assert(bg(4L) == 4L)        // "go stop" x4 beats "stop go" x3
   }
 
+  test("corpus shuffle: exact permutation, partition-invariant, seed-keyed") {
+    import spark.implicits._
+    import graft.operators.Packing
+    val df = (0L until 100L).toDF("id")
+    val a = Packing.globalShuffleOrder(df, "id", seed = 7L, shardSize = 16L,
+      numParts = 5)
+    assert(a.select("position").as[Long].collect().sorted.toSeq
+      == (0L until 100L), "positions must be exactly 0..n-1")
+    // invariant to input partitioning and prefix-sum partition count
+    val b = Packing.globalShuffleOrder(df.repartition(13), "id", seed = 7L,
+      shardSize = 16L, numParts = 2)
+    assert(a.select("id", "position").except(b.select("id", "position"))
+      .count() == 0)
+    // shard is position div shardSize
+    assert(a.filter(col("shard") =!= expr("position div 16L")).count() == 0)
+    // a different seed reorders (some id must move)
+    val c = Packing.globalShuffleOrder(df, "id", seed = 8L, shardSize = 16L)
+    val moved = a.select(col("id"), col("position").as("pa"))
+      .join(c.select(col("id"), col("position").as("pc")), "id")
+      .filter(col("pa") =!= col("pc")).count()
+    assert(moved > 0, "seed change must permute")
+    // the hash order is NOT the id order (it actually shuffles)
+    assert(a.filter(col("position") === col("id")).count() < 100)
+  }
+
+  test("audio resample: integer-exact sample math, stub truncation") {
+    import spark.implicits._
+    val docs = Seq((1L, "x" * 100), (2L, "y")).toDF("doc_id", "text")
+    val out = Multimodal.resampleAudio(
+      Multimodal.asMedia(docs, "doc_id", "text"), targetRate = 16000)
+      .select("media_id", "n_bytes", "n_samples", "src_rate", "duration_us",
+        "out_samples", "out_bytes", "resampled")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val r1 = out(1L)
+    assert(r1.getLong(2) == 50L, "100 bytes = 50 PCM16 samples")
+    val rate = r1.getInt(3)
+    assert(Multimodal.AudioRates.contains(rate))
+    assert(r1.getLong(4) == 50L * 1000000L / rate, "integer-floor duration")
+    assert(r1.getLong(5) == 50L * 16000L / rate, "integer-floor resample count")
+    assert(r1.getAs[Array[Byte]](7).length ==
+      math.min(r1.getLong(6), r1.getLong(1)).toInt,
+      "stub keeps min(out_bytes, n_bytes) bytes")
+    // 1-byte payload: 0 samples, 0 duration — no div-by-zero, no negatives
+    val r2 = out(2L)
+    assert(r2.getLong(2) == 0L && r2.getLong(4) == 0L && r2.getLong(5) == 0L)
+  }
+
   private implicit class BoolOps(b: Boolean) {
     def ==>(other: Boolean): Boolean = !b || other
   }

@@ -262,4 +262,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.count() > 0)
     assert(out.agg(sum("n")).head.getLong(0) == 200L)
   }
+
+  test("StreamWindow append mode: emit-once on watermark pass, late rows DROPPED") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
+    val stream = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val agged = graft.streaming.StreamWindow.windowedAgg(
+      stream.toDF().toDF("ts", "k", "v"), "ts",
+      delay = "1 hour", window = "1 hour", keys = Seq("k"),
+      aggs = Seq(count(lit(1)).as("n"),
+        sum(round(col("v") * 100).cast("long")).as("cents")))
+    val q = agged.writeStream.format("memory").queryName("swin_mem")
+      .outputMode("append").option("checkpointLocation", s"$root/cpswin")
+      .start()
+    // batch 1: hour 0 twice, hour 2 once → watermark ends at 1:30
+    stream.addData((ts(10), "a", 1.0), (ts(20), "a", 2.0), (ts(150), "a", 5.0))
+    q.processAllAvailable()
+    // batch 2: a LATE row for the finalized hour-0 window (must be dropped,
+    // NOT merged or re-emitted) + an hour-5 row pushing the watermark to
+    // 4:00 so hour 2 closes
+    stream.addData((ts(40), "a", 100.0), (ts(300), "a", 7.0))
+    q.processAllAvailable()
+    // batch 3: data batch so eviction at watermark 4:00+ runs even if the
+    // engine skipped a no-data batch; its own hour-5 rows stay open
+    stream.addData((ts(310), "a", 9.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("swin_mem")
+      .select("bucket_ms", "k", "n", "cents")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSet
+    // hour 0: the late 100.0 must be absent (cents 300, n 2, emitted once);
+    // hour 2 emitted; hour 5 still open (watermark 4:10 < end 6:00)
+    assert(rows == Set((0L, "a", 2L, 300L), (7200000L, "a", 1L, 500L)),
+      s"got $rows")
+  }
 }
