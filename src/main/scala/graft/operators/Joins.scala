@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Join shapes Spark's optimizer has no native operator for.
+  *
+  * As-of join (backward): attach to each left row the single most recent
+  * right row for the same key with right.ts ≤ left.ts — the canonical
+  * "state at event time" lookup (feature value as of a label's timestamp,
+  * last heartbeat before an error, price in effect at order time).
+  *
+  * The naive relational spelling is a non-equi range join
+  * (`l.k = r.k AND r.ts <= l.ts` + a per-row argmax), which Spark plans as
+  * a broadcast nested loop or a sort-merge with an n·m within-key blowup.
+  * This implementation never builds the range: tag each side, union, ONE
+  * shuffle on the key, sort within key by (ts, side) with right rows
+  * ordered before coincident left rows (at-or-before includes equality),
+  * and carry the latest right payload forward with a running
+  * `last(ignoreNulls)` frame. Cost is a single keyed shuffle + in-partition
+  * sort — the same shape at 100 TB, with the usual keyed-window caveat that
+  * one pathologically hot key serializes within its partition.
+  */
+object Joins {
+
+  /** @param left     probe side; all its columns pass through
+    * @param right    state side; must be UNIQUE per (keyCols, rightTs) —
+    *                 pre-aggregate with e.g. [[Compaction.latestPerKey]],
+    *                 otherwise coincident right rows make the match
+    *                 engine-dependent (this is asserted per-key-ts at plan
+    *                 level by construction: duplicates would carry whichever
+    *                 sorted last, so we require the caller to dedup)
+    * @param keyCols  equi-join keys
+    * @param leftTs / rightTs  event-time columns (any ordered type; both
+    *                 sides are compared on the SAME unioned column)
+    * @param payload  right columns to attach (null when no right row is
+    *                 at-or-before the left row)
+    */
+  def asOfBackward(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+      leftTs: String, rightTs: String, payload: Seq[String]): DataFrame = {
+    require(payload.nonEmpty, "asOfBackward needs at least one payload column")
+    val leftCols = left.columns.toSeq
+    require(payload.forall(right.columns.contains),
+      s"payload ${payload.mkString(",")} must exist on the right side")
+    val pay = payload.map(p => s"__pay_$p")
+
+    // right rows: side 0 (sort before coincident left rows), payload kept,
+    // left columns nulled; left rows: side 1, payload nulled
+    val r = right.select(
+      keyCols.map(col) ++ Seq(col(rightTs).as("__ts"), lit(0).as("__side")) ++
+        payload.map(p => col(p).as(s"__pay_$p")): _*)
+    val l = left.select(
+      keyCols.map(col) ++ Seq(col(leftTs).as("__ts"), lit(1).as("__side")) ++
+        leftCols.filterNot(keyCols.contains).map(col): _*)
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__ts").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = pay.foldLeft(unioned) { (df, p) =>
+      df.withColumn(p, last(col(p), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("__side") === 1)
+      .select(leftCols.map(col) ++
+        payload.map(p => col(s"__pay_$p").as(s"asof_$p")): _*)
+  }
+}

@@ -163,4 +163,47 @@ class PlumbingSpec extends AnyFunSuite {
       .orderBy("producer").collect()
     assert(st(0).getAs[Long]("missing") == 2L) // 3,4 missing (dup fills one)
   }
+
+  test("as-of join: latest at-or-before match, nulls before first, per key") {
+    import spark.implicits._
+    import graft.operators.Joins
+    val left = Seq((1L, 5L, "a"), (1L, 10L, "b"), (1L, 20L, "c"),
+      (2L, 10L, "d"), (3L, 10L, "e"))
+      .toDF("k", "ts", "tag")
+    val right = Seq((1L, 10L, 100), (1L, 15L, 150), (2L, 99L, 999))
+      .toDF("k", "ts", "v")
+    val got = Joins.asOfBackward(left, right, Seq("k"), "ts", "ts", Seq("v"))
+      .select("k", "ts", "tag", "asof_v")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        Option(r.get(3)).map(_.asInstanceOf[Int]))).toSet
+    assert(got == Set(
+      (1L, 5L, "a", None),          // before any right row
+      (1L, 10L, "b", Some(100)),    // EQUAL ts counts as at-or-before
+      (1L, 20L, "c", Some(150)),    // latest of the two earlier rows
+      (2L, 10L, "d", None),         // right row exists but is later
+      (3L, 10L, "e", None)))        // key absent on the right
+    // plan shape: one shuffle (the keyed window), NO join node at all
+    val physical = Joins.asOfBackward(left, right, Seq("k"), "ts", "ts",
+      Seq("v")).queryExecution.executedPlan.toString
+    assert(!physical.contains("NestedLoop") && !physical.contains("CartesianProduct"),
+      s"as-of must not plan a range join:\n$physical")
+  }
+
+  test("percentiles: disc rule matches smallest-value-with-cum>=ceil(pn/100)") {
+    import spark.implicits._
+    import graft.operators.Percentiles
+    // key A: values 1..10 (p75 must be 8 — the float-fragile boundary);
+    // key B: constant; key C: single row
+    val rows = (1 to 10).map(v => ("A", v)) ++
+      Seq.fill(4)(("B", 7)) :+ (("C", 42))
+    val got = Percentiles.disc(rows.toDF("k", "v"), Seq("k"), col("v"),
+      Seq(50, 75, 99))
+      .orderBy("k").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.toSeq == Seq(
+      ("A", 10L, 5L, 8L, 10L),   // ceil rules: p50→5th=5, p75→8th=8, p99→10th
+      ("B", 4L, 7L, 7L, 7L),
+      ("C", 1L, 42L, 42L, 42L)))
+  }
 }
