@@ -2437,6 +2437,63 @@ object Queries {
               ON l.user_id = r.user_id AND l.ts_ms >= r.ts_ms
             ORDER BY l.user_id, l.event_id"""))
 
+  /** Range (interval) join: every click inside the hour after the same
+    * user's signup — binned equi-join + containment filter, never the
+    * nested-loop Spark plans for a raw BETWEEN. The oracle is DuckDB's
+    * own inequality join. Overlapping intervals multi-match by design. */
+  val qRangeJoin = QueryDef(
+    "q_range_join",
+    (s, dir) => {
+      val ev = Tables.events(s, dir).withColumn("ts_ms", unix_millis(col("ts")))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id"), col("ts_ms"))
+      val signupWindows = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts_ms").as("s_ms"),
+          (col("ts_ms") + 3600000L).as("e_ms"),
+          col("event_id").as("signup_event_id"))
+      graft.operators.Joins.rangeJoin(clicks, signupWindows,
+        Seq("user_id"), "ts_ms", "s_ms", "e_ms", binSize = 3600000L,
+        payload = Seq("signup_event_id"))
+        .select(col("user_id"), col("event_id"),
+          col("range_signup_event_id").as("signup_event_id"))
+        .orderBy(col("user_id"), col("event_id"), col("signup_event_id"))
+    },
+    Some("""SELECT l.user_id, l.event_id, r.event_id AS signup_event_id
+            FROM (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms
+                  FROM events WHERE event_type = 'click') l
+            JOIN (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms
+                  FROM events WHERE event_type = 'signup') r
+              ON l.user_id = r.user_id
+             AND l.ts_ms BETWEEN r.ts_ms AND r.ts_ms + 3600000
+            ORDER BY l.user_id, l.event_id, signup_event_id"""))
+
+  /** Per-group top-k without a global sort: window row_number inside each
+    * group (partial sort per partition, one shuffle on the group key),
+    * deterministic tiebreak. The global-top-k variant is q3 (TakeOrdered);
+    * this is the grouped shape a leaderboard/per-segment report needs. */
+  val qTopkGroup = QueryDef(
+    "q_topk_group",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+          round(col("l_extendedprice") * 100).cast("long").as("price_cents"))
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("price_cents").desc, col("l_orderkey"), col("l_linenumber"))
+      li.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("l_returnflag"), col("rk"), col("l_orderkey"),
+          col("l_linenumber"), col("price_cents"))
+        .orderBy(col("l_returnflag"), col("rk"))
+    },
+    Some("""SELECT l_returnflag, rk, l_orderkey, l_linenumber, price_cents
+            FROM (SELECT l_returnflag, l_orderkey, l_linenumber,
+                    CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents,
+                    row_number() OVER (PARTITION BY l_returnflag
+                      ORDER BY CAST(round(l_extendedprice * 100) AS BIGINT) DESC,
+                               l_orderkey, l_linenumber) AS rk
+                  FROM lineitem)
+            WHERE rk <= 3 ORDER BY l_returnflag, rk"""))
+
   /** Exact per-language token-count percentiles (corpus QA): histogram-
     * based distributed quantile_disc — p50/p90/p99 of document length
     * without a global sort or an approx sketch. The oracle is DuckDB's
@@ -2527,7 +2584,7 @@ object Queries {
     textRepetition, corpusFilter, mixReport, packSequences, lmRarity, semdedup,
     boilerplateNgrams, embedQuantize, mixTemperature,
     streamWindowAgg, corpusShuffle, mmAudioResample, qAsofJoin,
-    corpusPercentiles)
+    corpusPercentiles, qRangeJoin, qTopkGroup)
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }

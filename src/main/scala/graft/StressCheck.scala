@@ -15,8 +15,8 @@ object StressCheck {
     import spark.implicits._
 
     // optional section tags as args (keyed lsh semdedup crdt1m crdt10m
-    // squash minhash clusters bucket shuffleorder aaview) — no args runs
-    // everything
+    // squash minhash clusters bucket asof shuffleorder aaview) — no args
+    // runs everything
     val only = args.toSet
     def on(tag: String): Boolean = only.isEmpty || only(tag)
 
@@ -24,7 +24,7 @@ object StressCheck {
       .crossJoin(spark.range(120).select(col("id").as("rep")))
       .withColumn("user_id", col("user_id") + col("rep") * 1000L)
       .withColumn("event_id", col("event_id") + col("rep") * 10000000L)
-    val n = if (on("keyed") || on("bucket")) {
+    val n = if (on("keyed") || on("bucket") || on("asof")) {
       base.persist(); base.count()
     } else 0L
 
@@ -251,6 +251,24 @@ object StressCheck {
         unix_millis(col("ts")), col("event_id"),
         capacityTokens = 5, refillIntervalMs = 60000L)
         .filter(!col("allowed")).count()
+    }
+    spark.catalog.clearCache()
+
+    // As-of join over the 12M-row log: ~10M probes against ~2M state rows
+    // in ONE keyed shuffle + in-partition sort (the union-carry plan) —
+    // the range-join spelling would be n·m within key.
+    if (on("asof"))
+    timed("as-of join 12M") {
+      val ev = base.withColumn("ts_ms", unix_millis(col("ts")))
+      val probes = ev.filter(col("event_type") =!= "purchase")
+        .select(col("user_id"), col("event_id"), col("ts_ms"))
+      val state = graft.operators.Compaction.latestPerKey(
+        ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts_ms"), col("value")),
+        Seq("user_id", "ts_ms"), Seq(col("value")))
+      graft.operators.Joins.asOfBackward(probes, state,
+        Seq("user_id"), "ts_ms", "ts_ms", Seq("value"))
+        .filter(col("asof_value").isNotNull).count()
     }
     spark.catalog.clearCache()
 

@@ -65,4 +65,45 @@ object Joins {
       .select(leftCols.map(col) ++
         payload.map(p => col(s"__pay_$p").as(s"asof_$p")): _*)
   }
+
+  /** Interval (range) containment join: emit every (left row, right
+    * interval) pair with the same key and startCol ≤ ts ≤ endCol.
+    *
+    * Spark plans the naive `BETWEEN` predicate as a broadcast nested loop
+    * (or worse); the scale spelling bins time: each interval explodes to
+    * the bins it overlaps (bounded by interval-length / binSize + 1), each
+    * left row has exactly ONE bin, and the join becomes a plain equi-join
+    * on (key, bin) + an exact containment filter. No row is ever matched
+    * twice — the left side owns one bin — so no dedup pass is needed.
+    *
+    * @param binSize bin width in the ts column's own units; choose ≳ the
+    *                typical interval length so intervals explode to ~2 bins
+    * @param payload right-side columns to carry (prefixed `range_`)
+    *
+    * Intervals with endCol < startCol are dropped (an inverted interval
+    * contains nothing; letting it through would make `sequence()` count
+    * DOWN and match everything).
+    */
+  def rangeJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+      leftTs: String, startCol: String, endCol: String, binSize: Long,
+      payload: Seq[String]): DataFrame = {
+    require(binSize > 0, s"binSize must be positive, got $binSize")
+    require(payload.nonEmpty, "rangeJoin needs at least one payload column")
+    val leftCols = left.columns.toSeq
+    val lb = left.withColumn("__bin",
+      floor(col(leftTs).cast("long") / binSize).cast("long"))
+    val rb = right
+      .filter(col(endCol) >= col(startCol))
+      .select(keyCols.map(col) ++
+        Seq(col(startCol).cast("long").as("__s"),
+          col(endCol).cast("long").as("__e")) ++
+        payload.map(p => col(p).as(s"__pay_$p")): _*)
+      .withColumn("__bin", explode(sequence(
+        floor(col("__s") / binSize).cast("long"),
+        floor(col("__e") / binSize).cast("long"))))
+    lb.join(rb, keyCols :+ "__bin")
+      .filter(col(leftTs).cast("long").between(col("__s"), col("__e")))
+      .select(leftCols.map(col) ++
+        payload.map(p => col(s"__pay_$p").as(s"range_$p")): _*)
+  }
 }

@@ -189,6 +189,35 @@ class PlumbingSpec extends AnyFunSuite {
       s"as-of must not plan a range join:\n$physical")
   }
 
+  test("range join: containment, multi-match, cross-bin, inverted dropped") {
+    import spark.implicits._
+    import graft.operators.Joins
+    val left = Seq((1L, 5L, "a"), (1L, 10L, "b"), (1L, 25L, "c"),
+      (2L, 10L, "d"))
+      .toDF("k", "ts", "tag")
+    val right = Seq(
+      (1L, 0L, 10L, "r1"),    // contains a (5) and b (10 — INCLUSIVE end)
+      (1L, 8L, 30L, "r2"),    // overlaps r1: b multi-matches; c crosses bins
+      (1L, 50L, 40L, "bad"),  // inverted: must be dropped, not match-all
+      (2L, 11L, 20L, "r3"))   // starts after d
+      .toDF("k", "s", "e", "name")
+    val got = Joins.rangeJoin(left, right, Seq("k"), "ts", "s", "e",
+      binSize = 10L, payload = Seq("name"))
+      .select("k", "ts", "tag", "range_name")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getString(3))).toSet
+    assert(got == Set(
+      (1L, 5L, "a", "r1"),
+      (1L, 10L, "b", "r1"), (1L, 10L, "b", "r2"),  // multi-match kept
+      (1L, 25L, "c", "r2")))                        // interval spans 3 bins
+    // the bin equi-join must never degrade to a nested loop
+    val physical = Joins.rangeJoin(left, right, Seq("k"), "ts", "s", "e",
+      10L, Seq("name")).queryExecution.executedPlan.toString
+    assert(!physical.contains("NestedLoop") &&
+      !physical.contains("CartesianProduct"),
+      s"range join must stay an equi-join:\n$physical")
+  }
+
   test("percentiles: disc rule matches smallest-value-with-cum>=ceil(pn/100)") {
     import spark.implicits._
     import graft.operators.Percentiles
