@@ -38,7 +38,19 @@ object Joins {
     *                 at-or-before the left row)
     */
   def asOfBackward(left: DataFrame, right: DataFrame, keyCols: Seq[String],
-      leftTs: String, rightTs: String, payload: Seq[String]): DataFrame = {
+      leftTs: String, rightTs: String, payload: Seq[String]): DataFrame =
+    asOf(left, right, keyCols, leftTs, rightTs, payload, forward = false)
+
+  /** Forward variant: the EARLIEST right row with right.ts ≥ left.ts —
+    * "next maintenance window", "first purchase after signup". Same plan,
+    * sorted descending. */
+  def asOfForward(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+      leftTs: String, rightTs: String, payload: Seq[String]): DataFrame =
+    asOf(left, right, keyCols, leftTs, rightTs, payload, forward = true)
+
+  private def asOf(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+      leftTs: String, rightTs: String, payload: Seq[String],
+      forward: Boolean): DataFrame = {
     require(payload.nonEmpty, "asOfBackward needs at least one payload column")
     val leftCols = left.columns.toSeq
     require(payload.forall(right.columns.contains),
@@ -55,8 +67,9 @@ object Joins {
         leftCols.filterNot(keyCols.contains).map(col): _*)
     val unioned = l.unionByName(r, allowMissingColumns = true)
 
+    val tsOrder = if (forward) col("__ts").desc else col("__ts").asc
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col("__ts").asc, col("__side").asc)
+      .orderBy(tsOrder, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = pay.foldLeft(unioned) { (df, p) =>
       df.withColumn(p, last(col(p), ignoreNulls = true).over(w))

@@ -187,6 +187,17 @@ class PlumbingSpec extends AnyFunSuite {
       Seq("v")).queryExecution.executedPlan.toString
     assert(!physical.contains("NestedLoop") && !physical.contains("CartesianProduct"),
       s"as-of must not plan a range join:\n$physical")
+    // forward variant: EARLIEST at-or-after
+    val fwd = Joins.asOfForward(left, right, Seq("k"), "ts", "ts", Seq("v"))
+      .select("k", "ts", "tag", "asof_v")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        Option(r.get(3)).map(_.asInstanceOf[Int]))).toSet
+    assert(fwd == Set(
+      (1L, 5L, "a", Some(100)),     // next right row at 10
+      (1L, 10L, "b", Some(100)),    // equal ts counts as at-or-after
+      (1L, 20L, "c", None),         // nothing later
+      (2L, 10L, "d", Some(999)),
+      (3L, 10L, "e", None)), s"got $fwd")
   }
 
   test("range join: containment, multi-match, cross-bin, inverted dropped") {
