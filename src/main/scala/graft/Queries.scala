@@ -2437,6 +2437,44 @@ object Queries {
               ON l.user_id = r.user_id AND l.ts_ms >= r.ts_ms
             ORDER BY l.user_id, l.event_id"""))
 
+  /** Incremental dedup, the production crawl shape: the first 300 docs are
+    * the standing corpus; the rest arrive as a new batch and are flagged
+    * against the corpus (semi-join on distinct fingerprints) and within
+    * the batch (min-id keeper). */
+  val dedupIncremental = QueryDef(
+    "dedup_incremental",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.operators.Dedup.incrementalExact(
+        docs.filter(col("doc_id") < 300),
+        docs.filter(col("doc_id") >= 300), "doc_id", "text")
+        .orderBy(col("id"))
+    },
+    Some("""WITH fp AS (SELECT doc_id,
+              md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+              FROM documents)
+            SELECT b.doc_id AS id, b.fingerprint,
+              EXISTS (SELECT 1 FROM fp c WHERE c.doc_id < 300
+                      AND c.fingerprint = b.fingerprint) AS dup_of_corpus,
+              b.doc_id <> min(b.doc_id)
+                OVER (PARTITION BY b.fingerprint) AS dup_in_batch
+            FROM (SELECT * FROM fp WHERE doc_id >= 300) b
+            ORDER BY id"""))
+
+  /** Exactly-k-per-group sampling: deterministic hash-order rank, never
+    * rand(); a group smaller than k keeps everything. The oracle replays
+    * the salted-md5 rank with QUALIFY. */
+  val sampleExactK = QueryDef(
+    "sample_exact_k",
+    (s, dir) => graft.operators.Sampling.exactKPerGroup(
+        t(s, dir, "documents").select(col("doc_id"), col("lang")),
+        col("lang"), col("doc_id"), k = 40)
+      .orderBy(col("lang"), col("doc_id")),
+    Some("""SELECT doc_id, lang FROM documents
+            QUALIFY row_number() OVER (PARTITION BY lang
+              ORDER BY md5('exactk' || CAST(doc_id AS VARCHAR)), doc_id) <= 40
+            ORDER BY lang, doc_id"""))
+
   /** Range (interval) join: every click inside the hour after the same
     * user's signup — binned equi-join + containment filter, never the
     * nested-loop Spark plans for a raw BETWEEN. The oracle is DuckDB's
@@ -2584,7 +2622,8 @@ object Queries {
     textRepetition, corpusFilter, mixReport, packSequences, lmRarity, semdedup,
     boilerplateNgrams, embedQuantize, mixTemperature,
     streamWindowAgg, corpusShuffle, mmAudioResample, qAsofJoin,
-    corpusPercentiles, qRangeJoin, qTopkGroup)
+    corpusPercentiles, qRangeJoin, qTopkGroup, dedupIncremental,
+    sampleExactK)
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }

@@ -20,6 +20,35 @@ object Dedup {
     df.groupBy(TextOps.fingerprint(col(textCol)).as("fingerprint"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("copies"))
 
+  /** Incremental exact dedup — the production crawl shape: flag each NEW
+    * batch document that duplicates the EXISTING corpus (left-semi on the
+    * fingerprint — the corpus side ships only its distinct fingerprints,
+    * never its text) or an earlier row of the same batch (min-id keeper
+    * within the batch fingerprint group). One fingerprint shuffle each;
+    * at 100 TB the corpus fingerprint set is a fraction of corpus bytes
+    * and both joins are plain equi-joins.
+    *
+    * Output: every batch row with `dup_of_corpus` / `dup_in_batch` flags —
+    * keep = NOT(dup_of_corpus) AND NOT(dup_in_batch).
+    */
+  def incrementalExact(corpus: DataFrame, batch: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val corpusFp = corpus
+      .select(TextOps.fingerprint(col(textCol)).as("fingerprint")).distinct()
+    val batchFp = batch.select(col(idCol).as("id"),
+      TextOps.fingerprint(col(textCol)).as("fingerprint"))
+    val inCorpus = batchFp.join(corpusFp, Seq("fingerprint"), "left_semi")
+      .select(col("id")).withColumn("__dc", lit(true))
+    val firstInBatch = batchFp.groupBy(col("fingerprint"))
+      .agg(min(col("id")).as("first_id"))
+    batchFp
+      .join(firstInBatch, Seq("fingerprint"))
+      .join(inCorpus, Seq("id"), "left_outer")
+      .select(col("id"), col("fingerprint"),
+        coalesce(col("__dc"), lit(false)).as("dup_of_corpus"),
+        (col("id") =!= col("first_id")).as("dup_in_batch"))
+  }
+
   /** Distinct word-n-gram shingle set per doc (the Jaccard universe) — the
     * one-pass [[graft.functions.ShingleSet]] expression (≡
     * array_distinct(TextOps.shingles), minus the interpreted lambda chain). */

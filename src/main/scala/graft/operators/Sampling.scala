@@ -36,6 +36,22 @@ object Sampling {
     df.filter(hashPct(idCol, salt) < pct)
   }
 
+  /** Exactly-k per group, deterministically: rank the group's rows in
+    * stable hash order (salted md5 of the id — an id-keyed uniform draw,
+    * never `rand()`) and keep the first k. One shuffle on the group key +
+    * per-partition sort; the rate-based [[stratifiedSample]] can miss a
+    * small stratum's target count, this cannot (a group with < k rows
+    * keeps them all). */
+  def exactKPerGroup(df: DataFrame, groupCol: Column, idCol: Column, k: Int,
+      salt: String = "exactk"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(groupCol)
+      .orderBy(md5(concat(lit(salt), idCol.cast("string"))), idCol)
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .drop("__rk")
+  }
+
   /** Domain-mix curation to a token budget: per group (language, source
     * domain, …), admit documents in stable hash order until the group's
     * cumulative token count reaches `budgetTokens` — the "sample each

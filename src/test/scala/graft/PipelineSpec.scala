@@ -609,6 +609,40 @@ class PipelineSpec extends AnyFunSuite {
     assert(a.filter(col("position") === col("id")).count() < 100)
   }
 
+  test("exact-k sampling: k per big group, all of a small group, deterministic") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    val df = ((1 to 50).map(i => (i.toLong, "big")) ++
+      Seq((100L, "small"), (101L, "small"))).toDF("id", "g")
+    val got = Sampling.exactKPerGroup(df, col("g"), col("id"), k = 10)
+    val counts = got.groupBy("g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("big" -> 10L, "small" -> 2L))
+    // deterministic: same call, same members
+    val again = Sampling.exactKPerGroup(df.repartition(7), col("g"),
+      col("id"), k = 10)
+    assert(got.select("id").except(again.select("id")).count() == 0)
+  }
+
+  test("incremental dedup: corpus hits, in-batch dups, clean rows") {
+    import spark.implicits._
+    val corpus = Seq((1L, "seen before"), (2L, "old news")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "  SEEN   before "),  // normalized dup of corpus doc 1
+      (11L, "fresh thing"),
+      (12L, "fresh thing"),       // in-batch dup of 11
+      (13L, "unique")).toDF("doc_id", "text")
+    val got = graft.operators.Dedup.incrementalExact(corpus, batch,
+      "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getBoolean(2), r.getBoolean(3)))
+      .toMap
+    assert(got == Map(
+      10L -> ((true, false)),
+      11L -> ((false, false)),
+      12L -> ((false, true)),
+      13L -> ((false, false))))
+  }
+
   test("audio resample: integer-exact sample math, stub truncation") {
     import spark.implicits._
     val docs = Seq((1L, "x" * 100), (2L, "y")).toDF("doc_id", "text")
