@@ -2437,6 +2437,50 @@ object Queries {
               ON l.user_id = r.user_id AND l.ts_ms >= r.ts_ms
             ORDER BY l.user_id, l.event_id"""))
 
+  /** R15 compute aggregation (facet counting): countGroupByValue top-3
+    * market segments + countGroupByBucket over acctbal predicate buckets,
+    * through the engine store + broadcast key set — the serving-side
+    * aggregation the reference's ComputeAggregationRequestBuilder does
+    * client-side over fetched records. Ties break (count desc, value asc)
+    * deterministically in both engines. */
+  val r15FacetCount = QueryDef(
+    "r15_facet_count",
+    (s, dir) => {
+      val e = tempEngine(s, "graft-r15")
+      e.createStore("cust", Seq("c_custkey"))
+      e.push("cust", t(s, dir, "customer"), numBuckets = 4)
+      val keys = t(s, dir, "customer")
+        .select(col("c_custkey")).filter(col("c_custkey") <= 1000)
+      e.computeAggregation("cust")
+        .countGroupByValue(3, "c_mktsegment")
+        .countGroupByBucket(Seq(
+          "neg" -> ((c: org.apache.spark.sql.Column) => c < 0),
+          "low" -> ((c: org.apache.spark.sql.Column) => c >= 0 && c < 5000),
+          "high" -> ((c: org.apache.spark.sql.Column) => c >= 5000)),
+          "c_acctbal")
+        .executeForKeys(keys)
+        .orderBy(col("kind"), col("field"), col("cnt").desc, col("facet"))
+    },
+    Some("""WITH ks AS (SELECT * FROM customer WHERE c_custkey <= 1000),
+            v AS (
+              SELECT 'value' AS kind, 'c_mktsegment' AS field,
+                     facet, cnt FROM (
+                SELECT c_mktsegment AS facet, count(*) AS cnt
+                FROM ks GROUP BY c_mktsegment)
+              QUALIFY row_number() OVER (ORDER BY cnt DESC, facet ASC) <= 3),
+            b AS (
+              SELECT 'bucket' AS kind, 'c_acctbal' AS field, 'neg' AS facet,
+                CAST(coalesce(sum(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS cnt FROM ks
+              UNION ALL
+              SELECT 'bucket', 'c_acctbal', 'low',
+                CAST(coalesce(sum(CASE WHEN c_acctbal >= 0 AND c_acctbal < 5000 THEN 1 ELSE 0 END), 0) AS BIGINT) FROM ks
+              UNION ALL
+              SELECT 'bucket', 'c_acctbal', 'high',
+                CAST(coalesce(sum(CASE WHEN c_acctbal >= 5000 THEN 1 ELSE 0 END), 0) AS BIGINT) FROM ks)
+            SELECT kind, field, facet, cnt
+            FROM (SELECT * FROM v UNION ALL SELECT * FROM b)
+            ORDER BY kind, field, cnt DESC, facet"""))
+
   /** Incremental dedup, the production crawl shape: the first 300 docs are
     * the standing corpus; the rest arrive as a new batch and are flagged
     * against the corpus (semi-join on distinct fingerprints) and within
@@ -2623,7 +2667,7 @@ object Queries {
     boilerplateNgrams, embedQuantize, mixTemperature,
     streamWindowAgg, corpusShuffle, mmAudioResample, qAsofJoin,
     corpusPercentiles, qRangeJoin, qTopkGroup, dedupIncremental,
-    sampleExactK)
+    sampleExactK, r15FacetCount)
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }

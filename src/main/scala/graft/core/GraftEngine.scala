@@ -260,6 +260,11 @@ class GraftEngine(val spark: SparkSession, val root: String) {
   def compute(name: String): ComputeBuilder =
     new ComputeBuilder(servingView(name), storeMeta(name).keyCols)
 
+  /** Facet-counting compute aggregation (countGroupByValue /
+    * countGroupByBucket) over the serving view. */
+  def computeAggregation(name: String): AggregationBuilder =
+    new AggregationBuilder(servingView(name), storeMeta(name).keyCols)
+
   // ---- write path (W1: upsert log) -----------------------------------------
 
   /** Append PUT rows to the RT log. Rows must carry the value columns. */

@@ -480,4 +480,35 @@ class EngineSpec extends AnyFunSuite {
     assert(engine.servingView("sevaa").filter($"k" === 1L).head()
       .getAs[Long]("x") == 9L)
   }
+
+  test("R15 facet aggregation: null values counted, empty buckets at 0, topK") {
+    import spark.implicits._
+    engine.createStore("facet", Seq("id"))
+    engine.push("facet", Seq(
+      (1L, "a", 10L), (2L, "a", 20L), (3L, "b", -5L), (4L, null, 0L),
+      (5L, "a", 7L), (6L, "c", 3L), (7L, "b", 1L))
+      .toDF("id", "seg", "bal"))
+    val out = engine.computeAggregation("facet")
+      .countGroupByValue(2, "seg")
+      .countGroupByBucket(Seq(
+        "neg" -> ((c: org.apache.spark.sql.Column) => c < 0),
+        "huge" -> ((c: org.apache.spark.sql.Column) => c > 1000)), "bal")
+      .execute()
+      .collect().map(r => (r.getString(0), r.getString(1),
+        Option(r.getString(2)), r.getLong(3))).toSet
+    assert(out == Set(
+      ("value", "seg", Some("a"), 3L),   // top-2 of a:3, b:2, (null:1, c:1 cut)
+      ("value", "seg", Some("b"), 2L),
+      ("bucket", "bal", Some("neg"), 1L),
+      ("bucket", "bal", Some("huge"), 0L)), s"got $out")  // declared, 0 matches
+    // nulls ARE a countable facet value when topK admits them
+    val withNull = engine.computeAggregation("facet")
+      .countGroupByValue(10, "seg").execute()
+      .filter(col("facet").isNull).head()
+    assert(withNull.getLong(3) == 1L)
+    // unknown field refuses loudly
+    intercept[IllegalArgumentException] {
+      engine.computeAggregation("facet").countGroupByValue(1, "nope").execute()
+    }
+  }
 }
