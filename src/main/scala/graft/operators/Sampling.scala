@@ -41,7 +41,15 @@ object Sampling {
     * never `rand()`) and keep the first k. One shuffle on the group key +
     * per-partition sort; the rate-based [[stratifiedSample]] can miss a
     * small stratum's target count, this cannot (a group with < k rows
-    * keeps them all). */
+    * keeps them all).
+    *
+    * Scale note: a single group's rows sort within one task. For k ≪ group
+    * size at extreme scale, pre-filter on a hex-prefix threshold of the
+    * SAME salted md5 (`md5(salt||id) < lit("0a…")`, sized to overshoot k
+    * with near-certainty — a string-prefix cut IS a prefix of the rank
+    * order, so whenever it keeps ≥ k rows it provably contains the exact
+    * winners; `hashPct` is NOT usable here, its mod-100 breaks
+    * monotonicity), then exact-rank the survivors. */
   def exactKPerGroup(df: DataFrame, groupCol: Column, idCol: Column, k: Int,
       salt: String = "exactk"): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
