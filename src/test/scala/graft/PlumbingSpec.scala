@@ -229,6 +229,64 @@ class PlumbingSpec extends AnyFunSuite {
       s"range join must stay an equi-join:\n$physical")
   }
 
+  test("as-of ≡ brute force and rangeJoin ≡ brute force on 2k random rows") {
+    import spark.implicits._
+    import graft.operators.Joins
+    val rnd = new scala.util.Random(4242)
+    val left = (0 until 2000).map(i =>
+      (rnd.nextInt(40).toLong, i.toLong, rnd.nextInt(1000).toLong))
+    val right = (0 until 800).map(i =>
+      (rnd.nextInt(40).toLong, rnd.nextInt(1000).toLong, i.toLong))
+      // unique per (k, ts): keep max payload id
+      .groupBy(t => (t._1, t._2)).map(_._2.maxBy(_._3)).toSeq
+    val lDf = left.toDF("k", "lid", "ts")
+    val rDf = right.toDF("k", "ts", "rid")
+    // brute-force oracle in plain Scala
+    val byKey = right.groupBy(_._1)
+    val expectBack = left.map { case (k, lid, lts) =>
+      lid -> byKey.getOrElse(k, Seq.empty).filter(_._2 <= lts)
+        .sortBy(t => (t._2, t._3)).lastOption.map(_._3)
+    }.toMap
+    val gotBack = Joins.asOfBackward(lDf, rDf, Seq("k"), "ts", "ts", Seq("rid"))
+      .collect().map(r => r.getLong(1) ->
+        Option(r.get(3)).map(_.asInstanceOf[Long])).toMap
+    assert(gotBack == expectBack)
+    // range join vs brute force: intervals [ts, ts+37]
+    val iDf = rDf.select(col("k"), col("ts").as("s"),
+      (col("ts") + 37L).as("e"), col("rid"))
+    val expectRange = (for {
+      (k, lid, lts) <- left
+      (rk, rts, rid) <- right if rk == k && lts >= rts && lts <= rts + 37
+    } yield (lid, rid)).toSet
+    val gotRange = Joins.rangeJoin(lDf, iDf, Seq("k"), "ts", "s", "e",
+      binSize = 50L, payload = Seq("rid"))
+      .collect().map(r => (r.getLong(1), r.getLong(3))).toSet
+    assert(gotRange == expectRange)
+  }
+
+  test("percentiles ≡ sorted-index rule on random multisets") {
+    import spark.implicits._
+    import graft.operators.Percentiles
+    val rnd = new scala.util.Random(99)
+    val rows = (0 until 3000).map(i =>
+      (s"g${rnd.nextInt(7)}", rnd.nextInt(50).toLong))
+    val got = Percentiles.disc(rows.toDF("g", "v"), Seq("g"), col("v"),
+      Seq(25, 50, 75, 90, 99))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toMap
+    val expect = rows.groupBy(_._1).map { case (g, grp) =>
+      val sorted = grp.map(_._2).sorted
+      def q(p: Int): Long = {
+        // smallest value with cum >= ceil(p*n/100) = 1-indexed rank
+        val rank = (p * sorted.size + 99) / 100
+        sorted(rank - 1)
+      }
+      g -> ((q(25), q(50), q(75), q(90), q(99)))
+    }
+    assert(got == expect)
+  }
+
   test("percentiles: disc rule matches smallest-value-with-cum>=ceil(pn/100)") {
     import spark.implicits._
     import graft.operators.Percentiles
