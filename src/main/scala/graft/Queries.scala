@@ -2336,13 +2336,21 @@ object Queries {
       val root = java.nio.file.Files.createTempDirectory("graft-swin").toString
       val ev = Tables.events(s, dir)
         .select(col("ts"), col("event_type"), col("value"))
-      // the staged "topic" is deterministic per source dir — reuse it
+      // the staged "topic" is deterministic per source CONTENT — reuse it
       // across invocations in one JVM (the bench's min-of-2 would otherwise
-      // re-pay the 1M-row write per pass); out/ and cp/ stay per-invocation
+      // re-pay the 1M-row write per pass); out/ and cp/ stay per-invocation.
+      // The key hashes the source files' names+sizes+mtimes, not just the
+      // path: a regenerated events.parquet at the same path must invalidate
+      // the cache, or a stale stage would silently break the oracle.
+      val srcSig = Option(new java.io.File(s"$dir/events.parquet").listFiles())
+        .map(_.toSeq).getOrElse(Seq(new java.io.File(s"$dir/events.parquet")))
+        .sortBy(_.getName)
+        .map(f => s"${f.getName}:${f.length}:${f.lastModified}").mkString(",")
       val stage = new java.io.File(
         s"${sys.props("java.io.tmpdir")}/graft-swin-in-${
           java.security.MessageDigest.getInstance("MD5")
-            .digest(dir.getBytes("UTF-8")).map(b => f"$b%02x").mkString}")
+            .digest(s"$dir|$srcSig".getBytes("UTF-8"))
+            .map(b => f"$b%02x").mkString}")
       if (!new java.io.File(stage, "_SUCCESS").exists())
         ev.write.mode("overwrite").parquet(stage.toString)
       val in = s"$root/in"
