@@ -2651,6 +2651,80 @@ object Queries {
                   FROM documents)
             ORDER BY media_id"""))
 
+  /** Context-window chunking: 32-token windows every 24 tokens (8-token
+    * overlap), the doc→training-example split an LLM data loader consumes.
+    * Tokenize → bounded explode, shuffle-free; the oracle replays the
+    * slice arithmetic with a lateral range(). */
+  val docChunk = QueryDef(
+    "doc_chunk",
+    (s, dir) => graft.operators.Packing.chunkTokens(
+        t(s, dir, "documents"), "doc_id", "text", chunkLen = 32, stride = 24)
+      .orderBy(col("doc_id"), col("chunk_no")),
+    Some(s"""WITH d AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+             d2 AS (SELECT doc_id, toks, len(toks) AS n FROM d
+                    WHERE len(toks) > 0),
+             ch AS (SELECT doc_id, toks,
+                    unnest(range(0, (n-1)//24 + 1)) AS chunk_no FROM d2)
+             SELECT doc_id, chunk_no,
+               len(list_slice(toks, chunk_no*24 + 1, chunk_no*24 + 32)) AS n_tokens,
+               array_to_string(list_slice(toks, chunk_no*24 + 1, chunk_no*24 + 32),
+                 ' ') AS chunk_text
+             FROM ch ORDER BY doc_id, chunk_no"""))
+
+  /** Vocabulary coverage audit: per-doc OOV rate against the corpus
+    * top-16 vocabulary (count-desc, token-asc tie-break so the rank-k cut
+    * is engine-deterministic). OOV rate is integer parts-per-million —
+    * exact integer math. Vocab broadcast; corpus crosses the network once
+    * per stage. */
+  val vocabCoverage = QueryDef(
+    "vocab_coverage",
+    (s, dir) => graft.operators.Vocab.oovAudit(
+        t(s, dir, "documents"), "doc_id", "text", k = 16)
+      .orderBy(col("doc_id")),
+    Some(s"""WITH toks AS (SELECT doc_id, unnest($tokensSql) AS token
+               FROM documents),
+             v AS (SELECT token FROM (
+               SELECT token, count(*) AS n_occ FROM toks GROUP BY token
+               ORDER BY n_occ DESC, token LIMIT 16))
+             SELECT doc_id, count(*) AS n_tokens,
+               count(CASE WHEN v.token IS NULL THEN 1 END) AS n_oov,
+               count(CASE WHEN v.token IS NULL THEN 1 END) * 1000000
+                 // count(*) AS oov_ppm
+             FROM toks LEFT JOIN v ON toks.token = v.token
+             GROUP BY doc_id ORDER BY doc_id"""))
+
+  /** Contrastive hard-negative mining: top-5 most-similar different-label
+    * vectors per query — the in-batch negatives an embedding trainer
+    * wants. Brute-force exactness baseline (queries broadcast, corpus
+    * scanned once); the scale path feeds IVF candidates through the same
+    * label filter. */
+  val hardNegativesQ = QueryDef(
+    "hard_negatives",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val corpus = emb.select(col("vec_id").as("id"),
+        col("embedding").as("vec"), col("label"))
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+          col("label").as("qlabel"))
+      graft.operators.Similarity.hardNegatives(corpus, queries, 5)
+        .orderBy(col("qid"), col("rank"))
+    },
+    Some("""WITH q AS (SELECT vec_id AS qid, label AS qlabel,
+              embedding::DOUBLE[] AS qvec,
+              sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS qn
+              FROM embeddings WHERE vec_id < 10),
+            c AS (SELECT vec_id AS id, label, embedding::DOUBLE[] AS vec,
+              sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS n
+              FROM embeddings)
+            SELECT qid, qlabel, rank, id, label, sim FROM (
+              SELECT qid, qlabel, id, label, sim,
+                row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id) AS rank
+              FROM (SELECT qid, qlabel, id, c.label AS label,
+                  round(list_dot_product(vec, qvec) / (n * qn), 6) + 0.0 AS sim
+                FROM c, q WHERE c.label <> q.qlabel))
+            WHERE rank <= 5 ORDER BY qid, rank"""))
+
   // ---------------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------------
@@ -2675,7 +2749,7 @@ object Queries {
     boilerplateNgrams, embedQuantize, mixTemperature,
     streamWindowAgg, corpusShuffle, mmAudioResample, qAsofJoin,
     corpusPercentiles, qRangeJoin, qTopkGroup, dedupIncremental,
-    sampleExactK, r15FacetCount)
+    sampleExactK, r15FacetCount, docChunk, vocabCoverage, hardNegativesQ)
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }

@@ -121,4 +121,33 @@ object Packing {
       .withColumn("n_seqs",
         when(w > 0, col("last_seq") - col("first_seq") + 1).otherwise(lit(0L)))
   }
+
+  /** The dual of packing: splits each document's token sequence into
+    * fixed-size context windows of `chunkLen` tokens starting every
+    * `stride` tokens (overlap = chunkLen − stride when stride < chunkLen).
+    * Chunk starts are 0, stride, 2·stride, …; a chunk never starts at or
+    * past the document's end, so an n-token doc yields ⌊(n−1)/stride⌋ + 1
+    * chunks and the last one may be short. Empty docs emit nothing.
+    *
+    * Scale shape: tokenize → bounded explode, embarrassingly parallel —
+    * no shuffle; each task's output is its input share × the overlap
+    * factor chunkLen/stride.
+    */
+  def chunkTokens(docs: DataFrame, idCol: String, textCol: String,
+      chunkLen: Int, stride: Int): DataFrame = {
+    require(chunkLen > 0, s"chunkLen must be positive, got $chunkLen")
+    require(stride > 0, s"stride must be positive, got $stride")
+    docs
+      .select(col(idCol), graft.functions.TextOps.tokens(col(textCol)).as("__toks"))
+      .withColumn("__n", size(col("__toks")))
+      .filter(col("__n") > 0)
+      .select(col(idCol), col("__toks"),
+        explode(sequence(lit(0), expr(s"(__n - 1) div $stride").cast("int")))
+          .as("chunk_no"))
+      .withColumn("__c",
+        slice(col("__toks"), col("chunk_no") * stride + 1, lit(chunkLen)))
+      .select(col(idCol), col("chunk_no"),
+        size(col("__c")).as("n_tokens"),
+        array_join(col("__c"), " ").as("chunk_text"))
+  }
 }

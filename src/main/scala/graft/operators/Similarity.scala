@@ -44,6 +44,33 @@ object Similarity {
       .select(col("qid"), col("rank"), col("id"), col("sim"))
   }
 
+  /** Contrastive hard-negative mining: for each query vector, the top-`k`
+    * most-similar corpus vectors carrying a DIFFERENT label — the pairs an
+    * embedding-model trainer wants as in-batch negatives (similar enough
+    * to be hard, labeled differently so they are true negatives).
+    * corpus: (id, vec, label); queries: (qid, qvec, qlabel).
+    *
+    * Same scale shape as [[bruteForceTopK]] (queries broadcast, corpus
+    * scanned once, per-query rank) with the label disagreement applied
+    * BEFORE ranking. At corpus sizes where brute force is off the table,
+    * feed [[ivfTopK]] candidates through the same label filter instead —
+    * this is the exactness baseline. */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame,
+      k: Int): DataFrame = {
+    val c = corpus.withColumn("__n", norm(col("vec")))
+    val q = queries.withColumn("__qn", norm(col("qvec")))
+    c.crossJoin(broadcast(q))
+      .filter(col("label") =!= col("qlabel"))
+      .withColumn("sim",
+        round(vecDot(col("vec"), col("qvec")) / (col("__n") * col("__qn")), 6)
+          + lit(0.0))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("id"))))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("qlabel"), col("rank"), col("id"),
+        col("label"), col("sim"))
+  }
+
   /** md5-seeded ±1 hyperplane component: +1 when the first hex nibble of
     * md5("j|d") is ≥ 8. Deterministic, engine-independent; evaluated ONCE
     * driver-side into a literal plane vector — the previous formulation

@@ -665,6 +665,82 @@ class PipelineSpec extends AnyFunSuite {
     assert(r2.getLong(2) == 0L && r2.getLong(4) == 0L && r2.getLong(5) == 0L)
   }
 
+  test("chunkTokens: boundary math, overlap, short tail, empty docs") {
+    import spark.implicits._
+    // 10 tokens, chunkLen 4, stride 3 → starts 0,3,6,9 (⌊9/3⌋+1 = 4 chunks)
+    val docs = Seq(
+      (1L, (0 until 10).map(i => s"t$i").mkString(" ")),
+      (2L, "a b c"),    // single short chunk
+      (3L, ""),         // no tokens → no rows
+      (4L, "   ")).toDF("doc_id", "text")
+    val out = graft.operators.Packing
+      .chunkTokens(docs, "doc_id", "text", chunkLen = 4, stride = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        ((r.getInt(2), r.getString(3)))).toMap
+    assert(out.keys.count(_._1 == 1L) == 4)
+    assert(out((1L, 0)) == ((4, "t0 t1 t2 t3")))
+    assert(out((1L, 1)) == ((4, "t3 t4 t5 t6")), "stride<len overlaps by 1")
+    assert(out((1L, 3)) == ((1, "t9")), "short tail chunk kept")
+    assert(out((2L, 0)) == ((3, "a b c")))
+    assert(!out.keys.exists(k => k._1 == 3L || k._1 == 4L), "empty docs emit nothing")
+    // stride == chunkLen → exact partition of the token sequence
+    val exact = graft.operators.Packing
+      .chunkTokens(docs.filter(col("doc_id") === 1L), "doc_id", "text", 5, 5)
+      .orderBy("chunk_no").collect()
+    assert(exact.map(_.getString(3)).mkString(" ") ==
+      (0 until 10).map(i => s"t$i").mkString(" "),
+      "non-overlapping chunks reassemble the document")
+  }
+
+  test("vocab topK tie-break and oovAudit exact integer rates") {
+    import spark.implicits._
+    // b and c tie at 2 occurrences → token-asc keeps b at rank 2, c cut
+    val docs = Seq(
+      (1L, "a a a b"), (2L, "b c"), (3L, "c d"), (4L, "")).toDF("doc_id", "text")
+    val v = graft.operators.Vocab.topK(docs, "text", 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    assert(v.toSeq == Seq(("a", 3L, 1), ("b", 2L, 2)))
+    val audit = graft.operators.Vocab.oovAudit(docs, "doc_id", "text", 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(audit(1L) == ((4L, 0L, 0L)))
+    assert(audit(2L) == ((2L, 1L, 500000L)), "1/2 OOV = 500000 ppm exactly")
+    assert(audit(3L) == ((2L, 2L, 1000000L)), "all-OOV doc = 1e6 ppm")
+    assert(!audit.contains(4L), "tokenless doc emits no audit row")
+  }
+
+  test("hardNegatives: never same-label, ranked by sim, matches filtered brute force") {
+    val emb = Tables.embeddings(spark, sf)
+    val corpus = emb.select(col("vec_id").as("id"),
+      col("embedding").as("vec"), col("label"))
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+        col("label").as("qlabel"))
+    val hn = Similarity.hardNegatives(corpus, queries, 5)
+    assert(hn.filter(col("label") === col("qlabel")).count() == 0)
+    val rows = hn.collect().map(r => (r.getLong(0), r.getInt(2), r.getLong(3),
+      r.getDouble(5)))
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      val byRank = rs.sortBy(_._2)
+      assert(byRank.map(_._2).toSeq == (1 to byRank.length),
+        "ranks are dense from 1")
+      assert(byRank.sliding(2).forall(w =>
+        w.length < 2 || w(0)._4 >= w(1)._4),
+        "similarity non-increasing in rank")
+    }
+    // equivalence: brute-force top-k over the label-filtered corpus, per query
+    val qs = queries.collect()
+    qs.take(3).foreach { q =>
+      val qid = q.getLong(0)
+      val expect = Similarity.bruteForceTopK(
+        corpus.filter(col("label") =!= q.getInt(2)).select("id", "vec"),
+        queries.filter(col("qid") === qid).select("qid", "qvec"), 5)
+        .collect().map(r => (r.getInt(1), r.getLong(2))).toSet
+      val got = rows.filter(_._1 == qid).map(r => (r._2, r._3)).toSet
+      assert(got == expect, s"qid=$qid differs from filtered brute force")
+    }
+  }
+
   private implicit class BoolOps(b: Boolean) {
     def ==>(other: Boolean): Boolean = !b || other
   }
