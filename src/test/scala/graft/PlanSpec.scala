@@ -120,4 +120,35 @@ class PlanSpec extends AnyFunSuite {
       p.take(600))
     sh.unpersist()
   }
+
+  test("context-window chunking is shuffle-free") {
+    // tokenize → bounded explode: a narrow map over the scan at any scale
+    val p = plan(graft.operators.Packing.chunkTokens(
+      Tables.documents(spark, sf), "doc_id", "text", chunkLen = 32, stride = 24))
+    assert(!p.contains("Exchange"), s"chunking shuffled:\n${p.take(600)}")
+  }
+
+  test("OOV audit broadcasts the vocabulary, never shuffles it as a side") {
+    // the corpus side must meet the k-row vocab via BroadcastHashJoin; a
+    // SortMergeJoin here would range-shuffle the whole exploded corpus
+    // against 16 rows
+    val p = plan(graft.operators.Vocab.oovAudit(
+      Tables.documents(spark, sf), "doc_id", "text", k = 16))
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("SortMergeJoin"), p.take(800))
+  }
+
+  test("hard-negative mining broadcasts the query side") {
+    val emb = Tables.embeddings(spark, sf)
+    val corpus = emb.select(col("vec_id").as("id"),
+      col("embedding").as("vec"), col("label"))
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+        col("label").as("qlabel"))
+    val p = plan(graft.operators.Similarity.hardNegatives(corpus, queries, 5))
+    // the cross pairing must be broadcast (queries are small by contract);
+    // a CartesianProduct would shuffle the corpus against itself
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(800))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+  }
 }
