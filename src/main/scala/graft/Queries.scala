@@ -2725,6 +2725,43 @@ object Queries {
                 FROM c, q WHERE c.label <> q.qlabel))
             WHERE rank <= 5 ORDER BY qid, rank"""))
 
+  /** Streaming enrichment join: an order stream enriched per microbatch by
+    * batchGet against a live customer store (every 10th customer withheld
+    * from the push, so the left-preserve/missing-marker path is exercised
+    * — a missing key keeps its event with null enrichment, R11's marker).
+    * The store is re-resolved every microbatch; multiple microbatches are
+    * forced via maxFilesPerTrigger, so the appended output proves
+    * cross-batch enrichment equals one batch join. */
+  val streamEnrichJoin = QueryDef(
+    "stream_enrich_join",
+    (s, dir) => {
+      import graft.streaming.EnrichJoin
+      val root = java.nio.file.Files.createTempDirectory("graft-enr").toString
+      val e = new graft.core.GraftEngine(s, s"$root/stores")
+      e.createStore("cust", Seq("c_custkey"))
+      e.push("cust", t(s, dir, "customer")
+        .filter(col("c_custkey") % 10 =!= 0)
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment")))
+      val ord = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      ord.coalesce(4).write.parquet(s"$root/in")
+      val stream = s.readStream.schema(ord.schema)
+        .option("maxFilesPerTrigger", 2).parquet(s"$root/in")
+      val q = EnrichJoin.enrichStream(e, "cust", stream,
+        Seq("o_custkey" -> "c_custkey"), s"$root/out", s"$root/cp",
+        finish = _.select(col("o_orderkey"), col("o_custkey"),
+          col("c_name"), col("c_mktsegment"),
+          col("c_name").isNull.as("missing")))
+      require(q.awaitTermination(180000),
+        "stream_enrich_join: stream did not drain within 180s")
+      s.read.parquet(s"$root/out").orderBy(col("o_orderkey"))
+    },
+    Some("""SELECT o_orderkey, o_custkey, c_name, c_mktsegment,
+              c_name IS NULL AS missing
+            FROM orders LEFT JOIN
+              (SELECT * FROM customer WHERE c_custkey % 10 <> 0) c
+              ON o_custkey = c_custkey
+            ORDER BY o_orderkey"""))
+
   // ---------------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------------
@@ -2749,7 +2786,8 @@ object Queries {
     boilerplateNgrams, embedQuantize, mixTemperature,
     streamWindowAgg, corpusShuffle, mmAudioResample, qAsofJoin,
     corpusPercentiles, qRangeJoin, qTopkGroup, dedupIncremental,
-    sampleExactK, r15FacetCount, docChunk, vocabCoverage, hardNegativesQ)
+    sampleExactK, r15FacetCount, docChunk, vocabCoverage, hardNegativesQ,
+    streamEnrichJoin)
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }

@@ -298,4 +298,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows == Set((0L, "a", 2L, 300L), (7200000L, "a", 1L, 500L)),
       s"got $rows")
   }
+
+  test("enrichment join re-resolves the store per drain: RT write visible") {
+    import spark.implicits._
+    import graft.streaming.EnrichJoin
+    val root = java.nio.file.Files.createTempDirectory("graft-enrich").toString
+    val e = new GraftEngine(spark, s"$root/stores")
+    e.createStore("dim", Seq("k"))
+    e.push("dim", Seq((1L, "old1"), (2L, "old2")).toDF("k", "v"))
+    def drain(): Unit = {
+      val stream = spark.readStream
+        .schema(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("evt", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType))))
+        .parquet(s"$root/in")
+      val q = EnrichJoin.enrichStream(e, "dim", stream, Seq("k" -> "k"),
+        s"$root/out", s"$root/cp")
+      assert(q.awaitTermination(60000), "drain timed out")
+    }
+    Seq((100L, 1L), (101L, 2L), (102L, 3L)).toDF("evt", "k")
+      .write.mode("append").parquet(s"$root/in")
+    drain()
+    // RT write lands between drains — the LWW overlay, no new push
+    e.put("dim", Seq((2L, "NEW2")).toDF("k", "v"), tsMs = 1000L)
+    Seq((200L, 2L), (201L, 3L)).toDF("evt", "k")
+      .write.mode("append").parquet(s"$root/in")
+    drain()
+    // using-column join output order: (k, evt, v)
+    val out = spark.read.parquet(s"$root/out")
+      .select("evt", "v")
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1)).orNull).toMap
+    assert(out(100L) == "old1")
+    assert(out(101L) == "old2", "first drain saw the pushed value")
+    assert(out(200L) == "NEW2", "second drain saw the RT write")
+    assert(out(102L) == null && out(201L) == null,
+      "missing keys preserved with null enrichment")
+    assert(spark.read.parquet(s"$root/out").count() == 5,
+      "checkpoint prevents reprocessing drained files")
+  }
 }
