@@ -2762,6 +2762,77 @@ object Queries {
               ON o_custkey = c_custkey
             ORDER BY o_orderkey"""))
 
+  /** TF-IDF keyword extraction with an integer-exact IDF surrogate:
+    * score = tf · (N div df) — rank-equivalent to tf·log-idf for top-term
+    * extraction without cross-engine log() ulp risk (the lm_rarity rule).
+    * The token→df join is a plain equi-join: vocabulary-sized, so Catalyst
+    * broadcasts it at small SF and sort-merges at corpus scale — both are
+    * the shape you want (df is tiny relative to the tf table either way).
+    * Top-3 per doc, ties token-ascending. */
+  val tfidfTopTerms = QueryDef(
+    "tfidf_topterms",
+    (s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
+      val tf = toks.groupBy(col("doc_id"), col("token"))
+        .agg(count(lit(1)).as("tf"))
+      val dfreq = toks.distinct().groupBy(col("token"))
+        .agg(count(lit(1)).as("df"))
+      val n = toks.select(col("doc_id")).distinct().count()
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("token"))
+      tf.join(dfreq, "token")
+        .withColumn("score", col("tf") * expr(s"${n}L div df"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("rank"), col("token"), col("tf"),
+          col("df"), col("score"))
+        .orderBy(col("doc_id"), col("rank"))
+    },
+    Some(s"""WITH toks AS (SELECT doc_id, unnest($tokensSql) AS token
+               FROM documents),
+             tf AS (SELECT doc_id, token, count(*) AS tf
+               FROM toks GROUP BY doc_id, token),
+             dfreq AS (SELECT token, count(*) AS df
+               FROM (SELECT DISTINCT doc_id, token FROM toks) GROUP BY token),
+             n AS (SELECT count(DISTINCT doc_id) AS n FROM toks)
+             SELECT doc_id, row_number() OVER (PARTITION BY doc_id
+                 ORDER BY tf * (n.n // df) DESC, token) AS rank,
+               token, tf, df, tf * (n.n // df) AS score
+             FROM tf JOIN dfreq USING (token), n
+             QUALIFY rank <= 3
+             ORDER BY doc_id, rank"""))
+
+  /** Time-range rolling features: per event, the same user's event count
+    * and value sum over the trailing hour — a RANGE window frame (frame
+    * membership decided by the ts VALUE, so same-ts ties are symmetric and
+    * order-independent: deterministic where a ROWS frame would not be).
+    * One shuffle on user_id + in-partition sort — the standard
+    * feature-engineering shape; DuckDB's native RANGE frame is the
+    * independent implementation. */
+  val rollingFeatures = QueryDef(
+    "rolling_features",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"),
+          unix_millis(col("ts")).as("ts_ms"),
+          round(col("value") * 100).cast("long").as("cents"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"))
+        .rangeBetween(-3600000L, Window.currentRow)
+      ev.withColumn("n_1h", count(lit(1)).over(w))
+        .withColumn("cents_1h", sum(col("cents")).over(w))
+        .select(col("user_id"), col("event_id"), col("ts_ms"),
+          col("n_1h"), col("cents_1h"))
+        .orderBy(col("user_id"), col("event_id"))
+    },
+    Some("""SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+              count(*) OVER w AS n_1h,
+              sum(CAST(round(value * 100) AS BIGINT)) OVER w AS cents_1h
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
+              RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)
+            ORDER BY user_id, event_id"""))
+
   // ---------------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------------
@@ -2787,7 +2858,7 @@ object Queries {
     streamWindowAgg, corpusShuffle, mmAudioResample, qAsofJoin,
     corpusPercentiles, qRangeJoin, qTopkGroup, dedupIncremental,
     sampleExactK, r15FacetCount, docChunk, vocabCoverage, hardNegativesQ,
-    streamEnrichJoin)
+    streamEnrichJoin, tfidfTopTerms, rollingFeatures)
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }

@@ -304,4 +304,54 @@ class PlumbingSpec extends AnyFunSuite {
       ("B", 4L, 7L, 7L, 7L),
       ("C", 1L, 42L, 42L, 42L)))
   }
+
+  test("tfidf top terms: integer surrogate score and tie-break golden") {
+    import spark.implicits._
+    // 4 docs, N=4. df: a=4, b=2, c=1, d=1
+    // doc 1 "a a b c": scores a:2*(4//4)=2, b:1*(4//2)=2, c:1*4=4
+    //   → rank1 c(4); a and b tie at 2 → token-asc puts a before b
+    val docs = Seq(
+      (1L, "a a b c"), (2L, "a b"), (3L, "a d"), (4L, "a")).toDF("doc_id", "text")
+    val toks = docs.select(col("doc_id"),
+      explode(graft.functions.TextOps.tokens(col("text"))).as("token"))
+    val tf = toks.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = toks.distinct().groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("score").desc, col("token"))
+    val top = tf.join(dfreq, "token")
+      .withColumn("score", col("tf") * expr("4L div df"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
+      .select("doc_id", "rank", "token", "score")
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        ((r.getString(2), r.getLong(3)))).toMap
+    assert(top((1L, 1)) == (("c", 4L)))
+    assert(top((1L, 2)) == (("a", 2L)), "tie at 2 broken token-ascending")
+    assert(top((1L, 3)) == (("b", 2L)))
+    assert(top((3L, 1)) == (("d", 4L)), "rare token outranks common")
+  }
+
+  test("rolling 1h range-window features ≡ brute force on 2k random events") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260813L)
+    // clustered timestamps so trailing-hour frames genuinely overlap, and
+    // duplicated ts values so the RANGE (not ROWS) semantics are exercised
+    val rows = (0 until 2000).map { i =>
+      val ts = rnd.nextInt(40) * 600000L + (if (rnd.nextBoolean()) 0L
+        else rnd.nextInt(10) * 60000L)
+      (rnd.nextInt(20).toLong, i.toLong, ts, rnd.nextInt(1000).toLong)
+    }
+    val df = rows.toDF("user_id", "event_id", "ts_ms", "cents")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts_ms"))
+      .rangeBetween(-3600000L, org.apache.spark.sql.expressions.Window.currentRow)
+    val got = df.withColumn("n_1h", count(lit(1)).over(w))
+      .withColumn("cents_1h", sum(col("cents")).over(w))
+      .collect().map(r => r.getLong(1) -> ((r.getLong(4), r.getLong(5)))).toMap
+    rows.foreach { case (u, id, ts, _) =>
+      val in = rows.filter(r => r._1 == u && r._3 >= ts - 3600000L && r._3 <= ts)
+      assert(got(id) == ((in.size.toLong, in.map(_._4).sum)),
+        s"event $id user $u ts $ts")
+    }
+  }
 }
