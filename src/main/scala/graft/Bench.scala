@@ -95,7 +95,8 @@ object Bench {
       "mm_audio_resample", "q_asof_join", "corpus_percentiles",
       "q_range_join", "q_topk_group", "dedup_incremental", "sample_exact_k",
       "r15_facet_count", "doc_chunk", "vocab_coverage", "hard_negatives",
-      "stream_enrich_join", "tfidf_topterms", "rolling_features")
+      "stream_enrich_join", "tfidf_topterms", "rolling_features",
+      "corpus_diff", "domain_stats", "bloom_exclusion")
     val core = results.filterNot(r => addedLater(r._1)).map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","core38":$core,"queries":$qs,"ok":$ok,"n":${results.size},"errors":$errs,"sf":"$sfDir"}""")
     if (results.exists(_._3.nonEmpty)) System.err.println(

@@ -2833,6 +2833,149 @@ object Queries {
               RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)
             ORDER BY user_id, event_id"""))
 
+  /** Corpus snapshot diff: what changed between two corpus versions —
+    * added / removed / changed / unchanged per doc, by content fingerprint.
+    * The curation primitive behind "what did this week's crawl refresh
+    * actually do": ONE full-outer equi-join on the doc key (both sides
+    * shuffle-partitioned on doc_id, or co-located for free when both
+    * versions are bucket-pushed stores), fingerprints narrow md5 — never a
+    * text comparison. Versions are derived deterministically here (v1 drops
+    * doc_id%10==3, v2 drops %10==7 and revises %5==0) so both engines
+    * replay the same snapshots. */
+  val corpusDiff = QueryDef(
+    "corpus_diff",
+    (s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val v1 = docs.filter(pmod(col("doc_id"), lit(10)) =!= 3)
+        .select(col("doc_id"), md5(col("text")).as("old_fp"))
+      val v2 = docs.filter(pmod(col("doc_id"), lit(10)) =!= 7)
+        .select(col("doc_id"),
+          md5(when(pmod(col("doc_id"), lit(5)) === 0,
+              concat(col("text"), lit(" [rev2]")))
+            .otherwise(col("text"))).as("new_fp"))
+      v1.join(v2, Seq("doc_id"), "full_outer")
+        .withColumn("status",
+          when(col("old_fp").isNull, "added")
+            .when(col("new_fp").isNull, "removed")
+            .when(col("old_fp") =!= col("new_fp"), "changed")
+            .otherwise("unchanged"))
+        .select(col("doc_id"), col("status"), col("old_fp"), col("new_fp"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH v1 AS (SELECT doc_id, md5(text) AS old_fp FROM documents
+               WHERE doc_id % 10 <> 3),
+             v2 AS (SELECT doc_id,
+                 md5(CASE WHEN doc_id % 5 = 0 THEN text || ' [rev2]'
+                     ELSE text END) AS new_fp
+               FROM documents WHERE doc_id % 10 <> 7)
+             SELECT doc_id,
+               CASE WHEN old_fp IS NULL THEN 'added'
+                    WHEN new_fp IS NULL THEN 'removed'
+                    WHEN old_fp <> new_fp THEN 'changed'
+                    ELSE 'unchanged' END AS status,
+               old_fp, new_fp
+             FROM v1 FULL OUTER JOIN v2 USING (doc_id)
+             ORDER BY doc_id"""))
+
+  /** Per-domain crawl report: parse a URL into scheme / host / registered
+    * domain with engine-portable regexps (no UDF, no URL library — the
+    * patterns avoid every Java-vs-RE2 divergence the same way the PII
+    * rules do), then one partial-aggregated groupBy per domain. URLs are
+    * derived deterministically from (source, doc_id) in four shapes that
+    * exercise the parser: www prefix, explicit port, subdomain, and
+    * mixed-case scheme/host (normalization is part of the contract). */
+  val domainStats = QueryDef(
+    "domain_stats",
+    (s, dir) => {
+      val did = col("doc_id").cast("string")
+      // variant key decorrelated from source (source ≡ doc_id mod 20, so a
+      // doc_id mod 4 variant would give every source a single URL shape)
+      val variant = pmod(expr("doc_id div 20"), lit(4))
+      val url = when(variant === 0,
+          concat(lit("https://www."), col("source"), lit(".example.com/p/"), did))
+        .when(variant === 1,
+          concat(lit("http://"), col("source"), lit(".example.org:8080/a?q="), did))
+        .when(variant === 2,
+          concat(lit("https://cdn."), col("source"), lit(".example.net/x/"), did,
+            lit(".html")))
+        .otherwise(
+          concat(lit("HTTPS://"), upper(col("source")), lit(".Example.COM/"), did))
+      val scheme = lower(regexp_extract(col("url"), "^([A-Za-z]+)://", 1))
+      val host = lower(regexp_extract(col("url"), "^[A-Za-z]+://([^/:?#]+)", 1))
+      t(s, dir, "documents")
+        .withColumn("url", url)
+        .withColumn("scheme", scheme)
+        .withColumn("domain", regexp_replace(host, "^(www|cdn)\\.", ""))
+        .groupBy(col("domain"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("scheme") === "https", 1L).otherwise(0L)).as("n_https"),
+          sum(col("n_chars")).as("total_chars"))
+        .orderBy(col("domain"))
+    },
+    Some("""WITH u AS (SELECT doc_id, source, n_chars,
+                 CASE (doc_id // 20) % 4
+                   WHEN 0 THEN 'https://www.' || source || '.example.com/p/' || doc_id
+                   WHEN 1 THEN 'http://' || source || '.example.org:8080/a?q=' || doc_id
+                   WHEN 2 THEN 'https://cdn.' || source || '.example.net/x/' || doc_id || '.html'
+                   ELSE 'HTTPS://' || upper(source) || '.Example.COM/' || doc_id
+                 END AS url
+               FROM documents),
+             p AS (SELECT doc_id, n_chars,
+                 lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+                 regexp_replace(lower(regexp_extract(url,
+                   '^[A-Za-z]+://([^/:?#]+)', 1)), '^(www|cdn)\.', '') AS domain
+               FROM u)
+             SELECT domain, count(*) AS n_docs,
+               sum(CASE WHEN scheme = 'https' THEN 1 ELSE 0 END)::BIGINT AS n_https,
+               sum(n_chars)::BIGINT AS total_chars
+             FROM p GROUP BY domain ORDER BY domain"""))
+
+  /** Bloom-filter exclusion audit: the blocklist (fingerprints of blocked
+    * sources) is folded into a 1024-bit [[graft.operators.Bloom]] bitmap —
+    * a distributed bit-OR whose result is 16 longs REGARDLESS of blocklist
+    * cardinality — and the corpus is tested with narrow per-row bit
+    * probes: no corpus-side join or shuffle, the shape that survives a
+    * billion-entry blocklist where a semi-join would shuffle 100 TB.
+    * Output per doc: the probabilistic verdict, the exact verdict, and the
+    * false-positive flag (bloom guarantees no false NEGATIVES — pinned by
+    * spec). The oracle replays the same md5 bit positions in SQL via the
+    * position-set view of the bitmap (bit set ⟺ some entry hashes there). */
+  val bloomExclusion = QueryDef(
+    "bloom_exclusion",
+    (s, dir) => {
+      import graft.operators.Bloom
+      val docs = t(s, dir, "documents")
+      val blocked = docs.filter(col("source").isin("src13", "src7"))
+        .select(md5(col("text")).as("fp")).distinct()
+      val bitmap = Bloom.build(blocked, col("fp"), k = 3, mBits = 1024)
+      Bloom.withMightContain(docs.withColumn("fp", md5(col("text"))),
+          col("fp"), bitmap, "maybe_blocked", k = 3, mBits = 1024)
+        .withColumn("exact_blocked", col("source").isin("src13", "src7"))
+        .withColumn("false_positive",
+          col("maybe_blocked") && !col("exact_blocked"))
+        .select(col("doc_id"), col("maybe_blocked"), col("exact_blocked"),
+          col("false_positive"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH block AS (SELECT DISTINCT md5(text) AS fp FROM documents
+               WHERE source IN ('src13', 'src7')),
+             setbits AS (SELECT DISTINCT
+                 ('0x' || substr(md5(fp || ':' || j), 1, 15))::BIGINT % 1024 AS p
+               FROM block, (VALUES (0), (1), (2)) t(j)),
+             probes AS (SELECT doc_id, source,
+                 ('0x' || substr(md5(md5(text) || ':' || j), 1, 15))::BIGINT
+                   % 1024 AS p
+               FROM documents, (VALUES (0), (1), (2)) t(j)),
+             hits AS (SELECT doc_id, source,
+                 bool_and(s.p IS NOT NULL) AS maybe_blocked
+               FROM probes pr LEFT JOIN setbits s ON pr.p = s.p
+               GROUP BY doc_id, source)
+             SELECT doc_id, maybe_blocked,
+               source IN ('src13', 'src7') AS exact_blocked,
+               maybe_blocked AND source NOT IN ('src13', 'src7')
+                 AS false_positive
+             FROM hits ORDER BY doc_id"""))
+
   // ---------------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------------
@@ -2858,7 +3001,8 @@ object Queries {
     streamWindowAgg, corpusShuffle, mmAudioResample, qAsofJoin,
     corpusPercentiles, qRangeJoin, qTopkGroup, dedupIncremental,
     sampleExactK, r15FacetCount, docChunk, vocabCoverage, hardNegativesQ,
-    streamEnrichJoin, tfidfTopTerms, rollingFeatures)
+    streamEnrichJoin, tfidfTopTerms, rollingFeatures,
+    corpusDiff, domainStats, bloomExclusion)
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }
