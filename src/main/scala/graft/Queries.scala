@@ -2976,6 +2976,125 @@ object Queries {
                  AS false_positive
              FROM hits ORDER BY doc_id"""))
 
+  /** Join-key skew profile: per-key row counts folded into a power-of-two
+    * histogram — the pre-flight a 100-TB join runs to decide whether it
+    * needs `operators/Salting` or an AQE skew hint BEFORE the shuffle that
+    * would discover the hot key the hard way. Two partial-aggregated
+    * groupBys (key, then log2 bucket = binary-representation length —
+    * integer-exact in both engines, no float log2); never a sort or a
+    * driver-side key list. */
+  val skewProfile = QueryDef(
+    "skew_profile",
+    (s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("c"))
+        .withColumn("bucket", length(bin(col("c"))))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_keys"),
+          sum(col("c")).as("rows_in_bucket"),
+          max(col("c")).as("max_count"))
+        .orderBy(col("bucket"))
+    },
+    Some("""WITH k AS (SELECT user_id, count(*) AS c FROM events
+               GROUP BY user_id)
+             SELECT length(format('{:b}', c)) AS bucket,
+               count(*) AS n_keys, sum(c)::BIGINT AS rows_in_bucket,
+               max(c) AS max_count
+             FROM k GROUP BY 1 ORDER BY bucket"""))
+
+  /** Stream-stream interval join, oracle-checked END TO END: click-through
+    * attribution (every click within 6 h of the same user's view) over two
+    * file-source streams. Inner pairs emit as soon as both sides arrive;
+    * the watermarked time-range condition lets the state store evict rows
+    * the moment the watermark passes their last possible match — bounded
+    * state at any rate. A second drain plants a LATE click (10 days behind
+    * the watermark) on a real view: correct semantics DROP it at the gate,
+    * and since the DuckDB oracle joins only the REAL events table, a
+    * leaked late pair would break the hash — the batch join is a full
+    * oracle for the streaming join + late-drop semantics. */
+  val streamJoinQ = QueryDef(
+    "stream_join",
+    (s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      import graft.streaming.StreamJoin
+      val root = java.nio.file.Files.createTempDirectory("graft-sjoin").toString
+      val ev = Tables.events(s, dir)
+        .select(col("ts"), col("event_type"), col("event_id"), col("user_id"))
+      // content-keyed staged topic, reused across invocations in one JVM
+      // (same pattern and reasoning as stream_window_agg)
+      val srcSig = Option(new java.io.File(s"$dir/events.parquet").listFiles())
+        .map(_.toSeq).getOrElse(Seq(new java.io.File(s"$dir/events.parquet")))
+        .sortBy(_.getName)
+        .map(f => s"${f.getName}:${f.length}:${f.lastModified}").mkString(",")
+      val stage = new java.io.File(
+        s"${sys.props("java.io.tmpdir")}/graft-sjoin-in-${
+          java.security.MessageDigest.getInstance("MD5")
+            .digest(s"$dir|$srcSig".getBytes("UTF-8"))
+            .map(b => f"$b%02x").mkString}")
+      if (!new java.io.File(stage, "_SUCCESS").exists())
+        ev.write.mode("overwrite").parquet(stage.toString)
+      val in = s"$root/in"
+      new java.io.File(in).mkdirs()
+      stage.listFiles().foreach { f =>
+        java.nio.file.Files.createSymbolicLink(
+          java.nio.file.Paths.get(in, f.getName), f.toPath)
+      }
+      val bounds = ev.agg(min(unix_millis(col("ts"))),
+        max(unix_millis(col("ts")))).head()
+      val (minTs, maxTs) = (bounds.getLong(0), bounds.getLong(1))
+
+      def drainOnce(): Unit = {
+        // join state is partitioned on user_id; 8 partitions keep the
+        // per-batch state-store commit overhead proportional to the data
+        // (frozen into the checkpoint at first start — both runs agree)
+        val prev = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        try {
+          val src = s.readStream.schema(ev.schema).parquet(s"$root/in")
+          val views = src.filter(col("event_type") === "view")
+            .select(col("user_id"), col("event_id").as("view_id"),
+              col("ts").as("view_ts"))
+          val clicks = src.filter(col("event_type") === "click")
+            .select(col("user_id"), col("event_id").as("click_id"),
+              col("ts").as("click_ts"))
+          val pairs = StreamJoin.intervalJoin(views, clicks, Seq("user_id"),
+            "view_ts", "click_ts", windowMs = 6L * 3600 * 1000,
+            delay = "1 hour")
+          val q = pairs
+            .select(col("user_id"), col("view_id"),
+              unix_millis(col("view_ts")).as("view_ts_ms"), col("click_id"),
+              unix_millis(col("click_ts")).as("click_ts_ms"))
+            .writeStream.format("parquet")
+            .option("path", s"$root/out").option("checkpointLocation", s"$root/cp")
+            .outputMode("append").trigger(Trigger.AvailableNow()).start()
+          require(q.awaitTermination(180000),
+            "stream_join: stream did not drain within 180s")
+        } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      }
+      drainOnce()
+      // the late plant: a click 10 days behind the run-1 watermark
+      // (maxTs − 1 h), aimed at the earliest view's user — in a batch join
+      // it WOULD pair; the streaming gate must drop it
+      import s.implicits._
+      val earlyUser = ev.filter(col("event_type") === "view")
+        .orderBy(col("ts")).select(col("user_id")).head().getLong(0)
+      Seq((minTs + 60000L, "click", -1L, earlyUser))
+        .toDF("ts_ms", "event_type", "event_id", "user_id")
+        .select(timestamp_millis(col("ts_ms")).as("ts"), col("event_type"),
+          col("event_id"), col("user_id"))
+        .write.mode("append").parquet(s"$root/in")
+      drainOnce()
+      s.read.parquet(s"$root/out")
+        .orderBy(col("view_id"), col("click_id"))
+    },
+    Some("""SELECT v.user_id, v.event_id AS view_id,
+              epoch_ms(v.ts) AS view_ts_ms,
+              c.event_id AS click_id, epoch_ms(c.ts) AS click_ts_ms
+            FROM events v JOIN events c ON v.user_id = c.user_id
+              AND v.event_type = 'view' AND c.event_type = 'click'
+              AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 6 HOUR
+            ORDER BY view_id, click_id"""))
+
   // ---------------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------------
@@ -3002,7 +3121,7 @@ object Queries {
     corpusPercentiles, qRangeJoin, qTopkGroup, dedupIncremental,
     sampleExactK, r15FacetCount, docChunk, vocabCoverage, hardNegativesQ,
     streamEnrichJoin, tfidfTopTerms, rollingFeatures,
-    corpusDiff, domainStats, bloomExclusion)
+    corpusDiff, domainStats, bloomExclusion, skewProfile, streamJoinQ)
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }

@@ -336,4 +336,61 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$root/out").count() == 5,
       "checkpoint prevents reprocessing drained files")
   }
+
+  test("stream-stream interval join pairs within window, drops late input") {
+    import spark.implicits._
+    import graft.streaming.StreamJoin
+    val root = Files.createTempDirectory("graft-sjoin-spec").toString
+    new java.io.File(s"$root/in").mkdirs()
+    def stage(rows: Seq[(Long, String, Long, Long)]): Unit = rows
+      .toDF("ts_ms", "event_type", "event_id", "user_id")
+      .select(timestamp_millis(col("ts_ms")).as("ts"), col("event_type"),
+        col("event_id"), col("user_id"))
+      .write.mode("append").parquet(s"$root/in")
+    def drain(): Unit = {
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "ts timestamp, event_type string, event_id bigint, user_id bigint")
+      val src = spark.readStream.schema(schema).parquet(s"$root/in")
+      val views = src.filter(col("event_type") === "view")
+        .select(col("user_id"), col("event_id").as("view_id"),
+          col("ts").as("view_ts"))
+      val clicks = src.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          col("ts").as("click_ts"))
+      val q = StreamJoin.intervalJoin(views, clicks, Seq("user_id"),
+        "view_ts", "click_ts", windowMs = 60000L, delay = "10 seconds")
+        .writeStream.format("parquet")
+        .option("path", s"$root/out").option("checkpointLocation", s"$root/cp")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(120000), "drain timed out")
+    }
+    val h = 3600000L // base offset so watermarks are comfortably positive
+    // user 1: click inside the 60s window; at the exact upper bound (inclusive);
+    // just outside; user 2: no view → no pair
+    stage(Seq(
+      (h, "view", 10L, 1L),
+      (h + 30000L, "click", 20L, 1L),
+      (h + 60000L, "click", 21L, 1L),
+      (h + 60001L, "click", 22L, 1L),
+      (h + 5000L, "click", 23L, 2L)))
+    drain()
+    // advance the watermark past view 10's eviction bound. The global
+    // watermark is the MIN over both sides' withWatermark nodes, so BOTH
+    // sides need a fresh event (the user-4 click matches no view): it
+    // becomes h+300s−10s = h+290s, and view 10 (evictable once the
+    // click-side watermark passes view_ts + window) leaves the state store
+    stage(Seq((h + 300000L, "view", 11L, 3L),
+      (h + 300000L, "click", 40L, 4L)))
+    drain()
+    // a click at h+40000 is INSIDE view 10's window (a batch join WOULD
+    // pair it) but far below the watermark — evicted state + the late gate
+    // mean it must produce nothing
+    stage(Seq((h + 40000L, "click", 30L, 1L)))
+    drain()
+    val pairs = spark.read.parquet(s"$root/out")
+      .select("view_id", "click_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((10L, 20L), (10L, 21L)),
+      s"expected in-window pairs incl. inclusive upper bound, got $pairs")
+  }
 }
