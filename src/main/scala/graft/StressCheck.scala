@@ -15,7 +15,7 @@ object StressCheck {
     import spark.implicits._
 
     // optional section tags as args (keyed lsh semdedup crdt1m crdt10m
-    // squash minhash clusters bucket asof shuffleorder aaview) — no args
+    // squash minhash clusters bucket asof shuffleorder aaview bloom) — no args
     // runs everything
     val only = args.toSet
     def on(tag: String): Boolean = only.isEmpty || only(tag)
@@ -300,6 +300,32 @@ object StressCheck {
     // keys — its cost scales with the DELTA, while the full-rebuild
     // alternative (timed alongside for contrast) scales with the STORE.
     // Result is checked ≡ a full recompute of the re-keyed serving view.
+    // Bloom exclusion at blocklist scale: a 5M-entry blocklist folds to a
+    // 64 KiB bitmap (the build's driver collect is mBits/64 longs NO MATTER
+    // the cardinality), then 5M membership probes run as a narrow scan —
+    // no join, no shuffle. The no-false-negative guarantee is re-checked
+    // at this scale on a 100k sample.
+    if (on("bloom")) {
+      import graft.operators.Bloom
+      val mBits = 1 << 19 // 512k bits = 64 KiB bitmap for 5M entries
+      val entries = spark.range(5000000L)
+        .select(concat(lit("blocked-url-"), col("id")).as("e"))
+      var bitmap: Array[Long] = null
+      timed("bloom build 5M entries") {
+        bitmap = Bloom.build(entries, col("e"), k = 3, mBits = mBits)
+        bitmap.length.toLong
+      }
+      timed("bloom probe 5M members") {
+        Bloom.withMightContain(entries, col("e"), bitmap, "hit",
+          k = 3, mBits = mBits).filter(col("hit")).count()
+      }
+      val misses = Bloom.withMightContain(
+        entries.limit(100000), col("e"), bitmap, "hit", k = 3, mBits = mBits)
+        .filter(!col("hit")).count()
+      require(misses == 0, s"bloom false negatives: $misses")
+      spark.catalog.clearCache()
+    }
+
     if (on("aaview")) {
       val eng = new graft.core.GraftEngine(spark,
         java.nio.file.Files.createTempDirectory("graft-stress-aav").toString)
