@@ -3095,6 +3095,54 @@ object Queries {
               AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 6 HOUR
             ORDER BY view_id, click_id"""))
 
+  /** Time-travel store read: the serving view as of three instants across
+    * an update/delete/re-put history — version dirs are immutable and log
+    * entries are timestamped, so an as-of read is the pinned snapshot plus
+    * the log filtered to `ts ≤ asOf` (Venice's rewind/seek semantics as a
+    * READ primitive; free, no copy). Each instant shows a different world:
+    * before the deletes, after them, and after a deleted key range is
+    * partially resurrected by a later put. */
+  val r16AsofRead = QueryDef(
+    "r16_asof_read",
+    (s, dir) => {
+      val e = tempEngine(s, "graft-r16")
+      e.createStore("c", Seq("c_custkey"))
+      val cust = t(s, dir, "customer").filter(col("c_custkey") <= 1000)
+        .select(col("c_custkey"), col("c_name"))
+      e.push("c", cust, numBuckets = 4)
+      e.put("c", cust.filter(col("c_custkey") <= 100)
+        .withColumn("c_name", concat(col("c_name"), lit("_U1"))), tsMs = 1000L)
+      e.delete("c", cust.filter(col("c_custkey").between(101, 200))
+        .select("c_custkey"), tsMs = 2000L)
+      e.put("c", cust.filter(col("c_custkey").between(101, 150))
+        .withColumn("c_name", concat(col("c_name"), lit("_U3"))), tsMs = 3000L)
+      def read(ts: Long, tag: String) =
+        e.servingViewAsOf("c", ts).withColumn("as_of", lit(tag))
+      read(1500L, "t1500")
+        .unionByName(read(2500L, "t2500"))
+        .unionByName(read(3500L, "t3500"))
+        .select(col("as_of"), col("c_custkey"), col("c_name"))
+        .orderBy(col("as_of"), col("c_custkey"))
+    },
+    Some("""WITH c AS (SELECT c_custkey, c_name FROM customer
+               WHERE c_custkey <= 1000)
+             SELECT 't1500' AS as_of, c_custkey,
+               CASE WHEN c_custkey <= 100 THEN c_name || '_U1'
+                    ELSE c_name END AS c_name
+             FROM c
+             UNION ALL
+             SELECT 't2500', c_custkey,
+               CASE WHEN c_custkey <= 100 THEN c_name || '_U1'
+                    ELSE c_name END
+             FROM c WHERE c_custkey NOT BETWEEN 101 AND 200
+             UNION ALL
+             SELECT 't3500', c_custkey,
+               CASE WHEN c_custkey <= 100 THEN c_name || '_U1'
+                    WHEN c_custkey BETWEEN 101 AND 150 THEN c_name || '_U3'
+                    ELSE c_name END
+             FROM c WHERE c_custkey NOT BETWEEN 151 AND 200
+             ORDER BY as_of, c_custkey"""))
+
   // ---------------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------------
@@ -3121,7 +3169,8 @@ object Queries {
     corpusPercentiles, qRangeJoin, qTopkGroup, dedupIncremental,
     sampleExactK, r15FacetCount, docChunk, vocabCoverage, hardNegativesQ,
     streamEnrichJoin, tfidfTopTerms, rollingFeatures,
-    corpusDiff, domainStats, bloomExclusion, skewProfile, streamJoinQ)
+    corpusDiff, domainStats, bloomExclusion, skewProfile, streamJoinQ,
+    r16AsofRead)
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }
