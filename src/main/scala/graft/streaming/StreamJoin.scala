@@ -33,9 +33,14 @@ object StreamJoin {
     * (rename before calling — the query does); the output carries the left
     * columns then the right's non-key columns.
     */
+  /** `joinType` "inner" (default) or "left_outer". Outer semantics: an
+    * unmatched left row is emitted with nulls for the right columns ONLY
+    * when the watermark passes its last possible match and its state
+    * evicts — the unmatched verdict is final by construction, never a
+    * guess that a match "probably" won't arrive. */
   def intervalJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTs: String, rightTs: String, windowMs: Long,
-      delay: String): DataFrame = {
+      delay: String, joinType: String = "inner"): DataFrame = {
     val l = left.withWatermark(leftTs, delay).alias("l")
     val r = right.withWatermark(rightTs, delay).alias("r")
     val keyCond = keys.map(k => col(s"l.$k") === col(s"r.$k")).reduce(_ && _)
@@ -44,7 +49,7 @@ object StreamJoin {
     val timeCond = col(s"r.$rightTs") >= col(s"l.$leftTs") &&
       col(s"r.$rightTs") <= col(s"l.$leftTs") +
         expr(s"INTERVAL ${windowMs / 1000} SECONDS")
-    val joined = l.join(r, keyCond && timeCond, "inner")
+    val joined = l.join(r, keyCond && timeCond, joinType)
     val rightCols = right.columns.filterNot(keys.contains)
     joined.select(
       keys.map(k => col(s"l.$k")) ++
