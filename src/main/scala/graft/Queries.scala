@@ -3175,6 +3175,53 @@ object Queries {
               AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 6 HOUR
             ORDER BY view_id, click_id"""))
 
+  /** Per-language quality-decile binning — "drop the bottom decile per
+    * language" without the global-sort ntile trap: decile BOUNDARIES come
+    * from the exact distributed percentile histogram (keyed by lang, so
+    * every window is cardinality-bounded; a bare ntile(10) would funnel
+    * the corpus through ONE partition), then each doc's bin is a narrow
+    * comparison against the 9 broadcast boundaries. Quality compares in
+    * exact integer micro-units; a doc equal to a boundary belongs to that
+    * decile (qm > b strictly counts). */
+  val qualityDeciles = QueryDef(
+    "quality_deciles",
+    (s, dir) => {
+      import graft.operators.Percentiles
+      val sig = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          round(TextOps.qualityScore(col("text")) * 1e6).cast("long").as("qm"))
+      val bounds = Percentiles.disc(sig, Seq("lang"), col("qm"),
+        (10 to 90 by 10).toSeq).drop("n_rows")
+      val decile = (10 to 90 by 10)
+        .map(p => when(col("qm") > col(s"p$p"), 1).otherwise(0))
+        .reduce(_ + _) + lit(1)
+      sig.join(broadcast(bounds), "lang")
+        .withColumn("decile", decile)
+        .select(col("doc_id"), col("lang"), col("qm"), col("decile"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH base AS (SELECT doc_id, lang, text, $tokensSql AS toks
+               FROM documents),
+             sig AS (SELECT doc_id, lang,
+                 round(round((least(length(text), 500)::DOUBLE / 500.0
+                   + least(len(list_filter(toks, t -> list_contains(
+                       ['the','and','of','to','is','in','that','it','for','with'],
+                       t)))::DOUBLE * 5.0 / greatest(len(toks), 1), 1.0)
+                   + len(list_filter(toks, t -> length(t) >= 4))::DOUBLE
+                     / greatest(len(toks), 1)) / 3.0, 6) * 1000000)::BIGINT
+                   AS qm
+               FROM base),
+             b AS (SELECT lang,
+                 ${(10 to 90 by 10).map(p =>
+                   s"quantile_disc(qm, 0.$p) AS p$p").mkString(", ")}
+               FROM sig GROUP BY lang)
+             SELECT doc_id, sig.lang AS lang, qm,
+               1 + ${(10 to 90 by 10).map(p =>
+                 s"(CASE WHEN qm > p$p THEN 1 ELSE 0 END)").mkString(" + ")}
+                 AS decile
+             FROM sig JOIN b ON sig.lang = b.lang
+             ORDER BY doc_id"""))
+
   /** Time-travel store read: the serving view as of three instants across
     * an update/delete/re-put history — version dirs are immutable and log
     * entries are timestamped, so an as-of read is the pinned snapshot plus
@@ -3250,7 +3297,7 @@ object Queries {
     sampleExactK, r15FacetCount, docChunk, vocabCoverage, hardNegativesQ,
     streamEnrichJoin, tfidfTopTerms, rollingFeatures,
     corpusDiff, domainStats, bloomExclusion, skewProfile, streamJoinQ,
-    streamJoinOuterQ, r16AsofRead)
+    streamJoinOuterQ, r16AsofRead, qualityDeciles)
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }
