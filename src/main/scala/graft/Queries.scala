@@ -3222,6 +3222,63 @@ object Queries {
              FROM sig JOIN b ON sig.lang = b.lang
              ORDER BY doc_id"""))
 
+  /** B15 compliance purge, audited PHYSICALLY: tombstone a key set, fold
+    * it through a repush, vacuum retired versions + applied logs, and
+    * rebuild+vacuum the store's views — then walk every parquet file left
+    * under BOTH stores and count surviving purged-key rows (must be 0: a
+    * tombstone only hides; purge must leave no bytes). The serving output
+    * proves non-purged keys kept their pre-purge updates through the fold.
+    * Venice semantics: DELETE + version compaction + backup-version
+    * cleanup (StoreBackupVersionCleanupService.java — semantics, not
+    * code). */
+  val b15Purge = QueryDef(
+    "b15_purge",
+    (s, dir) => {
+      val e = tempEngine(s, "graft-b15")
+      e.createStore("c", Seq("c_custkey"))
+      val cust = t(s, dir, "customer").filter(col("c_custkey") <= 1000)
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      e.push("c", cust, numBuckets = 4)
+      e.materializedView("c", "bym", Seq("c_mktsegment", "c_custkey"),
+        numBuckets = 4)
+      e.put("c", cust.filter(col("c_custkey") <= 100)
+        .withColumn("c_name", concat(col("c_name"), lit("_U1"))), tsMs = 1000L)
+      e.refreshView("bym") // the U1 updates flow into the view pre-purge
+      e.purge("c", cust.filter(pmod(col("c_custkey"), lit(10)) === 0)
+        .select("c_custkey"), tsMs = 5000L)
+      // physical audit: EVERY remaining parquet row in either store dir
+      // whose c_custkey is a purged key
+      def physPurged(store: String): Long = {
+        val dirs = Option(new java.io.File(s"${e.root}/$store").listFiles())
+          .getOrElse(Array.empty)
+          .filter(f => f.isDirectory && (f.getName.startsWith("v=") ||
+            f.getName.startsWith("log") || f.getName.startsWith("updates") ||
+            f.getName.startsWith("aa_log")))
+        dirs.map(d => s.read.option("mergeSchema", "true")
+          .parquet(d.toString)
+          .filter(pmod(col("c_custkey"), lit(10)) === 0).count()).sum
+      }
+      def versionDirs(store: String): Long =
+        Option(new java.io.File(s"${e.root}/$store").listFiles())
+          .getOrElse(Array.empty)
+          .count(f => f.isDirectory && f.getName.startsWith("v=")).toLong
+      e.servingView("c").filter(col("c_custkey") <= 50)
+        .withColumn("phys_purged_rows", lit(physPurged("c") + physPurged("bym")))
+        .withColumn("version_dirs", lit(versionDirs("c") + versionDirs("bym")))
+        .withColumn("view_purged_rows", lit(e.servingView("bym")
+          .filter(pmod(col("c_custkey"), lit(10)) === 0).count()))
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+          col("phys_purged_rows"), col("version_dirs"), col("view_purged_rows"))
+        .orderBy(col("c_custkey"))
+    },
+    Some("""SELECT c_custkey, c_name || '_U1' AS c_name, c_mktsegment,
+              CAST(0 AS BIGINT) AS phys_purged_rows,
+              CAST(2 AS BIGINT) AS version_dirs,
+              CAST(0 AS BIGINT) AS view_purged_rows
+            FROM customer
+            WHERE c_custkey <= 50 AND c_custkey % 10 <> 0
+            ORDER BY c_custkey"""))
+
   /** Time-travel store read: the serving view as of three instants across
     * an update/delete/re-put history — version dirs are immutable and log
     * entries are timestamped, so an as-of read is the pinned snapshot plus
@@ -3297,7 +3354,7 @@ object Queries {
     sampleExactK, r15FacetCount, docChunk, vocabCoverage, hardNegativesQ,
     streamEnrichJoin, tfidfTopTerms, rollingFeatures,
     corpusDiff, domainStats, bloomExclusion, skewProfile, streamJoinQ,
-    streamJoinOuterQ, r16AsofRead, qualityDeciles)
+    streamJoinOuterQ, r16AsofRead, qualityDeciles, b15Purge)
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }

@@ -873,7 +873,16 @@ class GraftEngine(val spark: SparkSession, val root: String) {
     val newCoord = latestCoordinate(src)
     if (coord == newCoord) return // caught up
     if (coord.version != currentVersion(src)) {
-      push(viewName, servingView(src), numBuckets(viewName))
+      val v = push(viewName, servingView(src), numBuckets(viewName))
+      // the rebuild supersedes every pending view-log delta — archive the
+      // log rather than let it overlay the fresh snapshot (idempotent in
+      // the ordinary resync, but after a source purge the stale deltas
+      // would physically retain — and resurrect — purged rows)
+      Seq("log", "updates").foreach { d =>
+        val p = Paths.get(dir(viewName, d))
+        if (Files.exists(p))
+          Files.move(p, Paths.get(dir(viewName, s"${d}_applied_v$v")))
+      }
       saveViewCoord(viewName, src, newCoord)
       return
     }
@@ -1092,6 +1101,82 @@ class GraftEngine(val spark: SparkSession, val root: String) {
         Files.move(p, Paths.get(dir(name, s"${d}_applied_v$v")))
     }
     v
+  }
+
+  // ---- catalog enumeration, vacuum & compliance purge ----------------------
+
+  /** Every store under this engine root (a store = a dir carrying KEYS). */
+  def listStores: Seq[String] = {
+    val r = Paths.get(root)
+    if (!Files.exists(r)) return Nil
+    val s = Files.list(r)
+    try {
+      val b = Seq.newBuilder[String]
+      s.forEach { p =>
+        if (Files.isDirectory(p) && Files.exists(p.resolve("KEYS")))
+          b += p.getFileName.toString
+      }
+      b.result().sorted
+    } finally s.close()
+  }
+
+  /** Views registered on `name` (stores whose VIEW_SRC names it). */
+  def viewsOf(name: String): Seq[String] =
+    listStores.filter { v =>
+      val p = Paths.get(dir(v, "VIEW_SRC"))
+      Files.exists(p) && Files.readString(p).trim.split(",")(0) == name
+    }
+
+  /** Physically drop retired state: every non-current version dir and every
+    * applied-log archive. Venice's backup-version cleanup (semantics, not
+    * code: services/venice-controller/.../StoreBackupVersionCleanupService
+    * .java retires versions behind the serving one) — only the current
+    * version serves reads, so retired dirs are storage debt, and after a
+    * [[purge]] they are also where purged rows still physically live. */
+  def vacuum(name: String): Unit = {
+    val cur = s"v=${currentVersion(name)}"
+    val base = Paths.get(dir(name))
+    val entries = Files.list(base)
+    val doomed = try {
+      val b = Seq.newBuilder[java.nio.file.Path]
+      entries.forEach { p =>
+        val n = p.getFileName.toString
+        if ((n.startsWith("v=") && n != cur) || n.contains("_applied_v"))
+          b += p
+      }
+      b.result()
+    } finally entries.close()
+    doomed.foreach { d =>
+      val walk = Files.walk(d)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.delete(p))
+      finally walk.close()
+    }
+  }
+
+  /** Compliance purge — the right-to-erasure flow: tombstone `keys` (at
+    * `tsMs`, which must beat every prior write to those keys), fold the
+    * tombstones through a repush so the new version physically omits them,
+    * then [[vacuum]] the retired versions and applied logs where the rows
+    * still lived. Views of the store rebuild from the purged serving view
+    * (the repush bumped the version, so [[refreshView]] takes its resync
+    * path — which also archives the stale view log) and are vacuumed too.
+    * Venice parity: user DELETEs are tombstones that version compaction
+    * drops; backup-version cleanup retires the dirs (semantics, not code).
+    * A/A stores purge through the CRDT op log; the repush TTL-collects the
+    * purge tombstones themselves. */
+  def purge(name: String, keys: DataFrame, tsMs: Long): Int = {
+    val k = keys.select(storeMeta(name).keyCols.map(col): _*)
+    if (isActiveActive(name)) {
+      deleteAA(name, k, tsMs)
+      repush(name, ttlStartMs = Some(tsMs + 1))
+    } else {
+      delete(name, k, tsMs)
+      repush(name)
+    }
+    vacuum(name)
+    viewsOf(name).foreach { v => refreshView(v); vacuum(v) }
+    currentVersion(name)
   }
 }
 

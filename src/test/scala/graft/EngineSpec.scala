@@ -511,4 +511,29 @@ class EngineSpec extends AnyFunSuite {
       engine.computeAggregation("facet").countGroupByValue(1, "nope").execute()
     }
   }
+
+  test("compliance purge erases keys physically — including A/A stores") {
+    import spark.implicits._
+    val e = new GraftEngine(spark,
+      java.nio.file.Files.createTempDirectory("graft-purge-aa").toString)
+    e.createStore("a", Seq("k"))
+    e.push("a", Seq((1L, "x", 1.0), (2L, "y", 2.0), (3L, "z", 3.0))
+      .toDF("k", "name", "score"), numBuckets = 2)
+    e.enableActiveActive("a")
+    e.setFieldAA("a", Seq((1L, "x2")).toDF("k", "name"), "name", tsMs = 100L)
+    e.purge("a", Seq(Tuple1(2L)).toDF("k"), tsMs = 1000L)
+    val serving = e.servingView("a").select("k", "name")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(serving == Map(1L -> "x2", 3L -> "z"),
+      s"purged key visible or update lost: $serving")
+    // PHYSICAL audit: no parquet row for k=2 anywhere under the store —
+    // and the A/A op log + retired version dirs are gone entirely
+    val dirs = new java.io.File(s"${e.root}/a").listFiles()
+      .filter(f => f.isDirectory && f.getName != "schemas")
+    assert(dirs.map(_.getName).toSet == Set(s"v=${e.currentVersion("a")}"),
+      s"retired dirs survive: ${dirs.map(_.getName).toSeq}")
+    val leaked = dirs.map(d => spark.read.option("mergeSchema", "true")
+      .parquet(d.toString).filter(col("k") === 2L).count()).sum
+    assert(leaked == 0L, s"$leaked physical rows for the purged key")
+  }
 }
