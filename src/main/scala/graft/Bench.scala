@@ -98,7 +98,7 @@ object Bench {
       "stream_enrich_join", "tfidf_topterms", "rolling_features",
       "corpus_diff", "domain_stats", "bloom_exclusion", "skew_profile",
       "stream_join", "stream_join_outer", "r16_asof_read",
-      "quality_deciles", "b15_purge")
+      "quality_deciles", "b15_purge", "curriculum_interleave")
     val core = results.filterNot(r => addedLater(r._1)).map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","core38":$core,"queries":$qs,"ok":$ok,"n":${results.size},"errors":$errs,"sf":"$sfDir"}""")
     if (results.exists(_._3.nonEmpty)) System.err.println(

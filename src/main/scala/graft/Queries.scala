@@ -3279,6 +3279,46 @@ object Queries {
             WHERE c_custkey <= 50 AND c_custkey % 10 <> 0
             ORDER BY c_custkey"""))
 
+  /** Curriculum interleave: a global training order that round-robins the
+    * sources — position 0..S−1 are every source's rank-1 docs, then every
+    * rank-2, ... — so a sequential reader sees a balanced mix from the
+    * first batch onward instead of whole sources back to back. Within-
+    * source order is a seeded md5 shuffle (keyed window — bounded);
+    * the DENSE global position comes from the two-phase distributed
+    * prefix sum over the unique (rank, source-index) key, NEVER a global
+    * row_number through one partition. */
+  val curriculumInterleave = QueryDef(
+    "curriculum_interleave",
+    (s, dir) => {
+      import graft.operators.Packing
+      val shuffleKey = concat(
+        md5(concat_ws("-", lit("7"), col("doc_id").cast("string"))),
+        lit("-"), col("doc_id").cast("string"))
+      val w = Window.partitionBy(col("source")).orderBy(col("__shuf"))
+      val ranked = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          substring(col("source"), 4, 10).cast("int").as("si"),
+          shuffleKey.as("__shuf"))
+        .withColumn("rk", row_number().over(w))
+        .withColumn("__ord", concat(
+          lpad(col("rk").cast("string"), 10, "0"), lit("-"),
+          lpad(col("si").cast("string"), 3, "0")))
+        .withColumn("__one", lit(1L))
+      Packing.withGlobalOffsets(ranked, "__ord", "__one")
+        .select(col("doc_id"), col("source"), col("rk"),
+          col("start_offset").as("position"))
+        .orderBy(col("position"))
+    },
+    Some("""WITH r AS (SELECT doc_id, source,
+                 CAST(substr(source, 4) AS INT) AS si,
+                 row_number() OVER (PARTITION BY source
+                   ORDER BY md5('7-' || doc_id) || '-' || doc_id) AS rk
+               FROM documents)
+             SELECT doc_id, source, rk,
+               row_number() OVER (ORDER BY lpad(rk::VARCHAR, 10, '0') || '-'
+                 || lpad(si::VARCHAR, 3, '0')) - 1 AS position
+             FROM r ORDER BY position"""))
+
   /** Time-travel store read: the serving view as of three instants across
     * an update/delete/re-put history — version dirs are immutable and log
     * entries are timestamped, so an as-of read is the pinned snapshot plus
@@ -3354,7 +3394,8 @@ object Queries {
     sampleExactK, r15FacetCount, docChunk, vocabCoverage, hardNegativesQ,
     streamEnrichJoin, tfidfTopTerms, rollingFeatures,
     corpusDiff, domainStats, bloomExclusion, skewProfile, streamJoinQ,
-    streamJoinOuterQ, r16AsofRead, qualityDeciles, b15Purge)
+    streamJoinOuterQ, r16AsofRead, qualityDeciles, b15Purge,
+    curriculumInterleave)
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }

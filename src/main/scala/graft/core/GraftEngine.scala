@@ -419,6 +419,10 @@ class GraftEngine(val spark: SparkSession, val root: String) {
     updateRows
       .withColumn(graft.operators.WriteCompute.TsCol, lit(tsMs))
       .write.mode("append").parquet(dir(name, "updates"))
+    // write-compute rides the same change coordinate as puts (in Venice
+    // UPDATE shares the RT topic): freshness checks — [[cachedServingView]],
+    // view refresh — must see it move
+    nextLogSeq(name)
   }
 
   private def hasUpdates(name: String): Boolean =
@@ -1101,6 +1105,42 @@ class GraftEngine(val spark: SparkSession, val root: String) {
         Files.move(p, Paths.get(dir(name, s"${d}_applied_v$v")))
     }
     v
+  }
+
+  // ---- DaVinci-style local materialization ---------------------------------
+
+  private val cachedViews =
+    scala.collection.mutable.Map[String, (ChangeCoordinate, DataFrame)]()
+
+  /** DaVinci-style local read cache (reference intent:
+    * clients/da-vinci-client — the store materialized inside the reader's
+    * own process so reads skip the network/fold entirely; semantics, not
+    * code). The resolved serving view is persisted in executor memory,
+    * keyed by the store's change coordinate: a version swap, put, delete,
+    * or write-compute update moves the coordinate and the next call
+    * re-resolves (dropping the stale cache); an unchanged store is served
+    * straight from memory. Callers that can tolerate staleness keep the
+    * returned frame; callers that cannot, call again — the freshness check
+    * is two metadata file reads, not a scan. */
+  def cachedServingView(name: String): DataFrame = synchronized {
+    val now = latestCoordinate(name)
+    cachedViews.get(name) match {
+      case Some((c, df)) if c == now => df
+      case prev =>
+        prev.foreach(_._2.unpersist())
+        val df = servingView(name).persist()
+        df.count() // materialize eagerly: the point is to pay the fold once
+        cachedViews(name) = (now, df)
+        df
+    }
+  }
+
+  /** Drop `name`'s local cache (all stores when `name` is null). */
+  def dropCachedView(name: String = null): Unit = synchronized {
+    val doomed = if (name == null) cachedViews.keys.toSeq else Seq(name)
+    doomed.foreach { n =>
+      cachedViews.remove(n).foreach(_._2.unpersist())
+    }
   }
 
   // ---- catalog enumeration, vacuum & compliance purge ----------------------

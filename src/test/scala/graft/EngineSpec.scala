@@ -512,6 +512,41 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("DaVinci-style cached serving view: memory hits, coordinate-keyed refresh") {
+    import spark.implicits._
+    val e = new GraftEngine(spark,
+      java.nio.file.Files.createTempDirectory("graft-davinci").toString)
+    e.createStore("d", Seq("k"))
+    e.push("d", Seq((1L, "a"), (2L, "b")).toDF("k", "v"), numBuckets = 2)
+    val first = e.cachedServingView("d")
+    assert(first.count() == 2)
+    // unchanged coordinate → the SAME persisted frame, served from memory
+    assert(e.cachedServingView("d") eq first, "cache missed on unchanged store")
+    assert(first.queryExecution.executedPlan.toString.contains("InMemory"),
+      "cached view must read from the in-memory relation")
+    // a put moves the coordinate → auto-refresh picks up the write
+    e.put("d", Seq((3L, "c")).toDF("k", "v"), tsMs = 100L)
+    val second = e.cachedServingView("d")
+    assert(!(second eq first) && second.count() == 3, "stale after put")
+    // a write-compute UPDATE also moves the coordinate (shared RT topic)
+    locally {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      import graft.operators.{UpdateBuilder, WriteCompute}
+      val valueSchema = StructType(Seq(StructField("v", StringType)))
+      val u = new UpdateBuilder(valueSchema).setField("v", "a2").buildRow()
+      val updSchema = StructType(StructField("k", LongType) +:
+        WriteCompute.deriveUpdateSchema(valueSchema).fields)
+      e.update("d", spark.createDataFrame(
+        java.util.Arrays.asList(Row.fromSeq(1L +: u.toSeq)), updSchema),
+        tsMs = 200L)
+    }
+    val third = e.cachedServingView("d")
+    assert(third.filter(col("k") === 1L).head().getString(1) == "a2",
+      "stale after write-compute update")
+    e.dropCachedView()
+  }
+
   test("compliance purge erases keys physically — including A/A stores") {
     import spark.implicits._
     val e = new GraftEngine(spark,
