@@ -112,6 +112,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), s"prefix sum used a window:\n${p.take(600)}")
   }
 
+  test("curriculum interleave: keyed window + prefix sum, no global collapse") {
+    // the within-source rank is a KEYED window (partitioned by source) and
+    // the dense position comes from the distributed prefix sum — the plan
+    // must never contain an Exchange SinglePartition (a global row_number
+    // would; it dies at 100 TB)
+    val p = plan(Queries.byName("curriculum_interleave")
+      .fn(spark, sf).limit(1))
+    assert(!p.contains("Exchange SinglePartition"),
+      s"interleave collapsed to one partition:\n${p.take(800)}")
+  }
+
   test("LSH candidate generation is an equi-join, never a nested loop") {
     val sh = graft.operators.Dedup.shingleSets(
       Tables.documents(spark, sf), "doc_id", "text", 3)
