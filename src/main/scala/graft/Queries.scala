@@ -3367,6 +3367,154 @@ object Queries {
              FROM c WHERE c_custkey NOT BETWEEN 151 AND 200
              ORDER BY as_of, c_custkey"""))
 
+  /** Crawl URL canonicalization + duplicate grouping. Four messy variants
+    * of the same logical URL are planted per doc-group (the corpus has no
+    * URL column), then canonicalized: lowercase scheme+host, strip www.,
+    * default ports, fragments and tracking params (utm_ prefix, ref,
+    * fbclid, gclid),
+    * sort surviving query params, trim trailing path slashes. All pure
+    * regexp/string column ops (codegen'd, narrow); the only shuffle is the
+    * final groupBy on the canonical key — the 100 TB crawl-dedup shape.
+    * Scheme is NOT folded (http vs https stay distinct keys) — planted
+    * variants all use https so the four-way grouping is exercised. */
+  val urlCanonicalize = QueryDef(
+    "url_canonicalize",
+    (s, dir) => {
+      val grp = floor(col("doc_id") / 4).cast("long")
+      val c = pmod(col("doc_id"), lit(4))
+      val raw = when(c === 0, concat(lit("HTTPS://WWW.Example.COM:443/Site/"),
+          grp, lit("/Page?utm_source=feed&b=2&a=1#top")))
+        .when(c === 1, concat(lit("https://www.example.com/Site/"),
+          grp, lit("/Page/?a=1&b=2&utm_campaign=x")))
+        .when(c === 2, concat(lit("https://example.com/Site/"),
+          grp, lit("/Page?b=2&a=1")))
+        .otherwise(concat(lit("HTTPS://Example.com:443/Site/"),
+          grp, lit("/Page?a=1&ref=rss&b=2#sec-2")))
+      val pre0 = lower(regexp_extract(raw, "^([A-Za-z]+://[^/?#]*)", 1))
+      val pre = regexp_replace(
+        regexp_replace(
+          regexp_replace(pre0, "^(https?://)www\\.", "$1"),
+          "^(https://.*):443$", "$1"),
+        "^(http://.*):80$", "$1")
+      val rest = regexp_replace(
+        expr("substring(raw_url, length(regexp_extract(raw_url, '^([A-Za-z]+://[^/?#]*)', 1)) + 1)"),
+        "#.*$", "")
+      val path0 = regexp_extract(rest, "^([^?]*)", 1)
+      val path = when(regexp_replace(path0, "/+$", "") === "", lit("/"))
+        .otherwise(regexp_replace(path0, "/+$", ""))
+      val qs = regexp_extract(rest, "\\?(.*)$", 1)
+      val params = filter(split(qs, "&"),
+        p => !p.rlike("^(utm_[^=]*|ref|fbclid|gclid)=") && p =!= "")
+      val qsSorted = array_join(array_sort(params), "&")
+      val canon = concat(pre, path,
+        when(qsSorted =!= "", concat(lit("?"), qsSorted)).otherwise(lit("")))
+      t(s, dir, "documents")
+        .select(col("doc_id"), raw.as("raw_url"))
+        .select(col("doc_id"), canon.as("canonical_url"))
+        .groupBy(col("canonical_url"))
+        .agg(count(lit(1)).as("n_variants"), min(col("doc_id")).as("keeper_id"))
+        .orderBy(col("canonical_url"))
+    },
+    Some("""WITH raw AS (SELECT doc_id,
+               CASE doc_id % 4
+                 WHEN 0 THEN 'HTTPS://WWW.Example.COM:443/Site/' ||
+                   CAST(floor(doc_id / 4) AS BIGINT) || '/Page?utm_source=feed&b=2&a=1#top'
+                 WHEN 1 THEN 'https://www.example.com/Site/' ||
+                   CAST(floor(doc_id / 4) AS BIGINT) || '/Page/?a=1&b=2&utm_campaign=x'
+                 WHEN 2 THEN 'https://example.com/Site/' ||
+                   CAST(floor(doc_id / 4) AS BIGINT) || '/Page?b=2&a=1'
+                 ELSE 'HTTPS://Example.com:443/Site/' ||
+                   CAST(floor(doc_id / 4) AS BIGINT) || '/Page?a=1&ref=rss&b=2#sec-2'
+               END AS raw_url FROM documents),
+             pp AS (SELECT doc_id, raw_url,
+               regexp_replace(regexp_replace(regexp_replace(
+                 lower(regexp_extract(raw_url, '^([A-Za-z]+://[^/?#]*)', 1)),
+                 '^(https?://)www\.', '\1'),
+                 '^(https://.*):443$', '\1'),
+                 '^(http://.*):80$', '\1') AS pre,
+               regexp_replace(substring(raw_url,
+                 length(regexp_extract(raw_url, '^([A-Za-z]+://[^/?#]*)', 1)) + 1),
+                 '#.*$', '') AS rest
+               FROM raw),
+             parts AS (SELECT doc_id, pre,
+               CASE WHEN regexp_replace(regexp_extract(rest, '^([^?]*)', 1), '/+$', '') = ''
+                 THEN '/' ELSE regexp_replace(regexp_extract(rest, '^([^?]*)', 1), '/+$', '')
+               END AS path,
+               array_to_string(list_sort(list_filter(
+                 string_split(regexp_extract(rest, '\?(.*)$', 1), '&'),
+                 p -> NOT regexp_matches(p, '^(utm_[^=]*|ref|fbclid|gclid)=') AND p <> '')),
+                 '&') AS qs
+               FROM pp),
+             canon AS (SELECT doc_id,
+               pre || path || CASE WHEN qs <> '' THEN '?' || qs ELSE '' END
+                 AS canonical_url FROM parts)
+             SELECT canonical_url, count(*) AS n_variants,
+               min(doc_id) AS keeper_id
+             FROM canon GROUP BY 1 ORDER BY canonical_url"""))
+
+  /** BPE tokenizer-training inner loop: word-frequency-weighted adjacent
+    * symbol-pair counts (the statistic the first merge rule is chosen
+    * from). The 100 TB shape is the point: pair expansion runs over the
+    * VOCABULARY (distinct word × freq — sublinear in corpus size), never
+    * over raw token instances; the corpus-sized work is one word-count
+    * shuffle with map-side partial aggregation. */
+  val bpePairStats = QueryDef(
+    "bpe_pair_stats",
+    (s, dir) => {
+      val vocab = t(s, dir, "documents")
+        .select(explode(TextOps.tokens(col("text"))).as("w"))
+        .filter(col("w").rlike("^[a-z]+$") && length(col("w")) >= 2)
+        .groupBy("w").agg(count(lit(1)).as("freq"))
+      vocab
+        .select(col("freq"), explode(transform(
+          sequence(lit(1), length(col("w")) - 1),
+          i => concat(col("w").substr(i, lit(1)), lit(" "),
+            col("w").substr(i + 1, lit(1))))).as("pair"))
+        .groupBy("pair").agg(sum(col("freq")).as("pair_count"))
+        .orderBy(col("pair_count").desc, col("pair"))
+        .limit(50)
+    },
+    Some(s"""WITH tk AS (SELECT $tokensSql AS t FROM documents),
+             w0 AS (SELECT unnest(t) AS w FROM tk),
+             v AS (SELECT w, count(*) AS freq FROM w0
+               WHERE regexp_matches(w, '^[a-z]+$$') AND length(w) >= 2
+               GROUP BY 1),
+             p AS (SELECT freq, unnest(list_transform(range(1, length(w)),
+               i -> w[i] || ' ' || w[i+1])) AS pair FROM v)
+             SELECT pair, CAST(sum(freq) AS BIGINT) AS pair_count
+             FROM p GROUP BY 1 ORDER BY pair_count DESC, pair LIMIT 50"""))
+
+  /** Deterministic weighted sampling: k docs per language, selection odds
+    * increasing with doc weight (n_chars). Priority key = h64(seed|id) / w
+    * — smallest-k win. Integer hash + one IEEE double division keeps the
+    * key bit-identical across engines (exact Efraimidis-Sampling A-Res
+    * needs ln(u), whose libm rounding differs between JVM and C++ — this
+    * u/w variant is weight-monotone and fully deterministic instead).
+    * One window per language partition — the per-group top-k shape. */
+  val sampleWeighted = QueryDef(
+    "sample_weighted",
+    (s, dir) => {
+      val key = HashOps.h64Seeded(7, col("doc_id")).cast("double") /
+        greatest(col("n_chars"), lit(1)).cast("double")
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("k").asc, col("doc_id").asc)
+      t(s, dir, "documents")
+        .select(col("lang"), col("doc_id"), col("n_chars"), key.as("k"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 10)
+        .select(col("lang"), col("rnk"), col("doc_id"), col("n_chars"))
+        .orderBy(col("lang"), col("rnk"))
+    },
+    Some("""WITH keyed AS (SELECT lang, doc_id, n_chars,
+               CAST(('0x' || substr(md5('7|' || doc_id), 1, 15)) AS BIGINT)::DOUBLE
+                 / greatest(n_chars, 1)::DOUBLE AS k
+               FROM documents),
+             ranked AS (SELECT lang, doc_id, n_chars,
+               row_number() OVER (PARTITION BY lang ORDER BY k, doc_id) AS rnk
+               FROM keyed)
+             SELECT lang, rnk, doc_id, n_chars FROM ranked
+             WHERE rnk <= 10 ORDER BY lang, rnk"""))
+
   // ---------------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------------
@@ -3395,7 +3543,7 @@ object Queries {
     streamEnrichJoin, tfidfTopTerms, rollingFeatures,
     corpusDiff, domainStats, bloomExclusion, skewProfile, streamJoinQ,
     streamJoinOuterQ, r16AsofRead, qualityDeciles, b15Purge,
-    curriculumInterleave)
+    curriculumInterleave, urlCanonicalize, bpePairStats, sampleWeighted)
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }
