@@ -3515,6 +3515,143 @@ object Queries {
              SELECT lang, rnk, doc_id, n_chars FROM ranked
              WHERE rnk <= 10 ORDER BY lang, rnk"""))
 
+  /** Product-quantization ANN: per-subspace codebooks (4 × 16-dim, 8
+    * centroids each, one scaled-integer Lloyd step from the ids&lt;8
+    * seeds), corpus encoded to 4 codes/vector, asymmetric-distance top-k
+    * via broadcast distance tables and an exact integer sum. The oracle
+    * replays the entire construction — training, encoding, ADC — in SQL,
+    * so hash-match proves the whole quantizer, not just the final rank. */
+  val annIvfPq = QueryDef(
+    "ann_ivf_pq",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      graft.operators.Similarity.pqTopK(corpus, queries, k = 10, m = 4,
+        ksub = 8, dim = 64, trainIters = 1)
+        .orderBy(col("qid"), col("rank"))
+    },
+    Some("""WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec
+              FROM embeddings),
+            sub AS (SELECT id, mm.m AS m, vec[mm.m*16+1 : mm.m*16+16] AS svec
+              FROM v, range(4) mm(m)),
+            s0 AS (SELECT m, id AS cid, svec AS cvec FROM sub WHERE id < 8),
+            a0 AS (SELECT id, m, svec, cid FROM (
+              SELECT s.id, s.m, s.svec, c.cid, row_number() OVER (
+                PARTITION BY s.id, s.m ORDER BY
+                  round(list_dot_product(s.svec, s.svec)
+                    - 2 * list_dot_product(s.svec, c.cvec)
+                    + list_dot_product(c.cvec, c.cvec), 6) + 0.0 ASC, c.cid) AS rn
+              FROM sub s JOIN s0 c ON s.m = c.m) WHERE rn = 1),
+            c1 AS (SELECT m, cid, list(val ORDER BY pos) AS cvec FROM (
+              SELECT m, cid, p.p AS pos,
+                CAST(sum(CAST(round(svec[p.p + 1] * 1000) AS BIGINT)) AS DOUBLE)
+                  / (count(*) * 1000.0) AS val
+              FROM a0, range(16) p(p) GROUP BY m, cid, p.p) GROUP BY m, cid),
+            codes AS (SELECT id, m, cid AS code FROM (
+              SELECT s.id, s.m, c.cid, row_number() OVER (
+                PARTITION BY s.id, s.m ORDER BY
+                  round(list_dot_product(s.svec, s.svec)
+                    - 2 * list_dot_product(s.svec, c.cvec)
+                    + list_dot_product(c.cvec, c.cvec), 6) + 0.0 ASC, c.cid) AS rn
+              FROM sub s JOIN c1 c ON s.m = c.m) WHERE rn = 1),
+            dt AS (SELECT q.id AS qid, c.m, c.cid,
+                CAST(round((list_dot_product(q.svec, q.svec)
+                  - 2 * list_dot_product(q.svec, c.cvec)
+                  + list_dot_product(c.cvec, c.cvec)) * 1000000) AS BIGINT) AS d2i
+              FROM sub q JOIN c1 c ON q.m = c.m WHERE q.id < 5),
+            cand AS (SELECT d.qid, co.id, CAST(sum(d.d2i) AS BIGINT) AS d2s
+              FROM codes co JOIN dt d ON co.m = d.m AND co.code = d.cid
+              WHERE co.id <> d.qid GROUP BY d.qid, co.id)
+            SELECT qid, rank, id, round(d2s / 1000000.0, 6) AS approx_d2 FROM (
+              SELECT qid, id, d2s, row_number() OVER (
+                PARTITION BY qid ORDER BY d2s, id) AS rank FROM cand)
+            WHERE rank <= 10 ORDER BY qid, rank"""))
+
+  /** FULLY-oracled streaming sessionization: events stream through the
+    * flatMapGroupsWithState operator (gap = 6 h, emit-on-close), then a
+    * close-out drain appends one sentinel per user 2×gap past max — every
+    * real session closes and emits exactly once; sentinel sessions stay in
+    * state and never appear. The emitted set must hash-equal the batch
+    * gap-sessionization SQL. Values stream as per-event cents (integer-
+    * valued doubles), so the state fold's sum is exact in any order and
+    * `cast long` equals the oracle's integer-cents sum.
+    * Same content-keyed stage reuse as `stream_window_agg`. */
+  val streamSessionize = QueryDef(
+    "stream_sessionize",
+    (s, dir) => {
+      import graft.streaming.Sessionize
+      import org.apache.spark.sql.streaming.Trigger
+      val root = java.nio.file.Files.createTempDirectory("graft-ssess").toString
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), unix_millis(col("ts")).as("ts_ms"),
+          round(col("value") * 100).as("value"))
+      val srcSig = Option(new java.io.File(s"$dir/events.parquet").listFiles())
+        .map(_.toSeq).getOrElse(Seq(new java.io.File(s"$dir/events.parquet")))
+        .sortBy(_.getName)
+        .map(f => s"${f.getName}:${f.length}:${f.lastModified}").mkString(",")
+      val stage = new java.io.File(
+        s"${sys.props("java.io.tmpdir")}/graft-ssess-in-${
+          java.security.MessageDigest.getInstance("MD5")
+            .digest(s"$dir|$srcSig".getBytes("UTF-8"))
+            .map(b => f"$b%02x").mkString}")
+      if (!new java.io.File(stage, "_SUCCESS").exists())
+        ev.write.mode("overwrite").parquet(stage.toString)
+      val in = s"$root/in"
+      new java.io.File(in).mkdirs()
+      stage.listFiles().foreach { f =>
+        java.nio.file.Files.createSymbolicLink(
+          java.nio.file.Paths.get(in, f.getName), f.toPath)
+      }
+      val maxTs = ev.agg(max(col("ts_ms"))).head().getLong(0)
+      val gapMs = 6 * 3600 * 1000L
+
+      def drainOnce(): Unit = {
+        val prev = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        try {
+          import s.implicits._
+          val stream = s.readStream.schema(ev.schema).parquet(s"$root/in")
+            .as[Sessionize.Evt]
+          val q = Sessionize.sessionize(stream, gapMs).toDF()
+            .writeStream.format("parquet")
+            .option("path", s"$root/out").option("checkpointLocation", s"$root/cp")
+            .outputMode("append").trigger(Trigger.AvailableNow()).start()
+          require(q.awaitTermination(180000),
+            "stream_sessionize: stream did not drain within 180s")
+        } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      }
+      drainOnce()
+      ev.select(col("user_id")).distinct()
+        .withColumn("ts_ms", lit(maxTs + 2 * gapMs))
+        .withColumn("value", lit(0.0))
+        .write.mode("append").parquet(s"$root/in")
+      drainOnce()
+      s.read.parquet(s"$root/out")
+        .select(col("user_id"), col("session_start"), col("session_end"),
+          col("n_events"), col("total_value").cast("long").as("value_cents"))
+        .orderBy(col("user_id"), col("session_start"))
+    },
+    Some("""SELECT user_id, min(epoch_ms(ts)) AS session_start,
+              max(epoch_ms(ts)) AS session_end,
+              CAST(count(*) AS INT) AS n_events,
+              CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+            FROM (
+              SELECT user_id, ts, value,
+                CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_no
+              FROM (
+                SELECT user_id, ts, value, event_id,
+                  CASE WHEN prev_ts IS NULL
+                       OR epoch_ms(ts) - epoch_ms(prev_ts) > 21600000
+                       THEN 1 ELSE 0 END AS new_sess
+                FROM (SELECT user_id, ts, value, event_id,
+                        lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+                      FROM events)))
+            GROUP BY user_id, sess_no
+            ORDER BY user_id, session_start"""))
+
   // ---------------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------------
@@ -3543,7 +3680,8 @@ object Queries {
     streamEnrichJoin, tfidfTopTerms, rollingFeatures,
     corpusDiff, domainStats, bloomExclusion, skewProfile, streamJoinQ,
     streamJoinOuterQ, r16AsofRead, qualityDeciles, b15Purge,
-    curriculumInterleave, urlCanonicalize, bpePairStats, sampleWeighted)
+    curriculumInterleave, urlCanonicalize, bpePairStats, sampleWeighted,
+    annIvfPq, streamSessionize)
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }

@@ -14,7 +14,7 @@ object StressCheck {
     val spark = GraftSession.build(appName = "stress")
     import spark.implicits._
 
-    // optional section tags as args (keyed lsh semdedup crdt1m crdt10m
+    // optional section tags as args (keyed lsh semdedup pq crdt1m crdt10m
     // squash minhash clusters bucket asof shuffleorder aaview bloom) — no args
     // runs everything
     val only = args.toSet
@@ -103,6 +103,26 @@ object StressCheck {
       require(caught == nVec - nBase,
         s"missed planted duplicates: $caught of ${nVec - nBase}")
       caught
+    }
+    spark.catalog.clearCache()
+
+    // PQ ADC over the same 200k vectors: encoding is a broadcast-codebook
+    // linear scan, the ADC join a code equi-join — nothing quadratic
+    // anywhere. A planted exact duplicate shares the query's argmin codes,
+    // so its ADC sum is the global minimum: it must surface in the top-10
+    // (modulo same-code smaller-id ties), pinning recall, not just runtime.
+    if (on("pq"))
+    timed(s"PQ ADC top-10 ${nVec / 1000}k vecs") {
+      val queries = corpus.filter(col("id") < 100)
+        .select(col("id").as("qid"), col("vec").as("qvec"))
+      val top = graft.operators.Similarity.pqTopK(corpus, queries, k = 10,
+        m = 4, ksub = 16, dim = dim, trainIters = 1).persist()
+      val planted = top.filter(col("id") - col("qid") === nBase).count()
+      val total = top.count()
+      top.unpersist()
+      require(total == 100 * 10, s"expected 1000 rows, got $total")
+      require(planted >= 90, s"planted-duplicate recall $planted/100")
+      total
     }
     spark.catalog.clearCache()
 

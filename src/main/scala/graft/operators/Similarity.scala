@@ -389,4 +389,103 @@ object Similarity {
       .join(dups, Seq("vec_id"), "left")
       .withColumn("is_dup", col("dup_of").isNotNull)
   }
+
+  /** Rounded squared L2 distance with a FIXED association — (a·a − 2·a·b)
+    * + b·b, each dot a sequential fold — so Spark and a SQL oracle using
+    * the same expression produce bit-identical doubles. */
+  private def d2(a: Column, b: Column): Column =
+    round(vecDot(a, a) - lit(2.0) * vecDot(a, b) + vecDot(b, b), 6)
+
+  /** Slice a vector column into its `m` product-quantization subspaces:
+    * one row per (id, m, svec). */
+  private def subspaces(df: DataFrame, idCol: String, vecCol: String,
+      m: Int, subDim: Int): DataFrame =
+    df.select(col(idCol).as("id"), explode(array((0 until m).map(i =>
+        struct(lit(i).as("m"),
+          slice(col(vecCol), i * subDim + 1, subDim).as("svec"))): _*)).as("s"))
+      .select(col("id"), col("s.m").as("m"), col("s.svec").as("svec"))
+
+  /** Product-quantization ANN (the IVF-PQ family's compression half).
+    *
+    * Train: each of `m` subspaces gets its own `ksub`-centroid codebook —
+    * seeds are the ids&lt;ksub subvectors, refined by `trainIters` Lloyd
+    * steps with scaled-integer recentring (exactly [[kmeansCentroids]]'
+    * determinism trick, per subspace). Encode: every corpus vector becomes
+    * `m` small codes (argmin rounded L2 per subspace — 64 floats → 4
+    * codes, a 64× memory cut, which is what makes billion-vector serving
+    * fit in RAM). Query: asymmetric distance computation — the query
+    * builds an (m × ksub) distance table against the codebooks, and a
+    * candidate's approximate distance is the sum of `m` table lookups,
+    * never a full-vector dot product.
+    *
+    * Scale shape: codebooks and distance tables are driver-sized (m·ksub
+    * rows) → broadcast; corpus codes are one narrow frame; the ADC join is
+    * an equi-join on (subspace, code) followed by a keyed integer-sum
+    * aggregation (scaled-integer distances — float addition order across
+    * subspaces would break cross-engine determinism). No shuffle touches
+    * a full-width vector after encoding.
+    *
+    * Reference semantics (NOT code): Venice serves embeddings for ANN
+    * feature stores (docs/README.md:25-33); PQ itself is the standard
+    * Jégou et al. 2011 construction re-expressed as DataFrame ops. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int, m: Int,
+      ksub: Int, dim: Int, trainIters: Int = 1): DataFrame = {
+    require(dim % m == 0, s"dim $dim not divisible by m $m")
+    val subDim = dim / m
+    val spark = corpus.sparkSession
+    val sub = subspaces(corpus, "id", "vec", m, subDim)
+
+    def assign(s: DataFrame, cb: DataFrame) = {
+      val w = Window.partitionBy(col("id"), col("m"))
+        .orderBy(col("dist").asc, col("cid").asc)
+      s.join(broadcast(cb), Seq("m"))
+        .withColumn("dist", d2(col("svec"), col("cvec")) + lit(0.0))
+        .withColumn("rn", row_number().over(w))
+    }
+
+    // per-subspace Lloyd refinement; scaled-integer means (order-independent)
+    var codebook = sub.filter(col("id") < ksub)
+      .select(col("m"), col("id").as("cid"), col("svec").as("cvec"))
+    for (_ <- 0 until trainIters) {
+      codebook = assign(sub, codebook).filter(col("rn") === 1)
+        .select(col("m"), col("cid"), posexplode(col("svec")))
+        .groupBy(col("m"), col("cid"), col("pos"))
+        .agg(sum(round(col("col").cast("double") * 1000).cast("long")).as("s"),
+          count(lit(1)).as("c"))
+        .groupBy(col("m"), col("cid"))
+        .agg(array_sort(collect_list(struct(col("pos"),
+          (col("s").cast("double") / (col("c") * lit(1000.0))).as("v"))))
+          .as("pv"))
+        .select(col("m"), col("cid"),
+          transform(col("pv"), e => e.getField("v")).as("cvec"))
+    }
+    // m·ksub rows — driver-sized by design; materialize once so both
+    // consumers (corpus encode + query distance tables) broadcast a local
+    // relation instead of re-running the training
+    val cbLocal = spark.createDataFrame(
+      java.util.Arrays.asList(codebook.collect(): _*), codebook.schema)
+
+    val codes = assign(sub, cbLocal).filter(col("rn") === 1)
+      .select(col("id"), col("m"), col("cid").as("code"))
+    // ADC distance table: scaled-integer entries so the per-candidate sum
+    // over subspaces is exact in any order and any engine
+    val dtable = subspaces(queries, "qid", "qvec", m, subDim)
+      .select(col("id").as("qid"), col("m"), col("svec").as("qsvec"))
+      .join(broadcast(cbLocal), Seq("m"))
+      .select(col("qid"), col("m"), col("cid"),
+        round((vecDot(col("qsvec"), col("qsvec"))
+          - lit(2.0) * vecDot(col("qsvec"), col("cvec"))
+          + vecDot(col("cvec"), col("cvec"))) * 1e6).cast("long").as("d2i"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("d2s").asc, col("id").asc)
+    codes.join(broadcast(dtable),
+        codes("m") === dtable("m") && codes("code") === dtable("cid"))
+      .filter(col("id") =!= col("qid"))
+      .groupBy(col("qid"), col("id"))
+      .agg(sum(col("d2i")).as("d2s"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("id"),
+        round(col("d2s").cast("double") / 1e6, 6).as("approx_d2"))
+  }
 }

@@ -25,6 +25,35 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.filter(col("pred") =!= col("expected")).count() == 0)
   }
 
+  test("PQ ANN: codes are complete, ADC ranking correlates with exact") {
+    val emb = Tables.embeddings(spark, sf)
+    val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val queries = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val n = corpus.count()
+    val pq = Similarity.pqTopK(corpus, queries, k = 10, m = 4, ksub = 8,
+      dim = 64, trainIters = 1)
+    val rows = pq.collect()
+    // every query gets a full k (ADC scans all candidates — PQ compresses
+    // memory, it never loses candidates the way cell probing can)
+    assert(rows.groupBy(_.getLong(0)).forall(_._2.length == 10),
+      "a query returned fewer than k")
+    // approximate distances are nonnegative and finite
+    assert(rows.forall(r => r.getDouble(3) >= 0 && !r.getDouble(3).isNaN))
+    // 16-dim subspaces with 8 centroids quantize coarsely on random unit
+    // vectors; the pin is structural: PQ's top-10 must beat random overlap
+    // with the exact top-10 by a wide margin (random ≈ 10/n per slot).
+    // Measured 0.16 = 8× random on this deterministic data+training — a
+    // change in this number means the quantizer changed, not the data.
+    val exact = Similarity.bruteForceTopK(corpus, queries, 10)
+      .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = rows.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val overlap = (exact intersect approx).size.toDouble / exact.size
+    val randomBaseline = 10.0 / n
+    assert(overlap > 5 * randomBaseline,
+      s"PQ overlap $overlap vs random $randomBaseline")
+  }
+
   test("LSH ANN recall vs brute force is substantial at 4 bits") {
     val emb = Tables.embeddings(spark, sf)
     val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
