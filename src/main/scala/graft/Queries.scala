@@ -3652,6 +3652,68 @@ object Queries {
             GROUP BY user_id, sess_no
             ORDER BY user_id, session_start"""))
 
+  /** C4-style span-level dedup ([[graft.operators.Dedup.spanDedup]]): every
+    * distinct 10-token span survives exactly once corpus-wide (first
+    * occurrence by (doc_id, span_idx)); documents are reassembled from
+    * their surviving spans. The oracle replays span slicing, global keeper
+    * election, and ordered reassembly in SQL and compares the md5 of the
+    * rebuilt text. */
+  val dedupSpans = QueryDef(
+    "dedup_spans",
+    (s, dir) => graft.operators.Dedup
+      .spanDedup(t(s, dir, "documents"), "doc_id", "text", 10)
+      .orderBy(col("doc_id")),
+    Some("""WITH toks AS (SELECT doc_id,
+               list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+             FROM documents),
+             idx AS (SELECT doc_id, t,
+               unnest(range(0, (len(t) + 9) // 10)) AS i FROM toks),
+             spans AS (SELECT doc_id, CAST(i AS INT) AS span_idx,
+               array_to_string(list_slice(t, CAST(i*10+1 AS BIGINT),
+                 CAST(i*10+10 AS BIGINT)), ' ') AS span FROM idx),
+             ranked AS (SELECT doc_id, span_idx, span,
+               row_number() OVER (PARTITION BY md5(span)
+                 ORDER BY doc_id, span_idx) AS rn FROM spans)
+             SELECT doc_id, count(*) AS n_spans,
+               count(*) FILTER (WHERE rn = 1) AS kept_spans,
+               md5(coalesce(string_agg(span, ' ' ORDER BY span_idx)
+                 FILTER (WHERE rn = 1), '')) AS out_md5
+             FROM ranked GROUP BY doc_id ORDER BY doc_id"""))
+
+  /** Sequence-length histogram — the curriculum/packing planner's input:
+    * doc counts and token totals per 16-token length bucket, with a
+    * cumulative doc count. Pure integer arithmetic (bucket = n − n mod 16)
+    * so the oracle is bit-exact. The global cumulative window runs over
+    * histogram rows (bucket cardinality, dozens), not documents — safe at
+    * any corpus size. */
+  val seqLenHist = QueryDef(
+    "seq_length_hist",
+    (s, dir) => {
+      val cum = Window.orderBy(col("bucket_lo"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "documents")
+        .select(TextOps.tokenCount(col("text")).cast("long").as("n"))
+        .groupBy((col("n") - pmod(col("n"), lit(16))).as("bucket_lo"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n")).as("total_tokens"),
+          min(col("n")).as("min_tokens"),
+          max(col("n")).as("max_tokens"))
+        .withColumn("cum_docs", sum(col("n_docs")).over(cum))
+        .orderBy(col("bucket_lo"))
+    },
+    Some("""WITH n AS (SELECT CAST(len(list_filter(
+               string_split(lower(text), ' '), x -> x <> '')) AS BIGINT) AS n
+             FROM documents),
+             h AS (SELECT n - n % 16 AS bucket_lo, count(*) AS n_docs,
+               CAST(sum(n) AS BIGINT) AS total_tokens,
+               min(n) AS min_tokens, max(n) AS max_tokens
+             FROM n GROUP BY 1)
+             SELECT bucket_lo, n_docs, total_tokens, min_tokens, max_tokens,
+               CAST(sum(n_docs) OVER (ORDER BY bucket_lo
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                 AS cum_docs
+             FROM h ORDER BY bucket_lo"""))
+
   // ---------------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------------
@@ -3681,7 +3743,7 @@ object Queries {
     corpusDiff, domainStats, bloomExclusion, skewProfile, streamJoinQ,
     streamJoinOuterQ, r16AsofRead, qualityDeciles, b15Purge,
     curriculumInterleave, urlCanonicalize, bpePairStats, sampleWeighted,
-    annIvfPq, streamSessionize)
+    annIvfPq, streamSessionize, dedupSpans, seqLenHist)
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }

@@ -98,6 +98,51 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** C4-style span-level dedup: split each document into consecutive
+    * `spanTokens`-token spans, fingerprint each span, and keep only the
+    * globally-first occurrence (min (doc_id, span_idx)) of every distinct
+    * span — removing boilerplate repeated across documents while leaving
+    * unique text intact. (C4 removes duplicate three-sentence spans the
+    * same way; this corpus has no sentence boundaries, so spans are fixed
+    * token windows.)
+    *
+    * Scale shape: keeper election is a groupBy on the span fingerprint
+    * with map-side partial aggregation (min of a (doc_id, span_idx)
+    * struct) — a boilerplate span repeated 10^6 times combines map-side
+    * instead of landing on one window task; the join back is a plain
+    * equi-join on the fingerprint; reassembly is one doc_id shuffle.
+    *
+    * Output: one row per non-empty doc — doc_id, n_spans, kept_spans,
+    * md5 of the reassembled (kept spans in order) text.
+    */
+  def spanDedup(df: DataFrame, idCol: String, textCol: String,
+      spanTokens: Int = 10): DataFrame = {
+    val k = spanTokens
+    val spans = df
+      .select(col(idCol).cast("long").as("doc_id"),
+        TextOps.tokens(col(textCol)).as("t"))
+      // ceil(|t| / k) in exact integer arithmetic
+      .withColumn("n_spans",
+        floor((size(col("t")) + (k - 1)) / lit(k)).cast("int"))
+      .filter(col("n_spans") > 0)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), col("n_spans") - 1),
+          i => concat_ws(" ", slice(col("t"), i * k + 1, lit(k))))))
+      .select(col("doc_id"), col("pos").as("span_idx"),
+        col("col").as("span"), md5(col("col")).as("fp"))
+    val keeper = spans.groupBy(col("fp"))
+      .agg(min(struct(col("doc_id"), col("span_idx"))).as("keeper"))
+    spans.join(keeper, Seq("fp"))
+      .withColumn("kept", col("doc_id") === col("keeper.doc_id") &&
+        col("span_idx") === col("keeper.span_idx"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("kept").cast("long")).as("kept_spans"),
+        md5(array_join(transform(array_sort(collect_list(
+          when(col("kept"), struct(col("span_idx"), col("span"))))),
+          s => s.getField("span")), " ")).as("out_md5"))
+  }
+
   /** SimHash near-dup pairs with Hamming distance ≤ 1 over the 16-bit
     * signature. Two 8-bit bands: distance ≤ 1 guarantees one intact band
     * (pigeonhole), so the band equi-join finds every qualifying pair. */
