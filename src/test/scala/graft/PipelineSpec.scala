@@ -812,4 +812,44 @@ class PipelineSpec extends AnyFunSuite {
     assert(!plan.contains("Join"), s"membership must not join:\n$plan")
     assert(!plan.contains("Exchange"), s"membership must not shuffle:\n$plan")
   }
+
+  test("spanDedup: duplicated spans removed once, unique text intact") {
+    import spark.implicits._
+    // doc 0: ten unique tokens (one span). doc 1: the SAME ten tokens
+    // (pure duplicate — zero kept spans). doc 2: doc 0's span followed by
+    // ten fresh tokens (keeps only the second span). doc 3: entirely
+    // fresh 7 tokens (short tail span, kept whole).
+    val s0 = (1 to 10).map(i => s"tok$i").mkString(" ")
+    val s2 = (11 to 20).map(i => s"tok$i").mkString(" ")
+    val s3 = (21 to 27).map(i => s"tok$i").mkString(" ")
+    val docs = Seq((0L, s0), (1L, s0), (2L, s0 + " " + s2), (3L, s3))
+      .toDF("doc_id", "text")
+    val out = Dedup.spanDedup(docs, "doc_id", "text", 10)
+      .orderBy("doc_id")
+      .select("doc_id", "n_spans", "kept_spans", "out_md5")
+      .as[(Long, Long, Long, String)].collect()
+    assert(out.map(r => (r._1, r._2, r._3)).toSeq ==
+      Seq((0L, 1L, 1L), (1L, 1L, 0L), (2L, 2L, 1L), (3L, 1L, 1L)))
+    def md5Hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // reassembled text: doc 0 keeps its span, doc 1 reassembles to empty,
+    // doc 2 keeps only its second span
+    assert(out(0)._4 == md5Hex(s0))
+    assert(out(1)._4 == md5Hex(""))
+    assert(out(2)._4 == md5Hex(s2))
+    assert(out(3)._4 == md5Hex(s3))
+    // corpus-level invariant: kept spans ≡ distinct span fingerprints
+    val corpus = Tables.load(spark, sf, "documents")
+    val full = Dedup.spanDedup(corpus, "doc_id", "text", 10)
+    val kept = full.agg(sum("kept_spans")).head().getLong(0)
+    val distinctSpans = corpus
+      .select(graft.functions.TextOps.tokens(col("text")).as("t"))
+      .filter(size(col("t")) > 0)
+      .select(explode(transform(
+        sequence(lit(0), floor((size(col("t")) + 9) / lit(10)).cast("int") - 1),
+        i => concat_ws(" ", slice(col("t"), i * 10 + 1, lit(10))))).as("span"))
+      .select(md5(col("span"))).distinct().count()
+    assert(kept == distinctSpans,
+      s"kept $kept != distinct spans $distinctSpans")
+  }
 }
