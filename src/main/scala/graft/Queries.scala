@@ -3714,6 +3714,115 @@ object Queries {
                  AS cum_docs
              FROM h ORDER BY bucket_lo"""))
 
+  /** Gopher-style quality rules (Rae et al. 2021, public): unlike
+    * [[corpusFilter]]'s first-reject-reason pipeline, every rule is
+    * evaluated per doc and surfaced as its own column — the shape used to
+    * tune thresholds (per-rule pass rates) before committing a filter.
+    * All rules are integer-exact (mean-length bounds as cross-multiplied
+    * integer compares, never a division), so the oracle is bit-exact.
+    * Narrow per-row column ops — no shuffle at all before the final sort. */
+  val gopherRules = QueryDef(
+    "gopher_rules",
+    (s, dir) => {
+      val stopWords = Seq("the", "and", "of", "to", "is", "in", "that",
+        "it", "for", "with")
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), TextOps.tokens(col("text")).as("t"))
+        .select(col("doc_id"),
+          size(col("t")).cast("long").as("n_words"),
+          aggregate(col("t"), lit(0), (acc, x) => acc + length(x))
+            .cast("long").as("total_chars"),
+          size(filter(col("t"), x => x.rlike("[a-z]")))
+            .cast("long").as("alpha_words"),
+          size(filter(col("t"), x => x.isInCollection(stopWords)))
+            .cast("long").as("stop_count"),
+          (length(col("text")) - length(expr("replace(text, '#', '')")))
+            .cast("long").as("n_symbols"))
+      d.select(col("doc_id"), col("n_words"),
+          col("n_words").between(20, 100000).as("r_wordcount"),
+          (lit(3) * col("n_words") <= col("total_chars") &&
+            col("total_chars") <= lit(10) * col("n_words")).as("r_meanlen"),
+          (lit(5) * col("alpha_words") >= lit(4) * col("n_words")).as("r_alpha"),
+          (col("stop_count") >= 2).as("r_stop"),
+          (lit(10) * col("n_symbols") <= col("n_words")).as("r_symbol"))
+        .withColumn("keep", col("r_wordcount") && col("r_meanlen") &&
+          col("r_alpha") && col("r_stop") && col("r_symbol"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH base AS (SELECT doc_id, text, $tokensSql AS t FROM documents),
+             sig AS (SELECT doc_id,
+                 CAST(len(t) AS BIGINT) AS n_words,
+                 CAST(coalesce(list_sum(list_transform(t, x -> length(x))), 0)
+                   AS BIGINT) AS total_chars,
+                 CAST(len(list_filter(t, x -> regexp_matches(x, '[a-z]')))
+                   AS BIGINT) AS alpha_words,
+                 CAST(len(list_filter(t, x -> list_contains(
+                   ['the','and','of','to','is','in','that','it','for','with'],
+                   x))) AS BIGINT) AS stop_count,
+                 CAST(length(text) - length(replace(text, '#', ''))
+                   AS BIGINT) AS n_symbols
+               FROM base)
+             SELECT doc_id, n_words,
+               n_words BETWEEN 20 AND 100000 AS r_wordcount,
+               3 * n_words <= total_chars AND total_chars <= 10 * n_words
+                 AS r_meanlen,
+               5 * alpha_words >= 4 * n_words AS r_alpha,
+               stop_count >= 2 AS r_stop,
+               10 * n_symbols <= n_words AS r_symbol,
+               (n_words BETWEEN 20 AND 100000)
+                 AND (3 * n_words <= total_chars AND total_chars <= 10 * n_words)
+                 AND (5 * alpha_words >= 4 * n_words)
+                 AND (stop_count >= 2)
+                 AND (10 * n_symbols <= n_words) AS keep
+             FROM sig ORDER BY doc_id"""))
+
+  /** Train/val/test leakage audit — the check that belongs AFTER
+    * [[splitAssignQ]]: any content fingerprint appearing in more than one
+    * split is leakage (an eval doc the model trained on). The corpus has
+    * no exact duplicates, so both engines plant re-id'd copies of the
+    * first 50 docs (duplicate content, different md5 split bucket) and
+    * must find exactly the planted leaks. One fingerprint-shuffle groupBy
+    * with map-side partial aggregation — the same 100 TB shape as exact
+    * dedup. */
+  val splitLeakage = QueryDef(
+    "split_leakage",
+    (s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val planted = docs.filter(col("doc_id") < 50)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+      docs.unionAll(planted)
+        .select(col("doc_id"),
+          TextOps.splitAssign(col("doc_id")).as("split"),
+          TextOps.fingerprint(col("text")).as("fingerprint"))
+        .groupBy(col("fingerprint"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("split")).as("n_splits"),
+          array_join(array_sort(collect_set(col("split"))), ",").as("splits"),
+          min(col("doc_id")).as("keeper_id"))
+        .filter(col("n_splits") > 1)
+        .orderBy(col("fingerprint"))
+    },
+    Some("""WITH u AS (SELECT doc_id, text FROM documents
+               UNION ALL
+               SELECT doc_id + 100000 AS doc_id, text FROM documents
+               WHERE doc_id < 50),
+             a AS (SELECT doc_id,
+               CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::INT % 100 < 80
+                      THEN 'train'
+                    WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::INT % 100 < 90
+                      THEN 'val'
+                    ELSE 'test' END AS split,
+               md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+                 AS fingerprint
+               FROM u)
+             SELECT fingerprint, count(*) AS n_docs,
+               count(DISTINCT split) AS n_splits,
+               array_to_string(list_sort(list_distinct(list(split))), ',')
+                 AS splits,
+               min(doc_id) AS keeper_id
+             FROM a GROUP BY fingerprint HAVING count(DISTINCT split) > 1
+             ORDER BY fingerprint"""))
+
   // ---------------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------------
@@ -3743,7 +3852,8 @@ object Queries {
     corpusDiff, domainStats, bloomExclusion, skewProfile, streamJoinQ,
     streamJoinOuterQ, r16AsofRead, qualityDeciles, b15Purge,
     curriculumInterleave, urlCanonicalize, bpePairStats, sampleWeighted,
-    annIvfPq, streamSessionize, dedupSpans, seqLenHist)
+    annIvfPq, streamSessionize, dedupSpans, seqLenHist,
+    gopherRules, splitLeakage)
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }
