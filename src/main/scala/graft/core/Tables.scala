@@ -23,13 +23,23 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  /** events.parquet stores ts as TIMESTAMP(NANOS), which Spark 4 only reads
-    * as a raw Long (spark.sql.legacy.parquet.nanosAsLong=true — set by
-    * [[GraftSession]]). Normalize to a proper TimestampType column
-    * (microsecond floor, matching DuckDB's ms/µs truncation). */
-  def events(s: SparkSession, d: String): DataFrame =
-    load(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  /** events.parquet has shipped `ts` as TIMESTAMP(NANOS) (which Spark 4 only
+    * reads as a raw Long under spark.sql.legacy.parquet.nanosAsLong=true — set
+    * by [[GraftSession]]) and, in newer drops, as TIMESTAMP(MICROS) (which
+    * Spark reads as TIMESTAMP_NTZ). Normalize both to a session-TZ
+    * TimestampType column: nanos floor to microseconds (matching DuckDB's
+    * truncation), and NTZ casts are an identity re-tag because the session
+    * time zone is pinned to UTC. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
+  }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }
