@@ -2832,6 +2832,255 @@ object Queries {
              QUALIFY rank <= 3
              ORDER BY doc_id, rank"""))
 
+  /** BM25 document retrieval ("find documents related to a query doc").
+    * Queries are corpus-derived: every 97th doc contributes its top-3
+    * TF-IDF terms (same integer scoring + tie-break as `tfidf_topterms`).
+    * Scoring is an all-integer BM25 surrogate with k1=1.2, b=0.75 as exact
+    * rationals: the tf saturation term tf·(k1+1)/(tf + k1(1−b+b·dl/avgdl))
+    * becomes 44·tf·T / (20·tf·T + 6·T + 18·dl·N) with avgdl = T/N
+    * substituted (T = corpus tokens, N = docs), scaled ×1000 under integer
+    * div; the idf becomes the scaled odds ratio (2N−2df+1)/(2df+1) — the
+    * argument of Robertson's log-idf, a per-term monotone surrogate (the
+    * same no-log() trick `lm_rarity`/`tfidf_topterms` use, so both engines
+    * agree bit-for-bit; at >~1e13 corpus tokens drop the ×1000 resolution
+    * factor to stay inside int64). Shape at scale: the query-term set is
+    * tiny (3 terms × N/97 docs) and BROADCAST into the token-keyed tf
+    * postings join — the corpus-side tables (tf, dl) shuffle once each on
+    * their natural keys; final per-query top-5 is a bounded window. */
+  val bm25Retrieval = QueryDef(
+    "bm25_retrieval",
+    (s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
+      val tf = toks.groupBy(col("doc_id"), col("token"))
+        .agg(count(lit(1)).as("tf"))
+      val dfreq = toks.distinct().groupBy(col("token"))
+        .agg(count(lit(1)).as("df"))
+      val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      val st = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("t")).collect()(0)
+      val n = st.getLong(0)
+      val tt = st.getLong(1)
+      val wq = Window.partitionBy(col("query_id"))
+        .orderBy(col("tscore").desc, col("token"))
+      val qterms = tf.filter(pmod(col("doc_id"), lit(97)) === 0)
+        .join(dfreq, "token")
+        .withColumn("tscore", col("tf") * expr(s"${n}L div df"))
+        .withColumn("query_id", col("doc_id"))
+        .withColumn("rk", row_number().over(wq))
+        .filter(col("rk") <= 3)
+        .select(col("query_id"), col("token"))
+      val cand = tf
+        .join(broadcast(qterms.join(dfreq, "token")), "token")
+        .filter(col("doc_id") =!= col("query_id"))
+        .join(dl, "doc_id")
+      val scored = cand
+        .withColumn("term_score",
+          expr(s"((1000000L * (2L*${n}L - 2L*df + 1L)) div (2L*df + 1L)) * " +
+            s"((44L * tf * ${tt}L * 1000L) div " +
+            s"(20L * tf * ${tt}L + 6L * ${tt}L + 18L * dl * ${n}L))"))
+        .groupBy(col("query_id"), col("doc_id"))
+        .agg(sum(col("term_score")).as("score"))
+      val wr = Window.partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("doc_id"))
+      scored.withColumn("rank", row_number().over(wr))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("rank"), col("doc_id"), col("score"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(s"""WITH toks AS (SELECT doc_id, unnest($tokensSql) AS token
+               FROM documents),
+             tf AS (SELECT doc_id, token, count(*) AS tf
+               FROM toks GROUP BY doc_id, token),
+             dfreq AS (SELECT token, count(*) AS df
+               FROM (SELECT DISTINCT doc_id, token FROM toks) GROUP BY token),
+             dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+             stats AS (SELECT count(*) AS n, sum(dl) AS t FROM dl),
+             qterms AS (SELECT query_id, token FROM (
+                 SELECT tf.doc_id AS query_id, tf.token,
+                   row_number() OVER (PARTITION BY tf.doc_id
+                     ORDER BY tf.tf * (stats.n // dfreq.df) DESC, tf.token) AS rk
+                 FROM tf JOIN dfreq USING (token), stats
+                 WHERE tf.doc_id % 97 = 0)
+               WHERE rk <= 3),
+             scored AS (
+               SELECT q.query_id, tf.doc_id,
+                 CAST(sum(((1000000 * (2*stats.n - 2*dfreq.df + 1)) // (2*dfreq.df + 1))
+                   * ((44 * tf.tf * stats.t * 1000) //
+                      (20 * tf.tf * stats.t + 6 * stats.t + 18 * dl.dl * stats.n))) AS BIGINT) AS score
+               FROM qterms q
+               JOIN tf ON tf.token = q.token
+               JOIN dl ON dl.doc_id = tf.doc_id
+               JOIN dfreq ON dfreq.token = q.token, stats
+               WHERE tf.doc_id <> q.query_id
+               GROUP BY q.query_id, tf.doc_id)
+             SELECT query_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY score DESC, doc_id) AS rank,
+               doc_id, score
+             FROM scored
+             QUALIFY rank <= 5
+             ORDER BY query_id, rank"""))
+
+  /** Bigram language-model quality scoring with stupid backoff (Brants et
+    * al. 2007): train bigram + unigram counts on the even-doc_id half of
+    * the corpus, score the odd half — the KenLM-ish "perplexity filter"
+    * signal a pretraining pipeline uses, with held-out scoring so the
+    * backoff path is actually exercised. Per scored bigram the surprisal
+    * surrogate is the scaled INVERSE probability (all integer, no log()):
+    * seen bigram → 1e6·c(w1)/c(w1w2); unseen → 1/(0.4·c(w2)/T) =
+    * 5e6·T/(2·c(w2)), add-one for OOV w2. Per doc: mean/max inverse-prob
+    * and the backoff count. Shape at scale: model training is one groupBy
+    * each over the training half (map-side partial agg); scoring is three
+    * token-keyed equi-joins (Catalyst broadcasts the count tables while
+    * they fit, sort-merge beyond) and one final per-doc agg. */
+  val lmBigram = QueryDef(
+    "lm_bigram",
+    (s, dir) => {
+      val tk = t(s, dir, "documents")
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
+      val toks = tk.select(col("doc_id"), explode(col("tk")).as("w"))
+      val cu = toks.filter(pmod(col("doc_id"), lit(2)) === 0)
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      val tot = cu.agg(sum(col("c"))).collect()(0).getLong(0)
+      val bgAll = tk.select(col("doc_id"), explode(expr(
+          "zip_with(slice(tk, 1, greatest(size(tk)-1, 0)), " +
+            "slice(tk, 2, greatest(size(tk)-1, 0)), " +
+            "(a, b) -> struct(a AS w1, b AS w2))")).as("b"))
+        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      val cb = bgAll.filter(pmod(col("doc_id"), lit(2)) === 0)
+        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+      val scored = bgAll.filter(pmod(col("doc_id"), lit(2)) === 1)
+        .join(cb, Seq("w1", "w2"), "left")
+        .join(cu.select(col("w").as("w1"), col("c").as("cu1")), Seq("w1"), "left")
+        .join(cu.select(col("w").as("w2"), col("c").as("cu2")), Seq("w2"), "left")
+        .withColumn("ippm",
+          when(col("cb").isNotNull, expr("(1000000L * cu1) div cb"))
+            .otherwise(expr(s"(5000000L * ${tot}L) div (2L * coalesce(cu2, 1L))")))
+        .withColumn("backoff",
+          when(col("cb").isNull, lit(1L)).otherwise(lit(0L)))
+      scored.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(col("backoff")).as("n_backoff"),
+          expr("sum(ippm) div count(1)").as("mean_ippm"),
+          max(col("ippm")).as("max_ippm"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH tk AS (SELECT doc_id, $tokensSql AS t FROM documents),
+             toks AS (SELECT doc_id, unnest(t) AS w FROM tk),
+             cu AS (SELECT w, count(*) AS c FROM toks
+               WHERE doc_id % 2 = 0 GROUP BY w),
+             tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM cu),
+             bgf AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM (
+                 SELECT doc_id, unnest(list_transform(range(1, len(t)),
+                   i -> struct_pack(w1 := t[i], w2 := t[i+1]))) AS b
+                 FROM tk)),
+             cb AS (SELECT w1, w2, count(*) AS c FROM bgf
+               WHERE doc_id % 2 = 0 GROUP BY w1, w2),
+             sc AS (SELECT f.doc_id,
+                 CASE WHEN cb.c IS NOT NULL THEN (1000000 * cu1.c) // cb.c
+                      ELSE (5000000 * tot.t) // (2 * COALESCE(cu2.c, 1))
+                 END AS ippm,
+                 CASE WHEN cb.c IS NULL THEN 1 ELSE 0 END AS backoff
+               FROM bgf f
+               LEFT JOIN cb ON cb.w1 = f.w1 AND cb.w2 = f.w2
+               LEFT JOIN cu cu1 ON cu1.w = f.w1
+               LEFT JOIN cu cu2 ON cu2.w = f.w2, tot
+               WHERE f.doc_id % 2 = 1)
+             SELECT doc_id, count(*) AS n_bigrams,
+               CAST(sum(backoff) AS BIGINT) AS n_backoff,
+               CAST(sum(ippm) // count(*) AS BIGINT) AS mean_ippm,
+               CAST(max(ippm) AS BIGINT) AS max_ippm
+             FROM sc GROUP BY doc_id ORDER BY doc_id"""))
+
+  /** Fixed-point PageRank over a crawl link graph — the "domain/page
+    * authority" weight a crawl-prioritizing pipeline folds into quality
+    * scores (Page et al. 1999; the synthetic corpus has no hyperlinks, so
+    * the edge list is derived deterministically: doc u links to
+    * (u·m+o) mod M for three multiplier/offset pairs, kept only when the
+    * target doc exists and isn't u itself — the oracle derives the same
+    * edges). Four unrolled power iterations in ALL-integer arithmetic:
+    * pr0 = S/N at scale S=1e12; each step pr' = (15·S)/(100·N) +
+    * 85·Σ_in(pr/outdeg)/100 under integer div (dangling-node mass is
+    * dropped, deterministically, in both engines). Shape at scale: the
+    * edge list shuffles ONCE on src per iteration (join to pr) and once
+    * on dst (the contribution sum) — the classic Pregel shape expressed
+    * as joins, with the node table reused; iterations are a fixed small
+    * constant, not a convergence loop. */
+  val crawlPagerank = QueryDef(
+    "crawl_pagerank",
+    (s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val st = docs.agg(count(lit(1)).as("n"),
+        (max(col("doc_id")) + 1).as("m")).collect()(0)
+      val n = st.getLong(0)
+      val m = st.getLong(1)
+      val scale = 1000000000000L
+      val base = (15L * scale) / (100L * n)
+      val rawEdges = docs.select(col("doc_id").as("src"),
+          explode(array(
+            pmod(col("doc_id") * 31 + 7, lit(m)),
+            pmod(col("doc_id") * 17 + 3, lit(m)),
+            pmod(col("doc_id") * 13 + 11, lit(m)))).as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .join(docs.select(col("doc_id").as("dst")), Seq("dst"))
+      val outdeg = rawEdges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+      val edges = rawEdges.join(outdeg, "src")
+      var pr = docs.withColumn("pr", lit(scale / n))
+      for (_ <- 1 to 4) {
+        val contrib = edges
+          .join(pr.select(col("doc_id").as("src"), col("pr")), "src")
+          .select(col("dst"), expr("pr div outdeg").as("share"))
+          .groupBy(col("dst")).agg(sum(col("share")).as("insum"))
+        pr = docs.join(contrib.withColumnRenamed("dst", "doc_id"),
+            Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            (lit(base) + expr("(85L * coalesce(insum, 0L)) div 100L")).as("pr"))
+      }
+      pr.orderBy(col("doc_id"))
+    },
+    Some("""WITH docs AS (SELECT doc_id FROM documents),
+            st AS (SELECT count(*) AS n, max(doc_id) + 1 AS m FROM docs),
+            edges0 AS (
+              SELECT d.doc_id AS src, (d.doc_id * mult + off) % st.m AS dst
+              FROM docs d, st,
+                (VALUES (31, 7), (17, 3), (13, 11)) AS lk(mult, off)
+              WHERE (d.doc_id * mult + off) % st.m <> d.doc_id),
+            edges1 AS (SELECT e.src, e.dst FROM edges0 e
+              JOIN docs x ON x.doc_id = e.dst),
+            outdeg AS (SELECT src, count(*) AS outdeg FROM edges1 GROUP BY src),
+            edges AS (SELECT e.src, e.dst, o.outdeg
+              FROM edges1 e JOIN outdeg o USING (src)),
+            it0 AS (SELECT doc_id, (1000000000000 // st.n) AS pr FROM docs, st),
+            it1 AS (SELECT d.doc_id,
+                ((15 * 1000000000000) // (100 * st.n))
+                  + (85 * COALESCE(s.insum, 0)) // 100 AS pr
+              FROM docs d LEFT JOIN (
+                SELECT e.dst, CAST(sum(p.pr // e.outdeg) AS BIGINT) AS insum
+                FROM edges e JOIN it0 p ON p.doc_id = e.src GROUP BY e.dst) s
+              ON s.dst = d.doc_id, st),
+            it2 AS (SELECT d.doc_id,
+                ((15 * 1000000000000) // (100 * st.n))
+                  + (85 * COALESCE(s.insum, 0)) // 100 AS pr
+              FROM docs d LEFT JOIN (
+                SELECT e.dst, CAST(sum(p.pr // e.outdeg) AS BIGINT) AS insum
+                FROM edges e JOIN it1 p ON p.doc_id = e.src GROUP BY e.dst) s
+              ON s.dst = d.doc_id, st),
+            it3 AS (SELECT d.doc_id,
+                ((15 * 1000000000000) // (100 * st.n))
+                  + (85 * COALESCE(s.insum, 0)) // 100 AS pr
+              FROM docs d LEFT JOIN (
+                SELECT e.dst, CAST(sum(p.pr // e.outdeg) AS BIGINT) AS insum
+                FROM edges e JOIN it2 p ON p.doc_id = e.src GROUP BY e.dst) s
+              ON s.dst = d.doc_id, st),
+            it4 AS (SELECT d.doc_id,
+                ((15 * 1000000000000) // (100 * st.n))
+                  + (85 * COALESCE(s.insum, 0)) // 100 AS pr
+              FROM docs d LEFT JOIN (
+                SELECT e.dst, CAST(sum(p.pr // e.outdeg) AS BIGINT) AS insum
+                FROM edges e JOIN it3 p ON p.doc_id = e.src GROUP BY e.dst) s
+              ON s.dst = d.doc_id, st)
+            SELECT doc_id, pr FROM it4 ORDER BY doc_id"""))
+
   /** Time-range rolling features: per event, the same user's event count
     * and value sum over the trailing hour — a RANGE window frame (frame
     * membership decided by the ts VALUE, so same-ts ties are symmetric and
@@ -3367,6 +3616,55 @@ object Queries {
              FROM c WHERE c_custkey NOT BETWEEN 151 AND 200
              ORDER BY as_of, c_custkey"""))
 
+  /** Backup-version rollback / roll-forward (reference: VeniceHelixAdmin
+    * `rollbackToBackupVersion` / `rollForwardToFutureVersion` — admin flips
+    * the serving version pointer; RT data still overlays whichever version
+    * serves). Phases: read v2, roll back to v1, read again, roll forward,
+    * read again — the RT put (issued after the v2 push) survives all three
+    * because the log overlay is version-independent, exactly the hybrid-
+    * store re-consume behavior. Pointer flips are O(1) driver-side moves;
+    * each read is the usual bucket-pruned snapshot + small log merge. */
+  val r17Rollback = QueryDef(
+    "r17_rollback",
+    (s, dir) => {
+      val e = tempEngine(s, "graft-r17")
+      e.createStore("p", Seq("p_partkey"))
+      val v1 = t(s, dir, "part").filter(col("p_partkey") <= 400)
+        .select(col("p_partkey"), col("p_name"),
+          round(col("p_retailprice") * 100).cast("long").as("cents"))
+      e.push("p", v1, numBuckets = 4)
+      e.push("p", v1.filter(col("p_partkey") <= 350)
+        .withColumn("cents", col("cents") + 111), numBuckets = 4)
+      e.put("p", v1.filter(col("p_partkey") <= 50)
+        .withColumn("p_name", concat(col("p_name"), lit("_RT")))
+        .withColumn("cents", col("cents") + 5000), tsMs = 1000L)
+      def read(tag: String) = e.servingView("p").withColumn("phase", lit(tag))
+      val a = read("a_v2")
+      val b = { e.rollback("p"); read("b_rollback") }
+      val c = { e.rollForward("p"); read("c_rollforward") }
+      a.unionByName(b).unionByName(c)
+        .select(col("phase"), col("p_partkey"), col("p_name"), col("cents"))
+        .orderBy(col("phase"), col("p_partkey"))
+    },
+    Some("""WITH v1 AS (SELECT p_partkey, p_name,
+                 CAST(round(p_retailprice * 100) AS BIGINT) AS cents
+               FROM part WHERE p_partkey <= 400)
+            SELECT 'a_v2' AS phase, p_partkey,
+              CASE WHEN p_partkey <= 50 THEN p_name || '_RT' ELSE p_name END AS p_name,
+              CASE WHEN p_partkey <= 50 THEN cents + 5000 ELSE cents + 111 END AS cents
+            FROM v1 WHERE p_partkey <= 350
+            UNION ALL
+            SELECT 'b_rollback', p_partkey,
+              CASE WHEN p_partkey <= 50 THEN p_name || '_RT' ELSE p_name END,
+              CASE WHEN p_partkey <= 50 THEN cents + 5000 ELSE cents END
+            FROM v1
+            UNION ALL
+            SELECT 'c_rollforward', p_partkey,
+              CASE WHEN p_partkey <= 50 THEN p_name || '_RT' ELSE p_name END,
+              CASE WHEN p_partkey <= 50 THEN cents + 5000 ELSE cents + 111 END
+            FROM v1 WHERE p_partkey <= 350
+            ORDER BY phase, p_partkey"""))
+
   /** Crawl URL canonicalization + duplicate grouping. Four messy variants
     * of the same logical URL are planted per doc-group (the corpus has no
     * URL column), then canonicalized: lowercase scheme+host, strip www.,
@@ -3853,7 +4151,8 @@ object Queries {
     streamJoinOuterQ, r16AsofRead, qualityDeciles, b15Purge,
     curriculumInterleave, urlCanonicalize, bpePairStats, sampleWeighted,
     annIvfPq, streamSessionize, dedupSpans, seqLenHist,
-    gopherRules, splitLeakage)
+    gopherRules, splitLeakage, r17Rollback, bm25Retrieval, lmBigram,
+    crawlPagerank)
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }

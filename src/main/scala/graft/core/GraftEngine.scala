@@ -187,6 +187,57 @@ class GraftEngine(val spark: SparkSession, val root: String) {
     spark.read.parquet(dir(name, s"v=$v")).drop(BucketCol)
   }
 
+  /** Every retained version of `name` (v=N dirs), ascending. A non-current
+    * entry is a backup ([[rollback]] target) or a rolled-off future version
+    * ([[rollForward]] target) until [[vacuum]] drops it. */
+  def listVersions(name: String): Seq[Int] = {
+    val base = Paths.get(dir(name))
+    if (!Files.exists(base)) return Nil
+    val s = Files.list(base)
+    try {
+      val b = Seq.newBuilder[Int]
+      s.forEach { p =>
+        val n = p.getFileName.toString
+        if (n.startsWith("v=") && Files.isDirectory(p)) b += n.drop(2).toInt
+      }
+      b.result().sorted
+    } finally s.close()
+  }
+
+  /** Venice's backup-version rollback (admin `rollbackToBackupVersion`;
+    * controller flips the store's current version back to the retained
+    * backup — semantics, not code: services/venice-controller/src/main/java/
+    * com/linkedin/venice/controller/VeniceHelixAdmin.java
+    * `rollbackToBackupVersion`). Atomically re-points CURRENT at the newest
+    * retained version BEHIND the serving one. Nothing is deleted — the
+    * rolled-off version stays on disk for [[rollForward]], and the RT log
+    * overlay still applies on top of whichever snapshot serves (hybrid
+    * stores re-consume RT into the serving version). Returns the version
+    * now serving. */
+  def rollback(name: String): Int = {
+    val cur = currentVersion(name)
+    val backup = listVersions(name).filter(_ < cur) match {
+      case Nil => throw new IllegalStateException(
+        s"store $name has no backup version behind v$cur (vacuumed?)")
+      case vs => vs.max
+    }
+    setCurrentVersion(name, backup)
+    backup
+  }
+
+  /** Inverse of [[rollback]]: re-point CURRENT at the oldest retained
+    * version AHEAD of the serving one (Venice admin `rollForwardToFutureVersion`). */
+  def rollForward(name: String): Int = {
+    val cur = currentVersion(name)
+    val future = listVersions(name).filter(_ > cur) match {
+      case Nil => throw new IllegalStateException(
+        s"store $name has no future version ahead of v$cur")
+      case vs => vs.min
+    }
+    setCurrentVersion(name, future)
+    future
+  }
+
   // ---- read path (R1/R2/R3) ------------------------------------------------
 
   private def numBuckets(name: String): Int = {

@@ -571,4 +571,31 @@ class EngineSpec extends AnyFunSuite {
       .parquet(d.toString).filter(col("k") === 2L).count()).sum
     assert(leaked == 0L, s"$leaked physical rows for the purged key")
   }
+
+  test("rollback / rollForward flip the serving pointer; vacuum ends both") {
+    import spark.implicits._
+    val e = new GraftEngine(spark,
+      java.nio.file.Files.createTempDirectory("graft-rollback").toString)
+    e.createStore("s", Seq("k"))
+    intercept[IllegalStateException](e.rollback("s")) // no versions at all
+    e.push("s", Seq((1L, "a1"), (2L, "b1")).toDF("k", "v"), numBuckets = 2)
+    intercept[IllegalStateException](e.rollback("s")) // no backup behind v1
+    e.push("s", Seq((1L, "a2")).toDF("k", "v"), numBuckets = 2)
+    assert(e.listVersions("s") == Seq(1, 2))
+    // RT write AFTER the v2 push: survives every pointer flip below
+    e.put("s", Seq((2L, "b-rt")).toDF("k", "v"), tsMs = 10L)
+    def view = e.servingView("s").as[(Long, String)].collect().toMap
+    assert(view == Map(1L -> "a2", 2L -> "b-rt"))
+    assert(e.rollback("s") == 1 && e.currentVersion("s") == 1)
+    assert(view == Map(1L -> "a1", 2L -> "b-rt"), "backup + RT overlay")
+    intercept[IllegalStateException](e.rollback("s")) // already at the floor
+    assert(e.rollForward("s") == 2)
+    assert(view == Map(1L -> "a2", 2L -> "b-rt"))
+    intercept[IllegalStateException](e.rollForward("s")) // nothing ahead
+    // after a rollback, vacuum drops the (now-future) bad version for good
+    e.rollback("s")
+    e.vacuum("s")
+    assert(e.listVersions("s") == Seq(1))
+    intercept[IllegalStateException](e.rollForward("s"))
+  }
 }
