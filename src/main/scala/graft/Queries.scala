@@ -3081,6 +3081,100 @@ object Queries {
               ON s.dst = d.doc_id, st)
             SELECT doc_id, pr FROM it4 ORDER BY doc_id"""))
 
+  /** T5-style span corruption (Raffel et al. 2020 §3.1.4): the doc →
+    * (input, target) pretraining-example transform. Tokens bucket into
+    * 5-token groups; a group is masked iff its md5(doc_id|group) bucket
+    * lands under 3/16 (the same engine-shared md5 idiom as
+    * `split_assign`, so the choice is deterministic, order-independent
+    * and oracle-replayable). Masked groups collapse to `<extra_id_k>`
+    * sentinels (k = per-doc masked ordinal via a running sum window);
+    * the target is the sentinel-prefixed masked spans in order. Shape at
+    * scale: a bounded explode (one row per 5 tokens), ONE keyed window +
+    * groupBy on doc_id — reassembly is ordered-struct array_sort inside
+    * the agg, never a driver collect. */
+  val spanCorrupt = QueryDef(
+    "span_corrupt",
+    (s, dir) => {
+      val tk = t(s, dir, "documents")
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
+        .filter(size(col("tk")) > 0)
+      val grp = tk.select(col("doc_id"), explode(expr(
+          "transform(sequence(0, (size(tk)-1) div 5), " +
+            "g -> struct(g AS g, array_join(slice(tk, g*5+1, 5), ' ') AS piece))"))
+          .as("sp"))
+        .select(col("doc_id"), col("sp.g").as("g"), col("sp.piece").as("piece"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("g"))
+      val flagged = grp
+        .withColumn("masked",
+          conv(substring(md5(concat(col("doc_id"), lit("|"), col("g"))), 1, 4),
+            16, 10).cast("int") % 16 < 3)
+        .withColumn("sidx",
+          sum(when(col("masked"), 1L).otherwise(0L)).over(w) - 1)
+        .withColumn("in_piece",
+          when(col("masked"),
+            concat(lit("<extra_id_"), col("sidx"), lit(">")))
+            .otherwise(col("piece")))
+        .withColumn("tgt_struct", expr(
+          "CASE WHEN masked THEN struct(g, concat('<extra_id_', sidx, '> ', piece) AS tp) END"))
+      flagged.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_groups"),
+          sum(when(col("masked"), 1L).otherwise(0L)).as("n_masked"),
+          expr("array_join(transform(array_sort(collect_list(struct(g, in_piece))), " +
+            "x -> x.in_piece), ' ')").as("input_text"),
+          expr("array_join(transform(array_sort(collect_list(tgt_struct)), " +
+            "x -> x.tp), ' ')").as("target_text"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH tk AS (SELECT doc_id, $tokensSql AS t FROM documents
+               WHERE len($tokensSql) > 0),
+             grp AS (SELECT doc_id, g,
+                 array_to_string(t[g*5+1 : g*5+5], ' ') AS piece
+               FROM (SELECT doc_id, t,
+                   unnest(range(0, (len(t)-1)//5 + 1)) AS g FROM tk)),
+             flg AS (SELECT doc_id, g, piece,
+                 (('0x' || substr(md5(doc_id::VARCHAR || '|' || g::VARCHAR),
+                    1, 4))::INT % 16) < 3 AS masked
+               FROM grp),
+             idx AS (SELECT doc_id, g, piece, masked,
+                 sum(CASE WHEN masked THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY g) - 1 AS sidx
+               FROM flg)
+             SELECT doc_id, count(*) AS n_groups,
+               CAST(sum(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+               string_agg(CASE WHEN masked
+                   THEN '<extra_id_' || sidx::VARCHAR || '>'
+                   ELSE piece END, ' ' ORDER BY g) AS input_text,
+               COALESCE(string_agg(CASE WHEN masked
+                   THEN '<extra_id_' || sidx::VARCHAR || '> ' || piece END,
+                   ' ' ORDER BY g), '') AS target_text
+             FROM idx GROUP BY doc_id ORDER BY doc_id"""))
+
+  /** Training-mix planning table WITH subtotals: per (lang, source) plus
+    * per-lang and grand-total rollup rows in one pass — `GROUP BY ROLLUP`
+    * computes all three grains from a single shuffle (Catalyst expands to
+    * one Expand + one agg; no re-scan per grain). Rollup NULL markers are
+    * folded to the '(all)' label so both engines order rows identically. */
+  val mixRollup = QueryDef(
+    "mix_rollup",
+    (s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("tokens", TextOps.tokenCount(col("text")).cast("long"))
+        .rollup(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("tokens")).as("tokens"),
+          sum(col("n_chars")).as("chars"))
+        .select(coalesce(col("lang"), lit("(all)")).as("lang"),
+          coalesce(col("source"), lit("(all)")).as("source"),
+          col("n_docs"), col("tokens"), col("chars"))
+        .orderBy(col("lang"), col("source"))
+    },
+    Some(s"""SELECT COALESCE(lang, '(all)') AS lang,
+               COALESCE(source, '(all)') AS source,
+               count(*) AS n_docs,
+               CAST(sum(len($tokensSql)) AS BIGINT) AS tokens,
+               CAST(sum(n_chars) AS BIGINT) AS chars
+             FROM documents GROUP BY ROLLUP (lang, source)
+             ORDER BY lang, source"""))
+
   /** Time-range rolling features: per event, the same user's event count
     * and value sum over the trailing hour — a RANGE window frame (frame
     * membership decided by the ts VALUE, so same-ts ties are symmetric and
@@ -4152,7 +4246,7 @@ object Queries {
     curriculumInterleave, urlCanonicalize, bpePairStats, sampleWeighted,
     annIvfPq, streamSessionize, dedupSpans, seqLenHist,
     gopherRules, splitLeakage, r17Rollback, bm25Retrieval, lmBigram,
-    crawlPagerank)
+    crawlPagerank, spanCorrupt, mixRollup)
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }

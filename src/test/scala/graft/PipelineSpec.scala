@@ -852,4 +852,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(kept == distinctSpans,
       s"kept $kept != distinct spans $distinctSpans")
   }
+
+  test("span corruption: sentinel reassembly reconstructs every doc") {
+    val out = Queries.byName("span_corrupt").fn(spark, sf).collect()
+    assert(out.nonEmpty)
+    val original = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"),
+        concat_ws(" ", graft.functions.TextOps.tokens(col("text"))).as("norm"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    var sawMask = false
+    out.foreach { r =>
+      val (docId, nMasked) = (r.getAs[Long]("doc_id"), r.getAs[Long]("n_masked"))
+      val input = r.getAs[String]("input_text")
+      val target = r.getAs[String]("target_text")
+      // target parses as <extra_id_0> span0 <extra_id_1> span1 ... in order
+      val sent = "<extra_id_(\\d+)>".r
+      val ids = sent.findAllMatchIn(target).map(_.group(1).toInt).toSeq
+      assert(ids == (0 until nMasked.toInt), s"doc $docId sentinel order: $ids")
+      val spans = sent.split(target).map(_.trim).filter(_.nonEmpty)
+      assert(spans.length == nMasked, s"doc $docId span count")
+      // splice each span back over its sentinel → the normalized original
+      val rebuilt = ids.zip(spans).foldLeft(input) { case (acc, (k, sp)) =>
+        acc.replace(s"<extra_id_$k>", sp)
+      }
+      assert(rebuilt == original(docId), s"doc $docId reassembly mismatch")
+      if (nMasked > 0) sawMask = true
+    }
+    assert(sawMask, "no doc had any masked span — mask rate broken")
+  }
 }
