@@ -98,7 +98,12 @@ object Bench {
       "stream_enrich_join", "tfidf_topterms", "rolling_features",
       "corpus_diff", "domain_stats", "bloom_exclusion", "skew_profile",
       "stream_join", "stream_join_outer", "r16_asof_read",
-      "quality_deciles", "b15_purge", "curriculum_interleave")
+      "quality_deciles", "b15_purge", "curriculum_interleave",
+      "url_canonicalize", "bpe_pair_stats", "sample_weighted", "ann_ivf_pq",
+      "stream_sessionize", "dedup_spans", "seq_length_hist", "gopher_rules",
+      "split_leakage", "r17_rollback", "bm25_retrieval", "lm_bigram",
+      "crawl_pagerank", "span_corrupt", "mix_rollup", "q5_local_supplier",
+      "stream_trending")
     val core = results.filterNot(r => addedLater(r._1)).map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","core38":$core,"queries":$qs,"ok":$ok,"n":${results.size},"errors":$errs,"sf":"$sfDir"}""")
     if (results.exists(_._3.nonEmpty)) System.err.println(

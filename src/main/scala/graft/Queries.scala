@@ -2433,6 +2433,122 @@ object Queries {
               sum(CAST(round(value * 100) AS BIGINT)) AS value_cents
             FROM events GROUP BY 1, 2 ORDER BY bucket_ms, event_type"""))
 
+  /** TPC-H Q5-style local-supplier revenue: a six-table join where the
+    * dimension chain (region → nation) filters and labels, and the fact
+    * chain (customer ⨝ orders ⨝ lineitem ⨝ supplier) carries the volume.
+    * The plan Catalyst should (and does) pick at any scale: region/nation
+    * broadcast (tiny), supplier/customer broadcast while they fit then
+    * hash-shuffle beyond, orders filtered on the date BEFORE joining
+    * lineitem (pushed scan), one final tiny-cardinality agg on n_name.
+    * Revenue in integer cents (order-independent exact sums). */
+  val q5LocalSupplier = QueryDef(
+    "q5_local_supplier",
+    (s, dir) => {
+      val asia = t(s, dir, "nation")
+        .join(broadcast(t(s, dir, "region").filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"),
+          round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+            .cast("long").as("rev_cents"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(asia), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(col("rev_cents")).as("revenue_cents"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("revenue_cents").desc, col("n_name"))
+    },
+    Some("""SELECT n_name,
+              CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                AS BIGINT)) AS BIGINT) AS revenue_cents,
+              count(*) AS n_items
+            FROM customer, orders, lineitem, supplier, nation, region
+            WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+              AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+              AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+              AND r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1998-01-01'
+            GROUP BY n_name
+            ORDER BY revenue_cents DESC, n_name"""),
+    headline = true)
+
+  /** Streaming trending top-k over SLIDING windows: per 2-hour window
+    * sliding hourly, the 3 most frequent event types — the "what's hot
+    * now, refreshed hourly" dashboard feed. The stream emits each
+    * overlapping window's per-type counts exactly once (append mode,
+    * watermark-finalized, late rows dropped — immutable facts); the top-3
+    * rank runs as a bounded batch window over the drained sink, which is
+    * how a trending consumer reads the emitted aggregates. A planted late
+    * row and an unclosed-window sentinel would break the hash if drop /
+    * emit-once failed. Each row fans out to window÷slide = 2 state rows —
+    * state is (2 × hours × types), partitioned on (window, type). */
+  val streamTrending = QueryDef(
+    "stream_trending",
+    (s, dir) => {
+      import graft.streaming.StreamWindow
+      import org.apache.spark.sql.streaming.Trigger
+      val ev = Tables.events(s, dir).select(col("ts"), col("event_type"))
+      val (root, in) = stagedTopic(dir, "graft-strend", ev)
+      val maxTs = ev.agg(max(unix_millis(col("ts")))).head().getLong(0)
+      def drainOnce(): Unit = {
+        val prev = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        try {
+          val stream = s.readStream.schema(ev.schema).parquet(in)
+          val agged = StreamWindow.windowedAgg(stream, "ts",
+            delay = "1 hour", window = "2 hours", keys = Seq("event_type"),
+            aggs = Seq(count(lit(1)).as("n")), slide = Some("1 hour"))
+          val q = agged.writeStream.format("parquet")
+            .option("path", s"$root/out").option("checkpointLocation", s"$root/cp")
+            .outputMode("append").trigger(Trigger.AvailableNow()).start()
+          require(q.awaitTermination(180000),
+            "stream_trending: stream did not drain within 180s")
+        } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      }
+      drainOnce()
+      import s.implicits._
+      // sentinel 4h ahead: watermark → max+3h, strictly past every real
+      // window end (≤ max+2h) but NOT past its own (never emitted); the
+      // late row's windows (ends ≤ max−2h) closed in run 1 → dropped
+      Seq((maxTs + 4 * 3600 * 1000L, "zz_sentinel"),
+        (maxTs - 4 * 3600 * 1000L, "zz_late"))
+        .toDF("ts_ms", "event_type")
+        .select(timestamp_millis(col("ts_ms")).as("ts"), col("event_type"))
+        .write.mode("append").parquet(in)
+      drainOnce()
+      val wr = Window.partitionBy(col("bucket_ms"))
+        .orderBy(col("n").desc, col("event_type"))
+      s.read.parquet(s"$root/out")
+        .withColumn("rank", row_number().over(wr))
+        .filter(col("rank") <= 3)
+        .select(col("bucket_ms"), col("rank"), col("event_type"), col("n"))
+        .orderBy(col("bucket_ms"), col("rank"))
+    },
+    Some("""WITH wins AS (SELECT
+                ((epoch_ms(ts) // 3600000) - o.o) * 3600000 AS bucket_ms,
+                event_type
+              FROM events, (VALUES (0), (1)) AS o(o)),
+            cnt AS (SELECT bucket_ms, event_type, count(*) AS n
+              FROM wins GROUP BY 1, 2)
+            SELECT bucket_ms,
+              row_number() OVER (PARTITION BY bucket_ms
+                ORDER BY n DESC, event_type) AS rank,
+              event_type, n
+            FROM cnt
+            QUALIFY rank <= 3
+            ORDER BY bucket_ms, rank"""))
+
   /** As-of join (backward): each click gets the user's most recent
     * at-or-before purchase — an operator Spark has no native plan for
     * (the range-join spelling blows up n·m within key). The engine's
@@ -4246,7 +4362,7 @@ object Queries {
     curriculumInterleave, urlCanonicalize, bpePairStats, sampleWeighted,
     annIvfPq, streamSessionize, dedupSpans, seqLenHist,
     gopherRules, splitLeakage, r17Rollback, bm25Retrieval, lmBigram,
-    crawlPagerank, spanCorrupt, mixRollup)
+    crawlPagerank, spanCorrupt, mixRollup, q5LocalSupplier, streamTrending)
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }

@@ -39,13 +39,23 @@ object StreamWindow {
     * @return streaming DataFrame keyed by `bucket_ms` (window start, epoch
     *         millis — integer-stable across engines) + keys + aggregates
     */
+  /** @param slide  slide duration for overlapping (sliding) windows; None =
+    *               tumbling. With slide, each row lands in window/slide
+    *               windows — the "trending over the last 2h, refreshed
+    *               hourly" shape; emit-once/drop-late semantics unchanged
+    *               (each overlapping window is its own state row, finalized
+    *               when the watermark passes ITS end). */
   def windowedAgg(stream: DataFrame, tsCol: String, delay: String,
-      window: String, keys: Seq[String], aggs: Seq[Column]): DataFrame = {
+      window: String, keys: Seq[String], aggs: Seq[Column],
+      slide: Option[String] = None): DataFrame = {
     require(aggs.nonEmpty, "windowedAgg needs at least one aggregate")
+    val win = slide match {
+      case Some(sl) => org.apache.spark.sql.functions.window(col(tsCol), window, sl)
+      case None     => org.apache.spark.sql.functions.window(col(tsCol), window)
+    }
     val agged = stream
       .withWatermark(tsCol, delay)
-      .groupBy(
-        org.apache.spark.sql.functions.window(col(tsCol), window) +: keys.map(col): _*)
+      .groupBy(win +: keys.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
       .withColumn("bucket_ms", unix_millis(col("window.start")))
       .drop("window")
