@@ -680,9 +680,9 @@ object Queries {
     * source files' names+sizes+mtimes, not just the path: a regenerated
     * parquet at the same path must invalidate the cache. */
   private def stagedTopic(dir: String, prefix: String,
-      ev: DataFrame): (String, String) = {
-    val srcSig = Option(new java.io.File(s"$dir/events.parquet").listFiles())
-      .map(_.toSeq).getOrElse(Seq(new java.io.File(s"$dir/events.parquet")))
+      ev: DataFrame, srcTable: String = "events"): (String, String) = {
+    val srcSig = Option(new java.io.File(s"$dir/$srcTable.parquet").listFiles())
+      .map(_.toSeq).getOrElse(Seq(new java.io.File(s"$dir/$srcTable.parquet")))
       .sortBy(_.getName)
       .map(f => s"${f.getName}:${f.length}:${f.lastModified}").mkString(",")
     val stage = new java.io.File(
@@ -2549,6 +2549,115 @@ object Queries {
             QUALIFY rank <= 3
             ORDER BY bucket_ms, rank"""))
 
+  /** TPC-H Q18-style large-volume orders: aggregate-then-filter-then-join.
+    * The per-order quantity agg runs FIRST and its HAVING kills ~97% of
+    * groups before any join — the dimension joins then run over the tiny
+    * survivor set (broadcast at any scale). Final top-100 is
+    * TakeOrderedAndProject (per-partition heaps + driver merge of 100-row
+    * heads), never a global sort. */
+  val q18BigOrders = QueryDef(
+    "q18_big_orders",
+    (s, dir) => {
+      val big = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity")).cast("long").as("qty"))
+        .filter(col("qty") > 250)
+      big.join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer").select(col("c_custkey"), col("c_name")),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("o_orderkey"), col("qty"))
+        .orderBy(col("qty").desc, col("o_orderkey"))
+        .limit(100)
+    },
+    Some("""WITH big AS (SELECT l_orderkey, CAST(sum(l_quantity) AS BIGINT) AS qty
+               FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 250)
+            SELECT c_name, o_orderkey, qty
+            FROM big
+            JOIN orders ON o_orderkey = l_orderkey
+            JOIN customer ON c_custkey = o_custkey
+            ORDER BY qty DESC, o_orderkey LIMIT 100"""))
+
+  /** Per-source-pair near-duplicate contamination report: where do the
+    * corpus' near-dups come from — within one source (re-crawls) or across
+    * sources (syndication)? Reuses the full MinHash→LSH→verify pair
+    * pipeline (same bucketed equi-join shape) and joins each verified pair
+    * to its two sources; (least, greatest) normalizes the pair so (a,b)
+    * and (b,a) count once. The report is |sources|² rows — a driver-safe
+    * training-mix hygiene table at any corpus size. */
+  val dedupRateReport = QueryDef(
+    "dedup_rate_report",
+    (s, dir) => {
+      val sh = graft.operators.Dedup.shingleSets(
+        t(s, dir, "documents"), "doc_id", "text", 3)
+      val cand = graft.operators.Dedup.minhashCandidates(sh, k = 8, bands = 4)
+      val pairs = graft.operators.Dedup.jaccardVerify(cand, sh, 0.5)
+      val src = t(s, dir, "documents").select(col("doc_id"), col("source"))
+      pairs
+        .join(src.select(col("doc_id").as("id_a"), col("source").as("sa")), "id_a")
+        .join(src.select(col("doc_id").as("id_b"), col("source").as("sb")), "id_b")
+        .groupBy(least(col("sa"), col("sb")).as("source_a"),
+          greatest(col("sa"), col("sb")).as("source_b"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("source_a"), col("source_b"))
+    },
+    Some(s"""SELECT least(da.source, db.source) AS source_a,
+               greatest(da.source, db.source) AS source_b,
+               count(*) AS n_pairs
+             FROM ($minhashPairsSql) p
+             JOIN documents da ON da.doc_id = p.id_a
+             JOIN documents db ON db.doc_id = p.id_b
+             GROUP BY 1, 2 ORDER BY source_a, source_b"""))
+
+  /** Streaming exact dedup-on-arrival, fully oracled: the corpus streams
+    * through [[graft.streaming.StreamDedup.exact]] (cross-microbatch
+    * fingerprint state); a second drain plants one exact duplicate of an
+    * existing doc (must be DROPPED — state survives the restart via the
+    * checkpoint) and one novel doc (must be KEPT). The output is the
+    * arrival-order-independent summary (which fingerprints survived, how
+    * many planted rows kept) — the kept doc_id per fingerprint is
+    * arrival-order-dependent under parallel file sources, so the oracle
+    * checks the deterministic set, not the racy representative. */
+  val streamDedupQ = QueryDef(
+    "stream_dedup",
+    (s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val (root, in) = stagedTopic(dir, "graft-sdedup", docs,
+        srcTable = "documents")
+      def drainOnce(): Unit = {
+        val prev = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        try {
+          val stream = s.readStream.schema(docs.schema).parquet(in)
+          val deduped = graft.streaming.StreamDedup.exact(stream, "text")
+          val q = deduped.writeStream.format("parquet")
+            .option("path", s"$root/out").option("checkpointLocation", s"$root/cp")
+            .outputMode("append").trigger(Trigger.AvailableNow()).start()
+          require(q.awaitTermination(180000),
+            "stream_dedup: stream did not drain within 180s")
+        } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      }
+      drainOnce()
+      import s.implicits._
+      val dupeText = docs.orderBy(col("doc_id")).select(col("text"))
+        .head().getString(0)
+      Seq((900001L, dupeText), (900002L, "graft stream dedup novel planted doc"))
+        .toDF("doc_id", "text")
+        .write.mode("append").parquet(in)
+      drainOnce()
+      val out = s.read.parquet(s"$root/out")
+        .withColumn("fp", graft.functions.TextOps.fingerprint(col("text")))
+      out.agg(
+        countDistinct(col("fp")).as("n_unique"),
+        count(lit(1)).as("n_kept"),
+        sum(when(col("doc_id") >= 900000L, 1L).otherwise(0L)).as("n_planted_kept"))
+    },
+    Some("""SELECT count(DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))) + 1 AS n_unique,
+              count(DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))) + 1 AS n_kept,
+              CAST(1 AS BIGINT) AS n_planted_kept
+            FROM documents"""))
+
   /** As-of join (backward): each click gets the user's most recent
     * at-or-before purchase — an operator Spark has no native plan for
     * (the range-join spelling blows up n·m within key). The engine's
@@ -4362,7 +4471,8 @@ object Queries {
     curriculumInterleave, urlCanonicalize, bpePairStats, sampleWeighted,
     annIvfPq, streamSessionize, dedupSpans, seqLenHist,
     gopherRules, splitLeakage, r17Rollback, bm25Retrieval, lmBigram,
-    crawlPagerank, spanCorrupt, mixRollup, q5LocalSupplier, streamTrending)
+    crawlPagerank, spanCorrupt, mixRollup, q5LocalSupplier, streamTrending,
+    q18BigOrders, dedupRateReport, streamDedupQ)
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }
