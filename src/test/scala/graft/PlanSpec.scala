@@ -162,4 +162,23 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin"), p.take(800))
     assert(!p.contains("CartesianProduct"), p.take(800))
   }
+
+  test("Q5: dimension chain broadcasts, no cartesian, date filter pushed") {
+    val p = plan(Queries.byName("q5_local_supplier").fn(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    // the orders date range must reach the scan as a pushed filter
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"), p.take(2000))
+  }
+
+  test("Q18: top-100 is TakeOrderedAndProject, never a global sort") {
+    val p = plan(Queries.byName("q18_big_orders").fn(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+  }
+
+  test("BM25: the query-term side broadcasts into the postings join") {
+    val p = plan(Queries.byName("bm25_retrieval").fn(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+  }
 }
