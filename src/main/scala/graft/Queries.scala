@@ -3984,6 +3984,37 @@ object Queries {
             FROM v1 WHERE p_partkey <= 350
             ORDER BY phase, p_partkey"""))
 
+  /** DaVinci partial-key lookup over a composite-key store (reference:
+    * DaVinciPartialKeyLookupBenchmark's `equalTo` on the leading key
+    * field). Store keyed by (o_custkey, o_orderkey); lookups for three
+    * customers run after an RT put so the log overlay participates. The
+    * leading-key predicate pushes into the snapshot scan. */
+  val r18PartialKey = QueryDef(
+    "r18_partial_key",
+    (s, dir) => {
+      val e = tempEngine(s, "graft-r18")
+      e.createStore("ord", Seq("o_custkey", "o_orderkey"))
+      val ord = t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderstatus"),
+          round(col("o_totalprice") * 100).cast("long").as("total_cents"))
+      e.push("ord", ord, numBuckets = 8)
+      // RT overwrite for one of the probed customers: status flips
+      e.put("ord", ord.filter(col("o_custkey") === 7L)
+        .withColumn("o_orderstatus", lit("X")), tsMs = 1000L)
+      Seq(7L, 11L, 13L)
+        .map(ck => e.partialKeyGet("ord", Map("o_custkey" -> ck)))
+        .reduce(_ unionByName _)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderstatus"),
+          col("total_cents"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+    Some("""SELECT o_custkey, o_orderkey,
+              CASE WHEN o_custkey = 7 THEN 'X' ELSE o_orderstatus END
+                AS o_orderstatus,
+              CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents
+            FROM orders WHERE o_custkey IN (7, 11, 13)
+            ORDER BY o_custkey, o_orderkey"""))
+
   /** Crawl URL canonicalization + duplicate grouping. Four messy variants
     * of the same logical URL are planted per doc-group (the corpus has no
     * URL column), then canonicalized: lowercase scheme+host, strip www.,
@@ -4472,7 +4503,7 @@ object Queries {
     annIvfPq, streamSessionize, dedupSpans, seqLenHist,
     gopherRules, splitLeakage, r17Rollback, bm25Retrieval, lmBigram,
     crawlPagerank, spanCorrupt, mixRollup, q5LocalSupplier, streamTrending,
-    q18BigOrders, dedupRateReport, streamDedupQ)
+    q18BigOrders, dedupRateReport, streamDedupQ, r18PartialKey)
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }

@@ -398,6 +398,45 @@ object StressCheck {
       require(diff == 0, s"view != recompute on $diff rows")
       println("[stress] A/A view refresh ≡ full recompute (checked)")
     }
+    if (on("pagerank")) {
+      // 2M-node / 6M-edge fixed-point PageRank — the crawl-graph weighting
+      // shape at 400× the sf0.1 query's size. Same all-integer iteration as
+      // `crawl_pagerank`; what's under test is that per-iteration cost stays
+      // two shuffles (src join + dst agg) and the node table reuses its
+      // partitioning instead of re-scanning.
+      val nNodes = 2000000L
+      val nodes = spark.range(nNodes).select(col("id").as("doc_id")).persist()
+      val rawEdges = nodes.select(col("doc_id").as("src"),
+          explode(array(
+            pmod(col("doc_id") * 31 + 7, lit(nNodes)),
+            pmod(col("doc_id") * 17 + 3, lit(nNodes)),
+            pmod(col("doc_id") * 13 + 11, lit(nNodes)))).as("dst"))
+        .filter(col("src") =!= col("dst"))
+      val outdeg = rawEdges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+      val edges = rawEdges.join(outdeg, "src").persist()
+      val scale = 1000000000000L
+      val prBase = (15L * scale) / (100L * nNodes)
+      timed("pagerank 2M×3 edges ×4it") {
+        var pr = nodes.withColumn("pr", lit(scale / nNodes))
+        for (_ <- 1 to 4) {
+          val contrib = edges
+            .join(pr.select(col("doc_id").as("src"), col("pr")), "src")
+            .select(col("dst"), expr("pr div outdeg").as("share"))
+            .groupBy(col("dst")).agg(sum(col("share")).as("insum"))
+          pr = nodes.join(contrib.withColumnRenamed("dst", "doc_id"),
+              Seq("doc_id"), "left")
+            .select(col("doc_id"),
+              (lit(prBase) + expr("(85L * coalesce(insum, 0L)) div 100L")).as("pr"))
+        }
+        // mass conservation sanity: total pr stays within integer-div loss
+        // of the scale (each div can only LOSE mass, never create it)
+        val total = pr.agg(sum(col("pr"))).head().getLong(0)
+        require(total <= scale && total > scale * 8 / 10,
+          s"pagerank mass off: $total vs $scale")
+        pr.count()
+      }
+      nodes.unpersist(); edges.unpersist()
+    }
     spark.catalog.clearCache()
     spark.stop()
   }

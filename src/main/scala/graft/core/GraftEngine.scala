@@ -225,6 +225,25 @@ class GraftEngine(val spark: SparkSession, val root: String) {
     backup
   }
 
+  /** DaVinci partial-key lookup: every row whose LEADING key components
+    * equal `prefix` (reference semantics, not code: internal/venice-test-
+    * common/src/jmh/java/com/linkedin/venice/benchmark/
+    * DaVinciPartialKeyLookupBenchmark.java — an `equalTo` predicate over
+    * the leading field of a composite key, evaluated by scanning the
+    * store's partitions, because partitions hash the FULL key so no
+    * single-bucket routing exists). Here the predicate pushes into the
+    * snapshot's parquet scan (PushedFilters) and the log overlay stays a
+    * small merge — the right distributed shape for the same contract. */
+  def partialKeyGet(name: String, prefix: Map[String, Any]): DataFrame = {
+    val meta = storeMeta(name)
+    val lead = meta.keyCols.take(prefix.size)
+    require(lead.toSet == prefix.keySet,
+      s"partial key ${prefix.keySet} must be the leading prefix of ${meta.keyCols}")
+    prefix.foldLeft(servingView(name)) { case (df, (k, v)) =>
+      df.filter(col(k) === lit(v))
+    }
+  }
+
   /** Inverse of [[rollback]]: re-point CURRENT at the oldest retained
     * version AHEAD of the serving one (Venice admin `rollForwardToFutureVersion`). */
   def rollForward(name: String): Int = {
