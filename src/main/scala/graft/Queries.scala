@@ -2658,6 +2658,131 @@ object Queries {
               CAST(1 AS BIGINT) AS n_planted_kept
             FROM documents"""))
 
+  /** Ordered, ATTRIBUTED conversion funnel (view → click within 7 days of
+    * the first view → purchase within 7 days of that click): the classic
+    * product-analytics query, computed as three STAGED keyed mins — each
+    * stage's first-event time must strictly follow the previous stage's
+    * AND land inside the attribution window, so a plain per-type min (or
+    * an unwindowed exists) is wrong on both counts. Three partial-agged
+    * groupBys + equi-joins on user_id (co-partitioned after the first
+    * shuffle); all comparisons in epoch millis. Output is the 4-row stage
+    * histogram + mean view→purchase latency for converters — driver-safe
+    * at any event volume. */
+  val funnelAnalysis = QueryDef(
+    "funnel_analysis",
+    (s, dir) => {
+      val winMs = 7L * 86400000L
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"),
+          unix_millis(col("ts")).as("ts_ms"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts_ms")).as("v_ts"))
+      val c = ev.filter(col("event_type") === "click")
+        .join(v, "user_id")
+        .filter(col("ts_ms") > col("v_ts") &&
+          col("ts_ms") <= col("v_ts") + winMs)
+        .groupBy(col("user_id")).agg(min(col("ts_ms")).as("c_ts"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(c, "user_id")
+        .filter(col("ts_ms") > col("c_ts") &&
+          col("ts_ms") <= col("c_ts") + winMs)
+        .groupBy(col("user_id")).agg(min(col("ts_ms")).as("p_ts"))
+      ev.select(col("user_id")).distinct()
+        .join(v, Seq("user_id"), "left")
+        .join(c, Seq("user_id"), "left")
+        .join(p, Seq("user_id"), "left")
+        .withColumn("stage",
+          when(col("p_ts").isNotNull, 3L)
+            .when(col("c_ts").isNotNull, 2L)
+            .when(col("v_ts").isNotNull, 1L).otherwise(0L))
+        .withColumn("conv_ms", col("p_ts") - col("v_ts"))
+        .groupBy(col("stage"))
+        .agg(count(lit(1)).as("n_users"),
+          expr("CASE WHEN count(conv_ms) > 0 " +
+            "THEN sum(conv_ms) div count(conv_ms) ELSE 0L END")
+            .as("mean_conv_ms"))
+        .orderBy(col("stage"))
+    },
+    Some("""WITH ev AS (SELECT user_id, event_type, epoch_ms(ts) AS ts_ms
+               FROM events),
+             v AS (SELECT user_id, min(ts_ms) AS v_ts FROM ev
+               WHERE event_type = 'view' GROUP BY user_id),
+             c AS (SELECT e.user_id, min(e.ts_ms) AS c_ts FROM ev e
+               JOIN v ON v.user_id = e.user_id
+               WHERE e.event_type = 'click' AND e.ts_ms > v.v_ts
+                 AND e.ts_ms <= v.v_ts + 604800000
+               GROUP BY e.user_id),
+             p AS (SELECT e.user_id, min(e.ts_ms) AS p_ts FROM ev e
+               JOIN c ON c.user_id = e.user_id
+               WHERE e.event_type = 'purchase' AND e.ts_ms > c.c_ts
+                 AND e.ts_ms <= c.c_ts + 604800000
+               GROUP BY e.user_id),
+             st AS (SELECT a.user_id,
+                 CASE WHEN p.p_ts IS NOT NULL THEN 3
+                      WHEN c.c_ts IS NOT NULL THEN 2
+                      WHEN v.v_ts IS NOT NULL THEN 1 ELSE 0 END AS stage,
+                 p.p_ts - v.v_ts AS conv_ms
+               FROM (SELECT DISTINCT user_id FROM ev) a
+               LEFT JOIN v USING (user_id)
+               LEFT JOIN c USING (user_id)
+               LEFT JOIN p USING (user_id))
+             SELECT stage, count(*) AS n_users,
+               CAST(CASE WHEN count(conv_ms) > 0
+                 THEN sum(conv_ms) // count(conv_ms) ELSE 0 END AS BIGINT)
+                 AS mean_conv_ms
+             FROM st GROUP BY stage ORDER BY stage"""))
+
+  /** Per-source token-distribution divergence: which tokens a source
+    * over-represents vs the whole corpus (the "is this source weird"
+    * audit before folding it into a training mix). Lift in ppm as pure
+    * integer arithmetic — tf_src·T_corpus·1e6 div (tf_corpus·T_src) — a
+    * df floor of 5 in-source occurrences kills noise tokens; top-5 per
+    * source by (lift desc, token asc). Two partial-agged token groupBys
+    * + one token-keyed equi-join; the per-source window runs over the
+    * (source, token) agg, never raw tokens. At ≳1e13-token corpora the
+    * ×1e6 needs a decimal widen — documented, not hit at any test SF. */
+  val sourceDivergence = QueryDef(
+    "source_divergence",
+    (s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("source"), explode(TextOps.tokens(col("text"))).as("token"))
+      val st = toks.groupBy(col("source"), col("token"))
+        .agg(count(lit(1)).as("tf_s"))
+      val ct = toks.groupBy(col("token")).agg(count(lit(1)).as("tf_c"))
+      val srcTot = st.groupBy(col("source")).agg(sum(col("tf_s")).as("t_s"))
+      val tCorpus = toks.count()
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("lift_ppm").desc, col("token"))
+      st.filter(col("tf_s") >= 5)
+        .join(ct, "token").join(srcTot, "source")
+        .withColumn("lift_ppm",
+          expr(s"(tf_s * ${tCorpus}L * 1000000L) div (tf_c * t_s)"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("source"), col("rank"), col("token"), col("tf_s"),
+          col("tf_c"), col("lift_ppm"))
+        .orderBy(col("source"), col("rank"))
+    },
+    Some(s"""WITH toks AS (SELECT source, unnest($tokensSql) AS token
+               FROM documents),
+             st AS (SELECT source, token, count(*) AS tf_s FROM toks
+               GROUP BY source, token),
+             ct AS (SELECT token, count(*) AS tf_c FROM toks GROUP BY token),
+             tot AS (SELECT source, CAST(sum(tf_s) AS BIGINT) AS t_s
+               FROM st GROUP BY source),
+             n AS (SELECT count(*) AS t_corpus FROM toks)
+             SELECT source,
+               row_number() OVER (PARTITION BY source
+                 ORDER BY (tf_s * n.t_corpus * 1000000) // (tf_c * t_s) DESC,
+                   token) AS rank,
+               token, tf_s, tf_c,
+               CAST((tf_s * n.t_corpus * 1000000) // (tf_c * t_s) AS BIGINT)
+                 AS lift_ppm
+             FROM st JOIN ct USING (token) JOIN tot USING (source), n
+             WHERE tf_s >= 5
+             QUALIFY rank <= 5
+             ORDER BY source, rank"""))
+
   /** As-of join (backward): each click gets the user's most recent
     * at-or-before purchase — an operator Spark has no native plan for
     * (the range-join spelling blows up n·m within key). The engine's
@@ -4503,7 +4628,8 @@ object Queries {
     annIvfPq, streamSessionize, dedupSpans, seqLenHist,
     gopherRules, splitLeakage, r17Rollback, bm25Retrieval, lmBigram,
     crawlPagerank, spanCorrupt, mixRollup, q5LocalSupplier, streamTrending,
-    q18BigOrders, dedupRateReport, streamDedupQ, r18PartialKey)
+    q18BigOrders, dedupRateReport, streamDedupQ, r18PartialKey,
+    funnelAnalysis, sourceDivergence)
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }
