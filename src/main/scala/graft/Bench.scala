@@ -104,7 +104,8 @@ object Bench {
       "split_leakage", "r17_rollback", "bm25_retrieval", "lm_bigram",
       "crawl_pagerank", "span_corrupt", "mix_rollup", "q5_local_supplier",
       "stream_trending", "q18_big_orders", "dedup_rate_report", "stream_dedup",
-      "r18_partial_key", "funnel_analysis", "source_divergence")
+      "r18_partial_key", "funnel_analysis", "source_divergence",
+      "props_json", "q_window_funcs")
     val core = results.filterNot(r => addedLater(r._1)).map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","core38":$core,"queries":$qs,"ok":$ok,"n":${results.size},"errors":$errs,"sf":"$sfDir"}""")
     if (results.exists(_._3.nonEmpty)) System.err.println(

@@ -2783,6 +2783,72 @@ object Queries {
              QUALIFY rank <= 5
              ORDER BY source, rank"""))
 
+  /** JSON property extraction over the events' `props` column (the
+    * semi-structured payload path every event pipeline has): per event
+    * type, count/sum/min/max of the extracted integer — the extraction is
+    * a narrow codegen'd path expression (`get_json_object` ↔ DuckDB
+    * `json_extract`), never a UDF or a full JSON parse into rows; the only
+    * shuffle is the tiny-cardinality final agg. */
+  val propsJson = QueryDef(
+    "props_json",
+    (s, dir) => {
+      Tables.events(s, dir)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(col("k")).as("n"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .orderBy(col("event_type"))
+    },
+    Some("""SELECT event_type,
+              count(json_extract(props, '$.k')) AS n,
+              CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+                AS sum_k,
+              CAST(min(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+                AS min_k,
+              CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+                AS max_k
+            FROM events GROUP BY event_type ORDER BY event_type"""))
+
+  /** Window-function breadth on one keyed pass: lag/lead (neighboring
+    * event values), first_value (session anchor), rank and ntile quartile
+    * — all over the SAME (user, ts, event_id) window spec, so Catalyst
+    * plans ONE shuffle + one in-partition sort for all five. Integer
+    * cents; total order via the (ts, event_id) tiebreak makes every
+    * offset function deterministic. Bounded to 20 users for a stable
+    * result set (the window itself is the per-user any-scale shape). */
+  val qWindowFuncs = QueryDef(
+    "q_window_funcs",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_ms"), col("event_id"))
+      Tables.events(s, dir)
+        .filter(col("user_id") <= 20)
+        .select(col("user_id"), col("event_id"),
+          unix_millis(col("ts")).as("ts_ms"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .withColumn("prev_cents", lag(col("cents"), 1).over(w))
+        .withColumn("next_cents", lead(col("cents"), 1).over(w))
+        .withColumn("first_event", first(col("event_id")).over(w))
+        .withColumn("rk", rank().over(w).cast("long"))
+        .withColumn("quartile", ntile(4).over(w).cast("long"))
+        .select(col("user_id"), col("event_id"), col("ts_ms"), col("cents"),
+          col("prev_cents"), col("next_cents"), col("first_event"),
+          col("rk"), col("quartile"))
+        .orderBy(col("user_id"), col("ts_ms"), col("event_id"))
+    },
+    Some("""SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+              CAST(round(value * 100) AS BIGINT) AS cents,
+              lag(CAST(round(value * 100) AS BIGINT), 1) OVER w AS prev_cents,
+              lead(CAST(round(value * 100) AS BIGINT), 1) OVER w AS next_cents,
+              first_value(event_id) OVER w AS first_event,
+              rank() OVER w AS rk,
+              ntile(4) OVER w AS quartile
+            FROM events WHERE user_id <= 20
+            WINDOW w AS (PARTITION BY user_id
+              ORDER BY epoch_ms(ts), event_id)
+            ORDER BY user_id, ts_ms, event_id"""))
+
   /** As-of join (backward): each click gets the user's most recent
     * at-or-before purchase — an operator Spark has no native plan for
     * (the range-join spelling blows up n·m within key). The engine's
@@ -4629,7 +4695,7 @@ object Queries {
     gopherRules, splitLeakage, r17Rollback, bm25Retrieval, lmBigram,
     crawlPagerank, spanCorrupt, mixRollup, q5LocalSupplier, streamTrending,
     q18BigOrders, dedupRateReport, streamDedupQ, r18PartialKey,
-    funnelAnalysis, sourceDivergence)
+    funnelAnalysis, sourceDivergence, propsJson, qWindowFuncs)
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }
