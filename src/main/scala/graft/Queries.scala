@@ -1157,8 +1157,10 @@ object Queries {
   /** The full MinHash→LSH→Jaccard-verify pair pipeline as one (unordered)
     * DuckDB query — shared by the dedup_minhash_lsh oracle and, as a
     * subquery edge list, by the dedup_clusters oracle. */
-  private val minhashPairsSql: String =
-    s"""WITH sh AS (
+  /** The shingle→signature→band-key CTE chain (through `bk`), shared by
+    * the same-table pair pipeline and the cross-side incremental variant. */
+  private val minhashBandsCtes: String =
+    s"""sh AS (
                SELECT doc_id AS id, ${shinglesSql("t")} AS shingles
                FROM (SELECT doc_id, $tokensSql AS t FROM documents)),
              sh2 AS (SELECT id, shingles FROM sh WHERE len(shingles) > 0),
@@ -1180,7 +1182,10 @@ object Queries {
                md5('0|' || sig[1]::VARCHAR || ',' || sig[2]::VARCHAR),
                md5('1|' || sig[3]::VARCHAR || ',' || sig[4]::VARCHAR),
                md5('2|' || sig[5]::VARCHAR || ',' || sig[6]::VARCHAR),
-               md5('3|' || sig[7]::VARCHAR || ',' || sig[8]::VARCHAR)]) AS bandkey FROM sig),
+               md5('3|' || sig[7]::VARCHAR || ',' || sig[8]::VARCHAR)]) AS bandkey FROM sig)"""
+
+  private val minhashPairsSql: String =
+    s"""WITH $minhashBandsCtes,
              cand AS (SELECT DISTINCT l.id AS id_a, r.id AS id_b
                FROM bk l JOIN bk r ON l.bandkey = r.bandkey AND l.id < r.id),
              j AS (SELECT id_a, id_b,
@@ -2848,6 +2853,78 @@ object Queries {
             WINDOW w AS (PARTITION BY user_id
               ORDER BY epoch_ms(ts), event_id)
             ORDER BY user_id, ts_ms, event_id"""))
+
+  /** Incremental NEAR-dup dedup (crawl delta vs corpus): every 10th doc
+    * plays the freshly-crawled batch; its MinHash band keys equi-join the
+    * corpus' band rows (corpus NEVER self-joins — work is
+    * O(batch × collisions), the nightly-delta-against-100TB shape), then
+    * exact Jaccard verifies at 0.5. Per batch doc: corpus-match count,
+    * best match (jaccard desc, id asc — deterministic), and the keep/drop
+    * verdict; no-shingle batch docs still report n_dups = 0. Complements
+    * `dedup_incremental` (exact fingerprints) at the near-dup level. */
+  val dedupIncrementalNear = QueryDef(
+    "dedup_incremental_near",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val isBatch = pmod(col("doc_id"), lit(10)) === 7
+      val shB = graft.operators.Dedup.shingleSets(
+        docs.filter(isBatch), "doc_id", "text", 3)
+      val shC = graft.operators.Dedup.shingleSets(
+        docs.filter(!isBatch), "doc_id", "text", 3)
+      val cand = graft.operators.Dedup.crossMinhashCandidates(
+        shC, shB, k = 8, bands = 4)
+      val ver = cand
+        .join(shB.select(col("id").as("id_batch"), col("shingles").as("sh_a")),
+          "id_batch")
+        .join(shC.select(col("id").as("id_corpus"), col("shingles").as("sh_b")),
+          "id_corpus")
+        .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+        .withColumn("jaccard", col("inter").cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+        .filter(col("jaccard") >= 0.5)
+      val wb = Window.partitionBy(col("id_batch"))
+        .orderBy(col("jaccard").desc, col("id_corpus"))
+      val best = ver.withColumn("rn", row_number().over(wb))
+        .filter(col("rn") === 1)
+        .select(col("id_batch"), col("id_corpus").as("best_match"),
+          round(col("jaccard"), 6).as("best_jaccard"))
+      val cnt = ver.groupBy(col("id_batch"))
+        .agg(count(lit(1)).as("n_dups"))
+      docs.filter(isBatch).select(col("doc_id"))
+        .join(cnt.withColumnRenamed("id_batch", "doc_id"), Seq("doc_id"), "left")
+        .join(best.withColumnRenamed("id_batch", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+          col("best_match"), col("best_jaccard"),
+          (coalesce(col("n_dups"), lit(0L)) > 0).as("is_dup"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH $minhashBandsCtes,
+             cand AS (SELECT DISTINCT b.id AS id_batch, c.id AS id_corpus
+               FROM bk b JOIN bk c ON b.bandkey = c.bandkey
+               WHERE b.id % 10 = 7 AND c.id % 10 <> 7),
+             j AS (SELECT id_batch, id_corpus,
+                 len(list_intersect(a.shingles, b.shingles)) AS inter,
+                 len(a.shingles) AS na, len(b.shingles) AS nb
+               FROM cand JOIN sh2 a ON a.id = cand.id_batch
+                         JOIN sh2 b ON b.id = cand.id_corpus),
+             ver AS (SELECT id_batch, id_corpus,
+                 inter::DOUBLE / (na + nb - inter) AS jaccard
+               FROM j WHERE inter::DOUBLE / (na + nb - inter) >= 0.5),
+             best AS (SELECT id_batch, id_corpus, jaccard,
+                 row_number() OVER (PARTITION BY id_batch
+                   ORDER BY jaccard DESC, id_corpus) AS rn
+               FROM ver),
+             cnt AS (SELECT id_batch, count(*) AS n FROM ver GROUP BY id_batch)
+             SELECT d.doc_id,
+               CAST(COALESCE(cnt.n, 0) AS BIGINT) AS n_dups,
+               best.id_corpus AS best_match,
+               round(best.jaccard, 6) AS best_jaccard,
+               COALESCE(cnt.n, 0) > 0 AS is_dup
+             FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 7) d
+             LEFT JOIN cnt ON cnt.id_batch = d.doc_id
+             LEFT JOIN (SELECT * FROM best WHERE rn = 1) best
+               ON best.id_batch = d.doc_id
+             ORDER BY d.doc_id"""))
 
   /** As-of join (backward): each click gets the user's most recent
     * at-or-before purchase — an operator Spark has no native plan for
@@ -4695,7 +4772,8 @@ object Queries {
     gopherRules, splitLeakage, r17Rollback, bm25Retrieval, lmBigram,
     crawlPagerank, spanCorrupt, mixRollup, q5LocalSupplier, streamTrending,
     q18BigOrders, dedupRateReport, streamDedupQ, r18PartialKey,
-    funnelAnalysis, sourceDivergence, propsJson, qWindowFuncs)
+    funnelAnalysis, sourceDivergence, propsJson, qWindowFuncs,
+    dedupIncrementalNear)
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }

@@ -98,6 +98,28 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Cross-side MinHash-LSH candidates for incremental crawl dedup: the
+    * new batch's band keys equi-join the CORPUS's band keys — the corpus
+    * never self-joins and ships only (id, bandkey) band rows, so the work
+    * is O(batch × collisions), not O(corpus²): the shape that lets a
+    * nightly crawl delta dedup against a 100 TB corpus. Pair columns are
+    * (id_batch, id_corpus); verify against shingles as usual. */
+  def crossMinhashCandidates(corpusSh: DataFrame, batchSh: DataFrame,
+      k: Int, bands: Int): DataFrame = {
+    require(k % bands == 0, "k must divide into bands")
+    val rows = k / bands
+    def bandRows(df: DataFrame) = df
+      .filter(size(col("shingles")) > 0)
+      .select(col("id"), TextOps.bandKeys(
+        graft.functions.MinHashExpr.minhashSig(col("shingles"), k),
+        bands, rows).as("bandkeys"))
+      .select(col("id"), explode(col("bandkeys")).as("bandkey"))
+    bandRows(batchSh).as("b")
+      .join(bandRows(corpusSh).as("c"), col("b.bandkey") === col("c.bandkey"))
+      .select(col("b.id").as("id_batch"), col("c.id").as("id_corpus"))
+      .distinct()
+  }
+
   /** C4-style span-level dedup: split each document into consecutive
     * `spanTokens`-token spans, fingerprint each span, and keep only the
     * globally-first occurrence (min (doc_id, span_idx)) of every distinct
