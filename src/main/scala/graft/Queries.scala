@@ -2676,31 +2676,11 @@ object Queries {
   val funnelAnalysis = QueryDef(
     "funnel_analysis",
     (s, dir) => {
-      val winMs = 7L * 86400000L
       val ev = Tables.events(s, dir)
         .select(col("user_id"), col("event_type"),
           unix_millis(col("ts")).as("ts_ms"))
-      val v = ev.filter(col("event_type") === "view")
-        .groupBy(col("user_id")).agg(min(col("ts_ms")).as("v_ts"))
-      val c = ev.filter(col("event_type") === "click")
-        .join(v, "user_id")
-        .filter(col("ts_ms") > col("v_ts") &&
-          col("ts_ms") <= col("v_ts") + winMs)
-        .groupBy(col("user_id")).agg(min(col("ts_ms")).as("c_ts"))
-      val p = ev.filter(col("event_type") === "purchase")
-        .join(c, "user_id")
-        .filter(col("ts_ms") > col("c_ts") &&
-          col("ts_ms") <= col("c_ts") + winMs)
-        .groupBy(col("user_id")).agg(min(col("ts_ms")).as("p_ts"))
-      ev.select(col("user_id")).distinct()
-        .join(v, Seq("user_id"), "left")
-        .join(c, Seq("user_id"), "left")
-        .join(p, Seq("user_id"), "left")
-        .withColumn("stage",
-          when(col("p_ts").isNotNull, 3L)
-            .when(col("c_ts").isNotNull, 2L)
-            .when(col("v_ts").isNotNull, 1L).otherwise(0L))
-        .withColumn("conv_ms", col("p_ts") - col("v_ts"))
+      graft.operators.Funnel.stages(ev, "user_id", "event_type", "ts_ms",
+          Seq("view", "click", "purchase"), windowMs = 7L * 86400000L)
         .groupBy(col("stage"))
         .agg(count(lit(1)).as("n_users"),
           expr("CASE WHEN count(conv_ms) > 0 " +

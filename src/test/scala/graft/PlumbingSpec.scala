@@ -354,4 +354,38 @@ class PlumbingSpec extends AnyFunSuite {
         s"event $id user $u ts $ts")
     }
   }
+
+  test("funnel: strict step order and attribution window both enforced") {
+    import spark.implicits._
+    val W = 100L
+    val ev = Seq(
+      // u1: textbook convert inside windows → stage 3
+      (1L, "view", 0L), (1L, "click", 10L), (1L, "purchase", 20L),
+      // u2: click BEFORE first view never counts; later click converts
+      (2L, "click", 0L), (2L, "view", 10L), (2L, "click", 50L),
+      (2L, "purchase", 60L),
+      // u3: click outside the view+W window → stuck at stage 1
+      (3L, "view", 0L), (3L, "click", 200L),
+      // u4: purchase before click (same-ts tie is NOT strictly after) → 2
+      (4L, "view", 0L), (4L, "click", 10L), (4L, "purchase", 10L),
+      // u5: no view at all, other steps present → stage 0
+      (5L, "click", 0L), (5L, "purchase", 10L),
+      // u6: second view would start a valid chain, but the funnel anchors
+      // on the FIRST view: click at 150 is outside view@0 + W → stage 1
+      (6L, "view", 0L), (6L, "view", 120L), (6L, "click", 150L)
+    ).toDF("user_id", "event_type", "ts_ms")
+    val got = graft.operators.Funnel
+      .stages(ev, "user_id", "event_type", "ts_ms",
+        Seq("view", "click", "purchase"), windowMs = W)
+      .select("user_id", "stage").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 1L, 4L -> 2L, 5L -> 0L,
+      6L -> 1L), s"stages: $got")
+    // converter latency is last-step ts − first-step ts
+    val conv = graft.operators.Funnel
+      .stages(ev, "user_id", "event_type", "ts_ms",
+        Seq("view", "click", "purchase"), windowMs = W)
+      .filter(col("stage") === 3L)
+      .select("user_id", "conv_ms").as[(Long, Long)].collect().toMap
+    assert(conv == Map(1L -> 20L, 2L -> 50L), s"conv: $conv")
+  }
 }
