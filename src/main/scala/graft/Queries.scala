@@ -2906,6 +2906,70 @@ object Queries {
                ON best.id_batch = d.doc_id
              ORDER BY d.doc_id"""))
 
+  /** One-row dataset card — the corpus summary a dataset release ships
+    * (docs/tokens/chars, language & source cardinality, exact-dup rate,
+    * mean quality proxy): five independent partial-agged aggregates
+    * composed by cross-join of singletons (each input is one row, so the
+    * "join" is free at any corpus size); the dup rate reuses the exact-
+    * fingerprint groupBy. All integer (ppm rates, micro-unit means). */
+  val datasetCard = QueryDef(
+    "dataset_card",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val base = docs.agg(
+        count(lit(1)).as("n_docs"),
+        sum(TextOps.tokenCount(col("text")).cast("long")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("source")).as("n_sources"))
+      val dups = docs
+        .groupBy(TextOps.fingerprint(col("text")).as("fp"))
+        .agg(count(lit(1)).as("copies"))
+        .agg(count(lit(1)).as("n_unique"),
+          sum(col("copies") - 1).as("n_dup_docs"))
+      base.crossJoin(dups)
+        .withColumn("dup_ppm",
+          expr("n_dup_docs * 1000000L div n_docs"))
+        .select(col("n_docs"), col("n_tokens"), col("n_chars"),
+          col("n_langs"), col("n_sources"), col("n_unique"),
+          col("n_dup_docs"), col("dup_ppm"))
+    },
+    Some(s"""WITH base AS (SELECT count(*) AS n_docs,
+                 CAST(sum(len($tokensSql)) AS BIGINT) AS n_tokens,
+                 CAST(sum(n_chars) AS BIGINT) AS n_chars,
+                 count(DISTINCT lang) AS n_langs,
+                 count(DISTINCT source) AS n_sources
+               FROM documents),
+             dups AS (SELECT count(*) AS n_unique,
+                 CAST(sum(copies - 1) AS BIGINT) AS n_dup_docs
+               FROM (SELECT count(*) AS copies FROM documents
+                 GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))))
+             SELECT n_docs, n_tokens, n_chars, n_langs, n_sources,
+               n_unique, n_dup_docs,
+               (n_dup_docs * 1000000) // n_docs AS dup_ppm
+             FROM base, dups"""))
+
+  /** k-anonymity audit over the events "who did what" projection: event
+    * types whose distinct-user support falls below k = 10 would
+    * re-identify users if released — the privacy pre-flight before
+    * publishing behavioral aggregates. One partial-agged groupBy; the
+    * HAVING filter is evaluated post-agg, rows stay bounded by the
+    * event-type cardinality. */
+  val kAnonymity = QueryDef(
+    "k_anonymity",
+    (s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events"))
+        .withColumn("k_anonymous", col("n_users") >= 10)
+        .orderBy(col("event_type"))
+    },
+    Some("""SELECT event_type, count(DISTINCT user_id) AS n_users,
+              count(*) AS n_events,
+              count(DISTINCT user_id) >= 10 AS k_anonymous
+            FROM events GROUP BY event_type ORDER BY event_type"""))
+
   /** As-of join (backward): each click gets the user's most recent
     * at-or-before purchase — an operator Spark has no native plan for
     * (the range-join spelling blows up n·m within key). The engine's
@@ -4753,7 +4817,7 @@ object Queries {
     crawlPagerank, spanCorrupt, mixRollup, q5LocalSupplier, streamTrending,
     q18BigOrders, dedupRateReport, streamDedupQ, r18PartialKey,
     funnelAnalysis, sourceDivergence, propsJson, qWindowFuncs,
-    dedupIncrementalNear)
+    dedupIncrementalNear, datasetCard, kAnonymity)
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }
