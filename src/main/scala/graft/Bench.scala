@@ -106,7 +106,7 @@ object Bench {
       "stream_trending", "q18_big_orders", "dedup_rate_report", "stream_dedup",
       "r18_partial_key", "funnel_analysis", "source_divergence",
       "props_json", "q_window_funcs", "dedup_incremental_near",
-      "dataset_card", "k_anonymity")
+      "dataset_card", "k_anonymity", "q17_small_qty")
     val core = results.filterNot(r => addedLater(r._1)).map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","core38":$core,"queries":$qs,"ok":$ok,"n":${results.size},"errors":$errs,"sf":"$sfDir"}""")
     if (results.exists(_._3.nonEmpty)) System.err.println(

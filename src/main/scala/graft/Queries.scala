@@ -2970,6 +2970,46 @@ object Queries {
               count(DISTINCT user_id) >= 10 AS k_anonymous
             FROM events GROUP BY event_type ORDER BY event_type"""))
 
+  /** TPC-H Q17-style small-quantity-order revenue: "lineitems below 20%
+    * of their part's average quantity" — the correlated-scalar-subquery
+    * shape, decorrelated (as Catalyst itself would) into a per-part agg +
+    * equi-join. The avg comparison is EXACT integer cross-multiplication:
+    * qty < 0.2·(sum/n)  ⇔  5·qty·n < sum (quantities are integer-valued)
+    * — no float division crosses an engine boundary. Per-part agg and the
+    * probe co-shuffle on l_partkey; the brand filter prunes the part side
+    * before its join. */
+  val q17SmallQty = QueryDef(
+    "q17_small_qty",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_quantity").cast("long").as("qty"),
+          round(col("l_extendedprice") * 100).cast("long").as("cents"))
+      val perPart = li.groupBy(col("l_partkey"))
+        .agg(sum(col("qty")).as("sum_qty"), count(lit(1)).as("n_li"))
+      val brand = t(s, dir, "part")
+        .filter(col("p_brand") === "Brand#1").select(col("p_partkey"))
+      li.join(brand, col("l_partkey") === col("p_partkey"))
+        .join(perPart, "l_partkey")
+        .filter(col("qty") * 5 * col("n_li") < col("sum_qty"))
+        .agg(count(lit(1)).as("n_small"),
+          sum(col("cents")).as("revenue_cents"))
+        .select(expr("revenue_cents div 7L").as("avg_yearly_cents"),
+          col("n_small"))
+    },
+    Some("""WITH li AS (SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
+                 CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+               FROM lineitem),
+             pp AS (SELECT l_partkey, CAST(sum(qty) AS BIGINT) AS sum_qty,
+                 count(*) AS n_li
+               FROM li GROUP BY l_partkey),
+             b AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#1')
+             SELECT CAST(sum(cents) AS BIGINT) // 7 AS avg_yearly_cents,
+               count(*) AS n_small
+             FROM li
+             JOIN b ON l_partkey = p_partkey
+             JOIN pp USING (l_partkey)
+             WHERE qty * 5 * n_li < sum_qty"""))
+
   /** As-of join (backward): each click gets the user's most recent
     * at-or-before purchase — an operator Spark has no native plan for
     * (the range-join spelling blows up n·m within key). The engine's
@@ -4817,7 +4857,7 @@ object Queries {
     crawlPagerank, spanCorrupt, mixRollup, q5LocalSupplier, streamTrending,
     q18BigOrders, dedupRateReport, streamDedupQ, r18PartialKey,
     funnelAnalysis, sourceDivergence, propsJson, qWindowFuncs,
-    dedupIncrementalNear, datasetCard, kAnonymity)
+    dedupIncrementalNear, datasetCard, kAnonymity, q17SmallQty)
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }
