@@ -1120,6 +1120,53 @@ object Queries {
             FROM customer WHERE c_custkey <= 3
             ORDER BY ts_ms, c_custkey"""))
 
+  /** S4b bootstrapping changelog consumer: a consumer attaching mid-stream
+    * gets (full-state after-images, resume coordinate); LWW-applying the
+    * bootstrap then the post-coordinate tail must reconstruct the serving
+    * view EXACTLY — any gap (a lost op) or overlap (a doubled tombstone)
+    * between the two frames breaks the oracle. Exercises put, delete, and
+    * post-bootstrap writes on both previously-clean and already-written
+    * keys. */
+  val s9Bootstrap = QueryDef(
+    "s9_bootstrap_changelog",
+    (s, dir) => {
+      val e = tempEngine(s, "graft-s9")
+      e.createStore("c", Seq("c_custkey"))
+      val cust = t(s, dir, "customer").filter(col("c_custkey") <= 2000)
+      e.push("c", cust, numBuckets = 4)
+      e.put("c", cust.filter(col("c_custkey") <= 5)
+        .withColumn("c_name", lit("V2")), tsMs = 1000L)
+      e.delete("c", cust.filter(col("c_custkey").between(6, 8))
+        .select("c_custkey"), tsMs = 2000L)
+      // new consumer attaches here: snapshot + all ops so far, plus the
+      // coordinate the live stream resumes from
+      val (boot, coord) = e.bootstrapChangelog("c")
+      // live writes landing after the bootstrap point
+      e.put("c", cust.filter(col("c_custkey") <= 3)
+        .withColumn("c_name", lit("V3")), tsMs = 3000L)
+      e.delete("c", cust.filter(col("c_custkey") === 10)
+        .select("c_custkey"), tsMs = 4000L)
+      val tail = e.changelogSince("c", coord)
+      // consumer-side LWW apply over bootstrap ∪ tail
+      val tsC = graft.core.GraftEngine.TsCol
+      val delC = graft.core.GraftEngine.DeletedCol
+      val w = Window.partitionBy(col("c_custkey"))
+        .orderBy(col(tsC).desc)
+      boot.unionByName(tail)
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1 && !col(delC))
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    },
+    Some("""SELECT c_custkey,
+              CASE WHEN c_custkey <= 3 THEN 'V3'
+                   WHEN c_custkey <= 5 THEN 'V2'
+                   ELSE c_name END AS c_name
+            FROM customer
+            WHERE c_custkey <= 2000 AND c_custkey NOT BETWEEN 6 AND 8
+              AND c_custkey <> 10
+            ORDER BY c_custkey"""))
+
   /** S6 SQL materialization: the serving view registered as a SQL-queryable
     * temp view, aggregated via spark.sql. */
   val s6SqlView = QueryDef(
@@ -1624,6 +1671,38 @@ object Queries {
       .orderBy(col("event_type")),
     Some("""SELECT event_type, count(DISTINCT user_id) AS exact_users,
             true AS approx_within_bound
+            FROM events GROUP BY event_type ORDER BY event_type"""))
+
+  /** W14 sketch UNION — the production shape W12's one-shot distinct
+    * can't cover: per-day Datasketches HLL sketches built independently
+    * (the per-partition/per-ingest-batch unit a 100-TB pipeline
+    * materializes once), then merged with `hll_union_agg` — distinct
+    * users over any day range WITHOUT re-touching the raw events. The
+    * estimate must land within the sketch's error bound of the exact
+    * count (lgConfigK=14 ⇒ RSE ≈ 1.04/√2¹⁴ ≈ 0.81%; 6σ gate), which is what the oracle
+    * pins: sketches are duplicate-insensitive, so union-of-days equals
+    * distinct-over-range. One groupBy builds the daily sketches, one
+    * merges — both partial-aggregated, no Expand. */
+  val w14HllUnion = QueryDef(
+    "w14_hll_union",
+    (s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"))
+      daily.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"),
+          expr("hll_sketch_estimate(hll_union_agg(sk))").as("approx"))
+        .join(Tables.events(s, dir)
+          .groupBy(col("event_type"))
+          .agg(count_distinct(col("user_id")).as("exact_users")), "event_type")
+        .select(col("event_type"), col("n_days"), col("exact_users"),
+          (abs(col("approx") - col("exact_users")).cast("double") <=
+            lit(6 * 0.0081) * col("exact_users")).as("union_within_bound"))
+        .orderBy(col("event_type"))
+    },
+    Some("""SELECT event_type, count(DISTINCT CAST(ts AS DATE)) AS n_days,
+              count(DISTINCT user_id) AS exact_users,
+              true AS union_within_bound
             FROM events GROUP BY event_type ORDER BY event_type"""))
 
   /** Multimodal decode pipeline: documents as binary payloads → typed
@@ -2978,6 +3057,42 @@ object Queries {
     * — no float division crosses an engine boundary. Per-part agg and the
     * probe co-shuffle on l_partkey; the brand filter prunes the part side
     * before its join. */
+  /** Pivot: event types rotated into columns per user bucket — the
+    * wide-format report shape. The pivot value list is EXPLICIT, so the
+    * plan skips the extra distinct-collect job `.pivot(col)` would run
+    * and stays a single partial-aggregated groupBy (pivot compiles to
+    * conditional aggregates, one shuffle on the 10 bucket keys — the
+    * same shape at any corpus size since the output is bounded by
+    * buckets × types). */
+  val qPivot = QueryDef(
+    "q_pivot",
+    (s, dir) => {
+      Tables.events(s, dir)
+        .withColumn("user_bucket", pmod(col("user_id"), lit(10)))
+        .withColumn("cents", round(col("value") * 100).cast("long"))
+        .groupBy(col("user_bucket"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+        .orderBy(col("user_bucket"))
+    },
+    Some("""SELECT user_id % 10 AS user_bucket,
+              count(*) FILTER (event_type = 'click') AS click_n,
+              CAST(sum(CAST(round(value * 100) AS BIGINT))
+                FILTER (event_type = 'click') AS BIGINT) AS click_cents,
+              count(*) FILTER (event_type = 'error') AS error_n,
+              CAST(sum(CAST(round(value * 100) AS BIGINT))
+                FILTER (event_type = 'error') AS BIGINT) AS error_cents,
+              count(*) FILTER (event_type = 'purchase') AS purchase_n,
+              CAST(sum(CAST(round(value * 100) AS BIGINT))
+                FILTER (event_type = 'purchase') AS BIGINT) AS purchase_cents,
+              count(*) FILTER (event_type = 'signup') AS signup_n,
+              CAST(sum(CAST(round(value * 100) AS BIGINT))
+                FILTER (event_type = 'signup') AS BIGINT) AS signup_cents,
+              count(*) FILTER (event_type = 'view') AS view_n,
+              CAST(sum(CAST(round(value * 100) AS BIGINT))
+                FILTER (event_type = 'view') AS BIGINT) AS view_cents
+            FROM events GROUP BY 1 ORDER BY user_bucket"""))
+
   val q17SmallQty = QueryDef(
     "q17_small_qty",
     (s, dir) => {
@@ -3951,6 +4066,39 @@ object Queries {
                max(c) AS max_count
              FROM k GROUP BY 1 ORDER BY bucket"""))
 
+  /** Salted skew join: the mitigation `skew_profile` exists to trigger.
+    * `event_type` has a handful of values owning ~60k rows each — a plain
+    * shuffle join on it serializes every hot key through one reducer.
+    * [[graft.operators.Joins.saltedJoin]] splits each key across 32 salt
+    * sub-partitions (probe side salted by xxhash64(event_id) — a per-row
+    * id, never rand(), so the plan is deterministic; build side explodes
+    * ×32) and joins on (key, salt) with a pinned sort-merge join, so the
+    * hottest key sorts on 32 reducers instead of one. The salt never
+    * escapes the operator: the oracle is the UNSALTED join — equality
+    * proves the salt is pure plumbing. */
+  val qSaltedJoin = QueryDef(
+    "q_salted_join",
+    (s, dir) => {
+      import graft.operators.Joins
+      val ev = Tables.events(s, dir)
+      // build side keyed on the skewed column; weight is deterministic
+      val dim = ev.select(col("event_type")).distinct()
+        .withColumn("w", length(col("event_type")).cast("long"))
+      Joins.saltedJoin(ev, dim, Seq("event_type"), col("event_id"), 32)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(round(col("value") * 100).cast("long") * col("w"))
+            .as("weighted_cents"))
+        .orderBy(col("event_type"))
+    },
+    Some("""WITH dim AS (SELECT DISTINCT event_type,
+               CAST(length(event_type) AS BIGINT) AS w FROM events)
+             SELECT e.event_type, count(*) AS n_events,
+               CAST(sum(CAST(round(e.value * 100) AS BIGINT) * d.w)
+                 AS BIGINT) AS weighted_cents
+             FROM events e JOIN dim d ON e.event_type = d.event_type
+             GROUP BY e.event_type ORDER BY e.event_type"""))
+
   /** Stream-stream interval join, oracle-checked END TO END: click-through
     * attribution (every click within 6 h of the same user's view) over two
     * file-source streams. Inner pairs emit as soon as both sides arrive;
@@ -4452,6 +4600,61 @@ object Queries {
                min(doc_id) AS keeper_id
              FROM canon GROUP BY 1 ORDER BY canonical_url"""))
 
+  /** One unrolled DuckDB BPE step: count pairs over the previous symbol
+    * table, pick the (count desc, pair asc) argmax, two-pass-replace it —
+    * the exact contract [[graft.operators.Bpe.trainMerges]] implements. */
+  private def bpeStepCtes(k: Int): String = {
+    val prev = if (k == 1) "sym0" else s"m${k - 1}"
+    s"""p$k AS (SELECT unnest(list_transform(range(1, len(sm)),
+               i -> sm[i] || ' ' || sm[i+1])) AS pair, f FROM
+               (SELECT f, list_filter(string_split(trim(sym), ' '),
+                  x -> x <> '') AS sm FROM $prev)),
+             best$k AS (SELECT pair, sum(f)::BIGINT AS cnt FROM p$k
+               GROUP BY 1 ORDER BY cnt DESC, pair ASC LIMIT 1),
+             m$k AS (SELECT word, f, replace(replace(sym,
+               ' ' || (SELECT pair FROM best$k) || ' ',
+               ' ' || replace((SELECT pair FROM best$k), ' ', '') || ' '),
+               ' ' || (SELECT pair FROM best$k) || ' ',
+               ' ' || replace((SELECT pair FROM best$k), ' ', '') || ' ')
+               AS sym FROM $prev)"""
+  }
+
+  /** BPE tokenizer TRAINING — the actual greedy merge loop, not just one
+    * round's statistic: 3 steps of (count weighted adjacent pairs over
+    * the vocabulary → argmax → merge everywhere). Each step's pair table
+    * derives from the PREVIOUS step's merged symbols, so step 2 can pick
+    * a pair containing step 1's new symbol — the part `bpe_pair_stats`
+    * alone can't express. The oracle unrolls the identical three steps
+    * as CTE chains. Vocabulary-sized work throughout. */
+  val bpeTrainMerges = QueryDef(
+    "bpe_train_merges",
+    (s, dir) => {
+      import graft.operators.Bpe
+      val words = t(s, dir, "documents")
+        .select(explode(TextOps.tokens(col("text"))).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("f"))
+      val (merges, vocab) = Bpe.trainMerges(s, words, steps = 3)
+      vocab.unpersist()
+      import s.implicits._
+      merges.map(m => (m.step.toLong, m.pair, m.count))
+        .toDF("step", "pair", "cnt").orderBy(col("step"))
+    },
+    Some(s"""WITH w AS (SELECT t AS word, count(*)::BIGINT AS f FROM
+               (SELECT unnest($tokensSql) AS t FROM documents) GROUP BY 1),
+             sym0 AS (SELECT word, f, ' ' ||
+               array_to_string(regexp_split_to_array(word, ''), ' ') || ' '
+               AS sym FROM w),
+             ${bpeStepCtes(1)},
+             ${bpeStepCtes(2)},
+             ${bpeStepCtes(3)}
+             SELECT * FROM (
+               SELECT CAST(1 AS BIGINT) AS step, pair, cnt FROM best1
+               UNION ALL
+               SELECT CAST(2 AS BIGINT), pair, cnt FROM best2
+               UNION ALL
+               SELECT CAST(3 AS BIGINT), pair, cnt FROM best3)
+             ORDER BY step"""))
+
   /** BPE tokenizer-training inner loop: word-frequency-weighted adjacent
     * symbol-pair counts (the statistic the first merge rule is chosen
     * from). The 100 TB shape is the point: pair expansion runs over the
@@ -4857,7 +5060,8 @@ object Queries {
     crawlPagerank, spanCorrupt, mixRollup, q5LocalSupplier, streamTrending,
     q18BigOrders, dedupRateReport, streamDedupQ, r18PartialKey,
     funnelAnalysis, sourceDivergence, propsJson, qWindowFuncs,
-    dedupIncrementalNear, datasetCard, kAnonymity, q17SmallQty)
+    dedupIncrementalNear, datasetCard, kAnonymity, q17SmallQty,
+    qSaltedJoin, s9Bootstrap, qPivot, w14HllUnion, bpeTrainMerges)
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }

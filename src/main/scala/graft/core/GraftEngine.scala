@@ -1064,6 +1064,26 @@ class GraftEngine(val spark: SparkSession, val root: String) {
   def latestCoordinate(name: String): ChangeCoordinate =
     ChangeCoordinate(currentVersion(name), currentLogSeq(name))
 
+  /** Bootstrapping changelog consumer: the full current state as
+    * after-images PLUS the exact coordinate to resume the live stream
+    * from — Venice's bootstrapping-changelog-consumer contract
+    * (clients/da-vinci-client/.../consumer/
+    * StatefulVeniceChangelogConsumer.java:24: a fresh node "obtains a
+    * complete data snapshot" before transitioning to the live stream;
+    * semantics, not code). Applying the returned frame LWW-style (max ts
+    * per key, tombstones win at their ts) reconstructs the serving view
+    * as of the coordinate; `changelogSince(coord)` then continues with
+    * NO gap and NO overlap — the coordinate is captured before the
+    * frame is built, and the frame contains every op at-or-before it.
+    * Cost: one snapshot scan + log scan, the same frame a post-swap
+    * resync pays. */
+  def bootstrapChangelog(name: String): (DataFrame, ChangeCoordinate) = {
+    val coord = latestCoordinate(name)
+    // a version that can never be current forces changelogSince's full
+    // resync branch: snapshot as ts-0 after-images + the surviving log
+    (changelogSince(name, ChangeCoordinate(-1, -1L)), coord)
+  }
+
   /** Entries strictly after the checkpoint coordinate. A coordinate from an
     * older version is stale — the consumer re-reads the whole current state
     * (the post-version-swap resync, Venice's TopicSwitch semantics): the

@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** BPE tokenizer training: the iterative greedy merge loop that turns a
+  * word-frequency table into a merge list (the artifact a tokenizer ships).
+  * `bpe_pair_stats` computes ONE round's statistic; this runs the actual
+  * loop — select the most frequent adjacent symbol pair, merge it
+  * everywhere, recount — which is what "train a tokenizer on the corpus"
+  * means.
+  *
+  * Scale shape: every step works on the VOCABULARY (distinct word ×
+  * frequency — sublinear in corpus size; the corpus is touched once to
+  * build the word counts), so a 100-TB corpus trains over a few-hundred-MB
+  * vocab frame. Pair counting is one partial-aggregated groupBy per step;
+  * the argmax is a 1-row driver fetch (the merge decision must serialize
+  * the loop — same driver-coordination shape as the k-means Lloyd steps in
+  * [[Similarity]]); the merge apply is a narrow map over the vocab.
+  *
+  * Determinism contract (shared with the DuckDB oracle, which unrolls the
+  * same steps as CTEs):
+  *  - symbols ride in a single space-delimited string padded with one
+  *    leading/trailing space, so a merge is `replace(sym, " a b ", " ab ")`
+  *    — leftmost non-overlapping in both engines;
+  *  - the replace runs TWICE per step: a run of identical symbols hides
+  *    every second match from one pass (the match consumes the separator
+  *    the next match needs); two passes converge for runs ≤ 5, and both
+  *    engines apply the identical two-pass rule so the oracle is exact by
+  *    construction regardless;
+  *  - argmax tie-break: highest count, then lexicographically smallest
+  *    pair;
+  *  - no end-of-word marker (merges never cross words because each word
+  *    is its own symbol string; a production tokenizer would append one —
+  *    orthogonal to the loop's shape).
+  */
+object Bpe {
+
+  final case class Merge(step: Int, pair: String, count: Long)
+
+  /** @param words (word: String, f: Long) vocabulary with corpus counts
+    * @return the chosen merges in order, and the vocab with its final
+    *         space-delimited symbol encoding (`word`, `f`, `sym`) */
+  def trainMerges(spark: SparkSession, words: DataFrame, steps: Int)
+      : (Seq[Merge], DataFrame) = {
+    require(steps >= 1, s"steps must be >= 1, got $steps")
+    // char-split via a zero-width regex; the (?=.) guard stops the split
+    // from also matching at end-of-string (Spark splits with limit -1,
+    // which would append a trailing empty symbol)
+    var vocab = words.select(col("word"), col("f").cast("long").as("f"),
+      concat(lit(" "),
+        array_join(split(col("word"), "(?!^)(?=.)"), " "), lit(" ")).as("sym"))
+      .persist()
+    vocab.count() // materialize before the loop re-derives from it
+    val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    for (step <- 1 to steps) {
+      val s = split(trim(col("sym")), " ")
+      val best = vocab
+        // single-symbol words have no pairs — and would make the
+        // sequence() below DESCEND through index 0 (ANSI array error)
+        .filter(size(s) >= 2)
+        .select(col("f"), explode(
+          transform(sequence(lit(1), size(s) - 1),
+            i => concat(element_at(s, i), lit(" "), element_at(s, i + 1))))
+          .as("pair"))
+        .groupBy(col("pair")).agg(sum(col("f")).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair").asc)
+        .limit(1).collect()
+      if (best.isEmpty) return (merges.toSeq, vocab) // nothing left to merge
+      val pair = best(0).getString(0)
+      val cnt = best(0).getLong(1)
+      merges += Merge(step, pair, cnt)
+      val pat = lit(s" $pair "); val rep = lit(" " + pair.replace(" ", "") + " ")
+      val prev = vocab
+      vocab = prev.withColumn("sym",
+        org.apache.spark.sql.functions.replace(
+          org.apache.spark.sql.functions.replace(col("sym"), pat, rep),
+          pat, rep))
+        .persist()
+      vocab.count()
+      prev.unpersist()
+    }
+    (merges.toSeq, vocab)
+  }
+}

@@ -79,6 +79,42 @@ object Joins {
         payload.map(p => col(s"__pay_$p").as(s"asof_$p")): _*)
   }
 
+  /** Salted equi-join for skewed keys: the standard 100-TB mitigation when
+    * the build side is too large to broadcast AND the probe side's join-key
+    * distribution is heavily skewed (a handful of hot keys own most rows —
+    * exactly what [[graft.Queries]]' `skew_profile` measures pre-flight).
+    *
+    * A plain shuffle join on such a key sends every row of a hot key to ONE
+    * reducer: the job runs as slow as its hottest key, or OOMs. Salting
+    * splits each key's rows across `salts` sub-partitions:
+    *
+    *  - probe side: `__salt = pmod(xxhash64(saltBy), salts)` — derived from
+    *    a caller-supplied per-row column (an id, offset, anything uniform),
+    *    NOT from rand(), so the plan stays deterministic and re-runnable;
+    *  - build side: each row explodes to ALL `salts` replicas (bounded,
+    *    small × salts);
+    *  - join on (keys, __salt) — a hot key now occupies `salts` reducers.
+    *
+    * The join is pinned to sort-merge (`hint("merge")`): size-based
+    * broadcast would silently defeat the salt in local tests while the
+    * real deployment's build side exceeds the broadcast threshold, and SMJ
+    * is the spill-safe choice at scale. AQE's skew-join split handles
+    * mild skew at runtime; explicit salting remains the contract when one
+    * key alone exceeds what a single reducer can sort.
+    *
+    * Result set is identical to `big.join(small, keyCols)` — the salt
+    * column never leaves the operator. Inner join only (an outer variant
+    * would emit one null-match per salt replica).
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, keyCols: Seq[String],
+      saltBy: org.apache.spark.sql.Column, salts: Int): DataFrame = {
+    require(salts > 1, s"salts must be > 1, got $salts")
+    val b = big.withColumn("__salt", pmod(xxhash64(saltBy), lit(salts)))
+    val s = small.withColumn("__salt",
+      explode(sequence(lit(0L), lit(salts - 1L))))
+    b.join(s.hint("merge"), keyCols :+ "__salt").drop("__salt")
+  }
+
   /** Interval (range) containment join: emit every (left row, right
     * interval) pair with the same key and startCol ≤ ts ≤ endCol.
     *

@@ -598,4 +598,39 @@ class EngineSpec extends AnyFunSuite {
     assert(e.listVersions("s") == Seq(1))
     intercept[IllegalStateException](e.rollForward("s"))
   }
+
+  test("bootstrapChangelog on an A/A store: LWW-applying bootstrap + tail " +
+      "reconstructs the conflict-resolved serving view") {
+    import spark.implicits._
+    val e = new GraftEngine(spark,
+      Files.createTempDirectory("graft-boot").toString)
+    e.createStore("aab", Seq("id"))
+    e.push("aab", Seq((1L, 10.0, Seq("a")), (2L, 20.0, Seq("x")),
+      (3L, 30.0, Seq("m"))).toDF("id", "score", "tags"))
+    e.enableActiveActive("aab")
+    e.setFieldAA("aab", Seq((1L, 15.0)).toDF("id", "score"), "score", tsMs = 100L)
+    e.deleteAA("aab", Seq(3L).toDF("id"), tsMs = 150L)
+    val (boot, coord) = e.bootstrapChangelog("aab")
+    val bootRows = boot.collect() // materialize BEFORE the live writes
+    // live ops after the bootstrap point — including a CRDT element op,
+    // whose after-image must carry key 2's FULL resolved state
+    e.addToSetAA("aab", Seq((2L, "y")).toDF("id", "tag"), "tags", "tag",
+      tsMs = 200L)
+    e.putAA("aab", Seq((3L, 33.0, Seq("r"))).toDF("id", "score", "tags"),
+      tsMs = 300L)
+    val tail = e.changelogSince("aab", coord)
+    val tsC = GraftEngine.TsCol; val delC = GraftEngine.DeletedCol
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col(tsC).desc)
+    val rebuilt = spark.createDataFrame(
+        spark.sparkContext.parallelize(bootRows.toSeq), boot.schema)
+      .unionByName(tail)
+      .withColumn("__rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("__rn") === 1 && !col(delC))
+      .select(col("id"), col("score"), col("tags"))
+    val expect = e.servingView("aab").select(col("id"), col("score"), col("tags"))
+    assert(rebuilt.exceptAll(expect).isEmpty && expect.exceptAll(rebuilt).isEmpty)
+    // resolved rows: 1 (score 15), 2 (tags x+y), 3 (resurrected put)
+    assert(rebuilt.count() == 3)
+  }
 }

@@ -880,4 +880,34 @@ class PipelineSpec extends AnyFunSuite {
     }
     assert(sawMask, "no doc had any masked span — mask rate broken")
   }
+
+  test("BPE training: textbook vocab yields the classic merge sequence " +
+      "and step 2 picks a pair containing step 1's merged symbol") {
+    import spark.implicits._
+    import graft.operators.Bpe
+    val words = Seq(("low", 5L), ("lower", 2L), ("newest", 6L),
+      ("widest", 3L)).toDF("word", "f")
+    val (merges, vocab) = Bpe.trainMerges(spark, words, steps = 3)
+    // step 1: "e s" and "s t" tie at 9 — lex-smaller "e s" wins;
+    // step 2: "es t" (9) CONTAINS the new symbol; step 3: "l o"/"o w"
+    // tie at 7 — lex-smaller "l o" wins
+    assert(merges.map(m => (m.step, m.pair, m.count)) == Seq(
+      (1, "e s", 9L), (2, "es t", 9L), (3, "l o", 7L)))
+    val sym = vocab.collect().map(r =>
+      r.getAs[String]("word") -> r.getAs[String]("sym")).toMap
+    assert(sym("newest") == " n e w est ")
+    assert(sym("low") == " lo w ")
+    vocab.unpersist()
+  }
+
+  test("BPE training: a run of identical symbols merges fully pairwise " +
+      "(the two-pass replace rule)") {
+    import spark.implicits._
+    import graft.operators.Bpe
+    val (merges, vocab) = Bpe.trainMerges(spark,
+      Seq(("aaaa", 10L)).toDF("word", "f"), steps = 1)
+    assert(merges.map(m => (m.pair, m.count)) == Seq(("a a", 30L)))
+    assert(vocab.collect().head.getAs[String]("sym") == " aa aa ")
+    vocab.unpersist()
+  }
 }

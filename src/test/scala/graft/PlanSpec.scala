@@ -181,4 +181,26 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p.take(800))
     assert(!p.contains("CartesianProduct"), p.take(800))
   }
+
+  test("salted join: sort-merge on (key, __salt), never broadcast; " +
+      "result identical to the unsalted join") {
+    import graft.operators.Joins
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("event_type"), col("value"))
+    val dim = ev.select(col("event_type")).distinct()
+      .withColumn("w", length(col("event_type")).cast("long"))
+    val salted = Joins.saltedJoin(ev, dim, Seq("event_type"),
+      col("event_id"), 8)
+    val p = plan(salted)
+    // the whole point: the hot key must shuffle on (key, salt), not
+    // broadcast (which local sizes would pick and 100-TB sizes can't)
+    assert(p.contains("SortMergeJoin"), p.take(800))
+    assert(p.contains("__salt"), p.take(800))
+    assert(!p.contains("BroadcastHashJoin"), p.take(800))
+    // salt is pure plumbing: same rows as the plain join, salt col gone
+    assert(salted.columns.toSet == (ev.columns.toSet + "w"))
+    val plain = ev.join(dim, "event_type")
+      .select(salted.columns.map(col): _*)
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
 }
