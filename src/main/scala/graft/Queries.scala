@@ -1120,6 +1120,60 @@ object Queries {
             FROM customer WHERE c_custkey <= 3
             ORDER BY ts_ms, c_custkey"""))
 
+  /** B16 incremental AGGREGATE view: count + exact-cents sum per nation,
+    * maintained from the changelog by retract-old/add-new group deltas —
+    * never a source rescan. The write mix hits every maintenance case:
+    * update-in-place (sums move), GROUP MOVE (retraction from the old
+    * group — the case blind upserts get wrong), delete, and inserts
+    * including a brand-new group. The oracle recomputes the aggregate
+    * from scratch; equality proves the delta algebra. */
+  val b16AggView = QueryDef(
+    "b16_agg_view",
+    (s, dir) => {
+      val e = tempEngine(s, "graft-b16")
+      e.createStore("cust", Seq("c_custkey"))
+      val cust = t(s, dir, "customer")
+      e.push("cust", cust, numBuckets = 4)
+      e.aggregateView("cust", "by_nation", Seq("c_nationkey"),
+        Seq("acct_cents" -> "CAST(round(c_acctbal * 100) AS BIGINT)"),
+        numBuckets = 4)
+      // update in place: sums move, counts don't
+      e.put("cust", cust.filter(col("c_custkey") <= 50)
+        .withColumn("c_acctbal", col("c_acctbal") + 10), tsMs = 1000L)
+      // group move: keys 51-60 emigrate to a brand-new nation 99
+      e.put("cust", cust.filter(col("c_custkey").between(51, 60))
+        .withColumn("c_nationkey", lit(99).cast("int")), tsMs = 2000L)
+      e.delete("cust", cust.filter(col("c_custkey").between(61, 70))
+        .select("c_custkey"), tsMs = 3000L)
+      // inserts: two into the new group, one into an existing one
+      e.put("cust", cust.filter(col("c_custkey").between(1, 3))
+        .withColumn("c_custkey", col("c_custkey") + 90000)
+        .withColumn("c_nationkey",
+          when(col("c_custkey") === 90003, lit(7)).otherwise(lit(99))
+            .cast("int"))
+        .withColumn("c_acctbal",
+          when(col("c_custkey") === 90001, lit(111.11))
+            .when(col("c_custkey") === 90002, lit(222.22))
+            .otherwise(lit(333.33))), tsMs = 4000L)
+      e.refreshAggView("by_nation")
+      e.servingView("by_nation")
+        .select(col("c_nationkey"), col("n"), col("acct_cents"))
+        .orderBy(col("c_nationkey"))
+    },
+    Some("""WITH mod AS (
+              SELECT CASE WHEN c_custkey BETWEEN 51 AND 60 THEN 99
+                          ELSE c_nationkey END AS g,
+                CASE WHEN c_custkey <= 50 THEN c_acctbal + 10
+                     ELSE c_acctbal END AS bal
+              FROM customer WHERE c_custkey NOT BETWEEN 61 AND 70
+              UNION ALL
+              SELECT g, bal FROM (VALUES (99, 111.11), (99, 222.22),
+                (7, 333.33)) t(g, bal))
+            SELECT g AS c_nationkey, count(*) AS n,
+              CAST(sum(CAST(round(bal * 100) AS BIGINT)) AS BIGINT)
+                AS acct_cents
+            FROM mod GROUP BY 1 ORDER BY c_nationkey"""))
+
   /** S4b bootstrapping changelog consumer: a consumer attaching mid-stream
     * gets (full-state after-images, resume coordinate); LWW-applying the
     * bootstrap then the post-coordinate tail must reconstruct the serving
@@ -5061,7 +5115,8 @@ object Queries {
     q18BigOrders, dedupRateReport, streamDedupQ, r18PartialKey,
     funnelAnalysis, sourceDivergence, propsJson, qWindowFuncs,
     dedupIncrementalNear, datasetCard, kAnonymity, q17SmallQty,
-    qSaltedJoin, s9Bootstrap, qPivot, w14HllUnion, bpeTrainMerges)
+    qSaltedJoin, s9Bootstrap, qPivot, w14HllUnion, bpeTrainMerges,
+    b16AggView)
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }

@@ -990,6 +990,179 @@ class GraftEngine(val spark: SparkSession, val root: String) {
     } finally latest.unpersist()
   }
 
+  // ---- incremental AGGREGATE views -----------------------------------------
+
+  private def aggTwin(viewName: String): String = s"${viewName}__rows"
+
+  private def saveAggMeta(viewName: String, groupCols: Seq[String],
+      measures: Seq[(String, String)]): Unit =
+    Files.writeString(Paths.get(dir(viewName, "AGG_META")),
+      (groupCols.mkString(",") +: measures.map { case (n, e) => s"$n\t$e" })
+        .mkString("\n"))
+
+  private def aggMeta(viewName: String): (Seq[String], Seq[(String, String)]) = {
+    val lines = Files.readString(Paths.get(dir(viewName, "AGG_META")))
+      .split("\n").toSeq
+    (lines.head.split(",").toSeq,
+      lines.tail.map { l => val Array(n, e) = l.split("\t", 2); (n, e) })
+  }
+
+  /** Materialize a DISTRIBUTIVE aggregate (row count + exact long sums per
+    * group) over a store, maintainable from the changelog without ever
+    * rescanning the source — classic incremental view maintenance, the
+    * piece [[materializedView]]'s key-level re-keying can't express
+    * (an aggregate row has no source key to tombstone).
+    *
+    * Two stores implement it:
+    *  - `viewName` — keyed by `groupCols`, columns `n` + one long per
+    *    measure: the served aggregate;
+    *  - `viewName__rows` (the "twin") — keyed by the SOURCE keys, holding
+    *    each key's current (group, measure…) contribution. The twin exists
+    *    because group-delta maintenance must know which group a changed key
+    *    LEFT; the changelog's after-images only say where it landed.
+    *
+    * Measures are (name, SQL expression) pairs evaluated against source
+    * rows and cast to long — exact integer arithmetic end to end (scale
+    * monetary doubles to cents in the expression). Works for LWW and A/A
+    * sources alike: maintenance consumes only resolved after-images.
+    * Sums/counts stay exact under insert, update, group move, and delete
+    * because every key's old contribution is retracted before its new one
+    * is added. */
+  def aggregateView(src: String, viewName: String, groupCols: Seq[String],
+      measures: Seq[(String, String)], numBuckets: Int = 16): Unit = {
+    require(groupCols.nonEmpty, "aggregateView needs group columns")
+    require(measures.nonEmpty, "aggregateView needs at least one measure")
+    require(!measures.map(_._1).contains("n"), "measure name 'n' is reserved")
+    val meta = storeMeta(src)
+    createStore(aggTwin(viewName), meta.keyCols)
+    createStore(viewName, groupCols)
+    val coord = latestCoordinate(src)
+    rebuildAggFrom(src, viewName, groupCols, measures, numBuckets)
+    saveViewCoord(viewName, src, coord)
+    saveAggMeta(viewName, groupCols, measures)
+  }
+
+  private def aggTwinRows(src: DataFrame, srcKeys: Seq[String],
+      groupCols: Seq[String], measures: Seq[(String, String)]): DataFrame =
+    src.select((srcKeys ++ groupCols).map(col) ++
+      measures.map { case (n, e) => expr(e).cast("long").as(n) }: _*)
+
+  private def aggOf(rows: DataFrame, groupCols: Seq[String],
+      mNames: Seq[String]): DataFrame =
+    rows.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        mNames.map(m => sum(col(m)).as(m)): _*)
+
+  private def rebuildAggFrom(src: String, viewName: String,
+      groupCols: Seq[String], measures: Seq[(String, String)],
+      numBuckets: Int): Unit = {
+    val meta = storeMeta(src)
+    val rows = aggTwinRows(servingView(src), meta.keyCols, groupCols, measures)
+    val vTwin = push(aggTwin(viewName), rows, numBuckets)
+    val v = push(viewName, aggOf(rows, groupCols, measures.map(_._1)),
+      numBuckets)
+    // a rebuild supersedes any pending deltas on both stores
+    Seq(viewName -> v, aggTwin(viewName) -> vTwin).foreach { case (st, ver) =>
+      val p = Paths.get(dir(st, "log"))
+      if (Files.exists(p))
+        Files.move(p, Paths.get(dir(st, s"log_applied_v$ver")))
+    }
+  }
+
+  /** Apply the source changelog since the stored coordinate to the
+    * aggregate view: retract each changed key's OLD contribution (read
+    * from the twin, which still holds pre-delta state), add its new one,
+    * and upsert only the AFFECTED groups — cost scales with the delta,
+    * never the view. Groups whose count reaches 0 are tombstoned. A
+    * coordinate from an older source version falls back to a full
+    * rebuild (the resync rule).
+    *
+    * Each store's update is one atomic log batch, but the agg append and
+    * the twin append are two writes: a crash BETWEEN them leaves the pair
+    * inconsistent until [[rebuildAggView]] runs (the coordinate is saved
+    * last, so the tear is detectable: a refresh that finds the coordinate
+    * unmoved but the twin ahead of the agg must rebuild — production
+    * would gate both appends behind one manifest commit the way push()
+    * swaps versions). */
+  def refreshAggView(viewName: String): Unit = {
+    val (src, coord) = viewCoord(viewName)
+    val (groupCols, measures) = aggMeta(viewName)
+    val meta = storeMeta(src)
+    val twin = aggTwin(viewName)
+    val mNames = measures.map(_._1)
+    val newCoord = latestCoordinate(src)
+    if (coord == newCoord) return
+    if (coord.version != currentVersion(src)) {
+      rebuildAggFrom(src, viewName, groupCols, measures, numBuckets(viewName))
+      saveViewCoord(viewName, src, newCoord)
+      return
+    }
+    val delta = changelogSince(src, coord)
+    val latest = Compaction.latestPerKey(delta, meta.keyCols, Seq(col(TsCol)))
+      .cache()
+    try {
+      if (latest.limit(1).isEmpty) { saveViewCoord(viewName, src, newCoord); return }
+      val changedKeys = latest.select(meta.keyCols.map(col): _*)
+      // OLD contributions: the twin still holds pre-delta state
+      val old = servingView(twin).join(changedKeys, meta.keyCols, "left_semi")
+      val fresh = aggTwinRows(latest.filter(!col(DeletedCol)),
+        meta.keyCols, groupCols, measures)
+      def contrib(df: DataFrame, sign: Int): DataFrame =
+        df.groupBy(groupCols.map(col): _*)
+          .agg((count(lit(1)) * sign).cast("long").as("__dn"),
+            mNames.map(m => (sum(col(m)) * sign).cast("long").as(s"__d_$m")): _*)
+      val gdelta = contrib(old, -1).unionByName(contrib(fresh, 1))
+        .groupBy(groupCols.map(col): _*)
+        .agg(sum(col("__dn")).as("__dn"),
+          mNames.map(m => sum(col(s"__d_$m")).as(s"__d_$m")): _*)
+      val current = servingView(viewName)
+        .join(gdelta.select(groupCols.map(col): _*), groupCols, "left_semi")
+      val merged = current.join(gdelta, groupCols, "full_outer")
+        .select(groupCols.map(col) ++
+          Seq((coalesce(col("n"), lit(0L)) + coalesce(col("__dn"), lit(0L)))
+            .as("n")) ++
+          mNames.map(m => (coalesce(col(m), lit(0L)) +
+            coalesce(col(s"__d_$m"), lit(0L))).as(m)): _*)
+        .cache()
+      try {
+        // agg store first: one atomic batch of dead-group tombstones +
+        // surviving-group upserts
+        val tick = 2L * (currentLogSeq(viewName) + 1)
+        val deadAgg = merged.filter(col("n") <= 0)
+          .select(groupCols.map(col): _*)
+          .withColumn("__r_ts", lit(tick)).withColumn("__r_del", lit(true))
+        val liveAgg = merged.filter(col("n") > 0)
+          .withColumn("__r_ts", lit(tick + 1))
+          .withColumn("__r_del", lit(false))
+        appendLogRows(viewName,
+          deadAgg.unionByName(liveAgg, allowMissingColumns = true),
+          tsCol = col("__r_ts"), deletedCol = col("__r_del"))
+        // then the twin: tombstone deleted keys, upsert live contributions
+        val ttick = 2L * (currentLogSeq(twin) + 1)
+        val twinDead = latest.filter(col(DeletedCol))
+          .select(meta.keyCols.map(col): _*)
+          .withColumn("__r_ts", lit(ttick)).withColumn("__r_del", lit(true))
+        val twinLive = fresh
+          .withColumn("__r_ts", lit(ttick + 1))
+          .withColumn("__r_del", lit(false))
+        appendLogRows(twin,
+          twinDead.unionByName(twinLive, allowMissingColumns = true),
+          tsCol = col("__r_ts"), deletedCol = col("__r_del"))
+        saveViewCoord(viewName, src, newCoord)
+      } finally merged.unpersist()
+    } finally latest.unpersist()
+  }
+
+  /** Full recompute escape hatch for [[refreshAggView]]'s documented
+    * two-append crash window. */
+  def rebuildAggView(viewName: String): Unit = {
+    val (src, _) = viewCoord(viewName)
+    val (groupCols, measures) = aggMeta(viewName)
+    val coord = latestCoordinate(src)
+    rebuildAggFrom(src, viewName, groupCols, measures, numBuckets(viewName))
+    saveViewCoord(viewName, src, coord)
+  }
+
   /** B11 incremental push: delta batch appended to the RT log of the
     * current version (no new version, no swap). */
   def incrementalPush(name: String, rows: DataFrame, tsMs: Long): Unit =

@@ -599,6 +599,42 @@ class EngineSpec extends AnyFunSuite {
     intercept[IllegalStateException](e.rollForward("s"))
   }
 
+  test("aggregateView: incremental refresh equals a full recompute, " +
+      "an emptied group is tombstoned, and a caught-up refresh is a no-op") {
+    import spark.implicits._
+    val e = new GraftEngine(spark,
+      Files.createTempDirectory("graft-aggv").toString)
+    e.createStore("src", Seq("k"))
+    e.push("src", Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 30L),
+      (4L, "c", 40L)).toDF("k", "g", "x"))
+    e.aggregateView("src", "byg", Seq("g"), Seq("sx" -> "x"), numBuckets = 2)
+    assert(e.servingView("byg").orderBy("g").collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq(("a", 2L, 30L), ("b", 1L, 30L), ("c", 1L, 40L)))
+    // update in place, group move b→a, delete c's only member (group dies),
+    // insert into a new group d
+    e.put("src", Seq((1L, "a", 15L)).toDF("k", "g", "x"), tsMs = 100L)
+    e.put("src", Seq((3L, "a", 30L)).toDF("k", "g", "x"), tsMs = 200L)
+    e.delete("src", Seq(4L).toDF("k"), tsMs = 300L)
+    e.put("src", Seq((5L, "d", 50L)).toDF("k", "g", "x"), tsMs = 400L)
+    e.refreshAggView("byg")
+    val got = e.servingView("byg").orderBy("g").collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq(("a", 3L, 65L), ("d", 1L, 50L)), got.toString)
+    // the maintained aggregate must equal a from-scratch groupBy
+    val full = e.servingView("src").groupBy("g")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"))
+    assert(e.servingView("byg").exceptAll(full).isEmpty &&
+      full.exceptAll(e.servingView("byg")).isEmpty)
+    // caught up: a second refresh appends nothing
+    val seqBefore = e.servingView("byg").count()
+    e.refreshAggView("byg")
+    assert(e.servingView("byg").count() == seqBefore)
+    // crash-window escape hatch converges to the same state
+    e.rebuildAggView("byg")
+    assert(e.servingView("byg").exceptAll(full).isEmpty)
+  }
+
   test("bootstrapChangelog on an A/A store: LWW-applying bootstrap + tail " +
       "reconstructs the conflict-resolved serving view") {
     import spark.implicits._
