@@ -1344,6 +1344,53 @@ object Queries {
                count(*) OVER (PARTITION BY cluster_id) AS cluster_size
              FROM lab ORDER BY doc_id"""))
 
+  /** Duplicate-cluster keeper election, QUALITY-aware: RefinedWeb-style
+    * "keep the best copy", not min-id — per connected component the
+    * longest document wins (ties to the smaller doc_id). The election is
+    * a partial-aggregated min(struct(-len, id)) per cluster — a hot
+    * cluster of 10^6 copies combines map-side instead of landing on one
+    * window task — followed by one equi-join back for per-doc verdicts. */
+  val dedupClusterKeeper = QueryDef(
+    "dedup_cluster_keeper",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val sh = graft.operators.Dedup.shingleSets(docs, "doc_id", "text", 3)
+      val cand = graft.operators.Dedup.minhashCandidates(sh, k = 8, bands = 4)
+      val pairs = graft.operators.Dedup.jaccardVerify(cand, sh, 0.5)
+      val clustered = graft.operators.Dedup.clusters(pairs)
+        .select(col("id").as("doc_id"), col("cluster_id"))
+        .join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
+      val keeper = clustered.groupBy(col("cluster_id"))
+        .agg(min(struct((-col("n_chars")).as("neg_len"), col("doc_id")))
+          .getField("doc_id").as("keeper_id"))
+      clustered.join(keeper, "cluster_id")
+        .select(col("doc_id"), col("cluster_id"), col("keeper_id"),
+          (col("doc_id") === col("keeper_id")).as("kept"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH RECURSIVE pairs AS (
+               SELECT id_a, id_b FROM ($minhashPairsSql)),
+             und AS (SELECT id_a AS a, id_b AS b FROM pairs
+               UNION SELECT id_b, id_a FROM pairs),
+             cc AS (
+               SELECT DISTINCT a AS node, a AS lbl FROM und
+               UNION
+               SELECT u.b AS node, cc.lbl FROM cc JOIN und u ON u.a = cc.node
+               WHERE cc.lbl < u.b),
+             lab AS (SELECT node AS doc_id, min(lbl) AS cluster_id
+               FROM cc GROUP BY node),
+             withq AS (SELECT l.doc_id, l.cluster_id, d.n_chars
+               FROM lab l JOIN documents d ON l.doc_id = d.doc_id),
+             keep AS (SELECT cluster_id, doc_id AS keeper_id FROM (
+               SELECT cluster_id, doc_id, row_number() OVER (
+                 PARTITION BY cluster_id
+                 ORDER BY n_chars DESC, doc_id ASC) AS rn FROM withq)
+               WHERE rn = 1)
+             SELECT w.doc_id, w.cluster_id, k.keeper_id,
+               w.doc_id = k.keeper_id AS kept
+             FROM withq w JOIN keep k ON w.cluster_id = k.cluster_id
+             ORDER BY w.doc_id"""))
+
   /** SimHash near-dups: 16-bit signature, 2×8-bit bands, Hamming ≤ 1. */
   val dedupSimhash = QueryDef(
     "dedup_simhash",
@@ -4709,6 +4756,53 @@ object Queries {
                SELECT CAST(3 AS BIGINT), pair, cnt FROM best3)
              ORDER BY step"""))
 
+  /** BPE ENCODE — the other half of tokenizer training: apply the trained
+    * merge table to the corpus and measure the compression it buys. The
+    * encoded vocabulary (word → symbol sequence) is tiny, so the corpus
+    * side never re-segments: tokens meet the vocab through one broadcast
+    * equi-join, and the per-source report is a partial-aggregated groupBy.
+    * symbols_before = characters (the step-0 encoding), symbols_after =
+    * symbols surviving 3 merges; the ratio is the tokenizer's compression
+    * on real token instances, weighted by actual usage. */
+  val bpeEncode = QueryDef(
+    "bpe_encode",
+    (s, dir) => {
+      import graft.operators.Bpe
+      val docs = t(s, dir, "documents")
+      val words = docs
+        .select(explode(TextOps.tokens(col("text"))).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("f"))
+      val (_, vocab) = Bpe.trainMerges(s, words, steps = 3)
+      val enc = vocab.select(col("word"),
+        size(split(trim(col("sym")), " ")).cast("long").as("n_sym"))
+      val out = docs
+        .select(col("source"), explode(TextOps.tokens(col("text"))).as("word"))
+        .join(broadcast(enc), "word")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(length(col("word")).cast("long")).as("symbols_before"),
+          sum(col("n_sym")).as("symbols_after"))
+        .orderBy(col("source"))
+      vocab.unpersist()
+      out
+    },
+    Some(s"""WITH w AS (SELECT t AS word, count(*)::BIGINT AS f FROM
+               (SELECT unnest($tokensSql) AS t FROM documents) GROUP BY 1),
+             sym0 AS (SELECT word, f, ' ' ||
+               array_to_string(regexp_split_to_array(word, ''), ' ') || ' '
+               AS sym FROM w),
+             ${bpeStepCtes(1)},
+             ${bpeStepCtes(2)},
+             ${bpeStepCtes(3)},
+             tok AS (SELECT source, unnest($tokensSql) AS word
+               FROM documents)
+             SELECT source, count(*) AS n_words,
+               CAST(sum(strlen(t.word)) AS BIGINT) AS symbols_before,
+               CAST(sum(len(list_filter(string_split(trim(m.sym), ' '),
+                 x -> x <> ''))) AS BIGINT) AS symbols_after
+             FROM tok t JOIN m3 m ON t.word = m.word
+             GROUP BY source ORDER BY source"""))
+
   /** BPE tokenizer-training inner loop: word-frequency-weighted adjacent
     * symbol-pair counts (the statistic the first merge rule is chosen
     * from). The 100 TB shape is the point: pair expansion runs over the
@@ -5116,7 +5210,7 @@ object Queries {
     funnelAnalysis, sourceDivergence, propsJson, qWindowFuncs,
     dedupIncrementalNear, datasetCard, kAnonymity, q17SmallQty,
     qSaltedJoin, s9Bootstrap, qPivot, w14HllUnion, bpeTrainMerges,
-    b16AggView)
+    b16AggView, bpeEncode, dedupClusterKeeper)
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }
