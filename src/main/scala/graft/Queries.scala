@@ -3194,6 +3194,68 @@ object Queries {
                 FILTER (event_type = 'view') AS BIGINT) AS view_cents
             FROM events GROUP BY 1 ORDER BY user_bucket"""))
 
+  /** Cohort retention matrix: users bucketed by first-activity week,
+    * counted per (cohort, weeks-since) cell — the standard product
+    * retention table. Week = epoch-days div 7 (pure integer, no engine
+    * week-truncation rules to disagree on). Two keyed aggregations (first
+    * activity per user, then the matrix over a user-key join); the matrix
+    * distinct-count partial-aggregates on (cohort, offset, user) before
+    * the final shuffle. */
+  val cohortRetention = QueryDef(
+    "cohort_retention",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), unix_date(to_date(col("ts")))
+          .cast("long").as("d"))
+      val firsts = ev.groupBy(col("user_id")).agg(min(col("d")).as("d0"))
+      ev.join(firsts, "user_id")
+        .withColumn("cohort_week", expr("d0 div 7"))
+        .withColumn("weeks_since", expr("(d - d0) div 7"))
+        .groupBy(col("cohort_week"), col("weeks_since"))
+        .agg(count_distinct(col("user_id")).as("n_users"))
+        .orderBy(col("cohort_week"), col("weeks_since"))
+    },
+    Some("""WITH ev AS (SELECT user_id,
+              date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d
+              FROM events),
+            f AS (SELECT user_id, min(d) AS d0 FROM ev GROUP BY 1)
+            SELECT d0 // 7 AS cohort_week, (e.d - d0) // 7 AS weeks_since,
+              count(DISTINCT e.user_id) AS n_users
+            FROM ev e JOIN f USING (user_id)
+            GROUP BY 1, 2 ORDER BY cohort_week, weeks_since"""))
+
+  /** Event debounce: flag repeat (user, type) events arriving within the
+    * debounce window of the PREVIOUS event — the lag-based one-pass rule
+    * (a chained burst collapses because every row in it trails its
+    * predecessor by less than the window). One keyed shuffle + one
+    * in-partition sort; the (ts, event_id) total order makes the lag
+    * deterministic under duplicate timestamps. */
+  val eventsDebounce = QueryDef(
+    "events_debounce",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ms"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          unix_millis(col("ts")).as("ms"))
+        .withColumn("prev_ms", lag(col("ms"), 1).over(w))
+        .withColumn("kept", col("prev_ms").isNull ||
+          col("ms") - col("prev_ms") > lit(86400000L))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("kept").cast("long")).as("n_kept"))
+        .orderBy(col("event_type"))
+    },
+    Some("""WITH x AS (SELECT event_type,
+              epoch_ms(ts) - lag(epoch_ms(ts)) OVER (
+                PARTITION BY user_id, event_type
+                ORDER BY epoch_ms(ts), event_id) AS gap
+              FROM events)
+            SELECT event_type, count(*) AS n_events,
+              CAST(sum(CASE WHEN gap IS NULL OR gap > 86400000
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+            FROM x GROUP BY 1 ORDER BY event_type"""))
+
   val q17SmallQty = QueryDef(
     "q17_small_qty",
     (s, dir) => {
@@ -5210,7 +5272,8 @@ object Queries {
     funnelAnalysis, sourceDivergence, propsJson, qWindowFuncs,
     dedupIncrementalNear, datasetCard, kAnonymity, q17SmallQty,
     qSaltedJoin, s9Bootstrap, qPivot, w14HllUnion, bpeTrainMerges,
-    b16AggView, bpeEncode, dedupClusterKeeper)
+    b16AggView, bpeEncode, dedupClusterKeeper, cohortRetention,
+    eventsDebounce)
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }

@@ -19,12 +19,13 @@ object StressCheck {
     // runs everything
     val only = args.toSet
     def on(tag: String): Boolean = only.isEmpty || only(tag)
+    // (new tags round 5: salted, aggview)
 
     val base = Tables.events(spark, sfDir)
       .crossJoin(spark.range(120).select(col("id").as("rep")))
       .withColumn("user_id", col("user_id") + col("rep") * 1000L)
       .withColumn("event_id", col("event_id") + col("rep") * 10000000L)
-    val n = if (on("keyed") || on("bucket") || on("asof")) {
+    val n = if (on("keyed") || on("bucket") || on("asof") || on("salted")) {
       base.persist(); base.count()
     } else 0L
 
@@ -344,6 +345,60 @@ object StressCheck {
         .filter(!col("hit")).count()
       require(misses == 0, s"bloom false negatives: $misses")
       spark.catalog.clearCache()
+    }
+
+    if (on("salted")) {
+      // EVERY row shares one join key — the worst skew a shuffle join can
+      // meet (a plain join serializes all 12M rows through one reducer).
+      // The salted join must finish at scan-limited throughput, and its
+      // aggregate must equal the unsalted algebra (12M × weight 7).
+      val hot = base.select(col("event_id"), lit("hot").as("k"))
+      val dim = Seq(("hot", 7L)).toDF("k", "w")
+      timed("salted join 12M 1-key") {
+        val agg = graft.operators.Joins
+          .saltedJoin(hot, dim, Seq("k"), col("event_id"), 64)
+          .agg(count(lit(1)).as("cnt"), sum(col("w")).as("sw")).head()
+        require(agg.getLong(0) == n && agg.getLong(1) == 7L * n,
+          s"salted join lost rows: $agg vs $n")
+        agg.getLong(0)
+      }
+    }
+
+    if (on("aggview")) {
+      val eng = new graft.core.GraftEngine(spark,
+        java.nio.file.Files.createTempDirectory("graft-stress-agv").toString)
+      val nKeys = 1500000L
+      val rows = spark.range(nKeys).select(
+        col("id").as("k"),
+        pmod(col("id"), lit(100000)).as("grp"),
+        (col("id") % 1000).as("x"))
+      eng.createStore("src", Seq("k"))
+      eng.push("src", rows, numBuckets = 32)
+      timed("agg view build 1.5M") {
+        eng.aggregateView("src", "agg_by_grp", Seq("grp"),
+          Seq("sx" -> "x"), numBuckets = 32)
+        eng.servingView("agg_by_grp").count()
+      }
+      // 5k group moves, 5k in-place updates, 5k deletes — the refresh must
+      // touch only delta-derived groups, never rescan 1.5M source rows
+      eng.put("src", spark.range(5000).select(col("id").as("k"),
+        (col("id") % 7 + 200000L).as("grp"), (col("id") % 1000).as("x")),
+        tsMs = 1000L)
+      eng.put("src", spark.range(5000, 10000).select(col("id").as("k"),
+        pmod(col("id"), lit(100000)).as("grp"), lit(5000L).as("x")),
+        tsMs = 1100L)
+      eng.delete("src", spark.range(10000, 15000).select(col("id").as("k")),
+        tsMs = 1200L)
+      timed("agg view refresh 15k") {
+        eng.refreshAggView("agg_by_grp")
+        1L
+      }
+      val got = eng.servingView("agg_by_grp")
+      val full = eng.servingView("src").groupBy(col("grp"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
+      val diff = got.exceptAll(full).union(full.exceptAll(got)).count()
+      require(diff == 0, s"agg view != recompute on $diff groups")
+      println("[stress] agg view refresh ≡ full recompute (checked)")
     }
 
     if (on("aaview")) {
