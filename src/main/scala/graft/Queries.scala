@@ -1509,6 +1509,39 @@ object Queries {
             FROM assign s LEFT JOIN d ON s.id = d.vec_id
             ORDER BY vec_id"""))
 
+  /** Nearest-centroid classification + confusion matrix: one
+    * scaled-integer mean vector per label (10 labels × 64 dims —
+    * broadcast), every embedding assigned to its most cosine-similar
+    * label centroid, confusion counted per (true, predicted). The label-
+    * noise eval for embedded corpora; the oracle replays centroid math,
+    * assignment, and tie-breaks exactly. */
+  val centroidClassify = QueryDef(
+    "centroid_classify",
+    (s, dir) => graft.operators.Similarity.centroidClassify(
+        t(s, dir, "embeddings").select(col("vec_id").as("id"),
+          col("embedding").as("vec"), col("label")))
+      .groupBy(col("label"), col("pred"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("label"), col("pred")),
+    Some("""WITH v AS (SELECT vec_id AS id, label, embedding::DOUBLE[] AS vec,
+              sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                AS n
+              FROM embeddings),
+            cent AS (SELECT clabel, list(val ORDER BY pos) AS cvec FROM (
+              SELECT label AS clabel, p.p AS pos,
+                CAST(sum(CAST(round(vec[p.p + 1] * 1000) AS BIGINT)) AS DOUBLE)
+                  / (count(*) * 1000.0) AS val
+              FROM v, range(64) p(p) GROUP BY label, p.p) GROUP BY clabel),
+            assign AS (SELECT id, label, clabel AS pred FROM (
+              SELECT v.id, v.label, c.clabel, row_number() OVER (
+                PARTITION BY v.id
+                ORDER BY round(list_dot_product(v.vec, c.cvec) /
+                  (v.n * sqrt(list_dot_product(c.cvec, c.cvec))), 6) + 0.0
+                  DESC, c.clabel) AS rn
+              FROM v, cent c) WHERE rn = 1)
+            SELECT label, pred, count(*) AS n FROM assign
+            GROUP BY 1, 2 ORDER BY label, pred"""))
+
   /** Brute-force cosine top-10 for 5 query vectors (the exact-ANN baseline;
     * the LSH-bucketed scale path is ann_lsh, verified by recall test). */
   val annTopk = QueryDef(
@@ -5273,7 +5306,7 @@ object Queries {
     dedupIncrementalNear, datasetCard, kAnonymity, q17SmallQty,
     qSaltedJoin, s9Bootstrap, qPivot, w14HllUnion, bpeTrainMerges,
     b16AggView, bpeEncode, dedupClusterKeeper, cohortRetention,
-    eventsDebounce)
+    eventsDebounce, centroidClassify)
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }

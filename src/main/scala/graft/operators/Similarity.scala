@@ -488,4 +488,42 @@ object Similarity {
       .select(col("qid"), col("rank"), col("id"),
         round(col("d2s").cast("double") / 1e6, 6).as("approx_d2"))
   }
+
+  /** Nearest-centroid classification over labeled embeddings: one
+    * scaled-integer mean vector per label (the same order-independent
+    * arithmetic as [[kmeansCentroids]] — float partial sums would break
+    * cross-engine determinism), then every vector assigned to its most
+    * cosine-similar label centroid. The label-quality eval a training-data
+    * pipeline runs on embedded corpora: the confusion matrix localizes
+    * label noise and near-duplicate label pairs.
+    *
+    * Scale shape: centroids are |labels| rows — broadcast; the corpus is
+    * scanned ONCE against them (narrow after the per-label mean's two
+    * keyed aggregations). Ties break to the smaller label id.
+    *
+    * @param vecs (id, vec, label)
+    * @return (id, label, pred, sim) — one row per input vector */
+  def centroidClassify(vecs: DataFrame): DataFrame = {
+    val cents = vecs.select(col("label"), posexplode(col("vec")))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(round(col("col").cast("double") * 1000).cast("long")).as("s"),
+        count(lit(1)).as("c"))
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("pos"),
+        (col("s").cast("double") / (col("c") * lit(1000.0))).as("v"))))
+        .as("pv"))
+      .select(col("label").as("clabel"),
+        transform(col("pv"), e => e.getField("v")).as("cvec"))
+    val cent = broadcast(cents.withColumn("__cn", norm(col("cvec"))))
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("sim").desc, col("clabel"))
+    vecs.withColumn("__n", norm(col("vec")))
+      .crossJoin(cent)
+      .withColumn("sim",
+        round(vecDot(col("vec"), col("cvec")) / (col("__n") * col("__cn")), 6)
+          + lit(0.0))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("id"), col("label"), col("clabel").as("pred"), col("sim"))
+  }
 }
