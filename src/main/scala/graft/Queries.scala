@@ -3289,6 +3289,164 @@ object Queries {
                 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
             FROM x GROUP BY 1 ORDER BY event_type"""))
 
+  /** Subsample stability audit: 16 deterministic half-samples (md5(doc|b)
+    * parity — order/partition-independent, reproducible) of the corpus,
+    * mean doc length per (lang, replicate) in integer micro-units, spread
+    * across replicates per lang. The cheap bootstrap-style CI a corpus
+    * release runs to see whether a reported mean is stable or
+    * heavy-tail-driven — and every step is exact integer arithmetic, so
+    * the oracle replays it bit-for-bit (no float variance formulas).
+    * Shape: one narrow replicate explode (×16 bounded), two keyed aggs. */
+  val qualityCi = QueryDef(
+    "quality_ci",
+    (s, dir) => {
+      val reps = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          explode(sequence(lit(0), lit(15))).as("b"))
+        .filter(conv(substring(md5(concat_ws("|", col("doc_id"), col("b"))),
+          32, 1), 16, 10).cast("int") % 2 === 0)
+      val perRep = reps.groupBy(col("lang"), col("b"))
+        .agg(expr("(1000000 * sum(n_chars)) div count(1)").as("m"))
+      perRep.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_reps"),
+          expr("sum(m) div count(1)").as("mean_micro"),
+          min(col("m")).as("min_micro"), max(col("m")).as("max_micro"))
+        .join(perRep, "lang")
+        .groupBy(col("lang"), col("n_reps"), col("mean_micro"),
+          col("min_micro"), col("max_micro"))
+        .agg(expr("sum((m - mean_micro) * (m - mean_micro)) div n_reps")
+          .as("var_micro2"))
+        .select(col("lang"), col("n_reps"), col("mean_micro"),
+          col("min_micro"), col("max_micro"), col("var_micro2"))
+        .orderBy(col("lang"))
+    },
+    Some("""WITH reps AS (SELECT lang, n_chars, b.b AS b
+              FROM documents, range(16) b(b)
+              WHERE ('0x' || substr(md5(doc_id || '|' || b.b), 32, 1))::INT
+                % 2 = 0),
+            pr AS (SELECT lang, b,
+              (1000000 * sum(n_chars)) // count(*) AS m
+              FROM reps GROUP BY 1, 2),
+            agg AS (SELECT lang, count(*) AS n_reps,
+              sum(m) // count(*) AS mean_micro,
+              min(m) AS min_micro, max(m) AS max_micro
+              FROM pr GROUP BY 1)
+            SELECT a.lang AS lang, a.n_reps, a.mean_micro, a.min_micro,
+              a.max_micro,
+              CAST(sum((p.m - a.mean_micro) * (p.m - a.mean_micro))
+                // a.n_reps AS BIGINT) AS var_micro2
+            FROM agg a JOIN pr p ON a.lang = p.lang
+            GROUP BY 1, 2, 3, 4, 5 ORDER BY a.lang"""))
+
+  /** SCD-style history enrichment: every event labeled with the store
+    * state its user had AT THE EVENT'S TIMESTAMP — the time-travel read
+    * (`r16_asof_read`) generalized from three probe instants to a
+    * per-event as-of join. The store's full history (snapshot at ts 0 +
+    * upsert log) feeds [[graft.operators.Joins.asOfBackward]]: one keyed
+    * shuffle + running last() carry, never an n·m range join. Two put
+    * waves at thresholds derived from the data (integer-div math both
+    * engines replay) make three distinct state epochs. */
+  val qScdJoin = QueryDef(
+    "q_scd_join",
+    (s, dir) => {
+      val e = tempEngine(s, "graft-scd")
+      e.createStore("cust", Seq("c_custkey"))
+      val cust = t(s, dir, "customer")
+      e.push("cust", cust, numBuckets = 4)
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id").as("c_custkey"),
+          unix_millis(col("ts")).as("ms"))
+      val b = ev.agg(min(col("ms")), max(col("ms"))).head()
+      val (mn, mx) = (b.getLong(0), b.getLong(1))
+      val t1 = mn + (mx - mn) / 3
+      val t2 = mn + 2 * ((mx - mn) / 3)
+      e.put("cust", cust.filter(col("c_custkey") < 80)
+        .withColumn("c_name", lit("EPOCH2")), tsMs = t1)
+      e.put("cust", cust.filter(col("c_custkey") < 40)
+        .withColumn("c_name", lit("EPOCH3")), tsMs = t2)
+      val (history, _) = e.bootstrapChangelog("cust")
+      graft.operators.Joins.asOfBackward(ev, history, Seq("c_custkey"),
+          leftTs = "ms", rightTs = graft.core.GraftEngine.TsCol,
+          payload = Seq("c_name"))
+        .select(col("event_id"),
+          when(col("asof_c_name").isin("EPOCH2", "EPOCH3"),
+            col("asof_c_name")).otherwise(lit("BASE")).as("state"))
+        .groupBy(col("state")).agg(count(lit(1)).as("n_events"))
+        .orderBy(col("state"))
+    },
+    Some("""WITH b AS (SELECT min(epoch_ms(ts)) AS mn, max(epoch_ms(ts))
+              AS mx FROM events),
+            ev AS (SELECT event_id, user_id AS ck, epoch_ms(ts) AS ms
+              FROM events)
+            SELECT CASE
+                WHEN ms >= (SELECT mn + 2*((mx-mn)//3) FROM b) AND ck < 40
+                  THEN 'EPOCH3'
+                WHEN ms >= (SELECT mn + (mx-mn)//3 FROM b) AND ck < 80
+                  THEN 'EPOCH2'
+                ELSE 'BASE' END AS state,
+              count(*) AS n_events
+            FROM ev GROUP BY 1 ORDER BY state"""))
+
+  /** TPC-H Q7-style bilateral volume shipping: revenue between two nation
+    * pairs per year. The dimension side prunes BEFORE the fact join —
+    * nation filters to the two names, supplier/customer shrink through
+    * their broadcast nation joins, and only then does lineitem meet
+    * orders — so the fact-table shuffle carries already-filtered rows.
+    * Exact integer cents; years via calendar year() both engines share. */
+  val q7Volume = QueryDef(
+    "q7_volume",
+    (s, dir) => {
+      val pair = Seq("NATION_3", "NATION_7")
+      val n1 = t(s, dir, "nation").filter(col("n_name").isin(pair: _*))
+        .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      val n2 = t(s, dir, "nation").filter(col("n_name").isin(pair: _*))
+        .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+      val supp = t(s, dir, "supplier")
+        .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+        .select(col("s_suppkey"), col("supp_nation"))
+      val cust = t(s, dir, "customer")
+        .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+        .select(col("c_custkey"), col("cust_nation"))
+      val ord = t(s, dir, "orders")
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("cust_nation"))
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate").between(
+          lit("1996-01-01").cast("timestamp"),
+          lit("1998-12-31").cast("timestamp")))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          year(col("l_shipdate")).as("l_year"),
+          round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+            .cast("long").as("cents"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+        .agg(sum(col("cents")).as("revenue_cents"),
+          count(lit(1)).as("n_lineitems"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+    },
+    Some("""SELECT supp_nation, cust_nation, l_year,
+              CAST(sum(cents) AS BIGINT) AS revenue_cents,
+              count(*) AS n_lineitems
+            FROM (
+              SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                year(l_shipdate) AS l_year,
+                CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                  AS BIGINT) AS cents
+              FROM lineitem
+              JOIN supplier ON s_suppkey = l_suppkey
+              JOIN orders ON o_orderkey = l_orderkey
+              JOIN customer ON c_custkey = o_custkey
+              JOIN nation n1 ON s_nationkey = n1.n_nationkey
+              JOIN nation n2 ON c_nationkey = n2.n_nationkey
+              WHERE n1.n_name IN ('NATION_3', 'NATION_7')
+                AND n2.n_name IN ('NATION_3', 'NATION_7')
+                AND n1.n_name <> n2.n_name
+                AND l_shipdate BETWEEN TIMESTAMP '1996-01-01'
+                  AND TIMESTAMP '1998-12-31')
+            GROUP BY 1, 2, 3 ORDER BY supp_nation, cust_nation, l_year"""))
+
   val q17SmallQty = QueryDef(
     "q17_small_qty",
     (s, dir) => {
@@ -5306,7 +5464,7 @@ object Queries {
     dedupIncrementalNear, datasetCard, kAnonymity, q17SmallQty,
     qSaltedJoin, s9Bootstrap, qPivot, w14HllUnion, bpeTrainMerges,
     b16AggView, bpeEncode, dedupClusterKeeper, cohortRetention,
-    eventsDebounce, centroidClassify)
+    eventsDebounce, centroidClassify, q7Volume, qScdJoin, qualityCi)
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }
