@@ -106,7 +106,12 @@ object Bench {
       "stream_trending", "q18_big_orders", "dedup_rate_report", "stream_dedup",
       "r18_partial_key", "funnel_analysis", "source_divergence",
       "props_json", "q_window_funcs", "dedup_incremental_near",
-      "dataset_card", "k_anonymity", "q17_small_qty")
+      "dataset_card", "k_anonymity", "q17_small_qty",
+      "q_salted_join", "s9_bootstrap_changelog", "q_pivot", "w14_hll_union",
+      "bpe_train_merges", "b16_agg_view", "bpe_encode", "dedup_cluster_keeper",
+      "cohort_retention", "events_debounce", "centroid_classify", "q7_volume",
+      "q_scd_join", "quality_ci", "r19_rebucket", "b17_data_recovery",
+      "s10_stream_agg_view", "ann_dim_truncation")
     val core = results.filterNot(r => addedLater(r._1)).map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","core38":$core,"queries":$qs,"ok":$ok,"n":${results.size},"errors":$errs,"sf":"$sfDir"}""")
     if (results.exists(_._3.nonEmpty)) System.err.println(

@@ -4869,6 +4869,198 @@ object Queries {
             FROM orders WHERE o_custkey IN (7, 11, 13)
             ORDER BY o_custkey, o_orderkey"""))
 
+  /** Partition-count migration (`rebucket`): a store pushed at 4 md5-mod
+    * buckets grows, so it is rewritten at 8 via a full repush — the Venice
+    * move (partition count is store config applied at version creation;
+    * changing it requires a full push — VeniceHelixAdmin semantics, not
+    * code). Pending RT puts and deletes fold in during the migration, so
+    * the per-bucket audit at the NEW layout reflects post-overlay content:
+    * a lost row, a resurrected delete, or a bucket id computed at the old
+    * count would all break the hash. Scale shape: the migration is one
+    * shuffle at the new bucket count; reads before/after stay pruned. */
+  val r19Rebucket = QueryDef(
+    "r19_rebucket",
+    (s, dir) => {
+      val e = tempEngine(s, "graft-r19")
+      e.createStore("c", Seq("c_custkey"))
+      val base = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      e.push("c", base, numBuckets = 4)
+      e.put("c", base.filter(col("c_custkey") <= 100)
+        .withColumn("c_name", concat(col("c_name"), lit("_RT"))), tsMs = 1000L)
+      e.delete("c", base.filter(col("c_custkey").between(101, 120))
+        .select(col("c_custkey")), tsMs = 2000L)
+      e.rebucket("c", 8)
+      e.servingView("c")
+        .select(HashOps.partitionId(col("c_custkey"), 8).as("bucket"),
+          col("c_custkey"), col("c_name"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("c_custkey")).cast("long").as("key_sum"),
+          sum(octet_length(col("c_name"))).cast("long").as("name_bytes"))
+        .orderBy(col("bucket"))
+    },
+    Some("""WITH base AS (
+              SELECT c_custkey,
+                CASE WHEN c_custkey <= 100 THEN c_name || '_RT'
+                     ELSE c_name END AS c_name
+              FROM customer WHERE c_custkey NOT BETWEEN 101 AND 120)
+            SELECT (('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15))::BIGINT % 8)::INT
+                AS bucket,
+              count(*) AS n,
+              CAST(sum(c_custkey) AS BIGINT) AS key_sum,
+              CAST(sum(strlen(c_name)) AS BIGINT) AS name_bytes
+            FROM base GROUP BY 1 ORDER BY bucket"""))
+
+  /** Cross-region data recovery (reference: Venice admin data recovery —
+    * DataRecoveryManager copies a store's data from a healthy source
+    * fabric to bootstrap a broken target; semantics, not code). Region A
+    * serves a store with a live RT overlay (rename + tombstone pending);
+    * region B recovers the store tree byte-for-byte — version dirs, logs,
+    * config — then proves the replica is LIVE by taking a local put on
+    * top. A lost log row, a resurrected tombstone, or a stale CURRENT
+    * pointer would all break the hash. */
+  val b17Recovery = QueryDef(
+    "b17_data_recovery",
+    (s, dir) => {
+      val a = tempEngine(s, "graft-b17a")
+      val b = tempEngine(s, "graft-b17b")
+      a.createStore("sup", Seq("s_suppkey"))
+      val base = t(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_name"), col("s_nationkey"))
+      a.push("sup", base, numBuckets = 4)
+      a.put("sup", base.filter(col("s_suppkey") <= 5)
+        .withColumn("s_name", concat(col("s_name"), lit("_A"))), tsMs = 100L)
+      a.delete("sup", base.filter(col("s_suppkey") === 6)
+        .select(col("s_suppkey")), tsMs = 200L)
+      b.recoverStoreFrom(a.root, "sup")
+      b.put("sup", base.filter(col("s_suppkey") === 7)
+        .withColumn("s_name", lit("LOCAL")), tsMs = 300L)
+      b.servingView("sup")
+        .select(col("s_suppkey"), col("s_name"), col("s_nationkey"))
+        .orderBy(col("s_suppkey"))
+    },
+    Some("""SELECT s_suppkey,
+              CASE WHEN s_suppkey = 7 THEN 'LOCAL'
+                   WHEN s_suppkey <= 5 THEN s_name || '_A'
+                   ELSE s_name END AS s_name,
+              s_nationkey
+            FROM supplier WHERE s_suppkey <> 6
+            ORDER BY s_suppkey"""))
+
+  /** Streaming ingest → CDC → incremental AGGREGATE view, end to end: the
+    * nearline analytics chain (Venice: RT writes → changelog consumer →
+    * downstream aggregate). A store takes its initial batch push, an
+    * aggregate view materializes per-event-type (count, cents); then a
+    * file stream ingests the remaining events and ONE refresh applies the
+    * changelog delta — retracting each changed user's old contribution via
+    * the key-level twin, adding the new one, touching only affected
+    * groups. The oracle recomputes the final aggregate from scratch: a
+    * double-counted retraction, a missed group move, or a stale twin all
+    * break the hash. Refresh cost scales with the delta, never the view —
+    * the shape that survives a 100-TB store with a 0.1% daily delta. */
+  val s10StreamAggView = QueryDef(
+    "s10_stream_agg_view",
+    (s, dir) => {
+      import graft.streaming.StreamIngest
+      val e = tempEngine(s, "graft-s10")
+      e.createStore("ev", Seq("user_id"))
+      val evAll = Tables.events(s, dir).filter(col("user_id") < 200)
+        .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
+      e.push("ev", graft.operators.Compaction.latestPerKey(
+        evAll.filter(col("event_id") % 10 < 5), Seq("user_id"),
+        Seq(col("event_id"))), numBuckets = 4)
+      e.aggregateView("ev", "by_type", Seq("event_type"),
+        Seq("cents" -> "round(value * 100)"), numBuckets = 4)
+      val streamIn = s"${e.root}/in"
+      evAll.filter(col("event_id") % 10 >= 5).write.parquet(streamIn)
+      val stream = s.readStream.schema(evAll.schema).parquet(streamIn)
+        .withColumn(StreamIngest.EventTsCol, col("event_id"))
+      val q = StreamIngest.ingest(e, "ev", stream,
+        checkpoint = s"${e.root}/cp")
+      require(q.awaitTermination(180000),
+        "s10_stream_agg_view: stream did not drain within 180s")
+      e.refreshAggView("by_type")
+      e.servingView("by_type")
+        .select(col("event_type"), col("n"), col("cents"))
+        .orderBy(col("event_type"))
+    },
+    Some("""WITH final AS (
+              SELECT user_id, event_type, value FROM (
+                SELECT user_id, event_type, value,
+                  row_number() OVER (PARTITION BY user_id
+                    ORDER BY src DESC, event_id DESC) AS rn
+                FROM (
+                  SELECT user_id, event_id, event_type, value, 1 AS src
+                  FROM events WHERE user_id < 200 AND event_id % 10 >= 5
+                  UNION ALL
+                  SELECT user_id, event_id, event_type, value, 0 AS src
+                  FROM events WHERE user_id < 200 AND event_id % 10 < 5
+                  QUALIFY row_number() OVER (PARTITION BY user_id
+                    ORDER BY event_id DESC) = 1))
+              WHERE rn = 1)
+            SELECT event_type, count(*) AS n,
+              CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+            FROM final GROUP BY 1 ORDER BY event_type"""))
+
+  /** Embedding-dimension truncation eval (Matryoshka-style): how much
+    * top-10 recall survives when the ANN index keeps only the first 16 of
+    * 64 dimensions (a 4× memory/compute cut every large-scale vector
+    * pipeline weighs)? Exact top-10 at full width vs at the truncated
+    * width, per-query overlap + top-1s. Both rankings are brute-force
+    * exact (queries broadcast, corpus scanned once each); the truncation
+    * is a narrow `slice`, so the comparison isolates the representation,
+    * not the index. */
+  val annDimTruncation = QueryDef(
+    "ann_dim_truncation",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val queries = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val full = graft.operators.Similarity.bruteForceTopK(corpus, queries, 10)
+      val trunc = graft.operators.Similarity.bruteForceTopK(
+        corpus.withColumn("vec", slice(col("vec"), 1, 16)),
+        queries.withColumn("qvec", slice(col("qvec"), 1, 16)), 10)
+      val ov = full.select(col("qid"), col("id"))
+        .join(trunc.select(col("qid"), col("id")), Seq("qid", "id"))
+        .groupBy(col("qid")).agg(count(lit(1)).as("overlap10"))
+      full.filter(col("rank") === 1)
+        .select(col("qid"), col("id").as("full_top1"))
+        .join(trunc.filter(col("rank") === 1)
+          .select(col("qid"), col("id").as("trunc_top1")), Seq("qid"))
+        .join(ov, Seq("qid"), "left")
+        .select(col("qid"), col("full_top1"), col("trunc_top1"),
+          coalesce(col("overlap10"), lit(0L)).as("overlap10"))
+        .orderBy(col("qid"))
+    },
+    Some("""WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+              FROM embeddings WHERE vec_id < 8),
+            c AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+              FROM embeddings),
+            fulltop AS (SELECT qid, id, rank FROM (
+              SELECT q.qid, c.id, row_number() OVER (PARTITION BY q.qid
+                ORDER BY round(list_dot_product(c.v, q.qv) /
+                  (sqrt(list_dot_product(c.v, c.v)) *
+                   sqrt(list_dot_product(q.qv, q.qv))), 6) + 0.0 DESC, c.id)
+                AS rank
+              FROM c, q WHERE c.id <> q.qid) WHERE rank <= 10),
+            trtop AS (SELECT qid, id, rank FROM (
+              SELECT q.qid, c.id, row_number() OVER (PARTITION BY q.qid
+                ORDER BY round(list_dot_product(c.v[1:16], q.qv[1:16]) /
+                  (sqrt(list_dot_product(c.v[1:16], c.v[1:16])) *
+                   sqrt(list_dot_product(q.qv[1:16], q.qv[1:16]))), 6) + 0.0
+                  DESC, c.id) AS rank
+              FROM c, q WHERE c.id <> q.qid) WHERE rank <= 10)
+            SELECT f1.qid, f1.id AS full_top1, t1.id AS trunc_top1,
+              coalesce(ov.overlap10, 0) AS overlap10
+            FROM (SELECT qid, id FROM fulltop WHERE rank = 1) f1
+            JOIN (SELECT qid, id FROM trtop WHERE rank = 1) t1 USING (qid)
+            LEFT JOIN (SELECT qid, count(*) AS overlap10
+              FROM fulltop JOIN trtop USING (qid, id) GROUP BY qid) ov
+              USING (qid)
+            ORDER BY qid"""))
+
   /** Crawl URL canonicalization + duplicate grouping. Four messy variants
     * of the same logical URL are planted per doc-group (the corpus has no
     * URL column), then canonicalized: lowercase scheme+host, strip www.,
@@ -5459,7 +5651,8 @@ object Queries {
     annIvfPq, streamSessionize, dedupSpans, seqLenHist,
     gopherRules, splitLeakage, r17Rollback, bm25Retrieval, lmBigram,
     crawlPagerank, spanCorrupt, mixRollup, q5LocalSupplier, streamTrending,
-    q18BigOrders, dedupRateReport, streamDedupQ, r18PartialKey,
+    q18BigOrders, dedupRateReport, streamDedupQ, r18PartialKey, r19Rebucket,
+    b17Recovery, s10StreamAggView, annDimTruncation,
     funnelAnalysis, sourceDivergence, propsJson, qWindowFuncs,
     dedupIncrementalNear, datasetCard, kAnonymity, q17SmallQty,
     qSaltedJoin, s9Bootstrap, qPivot, w14HllUnion, bpeTrainMerges,

@@ -1300,7 +1300,14 @@ class GraftEngine(val spark: SparkSession, val root: String) {
 
   /** Compact snapshot+log into a fresh version (optionally TTL-filtering
     * log entries older than ttlStartMs), then swap. The Venice "repush". */
-  def repush(name: String, ttlStartMs: Option[Long] = None): Int = {
+  def repush(name: String, ttlStartMs: Option[Long] = None,
+      newBuckets: Option[Int] = None): Int = {
+    // preserve the store's partition count across the rewrite unless the
+    // caller is migrating it ([[rebucket]]) — a repush is a compaction,
+    // not a layout change (Venice: partition count is store config, and a
+    // repush inherits it; changing it REQUIRES a full push — semantics,
+    // not code: VeniceHelixAdmin partition-count handling)
+    val nb = newBuckets.getOrElse(numBuckets(name))
     if (isActiveActive(name) && hasAaLog(name)) {
       // compact WITH the merged RMD columns: the new version keeps
       // per-field/per-element timestamps, so late out-of-order events
@@ -1328,7 +1335,7 @@ class GraftEngine(val spark: SparkSession, val root: String) {
       }
       val rows = rows0.cache()
       rows.count()
-      val v = push(name, rows)
+      val v = push(name, rows, nb)
       rows.unpersist()
       Files.move(Paths.get(dir(name, "aa_log")),
         Paths.get(dir(name, s"aa_log_applied_v$v")))
@@ -1359,7 +1366,7 @@ class GraftEngine(val spark: SparkSession, val root: String) {
     // materialize BEFORE archiving the logs the plan reads from
     val rows = compacted.cache()
     rows.count()
-    val v = push(name, rows)
+    val v = push(name, rows, nb)
     rows.unpersist()
     // the new version now carries the folded state — archive consumed logs
     Seq("log", "updates").foreach { d =>
@@ -1368,6 +1375,55 @@ class GraftEngine(val spark: SparkSession, val root: String) {
         Files.move(p, Paths.get(dir(name, s"${d}_applied_v$v")))
     }
     v
+  }
+
+  /** Partition-count migration: rewrite the store at `newBuckets` md5-mod
+    * buckets via a full repush and swap atomically. The operational move a
+    * store needs as it grows 100× — bucket count sizes both file pruning
+    * granularity and point-read fan-in, and Venice likewise only changes a
+    * store's partition count through a full push of a new version (store
+    * config `partitionCount`, applied at version creation — semantics, not
+    * code: services/venice-controller/.../VeniceHelixAdmin.java). Pending
+    * log/update overlays are folded in (they are consumed by the repush),
+    * so reads before and after are identical; only the layout moves. */
+  def rebucket(name: String, newBuckets: Int): Int = {
+    require(newBuckets > 0, s"rebucket($name): need a positive bucket count")
+    repush(name, newBuckets = Some(newBuckets))
+  }
+
+  /** Cross-region data recovery: seed this engine's copy of `name` from a
+    * healthy sibling engine's root (Venice admin data recovery — a store's
+    * data is copied from a source fabric to repair/bootstrap a target
+    * fabric; semantics, not code: services/venice-controller/.../
+    * datarecovery/DataRecoveryManager.java). Copies the whole store tree —
+    * version dirs (including persisted RMD columns, so A/A conflict state
+    * survives), upsert/op logs, schema registry, bucket/AA config — and
+    * activates the CURRENT pointer LAST, so a reader of the target engine
+    * either sees no store or a fully consistent one. The target store must
+    * not already exist (recovery bootstraps; it does not merge). Driver-side
+    * file I/O only — no Spark job; the data never re-shuffles. */
+  def recoverStoreFrom(srcRoot: String, name: String): Unit = {
+    val src = Paths.get(srcRoot, name)
+    require(Files.exists(src), s"source store $srcRoot/$name does not exist")
+    val dst = Paths.get(dir(name))
+    require(!Files.exists(dst), s"store $name already exists in this engine")
+    Files.createDirectories(dst)
+    val s = Files.walk(src)
+    try {
+      s.forEach { p =>
+        val rel = src.relativize(p)
+        // CURRENT last: its presence is what makes the store readable
+        if (rel.toString != "CURRENT" && rel.toString.nonEmpty) {
+          val target = dst.resolve(rel)
+          if (Files.isDirectory(p)) Files.createDirectories(target)
+          else Files.copy(p, target, StandardCopyOption.REPLACE_EXISTING)
+        }
+      }
+    } finally s.close()
+    val cur = Paths.get(srcRoot, name, "CURRENT")
+    if (Files.exists(cur))
+      Files.copy(cur, dst.resolve("CURRENT"),
+        StandardCopyOption.REPLACE_EXISTING)
   }
 
   // ---- DaVinci-style local materialization ---------------------------------

@@ -669,4 +669,53 @@ class EngineSpec extends AnyFunSuite {
     // resolved rows: 1 (score 15), 2 (tags x+y), 3 (resurrected put)
     assert(rebuilt.count() == 3)
   }
+
+  test("repush preserves the store's bucket count; rebucket migrates it") {
+    import spark.implicits._
+    val e = new GraftEngine(spark, Files.createTempDirectory("graft-rb").toString)
+    def bucketDirs(store: String, v: Int): Set[String] =
+      Option(new java.io.File(s"${e.root}/$store/v=$v").listFiles())
+        .map(_.toSeq.map(_.getName).filter(_.startsWith("__bucket")).toSet)
+        .getOrElse(Set.empty)
+    e.createStore("rb", Seq("id"))
+    val rows = (1L to 200L).map(i => (i, s"v$i")).toDF("id", "value")
+    e.push("rb", rows, numBuckets = 4)
+    assert(bucketDirs("rb", 1).size == 4)
+    e.put("rb", Seq((1L, "v1_RT")).toDF("id", "value"), tsMs = 100L)
+    // regression: repush used to silently rewrite at the DEFAULT bucket
+    // count (16) — a compaction must not change the layout
+    val v2 = e.repush("rb")
+    assert(bucketDirs("rb", v2).size == 4,
+      s"repush changed the bucket count: ${bucketDirs("rb", v2)}")
+    val before = e.servingView("rb").collect().toSet
+    // migration: same content, new layout, point reads prune at the new N
+    val v3 = e.rebucket("rb", 8)
+    assert(bucketDirs("rb", v3).size == 8)
+    assert(e.servingView("rb").collect().toSet == before)
+    assert(e.get("rb", Seq(1L)).get.getAs[String]("value") == "v1_RT")
+    // a post-migration repush sticks to the migrated count
+    e.put("rb", Seq((2L, "v2_RT")).toDF("id", "value"), tsMs = 200L)
+    val v4 = e.repush("rb")
+    assert(bucketDirs("rb", v4).size == 8)
+  }
+
+  test("data recovery clones an A/A store; late events keep resolving") {
+    import spark.implicits._
+    val a = new GraftEngine(spark, Files.createTempDirectory("graft-reca").toString)
+    val b = new GraftEngine(spark, Files.createTempDirectory("graft-recb").toString)
+    a.createStore("aa", Seq("id"))
+    a.push("aa", Seq((1L, 10.0), (2L, 20.0)).toDF("id", "score"))
+    a.enableActiveActive("aa")
+    a.setFieldAA("aa", Seq((1L, 15.0)).toDF("id", "score"), "score", tsMs = 500L)
+    b.recoverStoreFrom(a.root, "aa")
+    assert(b.servingView("aa").collect().toSet ==
+      a.servingView("aa").collect().toSet)
+    // CRDT state survived the copy: a LATE event (ts 300 < 500) on the
+    // recovered replica must lose against what already won at the source
+    b.setFieldAA("aa", Seq((1L, 11.0)).toDF("id", "score"), "score", tsMs = 300L)
+    assert(b.servingView("aa").filter($"id" === 1L)
+      .head().getAs[Double]("score") == 15.0)
+    // recovery bootstraps — it refuses to overwrite an existing store
+    intercept[IllegalArgumentException] { b.recoverStoreFrom(a.root, "aa") }
+  }
 }
