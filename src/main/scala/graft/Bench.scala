@@ -111,7 +111,9 @@ object Bench {
       "bpe_train_merges", "b16_agg_view", "bpe_encode", "dedup_cluster_keeper",
       "cohort_retention", "events_debounce", "centroid_classify", "q7_volume",
       "q_scd_join", "quality_ci", "r19_rebucket", "b17_data_recovery",
-      "s10_stream_agg_view", "ann_dim_truncation")
+      "s10_stream_agg_view", "ann_dim_truncation",
+      "mm_pair_audit", "pipeline_e2e", "b18_compact_policy",
+      "q10_returns", "doc_lang_confusion", "emb_norm_audit")
     val core = results.filterNot(r => addedLater(r._1)).map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","core38":$core,"queries":$qs,"ok":$ok,"n":${results.size},"errors":$errs,"sf":"$sfDir"}""")
     if (results.exists(_._3.nonEmpty)) System.err.println(

@@ -5061,6 +5061,239 @@ object Queries {
               USING (qid)
             ORDER BY qid"""))
 
+  /** Multimodal pairing audit: before contrastive text↔embedding training,
+    * every document needs its vector (and orphaned vectors waste index
+    * space). One equi-join on the shared id + per-source coverage in
+    * integer ppm — the completeness gate a multimodal dataset release
+    * runs. Scale shape: a single shuffle equi-join of two big tables on
+    * their key, partial-aggregated counts. */
+  val mmPairAudit = QueryDef(
+    "mm_pair_audit",
+    (s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("source"))
+      val emb = t(s, dir, "embeddings").select(col("vec_id"))
+      docs.join(emb, col("doc_id") === col("vec_id"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), count(col("vec_id")).as("n_paired"))
+        .select(col("source"), col("n_docs"), col("n_paired"),
+          (col("n_docs") - col("n_paired")).as("n_missing"),
+          expr("n_paired * 1000000 div n_docs").as("paired_ppm"))
+        .orderBy(col("source"))
+    },
+    Some("""SELECT source, count(*) AS n_docs, count(vec_id) AS n_paired,
+              count(*) - count(vec_id) AS n_missing,
+              count(vec_id) * 1000000 // count(*) AS paired_ppm
+            FROM documents LEFT JOIN embeddings ON doc_id = vec_id
+            GROUP BY 1 ORDER BY source"""))
+
+  /** The preprocessing DAG composed end to end — quality filter → exact
+    * dedup (min-id keeper) → deterministic split assignment → per
+    * (split, lang) corpus accounting — in ONE plan, the way a real
+    * pipeline chains these operators (each stage is also oracled
+    * standalone: corpus_filter, dedup_exact, split_assign, mix_report).
+    * Composition is where stage-boundary bugs live (a filter applied
+    * after dedup instead of before changes which copy survives), so the
+    * oracle replays the exact stage ORDER too. Scale shape: narrow
+    * filters → one fingerprint shuffle (partial-agged min + semi-join)
+    * → stateless split → one partial-agged groupBy. */
+  val pipelineE2e = QueryDef(
+    "pipeline_e2e",
+    (s, dir) => {
+      val toks = TextOps.tokens(col("text"))
+      val kept = t(s, dir, "documents")
+        .withColumn("__n_tok", size(toks))
+        .filter(!col("source").isin("src13", "src7") &&
+          col("__n_tok") >= 20 && col("lang").isin("en", "de", "zh") &&
+          TextOps.qualityScore(col("text")) >= 0.35)
+        .withColumn("__fp", TextOps.fingerprint(col("text")))
+      val keepIds = kept.groupBy(col("__fp"))
+        .agg(min(col("doc_id")).as("doc_id"))
+      kept.join(keepIds, Seq("__fp", "doc_id"), "left_semi")
+        .withColumn("split", TextOps.splitAssign(col("doc_id")))
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("__n_tok").cast("long")).as("total_tokens"))
+        .orderBy(col("split"), col("lang"))
+    },
+    Some(s"""WITH base AS (SELECT doc_id, lang, source, text,
+                 $tokensSql AS toks FROM documents),
+             sig AS (SELECT doc_id, lang, source, text,
+                 len(toks) AS n_tok,
+                 round((least(length(text), 500)::DOUBLE / 500.0
+                   + least(len(list_filter(toks, t -> list_contains(
+                       ['the','and','of','to','is','in','that','it','for','with'],
+                       t)))::DOUBLE * 5.0 / greatest(len(toks), 1), 1.0)
+                   + len(list_filter(toks, t -> length(t) >= 4))::DOUBLE
+                     / greatest(len(toks), 1)) / 3.0, 6) AS quality
+               FROM base),
+             kept AS (SELECT doc_id, lang, text, n_tok FROM sig
+               WHERE source NOT IN ('src13', 'src7') AND n_tok >= 20
+                 AND lang IN ('en', 'de', 'zh') AND quality >= 0.35),
+             keep AS (SELECT doc_id, lang, n_tok FROM (
+               SELECT doc_id, lang, n_tok, row_number() OVER (
+                 PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+                 ORDER BY doc_id) AS rn
+               FROM kept) WHERE rn = 1),
+             sp AS (SELECT lang, n_tok,
+                 CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::INT % 100 < 80
+                        THEN 'train'
+                      WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::INT % 100 < 90
+                        THEN 'val'
+                      ELSE 'test' END AS split
+               FROM keep)
+             SELECT split, lang, count(*) AS n_docs,
+               CAST(sum(n_tok) AS BIGINT) AS total_tokens
+             FROM sp GROUP BY 1, 2 ORDER BY split, lang"""))
+
+  /** Size-tiered compaction policy: the overlay row count triggers a
+    * repush once it passes budget (`compactIfNeeded`) — the knob that
+    * bounds read amplification on a hybrid store. The query drives the
+    * policy twice: the first call must FIRE (30 pending rows > 10
+    * budget), folding the overlay into version 2; the second must NO-OP
+    * (fresh overlay is empty). Both outcomes ride in the output columns,
+    * so a policy that failed to fire, fired twice, or corrupted content
+    * breaks the hash. Trigger cost is a parquet-footer row count, not a
+    * scan. */
+  val b18CompactPolicy = QueryDef(
+    "b18_compact_policy",
+    (s, dir) => {
+      val e = tempEngine(s, "graft-b18")
+      e.createStore("n", Seq("n_nationkey"))
+      val nat = t(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      e.push("n", nat, numBuckets = 2)
+      e.put("n", nat.filter(col("n_nationkey") < 15)
+        .withColumn("n_name", concat(col("n_name"), lit("_P1"))), tsMs = 100L)
+      e.put("n", nat.filter(col("n_nationkey") >= 15)
+        .withColumn("n_name", concat(col("n_name"), lit("_P2"))), tsMs = 200L)
+      val v1 = e.compactIfNeeded("n", maxLogRows = 10)
+      val v2 = e.compactIfNeeded("n", maxLogRows = 10)
+      e.servingView("n")
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        .withColumn("compacted_to_version", lit(v1))
+        .withColumn("second_call_fired", lit(v2 > 0))
+        .orderBy(col("n_nationkey"))
+    },
+    Some("""SELECT n_nationkey,
+              n_name || CASE WHEN n_nationkey < 15 THEN '_P1' ELSE '_P2' END
+                AS n_name,
+              n_regionkey, 2 AS compacted_to_version,
+              false AS second_call_fired
+            FROM nation ORDER BY n_nationkey"""))
+
+  /** TPC-H Q10 shape: top-20 customers by revenue on RETURNED items in a
+    * quarter — the "who should we call" report. The returnflag filter and
+    * date range push into the two fact scans BEFORE their join; nation
+    * broadcasts; one shuffle per fact join + the group agg; top-20 is a
+    * TakeOrderedAndProject, never a global sort. */
+  val q10Returns = QueryDef(
+    "q10_returns",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"),
+          round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+            .cast("long").as("rev_cents"))
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-07-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_name"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_name"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(sum(col("rev_cents")).as("revenue_cents"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("revenue_cents").desc, col("c_custkey"))
+        .limit(20)
+    },
+    Some("""SELECT c_custkey, c_name, n_name,
+              CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                AS BIGINT)) AS BIGINT) AS revenue_cents,
+              count(*) AS n_items
+            FROM lineitem, orders, customer, nation
+            WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+              AND c_nationkey = n_nationkey AND l_returnflag = 'R'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1996-07-01'
+            GROUP BY 1, 2, 3
+            ORDER BY revenue_cents DESC, c_custkey LIMIT 20"""))
+
+  /** Language-metadata audit: confusion counts between the corpus's `lang`
+    * column and the n-gram language-ID heuristic — mislabeled language
+    * metadata poisons mix planning and lang-filtered training sets, and
+    * this is the table that finds it. One TokenStats pass per row (the
+    * struct is materialized once), then a partial-aggregated groupBy on
+    * the (claimed, predicted) pair. */
+  val docLangConfusion = QueryDef(
+    "doc_lang_confusion",
+    (s, dir) => {
+      val stats = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          graft.functions.TokenStatsExpr.tokenStats(col("text")).as("st"))
+        .persist()
+      val st = col("st")
+      stats.select(col("lang"),
+        TextOps.argmaxLang(Seq(
+          "de" -> st.getField("s_de"), "en" -> st.getField("s_en"),
+          "es" -> st.getField("s_es"), "fr" -> st.getField("s_fr"),
+          "zh" -> st.getField("s_zh"))).as("lang_pred"))
+        .groupBy(col("lang"), col("lang_pred"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("agree", col("lang") === col("lang_pred"))
+        .orderBy(col("lang"), col("lang_pred"))
+    },
+    Some(s"""WITH base AS (SELECT doc_id, lang, $tokensSql AS toks
+               FROM documents),
+             s AS (SELECT lang,
+               len(list_filter(toks, t -> list_contains(['der','die','das','und','nicht','ist','ich','ein','mit','von'], t))) AS s_de,
+               len(list_filter(toks, t -> list_contains(['the','and','of','to','is','in','that','it','for','with'], t))) AS s_en,
+               len(list_filter(toks, t -> list_contains(['el','la','los','las','es','en','que','por','una','para'], t))) AS s_es,
+               len(list_filter(toks, t -> list_contains(['le','la','les','et','est','dans','que','pour','une','des'], t))) AS s_fr,
+               len(list_filter(toks, t -> list_contains(['的','是','了','在','我','有','和','不','人','这'], t))) AS s_zh
+               FROM base),
+             p AS (SELECT lang,
+               CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+                    WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
+                    WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+                    WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+                    WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+                    ELSE 'zh' END AS lang_pred
+               FROM s)
+             SELECT lang, lang_pred, count(*) AS n, lang = lang_pred AS agree
+             FROM p GROUP BY 1, 2 ORDER BY lang, lang_pred"""))
+
+  /** Embedding norm audit: per-label L2-norm distribution in exact integer
+    * micro-units (per-row round(norm·1e6) → min/max/sum/div mean — no
+    * float-sum order risk). Unnormalized or degenerate vectors break
+    * cosine ANN silently; this is the pre-index gate that catches them.
+    * Pure narrow per-row math + one partial-aggregated groupBy. */
+  val embNormAudit = QueryDef(
+    "emb_norm_audit",
+    (s, dir) => {
+      val un = round(sqrt(graft.functions.VecDotExpr.vecDot(
+        col("embedding"), col("embedding"))) * 1e6).cast("long")
+      t(s, dir, "embeddings")
+        .select(col("label"), un.as("un"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n"), min(col("un")).as("min_unorm"),
+          max(col("un")).as("max_unorm"), sum(col("un")).as("sum_unorm"))
+        .select(col("label"), col("n"), col("min_unorm"), col("max_unorm"),
+          expr("sum_unorm div n").as("mean_unorm"))
+        .orderBy(col("label"))
+    },
+    Some("""WITH v AS (SELECT label,
+              CAST(round(sqrt(list_dot_product(embedding::DOUBLE[],
+                embedding::DOUBLE[])) * 1000000) AS BIGINT) AS un
+              FROM embeddings)
+            SELECT label, count(*) AS n, min(un) AS min_unorm,
+              max(un) AS max_unorm,
+              CAST(sum(un) AS BIGINT) // count(*) AS mean_unorm
+            FROM v GROUP BY 1 ORDER BY label"""))
+
   /** Crawl URL canonicalization + duplicate grouping. Four messy variants
     * of the same logical URL are planted per doc-group (the corpus has no
     * URL column), then canonicalized: lowercase scheme+host, strip www.,
@@ -5653,6 +5886,8 @@ object Queries {
     crawlPagerank, spanCorrupt, mixRollup, q5LocalSupplier, streamTrending,
     q18BigOrders, dedupRateReport, streamDedupQ, r18PartialKey, r19Rebucket,
     b17Recovery, s10StreamAggView, annDimTruncation,
+    mmPairAudit, pipelineE2e, b18CompactPolicy,
+    q10Returns, docLangConfusion, embNormAudit,
     funnelAnalysis, sourceDivergence, propsJson, qWindowFuncs,
     dedupIncrementalNear, datasetCard, kAnonymity, q17SmallQty,
     qSaltedJoin, s9Bootstrap, qPivot, w14HllUnion, bpeTrainMerges,

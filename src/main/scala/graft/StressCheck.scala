@@ -15,8 +15,8 @@ object StressCheck {
     import spark.implicits._
 
     // optional section tags as args (keyed lsh semdedup pq crdt1m crdt10m
-    // squash minhash clusters bucket asof shuffleorder aaview bloom) — no args
-    // runs everything
+    // squash minhash clusters bucket rebucket asof shuffleorder aaview
+    // bloom) — no args runs everything
     val only = args.toSet
     def on(tag: String): Boolean = only.isEmpty || only(tag)
     // (new tags round 5: salted, aggview)
@@ -25,7 +25,8 @@ object StressCheck {
       .crossJoin(spark.range(120).select(col("id").as("rep")))
       .withColumn("user_id", col("user_id") + col("rep") * 1000L)
       .withColumn("event_id", col("event_id") + col("rep") * 10000000L)
-    val n = if (on("keyed") || on("bucket") || on("asof") || on("salted")) {
+    val n = if (on("keyed") || on("bucket") || on("asof") || on("salted") ||
+        on("rebucket")) {
       base.persist(); base.count()
     } else 0L
 
@@ -272,6 +273,26 @@ object StressCheck {
         unix_millis(col("ts")), col("event_id"),
         capacityTokens = 5, refillIntervalMs = 60000L)
         .filter(!col("allowed")).count()
+    }
+    spark.catalog.clearCache()
+
+    // Partition-count migration at store scale: a ~2.2M-key store pushed
+    // at 16 buckets is rebucketed to 32 — ONE full shuffle at the new
+    // count (the repush fold); content must survive the move bit-for-bit.
+    if (on("rebucket")) {
+      val e = new graft.core.GraftEngine(spark,
+        java.nio.file.Files.createTempDirectory("stress-rebucket").toString)
+      e.createStore("ev", Seq("user_id"))
+      e.push("ev", base.select(col("user_id"), col("event_type"),
+        col("value"), col("event_id")), numBuckets = 16,
+        orderCol = Some(col("event_id")))
+      val before = e.snapshot("ev").count()
+      timed("rebucket 16->32 2.2M keys") {
+        e.rebucket("ev", 32)
+        val after = e.snapshot("ev").count()
+        require(after == before, s"row count moved: $before -> $after")
+        after
+      }
     }
     spark.catalog.clearCache()
 

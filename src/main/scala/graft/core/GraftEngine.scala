@@ -1377,6 +1377,25 @@ class GraftEngine(val spark: SparkSession, val root: String) {
     v
   }
 
+  /** Size-tiered compaction policy: repush iff the RT overlay has grown
+    * past `maxLogRows` pending rows. Venice compacts continuously inside
+    * RocksDB and re-materializes hybrid stores on a repush cadence; in
+    * the snapshot+log model the overlay's size is the read-amplification
+    * knob, so the policy trigger is its row count — a parquet metadata
+    * read (footer row counts), not a data scan. Returns the new version
+    * when compaction fired, 0 when the overlay is still within budget. */
+  def compactIfNeeded(name: String, maxLogRows: Long): Int = {
+    val logRows =
+      if (isActiveActive(name))
+        if (hasAaLog(name)) readAaLog(name).count() else 0L
+      else {
+        val l = if (hasLog(name)) readLog(name).count() else 0L
+        val u = if (hasUpdates(name)) readUpdates(name).count() else 0L
+        l + u
+      }
+    if (logRows > maxLogRows) repush(name) else 0
+  }
+
   /** Partition-count migration: rewrite the store at `newBuckets` md5-mod
     * buckets via a full repush and swap atomically. The operational move a
     * store needs as it grows 100× — bucket count sizes both file pruning

@@ -207,13 +207,20 @@ object Dedup {
       .select(col("id"), col("shingles"), size(col("shingles")).as("n"))
     val exploded = sized.select(col("id"), col("n"),
       explode(col("shingles")).as("sh"))
-    // document-frequency cap: one extra keyed aggregation, then filter —
-    // the join below can no longer see a bucket larger than maxPostings
+    // document-frequency cap: the join below can never see a bucket larger
+    // than maxPostings. Computed as a partial-aggregated count per shingle
+    // (map-side combine shrinks the shuffle to distinct shingles per
+    // partition) + a BROADCAST anti-join of the hot set — by construction
+    // at most totalPostings/maxPostings shingles exceed the cap, so the
+    // hot set is always broadcast-sized. The previous formulation windowed
+    // over the FULL postings (a shuffle + sort of every posting row) to
+    // compute the same filter.
+    val hot = exploded.groupBy(col("sh"))
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > maxPostings)
+      .select(col("sh"))
     val posts = exploded
-      .withColumn("__df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("sh"))))
-      .filter(col("__df") <= maxPostings)
-      .drop("__df")
+      .join(broadcast(hot), Seq("sh"), "left_anti")
       .persist()
     val l = posts.as("l"); val r = posts.as("r")
     // length bound: J(a,b) ≥ t implies |a| ≥ t·|b| (and symmetrically),
