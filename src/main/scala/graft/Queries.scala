@@ -5294,6 +5294,81 @@ object Queries {
               CAST(sum(un) AS BIGINT) // count(*) AS mean_unorm
             FROM v GROUP BY 1 ORDER BY label"""))
 
+  /** TPC-H Q14 shape: promo revenue share for one month. The date range
+    * pushes into the fact scan; `part` is the dimension side and
+    * broadcasts; the share is exact integer ppm (cents × 1e6 div cents),
+    * no float division. One broadcast join + a single global aggregate. */
+  val q14Promo = QueryDef(
+    "q14_promo",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-02-01").cast("timestamp"))
+        .select(col("l_partkey"),
+          round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+            .cast("long").as("rev_cents"))
+      li.join(broadcast(t(s, dir, "part")
+          .select(col("p_partkey"), col("p_type"))),
+          col("l_partkey") === col("p_partkey"))
+        .agg(sum(when(col("p_type") === "PROMO", col("rev_cents"))
+            .otherwise(0L)).as("promo_cents"),
+          sum(col("rev_cents")).as("total_cents"))
+        .select(col("promo_cents"), col("total_cents"),
+          expr("promo_cents * 1000000 div total_cents").as("promo_ppm"))
+    },
+    Some("""SELECT
+              CAST(sum(CASE WHEN p_type = 'PROMO'
+                THEN CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+                ELSE 0 END) AS BIGINT) AS promo_cents,
+              CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                AS BIGINT)) AS BIGINT) AS total_cents,
+              CAST(sum(CASE WHEN p_type = 'PROMO'
+                THEN CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+                ELSE 0 END) AS BIGINT) * 1000000
+                // CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                  AS BIGINT)) AS BIGINT) AS promo_ppm
+            FROM lineitem, part
+            WHERE l_partkey = p_partkey
+              AND l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate < TIMESTAMP '1997-02-01'"""))
+
+  /** TPC-H Q19 shape: disjunctive brand/size/quantity bands — an OR of
+    * ANDs that SPANS the join (part attrs × lineitem attrs), so no single
+    * conjunct pushes to either scan alone; the per-side prunable parts
+    * (brand/size on part, quantity envelope on lineitem) still push, and
+    * the residual disjunction evaluates post-join. The shape that checks
+    * the optimizer doesn't give up on mixed-side predicates. */
+  val q19Bands = QueryDef(
+    "q19_bands",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_quantity"),
+          round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+            .cast("long").as("rev_cents"))
+      val p = broadcast(t(s, dir, "part")
+        .select(col("p_partkey"), col("p_brand"), col("p_size")))
+      li.join(p, col("l_partkey") === col("p_partkey") && (
+          (col("p_brand") === "Brand#1" && col("p_size").between(1, 5) &&
+            col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#2" && col("p_size").between(1, 10) &&
+            col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#3" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(20, 30))))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("rev_cents")).as("revenue_cents"))
+    },
+    Some("""SELECT count(*) AS n_items,
+              CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                AS BIGINT)) AS BIGINT) AS revenue_cents
+            FROM lineitem, part
+            WHERE l_partkey = p_partkey AND (
+              (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+                AND l_quantity BETWEEN 1 AND 11) OR
+              (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+                AND l_quantity BETWEEN 10 AND 20) OR
+              (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+                AND l_quantity BETWEEN 20 AND 30))"""))
+
   /** Crawl URL canonicalization + duplicate grouping. Four messy variants
     * of the same logical URL are planted per doc-group (the corpus has no
     * URL column), then canonicalized: lowercase scheme+host, strip www.,
@@ -5887,7 +5962,7 @@ object Queries {
     q18BigOrders, dedupRateReport, streamDedupQ, r18PartialKey, r19Rebucket,
     b17Recovery, s10StreamAggView, annDimTruncation,
     mmPairAudit, pipelineE2e, b18CompactPolicy,
-    q10Returns, docLangConfusion, embNormAudit,
+    q10Returns, docLangConfusion, embNormAudit, q14Promo, q19Bands,
     funnelAnalysis, sourceDivergence, propsJson, qWindowFuncs,
     dedupIncrementalNear, datasetCard, kAnonymity, q17SmallQty,
     qSaltedJoin, s9Bootstrap, qPivot, w14HllUnion, bpeTrainMerges,

@@ -276,7 +276,29 @@ object StressCheck {
     }
     spark.catalog.clearCache()
 
-    // Partition-count migration at store scale: a ~2.2M-key store pushed
+    // n-gram Jaccard under a closed vocabulary: the synthetic corpus has
+    // ~100 distinct words, so replication saturates the same ~27k trigram
+    // space and shared-shingle pairs grow QUADRATICALLY with corpus size
+    // (sf1: 125M candidate pairs for 50k docs — a worst case real crawls
+    // don't exhibit). The DF cap is the designed mitigation: boilerplate-
+    // grade shingles carry no dedup signal (PipelineSpec pins that true
+    // near-dup pairs survive any cap above their cluster size), and
+    // capping collapses the quadratic bucket work.
+    if (on("ngramcap")) {
+      val sh = graft.operators.Dedup.shingleSets(
+        Tables.documents(spark, sfDir), "doc_id", "text", 3).persist()
+      sh.count()
+      timed("ngram pairs uncapped") {
+        graft.operators.Dedup.ngramJaccardPairs(sh, 0.5).count()
+      }
+      timed("ngram pairs df-cap 64") {
+        graft.operators.Dedup.ngramJaccardPairs(sh, 0.5, maxPostings = 64).count()
+      }
+      sh.unpersist()
+    }
+    spark.catalog.clearCache()
+
+    // Partition-count migration at store scale: a ~1.2M-key store pushed
     // at 16 buckets is rebucketed to 32 — ONE full shuffle at the new
     // count (the repush fold); content must survive the move bit-for-bit.
     if (on("rebucket")) {
@@ -287,7 +309,7 @@ object StressCheck {
         col("value"), col("event_id")), numBuckets = 16,
         orderCol = Some(col("event_id")))
       val before = e.snapshot("ev").count()
-      timed("rebucket 16->32 2.2M keys") {
+      timed("rebucket 16->32 1.2M keys") {
         e.rebucket("ev", 32)
         val after = e.snapshot("ev").count()
         require(after == before, s"row count moved: $before -> $after")
