@@ -5369,6 +5369,100 @@ object Queries {
               (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
                 AND l_quantity BETWEEN 20 AND 30))"""))
 
+  /** Time-grid resampling with last-observation-carried-forward: each
+    * user's event stream becomes an hourly feature series (the shape every
+    * training-feature store materializes from raw events). The grid is the
+    * user's own activity window (integer hour arithmetic, no float
+    * division); the carry is [[graft.operators.Joins.asOfBackward]] — one
+    * keyed shuffle, never an n·m range join. The oracle is DuckDB's NATIVE
+    * ASOF JOIN — an independent algorithm, so a carry-forward bug cannot
+    * cancel out. */
+  val eventsResample = QueryDef(
+    "events_resample",
+    (s, dir) => {
+      val ev = Tables.events(s, dir).filter(col("user_id") < 100)
+        .withColumn("ts_ms", unix_millis(col("ts")))
+      val grid = ev.groupBy(col("user_id"))
+        .agg(expr("min(ts_ms) div 3600000 * 3600000").as("t0"),
+          expr("max(ts_ms) div 3600000 * 3600000").as("t1"))
+        .select(col("user_id"),
+          explode(sequence(col("t0"), col("t1"), lit(3600000L))).as("grid_ms"))
+      val state = graft.operators.Compaction.latestPerKey(
+        ev.select(col("user_id"), col("ts_ms"), col("event_id"), col("value")),
+        Seq("user_id", "ts_ms"), Seq(col("event_id")))
+      graft.operators.Joins.asOfBackward(grid, state,
+        Seq("user_id"), "grid_ms", "ts_ms", Seq("event_id", "value"))
+        .select(col("user_id"), col("grid_ms"),
+          col("asof_event_id").as("last_event_id"),
+          round(col("asof_value") * 100).cast("long").as("last_value_cents"))
+        .orderBy(col("user_id"), col("grid_ms"))
+    },
+    Some("""WITH e AS (SELECT user_id, epoch_ms(ts) AS ts_ms, event_id, value
+              FROM events WHERE user_id < 100),
+            s AS (SELECT user_id, ts_ms, event_id, value FROM e
+              QUALIFY row_number() OVER (PARTITION BY user_id, ts_ms
+                ORDER BY event_id DESC) = 1),
+            b AS (SELECT user_id, min(ts_ms) // 3600000 * 3600000 AS t0,
+                max(ts_ms) // 3600000 * 3600000 AS t1 FROM e GROUP BY 1),
+            g AS (SELECT user_id,
+                unnest(range(t0, t1 + 3600000, 3600000)) AS grid_ms FROM b)
+            SELECT g.user_id, g.grid_ms, s.event_id AS last_event_id,
+              CAST(round(s.value * 100) AS BIGINT) AS last_value_cents
+            FROM g ASOF LEFT JOIN s
+              ON g.user_id = s.user_id AND g.grid_ms >= s.ts_ms
+            ORDER BY g.user_id, g.grid_ms"""))
+
+  /** Exact duplicated-substring profile via distributed PREFIX DOUBLING
+    * (suffix-array style): level-k span fingerprints build from two
+    * overlapping level-(k−1) fingerprints, one self-equi-join per
+    * doubling — log(span) joins total, never a quadratic substring
+    * compare. Output: per span length (1..16 tokens), how many sites /
+    * fingerprints / docs carry a corpus-duplicated span — the profile
+    * that picks the right span width for exact-substring dedup (Lee et
+    * al.; the fixed-width `dedup_spans` is the single-width special
+    * case). The oracle replays every doubling level in SQL. */
+  val dupSpanProfileQ = QueryDef(
+    "dup_span_profile",
+    (s, dir) => graft.operators.Dedup.dupSpanProfile(
+        t(s, dir, "documents"), "doc_id", "text", maxPow = 4)
+      .orderBy(col("span_len")),
+    Some(s"""WITH base AS (SELECT doc_id AS id, $tokensSql AS toks
+               FROM documents),
+             f0 AS (SELECT id, u.pos AS pos, u.fp AS fp FROM (
+               SELECT id, unnest(list_transform(range(1, len(toks) + 1),
+                 i -> {'pos': i - 1, 'fp': toks[i]})) AS u FROM base)),
+             f1 AS (SELECT a.id, a.pos, md5(a.fp || '|' || b.fp) AS fp
+               FROM f0 a JOIN f0 b ON a.id = b.id AND b.pos = a.pos + 1),
+             f2 AS (SELECT a.id, a.pos, md5(a.fp || '|' || b.fp) AS fp
+               FROM f1 a JOIN f1 b ON a.id = b.id AND b.pos = a.pos + 2),
+             f3 AS (SELECT a.id, a.pos, md5(a.fp || '|' || b.fp) AS fp
+               FROM f2 a JOIN f2 b ON a.id = b.id AND b.pos = a.pos + 4),
+             f4 AS (SELECT a.id, a.pos, md5(a.fp || '|' || b.fp) AS fp
+               FROM f3 a JOIN f3 b ON a.id = b.id AND b.pos = a.pos + 8),
+             d0 AS (SELECT *, count(*) OVER (PARTITION BY fp) AS c FROM f0),
+             d1 AS (SELECT *, count(*) OVER (PARTITION BY fp) AS c FROM f1),
+             d2 AS (SELECT *, count(*) OVER (PARTITION BY fp) AS c FROM f2),
+             d3 AS (SELECT *, count(*) OVER (PARTITION BY fp) AS c FROM f3),
+             d4 AS (SELECT *, count(*) OVER (PARTITION BY fp) AS c FROM f4)
+             SELECT CAST(span_len AS BIGINT) AS span_len, dup_sites,
+               dup_fingerprints, docs_affected FROM (
+               SELECT 1 AS span_len, count(*) AS dup_sites,
+                 count(DISTINCT fp) AS dup_fingerprints,
+                 count(DISTINCT id) AS docs_affected FROM d0 WHERE c >= 2
+               UNION ALL
+               SELECT 2, count(*), count(DISTINCT fp), count(DISTINCT id)
+               FROM d1 WHERE c >= 2
+               UNION ALL
+               SELECT 4, count(*), count(DISTINCT fp), count(DISTINCT id)
+               FROM d2 WHERE c >= 2
+               UNION ALL
+               SELECT 8, count(*), count(DISTINCT fp), count(DISTINCT id)
+               FROM d3 WHERE c >= 2
+               UNION ALL
+               SELECT 16, count(*), count(DISTINCT fp), count(DISTINCT id)
+               FROM d4 WHERE c >= 2)
+             ORDER BY span_len"""))
+
   /** Crawl URL canonicalization + duplicate grouping. Four messy variants
     * of the same logical URL are planted per doc-group (the corpus has no
     * URL column), then canonicalized: lowercase scheme+host, strip www.,
@@ -5963,6 +6057,7 @@ object Queries {
     b17Recovery, s10StreamAggView, annDimTruncation,
     mmPairAudit, pipelineE2e, b18CompactPolicy,
     q10Returns, docLangConfusion, embNormAudit, q14Promo, q19Bands,
+    eventsResample, dupSpanProfileQ,
     funnelAnalysis, sourceDivergence, propsJson, qWindowFuncs,
     dedupIncrementalNear, datasetCard, kAnonymity, q17SmallQty,
     qSaltedJoin, s9Bootstrap, qPivot, w14HllUnion, bpeTrainMerges,

@@ -339,4 +339,62 @@ object Dedup {
     und.unpersist()
     labels.select(col("id"), col("lbl").as("cluster_id"))
   }
+
+  /** Duplicated-substring profile via PREFIX DOUBLING (the suffix-array
+    * construction trick, run distributed): level-k fingerprints cover
+    * token spans of length 2^k, built from two overlapping level-(k−1)
+    * fingerprints — fp_k(d,p) = md5(fp_{k−1}(d,p) || fp_{k−1}(d,p+2^{k−1}))
+    * — so each doubling is ONE self-equi-join on (doc, position) and the
+    * whole profile costs log(maxSpan) joins, never a quadratic substring
+    * comparison. A span is "duplicated" when its fingerprint occurs at ≥2
+    * (doc, pos) sites corpus-wide (Lee et al.'s exact-substring dedup
+    * signal, which fixed-length span dedup [[spanDedup]] can only
+    * approximate at one width).
+    *
+    * Returns one row per level: span length, duplicated sites, distinct
+    * duplicated fingerprints, and docs containing a duplicated span —
+    * the profile that picks the right dedup span width for a corpus.
+    * Scale: positions explode the corpus ×1 per level (bounded by
+    * maxPow ≤ 5 here), every step is a keyed equi-join or partial-agged
+    * count on fingerprints. */
+  def dupSpanProfile(df: DataFrame, idCol: String, textCol: String,
+      maxPow: Int = 5): DataFrame = {
+    require(maxPow >= 0 && maxPow <= 8, s"maxPow in [0,8], got $maxPow")
+    val spark = df.sparkSession
+    var fp = df
+      .select(col(idCol).as("id"),
+        posexplode(graft.functions.TextOps.tokens(col(textCol))))
+      .select(col("id"), col("pos"), col("col").as("fp"))
+      .persist()
+    // each level's stats row is computed EAGERLY (a 1-row aggregate) so
+    // the previous level's cache can be dropped before the next doubling
+    // — only one level of fingerprints is ever materialized at a time
+    def levelStats(level: DataFrame, k: Int): (Long, Long, Long, Long) = {
+      val dupFps = level.groupBy(col("fp")).agg(count(lit(1)).as("__c"))
+        .filter(col("__c") >= 2)
+      val st = level.join(dupFps, Seq("fp"), "left_semi")
+        .agg(count(lit(1)), countDistinct(col("fp")),
+          countDistinct(col("id")))
+        .head()
+      (1L << k, st.getLong(0), st.getLong(1), st.getLong(2))
+    }
+    val rows = Seq.newBuilder[(Long, Long, Long, Long)]
+    rows += levelStats(fp, 0)
+    for (k <- 1 to maxPow) {
+      val step = 1 << (k - 1)
+      val l = fp.as("l"); val r = fp.as("r")
+      val next = l.join(r,
+          col("l.id") === col("r.id") && col("r.pos") === col("l.pos") + step)
+        .select(col("l.id").as("id"), col("l.pos").as("pos"),
+          md5(concat_ws("|", col("l.fp"), col("r.fp"))).as("fp"))
+        .persist()
+      rows += levelStats(next, k)
+      fp.unpersist()
+      fp = next
+    }
+    fp.unpersist()
+    import spark.implicits._
+    rows.result().toDF("span_len", "dup_sites", "dup_fingerprints",
+      "docs_affected")
+  }
 }
