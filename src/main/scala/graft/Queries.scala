@@ -5463,6 +5463,71 @@ object Queries {
                FROM d4 WHERE c >= 2)
              ORDER BY span_len"""))
 
+  /** TPC-H Q22 shape: above-average-balance customers who never placed a
+    * HIGH-VALUE order, per nation — a scalar subquery (the global balance
+    * threshold) feeding an anti join. The threshold is exact integer
+    * cents (sum div count — no float average crossing engines); it rides
+    * a broadcast 1-row crossJoin so the plan stays declarative, and the
+    * filtered anti join is the missed-opportunity test. The shape that
+    * checks scalar-subquery + anti-join composition. */
+  val q22NoOrders = QueryDef(
+    "q22_no_orders",
+    (s, dir) => {
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"),
+          round(col("c_acctbal") * 100).cast("long").as("bal_cents"))
+      val thr = cust.filter(col("bal_cents") > 0)
+        .agg(expr("sum(bal_cents) div count(1)").as("thr_cents"))
+      cust.crossJoin(broadcast(thr))
+        .filter(col("bal_cents") > col("thr_cents"))
+        .join(t(s, dir, "orders")
+            .filter(col("o_totalprice") >= 400000).select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_cust"),
+          sum(col("bal_cents")).as("total_bal_cents"))
+        .orderBy(col("c_nationkey"))
+    },
+    Some("""WITH c AS (SELECT c_custkey, c_nationkey,
+              CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+              FROM customer),
+            t AS (SELECT CAST(sum(bal_cents) AS BIGINT) // count(*) AS thr
+              FROM c WHERE bal_cents > 0)
+            SELECT c_nationkey, count(*) AS n_cust,
+              CAST(sum(bal_cents) AS BIGINT) AS total_bal_cents
+            FROM c, t
+            WHERE bal_cents > thr
+              AND NOT EXISTS (SELECT 1 FROM orders
+                WHERE o_custkey = c_custkey AND o_totalprice >= 400000)
+            GROUP BY 1 ORDER BY c_nationkey"""))
+
+  /** New-user accrual: each user's first-activity hour (integer
+    * epoch-hour, no engine week/timezone rules), hourly new-user counts,
+    * and the cumulative curve — the top-line growth table. Two
+    * partial-aggregated keyed aggs; the running sum windows over HOUR
+    * rows (bounded), never over users. */
+  val dailyNewUsers = QueryDef(
+    "daily_new_users",
+    (s, dir) => {
+      val firstHour = Tables.events(s, dir)
+        .select(col("user_id"),
+          expr("unix_millis(ts) div 3600000").as("hour"))
+        .groupBy(col("user_id")).agg(min(col("hour")).as("first_hour"))
+      firstHour.groupBy(col("first_hour").as("hour"))
+        .agg(count(lit(1)).as("new_users"))
+        .withColumn("cum_users", sum(col("new_users")).over(
+          Window.orderBy(col("hour"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .orderBy(col("hour"))
+    },
+    Some("""WITH f AS (SELECT user_id, min(epoch_ms(ts) // 3600000) AS hour
+              FROM events GROUP BY 1)
+            SELECT hour, count(*) AS new_users,
+              CAST(sum(count(*)) OVER (ORDER BY hour
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                AS cum_users
+            FROM f GROUP BY hour ORDER BY hour"""))
+
   /** Crawl URL canonicalization + duplicate grouping. Four messy variants
     * of the same logical URL are planted per doc-group (the corpus has no
     * URL column), then canonicalized: lowercase scheme+host, strip www.,
@@ -6057,7 +6122,7 @@ object Queries {
     b17Recovery, s10StreamAggView, annDimTruncation,
     mmPairAudit, pipelineE2e, b18CompactPolicy,
     q10Returns, docLangConfusion, embNormAudit, q14Promo, q19Bands,
-    eventsResample, dupSpanProfileQ,
+    eventsResample, dupSpanProfileQ, q22NoOrders, dailyNewUsers,
     funnelAnalysis, sourceDivergence, propsJson, qWindowFuncs,
     dedupIncrementalNear, datasetCard, kAnonymity, q17SmallQty,
     qSaltedJoin, s9Bootstrap, qPivot, w14HllUnion, bpeTrainMerges,

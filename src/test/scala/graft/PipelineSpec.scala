@@ -910,4 +910,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(vocab.collect().head.getAs[String]("sym") == " aa aa ")
     vocab.unpersist()
   }
+
+  test("dupSpanProfile: a planted shared passage surfaces at exactly its widths") {
+    import spark.implicits._
+    // docs 1 and 2 share an 8-token passage at DIFFERENT positions; all
+    // other tokens are globally unique, so every duplicated fingerprint at
+    // every level must come from inside the passage
+    val shared = (1 to 8).map(i => s"shared$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$shared apple banana cherry"),
+      (2L, s"xray yankee zulu $shared"),
+      (3L, "totally different words only here")).toDF("doc_id", "text")
+    val prof = Dedup.dupSpanProfile(docs, "doc_id", "text", maxPow = 4)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // span w fits the 8-token passage at 8-w+1 offsets, each duplicated at
+    // 2 sites across the 2 docs
+    assert(prof(1L) == ((16L, 8L, 2L)))
+    assert(prof(2L) == ((14L, 7L, 2L)))
+    assert(prof(4L) == ((10L, 5L, 2L)))
+    assert(prof(8L) == ((2L, 1L, 2L)))
+    // a 16-token window cannot fit inside the 8-token passage: no dups
+    assert(prof(16L) == ((0L, 0L, 0L)))
+  }
 }
