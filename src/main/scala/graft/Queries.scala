@@ -5528,6 +5528,89 @@ object Queries {
                 AS cum_users
             FROM f GROUP BY hour ORDER BY hour"""))
 
+  /** TPC-H Q6 shape: the canonical scan→filter→aggregate microbenchmark —
+    * no join, no group: all three predicates push to the parquet scan and
+    * the whole query is one WholeStageCodegen span over the pruned
+    * columns + a 1-row partial-agged sum. The purest test that pushdown
+    * and column pruning actually reach the scan. */
+  val q6Forecast = QueryDef(
+    "q6_forecast",
+    (s, dir) => t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(sum(round(col("l_extendedprice") * col("l_discount") * 100)
+        .cast("long")).as("revenue_cents"),
+        count(lit(1)).as("n_items")),
+    Some("""SELECT CAST(sum(CAST(round(l_extendedprice * l_discount * 100)
+              AS BIGINT)) AS BIGINT) AS revenue_cents,
+              count(*) AS n_items
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"""))
+
+  /** Data-contract validation report (the dbt-tests / Great-Expectations
+    * surface): one row per declared rule with its violation count — null
+    * keys, domain ranges, referential integrity (dangling lineitem→orders
+    * and orders→customer FKs via anti joins). All counts are
+    * partial-aggregated or anti-join shaped; the report is what a
+    * pipeline gate reads before promoting a snapshot. */
+  val dataContract = QueryDef(
+    "data_contract",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val ord = t(s, dir, "orders")
+      val cust = t(s, dir, "customer")
+      def rule(name: String, cnt: DataFrame): DataFrame =
+        cnt.select(lit(name).as("rule"), col("violations"))
+      val rules = Seq(
+        rule("lineitem_null_orderkey", li.agg(
+          count(when(col("l_orderkey").isNull, 1)).as("violations"))),
+        rule("lineitem_nonpositive_qty", li.agg(
+          count(when(col("l_quantity") <= 0, 1)).as("violations"))),
+        rule("lineitem_discount_range", li.agg(
+          count(when(!col("l_discount").between(0.0, 1.0), 1)).as("violations"))),
+        rule("orders_negative_total", ord.agg(
+          count(when(col("o_totalprice") < 0, 1)).as("violations"))),
+        rule("customer_dup_key", cust.groupBy(col("c_custkey"))
+          .agg(count(lit(1)).as("c")).filter(col("c") > 1)
+          .agg(count(lit(1)).as("violations"))),
+        rule("lineitem_fk_orders", li.select(col("l_orderkey"))
+          .join(ord.select(col("o_orderkey")),
+            col("l_orderkey") === col("o_orderkey"), "left_anti")
+          .agg(count(lit(1)).as("violations"))),
+        rule("orders_fk_customer", ord.select(col("o_custkey"))
+          .join(cust.select(col("c_custkey")),
+            col("o_custkey") === col("c_custkey"), "left_anti")
+          .agg(count(lit(1)).as("violations"))))
+      rules.reduce(_ unionByName _).orderBy(col("rule"))
+    },
+    Some("""SELECT rule, violations FROM (
+              SELECT 'lineitem_null_orderkey' AS rule,
+                count(CASE WHEN l_orderkey IS NULL THEN 1 END) AS violations
+              FROM lineitem
+              UNION ALL
+              SELECT 'lineitem_nonpositive_qty',
+                count(CASE WHEN l_quantity <= 0 THEN 1 END) FROM lineitem
+              UNION ALL
+              SELECT 'lineitem_discount_range',
+                count(CASE WHEN l_discount NOT BETWEEN 0.0 AND 1.0 THEN 1 END)
+              FROM lineitem
+              UNION ALL
+              SELECT 'orders_negative_total',
+                count(CASE WHEN o_totalprice < 0 THEN 1 END) FROM orders
+              UNION ALL
+              SELECT 'customer_dup_key', count(*) FROM (
+                SELECT c_custkey FROM customer GROUP BY 1 HAVING count(*) > 1)
+              UNION ALL
+              SELECT 'lineitem_fk_orders', count(*) FROM lineitem
+              WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+              UNION ALL
+              SELECT 'orders_fk_customer', count(*) FROM orders
+              WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey))
+            ORDER BY rule"""))
+
   /** Crawl URL canonicalization + duplicate grouping. Four messy variants
     * of the same logical URL are planted per doc-group (the corpus has no
     * URL column), then canonicalized: lowercase scheme+host, strip www.,
@@ -6123,6 +6206,7 @@ object Queries {
     mmPairAudit, pipelineE2e, b18CompactPolicy,
     q10Returns, docLangConfusion, embNormAudit, q14Promo, q19Bands,
     eventsResample, dupSpanProfileQ, q22NoOrders, dailyNewUsers,
+    q6Forecast, dataContract,
     funnelAnalysis, sourceDivergence, propsJson, qWindowFuncs,
     dedupIncrementalNear, datasetCard, kAnonymity, q17SmallQty,
     qSaltedJoin, s9Bootstrap, qPivot, w14HllUnion, bpeTrainMerges,

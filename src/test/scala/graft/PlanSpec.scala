@@ -203,4 +203,33 @@ class PlanSpec extends AnyFunSuite {
       .select(salted.columns.map(col): _*)
     assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
   }
+
+  test("Q6: all predicates push to the scan; no join, no exchange-heavy agg") {
+    val p = plan(Queries.byName("q6_forecast").fn(spark, sf))
+    // Spark truncates the PushedFilters list in toString — assert on the
+    // stable prefix (the date/discount/quantity null filters lead it)
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), p.take(2000))
+    assert(!p.contains("Join"), p.take(800))
+    // only the four referenced columns leave the scan
+    assert(p.contains("ReadSchema: struct<l_quantity:double," +
+      "l_extendedprice:double,l_discount:double,l_shipdate:"), p.take(2000))
+  }
+
+  test("Q10/Q14: dimension side broadcasts; Q10 top-20 is TakeOrdered") {
+    val p10 = plan(Queries.byName("q10_returns").fn(spark, sf))
+    assert(p10.contains("BroadcastHashJoin"), p10.take(800))
+    assert(p10.contains("TakeOrderedAndProject"), p10.take(800))
+    assert(p10.contains("EqualTo(l_returnflag,R)"), p10.take(2000))
+    val p14 = plan(Queries.byName("q14_promo").fn(spark, sf))
+    assert(p14.contains("BroadcastHashJoin"), p14.take(800))
+    assert(!p14.contains("CartesianProduct"), p14.take(800))
+  }
+
+  test("Q22: threshold is a broadcast 1-row join; no-order test is an anti join") {
+    val p = plan(Queries.byName("q22_no_orders").fn(spark, sf))
+    assert(p.contains("LeftAnti"), p.take(1200))
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(1200))
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+  }
 }
