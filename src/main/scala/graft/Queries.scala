@@ -5611,6 +5611,62 @@ object Queries {
               WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey))
             ORDER BY rule"""))
 
+  /** A/A two-region STREAMING convergence: two region streams ingest into
+    * one active-active store SEQUENTIALLY — and region B, ingested second,
+    * carries events whose timestamps interleave with (and often precede)
+    * region A's. Venice's multi-region guarantee is exactly that arrival
+    * order must not matter: conflict resolution is by event timestamp
+    * through the CRDT op log, so a late-arriving older event LOSES even
+    * though it was written last (ActiveActiveStoreIngestionTask semantics,
+    * not code). The oracle computes the timestamp-order winner per key;
+    * any arrival-order leakage breaks the hash. */
+  val s11AaTwoRegion = QueryDef(
+    "s11_aa_two_region",
+    (s, dir) => {
+      import graft.streaming.StreamIngest
+      val e = tempEngine(s, "graft-s11")
+      e.createStore("ev", Seq("user_id"))
+      val evAll = Tables.events(s, dir).filter(col("user_id") < 200)
+        .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
+      e.push("ev", graft.operators.Compaction.latestPerKey(
+        evAll.filter(col("event_id") % 10 < 5), Seq("user_id"),
+        Seq(col("event_id"))), numBuckets = 4)
+      e.enableActiveActive("ev")
+      val streamRows = evAll.filter(col("event_id") % 10 >= 5)
+      // regions split by parity: BOTH regions span the full event-time
+      // range, so the second drain delivers plenty of ts-older events
+      def drain(region: Int): Unit = {
+        val inDir = s"${e.root}/in$region"
+        streamRows.filter(col("event_id") % 2 === region).write.parquet(inDir)
+        val stream = s.readStream.schema(streamRows.schema).parquet(inDir)
+          .withColumn(StreamIngest.EventTsCol, col("event_id"))
+        val q = StreamIngest.ingest(e, "ev", stream,
+          checkpoint = s"${e.root}/cp$region")
+        require(q.awaitTermination(180000),
+          s"s11_aa_two_region: region $region did not drain within 180s")
+      }
+      drain(1); drain(0)
+      e.servingView("ev")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          round(col("value") * 100).cast("long").as("value_cents"))
+        .orderBy(col("user_id"))
+    },
+    Some("""SELECT user_id, event_id, event_type,
+              CAST(round(value * 100) AS BIGINT) AS value_cents
+            FROM (
+              SELECT user_id, event_id, event_type, value,
+                row_number() OVER (PARTITION BY user_id
+                  ORDER BY src DESC, event_id DESC) AS rn
+              FROM (
+                SELECT user_id, event_id, event_type, value, 1 AS src
+                FROM events WHERE user_id < 200 AND event_id % 10 >= 5
+                UNION ALL
+                SELECT user_id, event_id, event_type, value, 0 AS src
+                FROM events WHERE user_id < 200 AND event_id % 10 < 5
+                QUALIFY row_number() OVER (PARTITION BY user_id
+                  ORDER BY event_id DESC) = 1))
+            WHERE rn = 1 ORDER BY user_id"""))
+
   /** Crawl URL canonicalization + duplicate grouping. Four messy variants
     * of the same logical URL are planted per doc-group (the corpus has no
     * URL column), then canonicalized: lowercase scheme+host, strip www.,
@@ -6206,7 +6262,7 @@ object Queries {
     mmPairAudit, pipelineE2e, b18CompactPolicy,
     q10Returns, docLangConfusion, embNormAudit, q14Promo, q19Bands,
     eventsResample, dupSpanProfileQ, q22NoOrders, dailyNewUsers,
-    q6Forecast, dataContract,
+    q6Forecast, dataContract, s11AaTwoRegion,
     funnelAnalysis, sourceDivergence, propsJson, qWindowFuncs,
     dedupIncrementalNear, datasetCard, kAnonymity, q17SmallQty,
     qSaltedJoin, s9Bootstrap, qPivot, w14HllUnion, bpeTrainMerges,

@@ -699,6 +699,24 @@ class EngineSpec extends AnyFunSuite {
     assert(bucketDirs("rb", v4).size == 8)
   }
 
+  test("compactIfNeeded: A/A op-log size triggers the repush; fresh store no-ops") {
+    import spark.implicits._
+    val e = new GraftEngine(spark, Files.createTempDirectory("graft-cip").toString)
+    e.createStore("aa", Seq("id"))
+    e.push("aa", Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)).toDF("id", "score"))
+    e.enableActiveActive("aa")
+    assert(e.compactIfNeeded("aa", maxLogRows = 0) == 0) // no ops yet
+    e.setFieldAA("aa", Seq((1L, 10.0)).toDF("id", "score"), "score", tsMs = 100L)
+    e.setFieldAA("aa", Seq((2L, 20.0)).toDF("id", "score"), "score", tsMs = 200L)
+    assert(e.compactIfNeeded("aa", maxLogRows = 5) == 0) // 2 ops <= 5
+    val v = e.compactIfNeeded("aa", maxLogRows = 1) // 2 ops > 1: fires
+    assert(v == 2)
+    // resolved state survived the fold; op log consumed
+    assert(e.servingView("aa").filter($"id" === 1L)
+      .head().getAs[Double]("score") == 10.0)
+    assert(e.compactIfNeeded("aa", maxLogRows = 0) == 0) // log archived
+  }
+
   test("data recovery clones an A/A store; late events keep resolving") {
     import spark.implicits._
     val a = new GraftEngine(spark, Files.createTempDirectory("graft-reca").toString)
