@@ -361,10 +361,16 @@ object Dedup {
       maxPow: Int = 5): DataFrame = {
     require(maxPow >= 0 && maxPow <= 8, s"maxPow in [0,8], got $maxPow")
     val spark = df.sparkSession
+    // partition by doc id ONCE: every doubling self-join keys on
+    // (id, pos±step), and HashPartitioning(id) satisfies that join's
+    // clustered distribution (all of a doc's positions co-locate), so
+    // levels 1..maxPow add sorts but NO further exchanges — the join
+    // output projects id through, and persist preserves the partitioning
     var fp = df
       .select(col(idCol).as("id"),
         posexplode(graft.functions.TextOps.tokens(col(textCol))))
       .select(col("id"), col("pos"), col("col").as("fp"))
+      .repartition(col("id"))
       .persist()
     // each level's stats row is computed EAGERLY (a 1-row aggregate) so
     // the previous level's cache can be dropped before the next doubling
