@@ -5667,6 +5667,52 @@ object Queries {
                   ORDER BY event_id DESC) = 1))
             WHERE rn = 1 ORDER BY user_id"""))
 
+  /** A/B experiment readout: users assigned to control/treatment by the
+    * SAME md5 bucket rule as dataset splits (never rand() — membership
+    * must be reproducible across runs and engines), per-(event_type,
+    * variant) value means in integer micro-units, and the treatment lift
+    * in exact ppm. The analytics table every event-logging experiment
+    * reads; one partial-aggregated groupBy, integer math end to end. */
+  val abAnalysis = QueryDef(
+    "ab_analysis",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+        .withColumn("variant",
+          when(TextOps.splitBucket(col("user_id")) % 2 === 0, "control")
+            .otherwise("treatment"))
+        .withColumn("micro", round(col("value") * 1e6).cast("long"))
+      val agg = ev.groupBy(col("event_type"), col("variant"))
+        .agg(count(lit(1)).as("n"), sum(col("micro")).as("s"))
+        .select(col("event_type"), col("variant"), col("n"),
+          expr("s div n").as("mean_micro"))
+      val c = agg.filter(col("variant") === "control")
+        .select(col("event_type"), col("n").as("n_control"),
+          col("mean_micro").as("mean_control"))
+      val t2 = agg.filter(col("variant") === "treatment")
+        .select(col("event_type"), col("n").as("n_treatment"),
+          col("mean_micro").as("mean_treatment"))
+      c.join(t2, Seq("event_type"))
+        .withColumn("lift_ppm", expr(
+          "(mean_treatment - mean_control) * 1000000 div mean_control"))
+        .orderBy(col("event_type"))
+    },
+    Some("""WITH e AS (SELECT event_type,
+              CASE WHEN ('0x' || substr(md5(user_id::VARCHAR), 1, 4))::INT
+                % 100 % 2 = 0 THEN 'control' ELSE 'treatment' END AS variant,
+              CAST(round(value * 1000000) AS BIGINT) AS micro
+              FROM events),
+            a AS (SELECT event_type, variant, count(*) AS n,
+              CAST(sum(micro) AS BIGINT) // count(*) AS mean_micro
+              FROM e GROUP BY 1, 2)
+            SELECT c.event_type, c.n AS n_control,
+              c.mean_micro AS mean_control, t.n AS n_treatment,
+              t.mean_micro AS mean_treatment,
+              (t.mean_micro - c.mean_micro) * 1000000 // c.mean_micro
+                AS lift_ppm
+            FROM a c JOIN a t ON c.event_type = t.event_type
+              AND c.variant = 'control' AND t.variant = 'treatment'
+            ORDER BY c.event_type"""))
+
   /** Crawl URL canonicalization + duplicate grouping. Four messy variants
     * of the same logical URL are planted per doc-group (the corpus has no
     * URL column), then canonicalized: lowercase scheme+host, strip www.,
@@ -6262,7 +6308,7 @@ object Queries {
     mmPairAudit, pipelineE2e, b18CompactPolicy,
     q10Returns, docLangConfusion, embNormAudit, q14Promo, q19Bands,
     eventsResample, dupSpanProfileQ, q22NoOrders, dailyNewUsers,
-    q6Forecast, dataContract, s11AaTwoRegion,
+    q6Forecast, dataContract, s11AaTwoRegion, abAnalysis,
     funnelAnalysis, sourceDivergence, propsJson, qWindowFuncs,
     dedupIncrementalNear, datasetCard, kAnonymity, q17SmallQty,
     qSaltedJoin, s9Bootstrap, qPivot, w14HllUnion, bpeTrainMerges,
