@@ -717,6 +717,27 @@ class EngineSpec extends AnyFunSuite {
     assert(e.compactIfNeeded("aa", maxLogRows = 0) == 0) // log archived
   }
 
+  test("rebucket on an A/A store: layout moves, CRDT state and late events survive") {
+    import spark.implicits._
+    val e = new GraftEngine(spark, Files.createTempDirectory("graft-rbaa").toString)
+    e.createStore("aa", Seq("id"))
+    e.push("aa", (1L to 50L).map(i => (i, i * 1.0)).toDF("id", "score"),
+      numBuckets = 4)
+    e.enableActiveActive("aa")
+    e.setFieldAA("aa", Seq((1L, 99.0)).toDF("id", "score"), "score", tsMs = 500L)
+    val before = e.servingView("aa").collect().toSet
+    val v = e.rebucket("aa", 8)
+    val dirs = Option(new java.io.File(s"${e.root}/aa/v=$v").listFiles())
+      .map(_.count(_.getName.startsWith("__bucket"))).getOrElse(0)
+    assert(dirs == 8)
+    assert(e.servingView("aa").collect().toSet == before)
+    // RMD survived the migration: a late event older than the pre-move
+    // winner still loses
+    e.setFieldAA("aa", Seq((1L, 11.0)).toDF("id", "score"), "score", tsMs = 300L)
+    assert(e.servingView("aa").filter($"id" === 1L)
+      .head().getAs[Double]("score") == 99.0)
+  }
+
   test("data recovery clones an A/A store; late events keep resolving") {
     import spark.implicits._
     val a = new GraftEngine(spark, Files.createTempDirectory("graft-reca").toString)
