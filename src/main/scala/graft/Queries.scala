@@ -5713,6 +5713,86 @@ object Queries {
               AND c.variant = 'control' AND t.variant = 'treatment'
             ORDER BY c.event_type"""))
 
+  /** Embedding label-noise gate: each vector's cosine to its OWN label
+    * centroid (scaled-integer means the oracle replays exactly); a
+    * negative self-similarity points AWAY from its labeled cluster —
+    * the mislabeled/outlier candidates a curation pass reviews. One
+    * broadcast equi-join on the label + a per-label aggregate. */
+  val embOutliers = QueryDef(
+    "emb_outliers",
+    (s, dir) => graft.operators.Similarity.centroidSelfSim(
+        t(s, dir, "embeddings").select(col("vec_id").as("id"),
+          col("embedding").as("vec"), col("label")))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        count(when(col("self_sim") < 0.0, 1)).as("n_outliers"),
+        min(col("self_sim")).as("min_self_sim"),
+        max(col("self_sim")).as("max_self_sim"))
+      .orderBy(col("label")),
+    Some("""WITH v AS (SELECT vec_id AS id, label, embedding::DOUBLE[] AS vec,
+              sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                AS n
+              FROM embeddings),
+            cent AS (SELECT clabel, list(val ORDER BY pos) AS cvec FROM (
+              SELECT label AS clabel, p.p AS pos,
+                CAST(sum(CAST(round(vec[p.p + 1] * 1000) AS BIGINT)) AS DOUBLE)
+                  / (count(*) * 1000.0) AS val
+              FROM v, range(64) p(p) GROUP BY label, p.p) GROUP BY clabel),
+            s AS (SELECT v.id, v.label,
+              round(list_dot_product(v.vec, c.cvec) /
+                (v.n * sqrt(list_dot_product(c.cvec, c.cvec))), 6) + 0.0
+                AS self_sim
+              FROM v JOIN cent c ON v.label = c.clabel)
+            SELECT label, count(*) AS n,
+              count(CASE WHEN self_sim < 0.0 THEN 1 END) AS n_outliers,
+              min(self_sim) AS min_self_sim, max(self_sim) AS max_self_sim
+            FROM s GROUP BY 1 ORDER BY label"""))
+
+  /** Streaming checkpoint RESUME: drain batch A, land batch B's files in
+    * the same source directory, then start a SECOND query on the SAME
+    * checkpoint — the restart shape. Structured Streaming's file-source
+    * offset log must hand the resumed query ONLY the new files: a
+    * re-processed file would double-append to the store's log and break
+    * the per-type log row counts and event-id sums below; a skipped file
+    * would lose rows. (LWW serving hides duplicates, so the audit reads
+    * the CHANGELOG, where exactly-once is visible.) */
+  val s12IngestResume = QueryDef(
+    "s12_ingest_resume",
+    (s, dir) => {
+      import graft.streaming.StreamIngest
+      val e = tempEngine(s, "graft-s12")
+      e.createStore("ev", Seq("user_id"))
+      val evAll = Tables.events(s, dir).filter(col("user_id") < 200)
+        .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
+      e.push("ev", graft.operators.Compaction.latestPerKey(
+        evAll.filter(col("event_id") % 10 < 5), Seq("user_id"),
+        Seq(col("event_id"))), numBuckets = 4)
+      val inDir = s"${e.root}/in"
+      def drain(): Unit = {
+        val stream = s.readStream.schema(evAll.schema).parquet(inDir)
+          .withColumn(StreamIngest.EventTsCol, col("event_id"))
+        val q = StreamIngest.ingest(e, "ev", stream,
+          checkpoint = s"${e.root}/cp")
+        require(q.awaitTermination(180000),
+          "s12_ingest_resume: stream did not drain within 180s")
+      }
+      evAll.filter(col("event_id") % 10 >= 5 && col("event_id") % 10 <= 7)
+        .write.parquet(inDir)
+      drain()
+      evAll.filter(col("event_id") % 10 >= 8)
+        .write.mode("append").parquet(inDir)
+      drain()
+      e.changelog("ev", 0L)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_log_rows"),
+          sum(col("event_id")).as("event_id_sum"))
+        .orderBy(col("event_type"))
+    },
+    Some("""SELECT event_type, count(*) AS n_log_rows,
+              CAST(sum(event_id) AS BIGINT) AS event_id_sum
+            FROM events WHERE user_id < 200 AND event_id % 10 >= 5
+            GROUP BY 1 ORDER BY event_type"""))
+
   /** Crawl URL canonicalization + duplicate grouping. Four messy variants
     * of the same logical URL are planted per doc-group (the corpus has no
     * URL column), then canonicalized: lowercase scheme+host, strip www.,
@@ -6309,6 +6389,7 @@ object Queries {
     q10Returns, docLangConfusion, embNormAudit, q14Promo, q19Bands,
     eventsResample, dupSpanProfileQ, q22NoOrders, dailyNewUsers,
     q6Forecast, dataContract, s11AaTwoRegion, abAnalysis,
+    embOutliers, s12IngestResume,
     funnelAnalysis, sourceDivergence, propsJson, qWindowFuncs,
     dedupIncrementalNear, datasetCard, kAnonymity, q17SmallQty,
     qSaltedJoin, s9Bootstrap, qPivot, w14HllUnion, bpeTrainMerges,

@@ -503,8 +503,11 @@ object Similarity {
     *
     * @param vecs (id, vec, label)
     * @return (id, label, pred, sim) — one row per input vector */
-  def centroidClassify(vecs: DataFrame): DataFrame = {
-    val cents = vecs.select(col("label"), posexplode(col("vec")))
+  /** Scaled-integer per-label mean vectors (engine-exact: the recentring
+    * sums round(x·1000) longs, so the oracle replays the means bit-for-
+    * bit). One partial-aggregated explode; #labels × dims rows out. */
+  private def labelCentroids(vecs: DataFrame): DataFrame =
+    vecs.select(col("label"), posexplode(col("vec")))
       .groupBy(col("label"), col("pos"))
       .agg(sum(round(col("col").cast("double") * 1000).cast("long")).as("s"),
         count(lit(1)).as("c"))
@@ -514,7 +517,9 @@ object Similarity {
         .as("pv"))
       .select(col("label").as("clabel"),
         transform(col("pv"), e => e.getField("v")).as("cvec"))
-    val cent = broadcast(cents.withColumn("__cn", norm(col("cvec"))))
+
+  def centroidClassify(vecs: DataFrame): DataFrame = {
+    val cent = broadcast(labelCentroids(vecs).withColumn("__cn", norm(col("cvec"))))
     val w = Window.partitionBy(col("id"))
       .orderBy(col("sim").desc, col("clabel"))
     vecs.withColumn("__n", norm(col("vec")))
@@ -525,5 +530,19 @@ object Similarity {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("id"), col("label"), col("clabel").as("pred"), col("sim"))
+  }
+
+  /** Each vector's cosine to its OWN label's centroid — the label-noise /
+    * outlier gate (a low self-similarity means the vector doesn't belong
+    * where its label says). Broadcast equi-join on the label; one corpus
+    * scan. */
+  def centroidSelfSim(vecs: DataFrame): DataFrame = {
+    val cent = broadcast(labelCentroids(vecs).withColumn("__cn", norm(col("cvec"))))
+    vecs.withColumn("__n", norm(col("vec")))
+      .join(cent, col("label") === col("clabel"))
+      .withColumn("self_sim",
+        round(vecDot(col("vec"), col("cvec")) / (col("__n") * col("__cn")), 6)
+          + lit(0.0))
+      .select(col("id"), col("label"), col("self_sim"))
   }
 }
