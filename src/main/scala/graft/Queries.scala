@@ -5793,6 +5793,126 @@ object Queries {
             FROM events WHERE user_id < 200 AND event_id % 10 >= 5
             GROUP BY 1 ORDER BY event_type"""))
 
+  /** TPC-H Q13 shape: customer order-count distribution — LEFT join (so
+    * zero-order customers keep their bucket) followed by a two-level
+    * aggregation: per-customer counts, then the histogram over counts.
+    * Both aggs partial-aggregate; the histogram is bounded by the max
+    * order count, never by customer cardinality. */
+  val q13Custdist = QueryDef(
+    "q13_custdist",
+    (s, dir) => {
+      val perCust = t(s, dir, "customer").select(col("c_custkey"))
+        .join(t(s, dir, "orders")
+          .filter(col("o_orderpriority") =!= "1-URGENT")
+          .select(col("o_custkey"), col("o_orderkey")),
+          col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+      perCust.groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    },
+    Some("""SELECT c_count, count(*) AS custdist FROM (
+              SELECT c_custkey, count(o_orderkey) AS c_count
+              FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+                AND o_orderpriority <> '1-URGENT'
+              GROUP BY c_custkey)
+            GROUP BY c_count ORDER BY custdist DESC, c_count DESC"""))
+
+  /** TPC-H Q15 shape: the top supplier(s) by quarterly shipped revenue —
+    * a keyed revenue agg joined against its own broadcast 1-row max (the
+    * view + scalar-subquery pattern), keeping ties like the spec. */
+  val q15TopSupplier = QueryDef(
+    "q15_top_supplier",
+    (s, dir) => {
+      val rev = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+          * 100).cast("long")).as("total_rev_cents"))
+      val top = rev.agg(max(col("total_rev_cents")).as("max_rev"))
+      rev.crossJoin(broadcast(top))
+        .filter(col("total_rev_cents") === col("max_rev"))
+        .join(t(s, dir, "supplier").select(col("s_suppkey"), col("s_name")),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_rev_cents"))
+        .orderBy(col("s_suppkey"))
+    },
+    Some("""WITH rev AS (SELECT l_suppkey,
+              CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                AS BIGINT)) AS BIGINT) AS total_rev_cents
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate < TIMESTAMP '1996-04-01'
+              GROUP BY 1)
+            SELECT s_suppkey, s_name, total_rev_cents
+            FROM rev JOIN supplier ON l_suppkey = s_suppkey
+            WHERE total_rev_cents = (SELECT max(total_rev_cents) FROM rev)
+            ORDER BY s_suppkey"""))
+
+  /** TPC-H Q8 shape: a target nation's market share per year inside one
+    * region's orders — two independent nation lookups (supplier side and
+    * customer-region side) both broadcast, the share in exact integer
+    * ppm. The two-role-dimension pattern (same table joined twice with
+    * different keys) that trips naive planners. */
+  val q8MarketShare = QueryDef(
+    "q8_market_share",
+    (s, dir) => {
+      val nat = t(s, dir, "nation")
+      val amerNations = nat
+        .join(broadcast(t(s, dir, "region")
+          .filter(col("r_name") === "AMERICA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as("cust_nationkey"))
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"),
+          year(col("o_orderdate")).as("o_year"))
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"),
+          round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+            .cast("long").as("rev_cents"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(amerNations),
+          col("c_nationkey") === col("cust_nationkey"))
+        .join(t(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nat.select(col("n_nationkey"),
+          col("n_name").as("supp_nation"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("o_year"))
+        .agg(sum(when(col("supp_nation") === "BRAZIL", col("rev_cents"))
+            .otherwise(0L)).as("brazil_cents"),
+          sum(col("rev_cents")).as("total_cents"))
+        .select(col("o_year"), col("brazil_cents"), col("total_cents"),
+          expr("brazil_cents * 1000000 div total_cents").as("share_ppm"))
+        .orderBy(col("o_year"))
+    },
+    Some("""SELECT o_year, brazil_cents, total_cents,
+              brazil_cents * 1000000 // total_cents AS share_ppm
+            FROM (
+              SELECT year(o_orderdate) AS o_year,
+                CAST(sum(CASE WHEN sn.n_name = 'BRAZIL'
+                  THEN CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                    AS BIGINT) ELSE 0 END) AS BIGINT) AS brazil_cents,
+                CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                  AS BIGINT)) AS BIGINT) AS total_cents
+              FROM lineitem, orders, customer, supplier,
+                nation cn, nation sn, region
+              WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+                AND l_suppkey = s_suppkey
+                AND c_nationkey = cn.n_nationkey
+                AND cn.n_regionkey = r_regionkey AND r_name = 'AMERICA'
+                AND s_nationkey = sn.n_nationkey
+                AND o_orderdate >= TIMESTAMP '1996-01-01'
+                AND o_orderdate < TIMESTAMP '1998-01-01'
+              GROUP BY 1)
+            ORDER BY o_year"""))
+
   /** Crawl URL canonicalization + duplicate grouping. Four messy variants
     * of the same logical URL are planted per doc-group (the corpus has no
     * URL column), then canonicalized: lowercase scheme+host, strip www.,
@@ -6389,7 +6509,7 @@ object Queries {
     q10Returns, docLangConfusion, embNormAudit, q14Promo, q19Bands,
     eventsResample, dupSpanProfileQ, q22NoOrders, dailyNewUsers,
     q6Forecast, dataContract, s11AaTwoRegion, abAnalysis,
-    embOutliers, s12IngestResume,
+    embOutliers, s12IngestResume, q13Custdist, q15TopSupplier, q8MarketShare,
     funnelAnalysis, sourceDivergence, propsJson, qWindowFuncs,
     dedupIncrementalNear, datasetCard, kAnonymity, q17SmallQty,
     qSaltedJoin, s9Bootstrap, qPivot, w14HllUnion, bpeTrainMerges,
