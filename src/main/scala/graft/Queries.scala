@@ -5913,6 +5913,28 @@ object Queries {
               GROUP BY 1)
             ORDER BY o_year"""))
 
+  /** JSONL training-shard export: the corpus lands as `shard=K` JSONL
+    * files (a REAL partitioned text write, not a dry run) and the query
+    * returns the manifest — md5-keyed shard membership counts + id sums,
+    * so a doc in the wrong shard, a dropped doc, or a nondeterministic
+    * assignment breaks the hash. The export side of the pipeline, where
+    * coverage is otherwise read-heavy; the write is embarrassingly
+    * parallel (one narrow pass, files split per shard). */
+  val exportJsonlQ = QueryDef(
+    "export_jsonl",
+    (s, dir) => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-export").toString
+      graft.operators.Packing.exportJsonl(
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("source"), col("n_chars")),
+        "doc_id", out, numShards = 8)
+    },
+    Some("""SELECT ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::INT % 100 % 8
+              AS shard,
+              count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum
+            FROM documents GROUP BY 1 ORDER BY shard"""))
+
   /** Crawl URL canonicalization + duplicate grouping. Four messy variants
     * of the same logical URL are planted per doc-group (the corpus has no
     * URL column), then canonicalized: lowercase scheme+host, strip www.,
@@ -6510,6 +6532,7 @@ object Queries {
     eventsResample, dupSpanProfileQ, q22NoOrders, dailyNewUsers,
     q6Forecast, dataContract, s11AaTwoRegion, abAnalysis,
     embOutliers, s12IngestResume, q13Custdist, q15TopSupplier, q8MarketShare,
+    exportJsonlQ,
     funnelAnalysis, sourceDivergence, propsJson, qWindowFuncs,
     dedupIncrementalNear, datasetCard, kAnonymity, q17SmallQty,
     qSaltedJoin, s9Bootstrap, qPivot, w14HllUnion, bpeTrainMerges,

@@ -150,4 +150,36 @@ object Packing {
         size(col("__c")).as("n_tokens"),
         array_join(col("__c"), " ").as("chunk_text"))
   }
+
+  /** Training-data export: the corpus as JSONL shard files plus a
+    * deterministic manifest. Shard assignment is md5-keyed on the id
+    * (order/partition-independent — the same contract as dataset splits:
+    * an export re-run on re-partitioned data lands every doc in the SAME
+    * shard, so downstream loaders can cache by shard). One narrow pass +
+    * a partitioned text write; the manifest is a partial-aggregated
+    * groupBy whose counts/id-sums pin the exact shard membership.
+    *
+    * Writes `outDir/shard=K/part-*.txt` (one JSON object per line) and
+    * returns the manifest frame (shard, n_docs, id_sum) — the artifact a
+    * training job's data loader consumes first. */
+  def exportJsonl(df: DataFrame, idCol: String, outDir: String,
+      numShards: Int): DataFrame = {
+    require(numShards > 0, "exportJsonl needs a positive shard count")
+    val sharded = df
+      .withColumn("shard",
+        graft.functions.TextOps.splitBucket(col(idCol)) % numShards)
+      .cache()
+    sharded
+      .select(col("shard"),
+        to_json(struct(df.columns.map(col): _*)).as("value"))
+      .write.mode("overwrite").partitionBy("shard").text(outDir)
+    val manifest = sharded.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(idCol)).cast("long").as("id_sum"))
+      .orderBy(col("shard"))
+    val out = manifest.cache()
+    out.count()
+    sharded.unpersist()
+    out
+  }
 }
