@@ -5935,6 +5935,57 @@ object Queries {
               count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum
             FROM documents GROUP BY 1 ORDER BY shard"""))
 
+  /** Training-label generation: each click labeled with the user's NEXT
+    * purchase within a 7-day horizon (value + latency), null otherwise —
+    * the future-looking as-of join every supervised events model needs,
+    * where the horizon bound is also the LEAKAGE guard (a label from
+    * beyond the horizon would train on the far future). One keyed shuffle
+    * via [[graft.operators.Joins.asOfForward]]; the oracle is DuckDB's
+    * native backward ASOF on NEGATED timestamps — an independent
+    * algorithm for the same forward-nearest semantics. */
+  val labelNextPurchase = QueryDef(
+    "label_next_purchase",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+        .withColumn("ts_ms", unix_millis(col("ts")))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id"), col("ts_ms"))
+      val purchases = graft.operators.Compaction.latestPerKey(
+        ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts_ms"), col("event_id"), col("value"))
+          .withColumn("p_ts", col("ts_ms")),
+        Seq("user_id", "ts_ms"), Seq(col("event_id")))
+      val horizon = 7L * 86400000L
+      graft.operators.Joins.asOfForward(clicks, purchases,
+        Seq("user_id"), "ts_ms", "ts_ms", Seq("p_ts", "value"))
+        .select(col("user_id"), col("event_id"), col("ts_ms"),
+          when(col("asof_p_ts").isNotNull &&
+              col("asof_p_ts") - col("ts_ms") <= horizon,
+            round(col("asof_value") * 100).cast("long")).as("label_cents"),
+          when(col("asof_p_ts").isNotNull &&
+              col("asof_p_ts") - col("ts_ms") <= horizon,
+            col("asof_p_ts") - col("ts_ms")).as("label_latency_ms"))
+        .orderBy(col("user_id"), col("event_id"))
+    },
+    Some("""WITH c AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+              -epoch_ms(ts) AS nts
+              FROM events WHERE event_type = 'click'),
+            p AS (SELECT user_id, epoch_ms(ts) AS p_ts,
+              -epoch_ms(ts) AS nts, value
+              FROM events WHERE event_type = 'purchase'
+              QUALIFY row_number() OVER (PARTITION BY user_id, epoch_ms(ts)
+                ORDER BY event_id DESC) = 1)
+            SELECT c.user_id, c.event_id, c.ts_ms,
+              CASE WHEN p.p_ts IS NOT NULL
+                AND p.p_ts - c.ts_ms <= 7 * 86400000
+                THEN CAST(round(p.value * 100) AS BIGINT) END AS label_cents,
+              CASE WHEN p.p_ts IS NOT NULL
+                AND p.p_ts - c.ts_ms <= 7 * 86400000
+                THEN p.p_ts - c.ts_ms END AS label_latency_ms
+            FROM c ASOF LEFT JOIN p
+              ON c.user_id = p.user_id AND c.nts >= p.nts
+            ORDER BY c.user_id, c.event_id"""))
+
   /** Crawl URL canonicalization + duplicate grouping. Four messy variants
     * of the same logical URL are planted per doc-group (the corpus has no
     * URL column), then canonicalized: lowercase scheme+host, strip www.,
@@ -6532,7 +6583,7 @@ object Queries {
     eventsResample, dupSpanProfileQ, q22NoOrders, dailyNewUsers,
     q6Forecast, dataContract, s11AaTwoRegion, abAnalysis,
     embOutliers, s12IngestResume, q13Custdist, q15TopSupplier, q8MarketShare,
-    exportJsonlQ,
+    exportJsonlQ, labelNextPurchase,
     funnelAnalysis, sourceDivergence, propsJson, qWindowFuncs,
     dedupIncrementalNear, datasetCard, kAnonymity, q17SmallQty,
     qSaltedJoin, s9Bootstrap, qPivot, w14HllUnion, bpeTrainMerges,
