@@ -5986,6 +5986,100 @@ object Queries {
               ON c.user_id = p.user_id AND c.nts >= p.nts
             ORDER BY c.user_id, c.event_id"""))
 
+  /** Two STORES joined relationally — the reason Venice ships a DuckDB
+    * integration (S6): serving views are tables, so a user joins the
+    * orders store to the customer store after BOTH have taken RT
+    * overlays (a status flip on one side, a segment move on the other).
+    * The join must see post-overlay state on both sides; the oracle
+    * replays both overlays then joins. Two bucket-pruned snapshot+log
+    * merges feeding one equi-join. */
+  val multiStoreJoin = QueryDef(
+    "multi_store_join",
+    (s, dir) => {
+      val e = tempEngine(s, "graft-msj")
+      e.createStore("ord", Seq("o_orderkey"))
+      e.createStore("cust", Seq("c_custkey"))
+      val ord = t(s, dir, "orders").filter(col("o_orderkey") <= 3000)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          round(col("o_totalprice") * 100).cast("long").as("total_cents"))
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      e.push("ord", ord, numBuckets = 4)
+      e.push("cust", cust, numBuckets = 4)
+      e.put("ord", ord.filter(col("o_custkey") <= 50)
+        .withColumn("o_orderstatus", lit("X")), tsMs = 100L)
+      e.put("cust", cust.filter(col("c_custkey") <= 30)
+        .withColumn("c_mktsegment", lit("MOVED")), tsMs = 200L)
+      e.servingView("ord")
+        .join(e.servingView("cust"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("total_cents")).as("sum_cents"))
+        .orderBy(col("c_mktsegment"), col("o_orderstatus"))
+    },
+    Some("""WITH o AS (SELECT o_orderkey, o_custkey,
+              CASE WHEN o_custkey <= 50 THEN 'X' ELSE o_orderstatus END
+                AS o_orderstatus,
+              CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents
+              FROM orders WHERE o_orderkey <= 3000),
+            c AS (SELECT c_custkey,
+              CASE WHEN c_custkey <= 30 THEN 'MOVED' ELSE c_mktsegment END
+                AS c_mktsegment
+              FROM customer)
+            SELECT c_mktsegment, o_orderstatus, count(*) AS n_orders,
+              CAST(sum(total_cents) AS BIGINT) AS sum_cents
+            FROM o JOIN c ON o_custkey = c_custkey
+            GROUP BY 1, 2 ORDER BY c_mktsegment, o_orderstatus"""))
+
+  /** Token-association mining: top PMI-surrogate bigram pairs — the
+    * collocation table (e.g. multi-word-expression candidates for
+    * tokenizer vocab decisions). Score = c(ab)·N·1e6 div (c(a)·c(b)),
+    * exact integer (the log is monotone, so ranking is PMI-identical);
+    * df floor kills hapax noise. Corpus-sized work: one token count +
+    * one bigram count, both partial-aggregated; the final rank runs
+    * over the bigram VOCABULARY. */
+  val tokenPmi = QueryDef(
+    "token_pmi",
+    (s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+      val uni = toks.select(explode(col("t")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("cw"))
+      val n = uni.agg(sum(col("cw")).as("n_tokens"))
+      // adjacent pairs via zip_with over the token array (narrow; never a
+      // positional self-join, which would blow up doc_len² per doc)
+      val bi = toks.select(explode(expr(
+          "zip_with(slice(t, 1, greatest(size(t)-1, 0)), " +
+            "slice(t, 2, greatest(size(t)-1, 0)), " +
+            "(a, b) -> struct(a AS w1, b AS w2))")).as("b"))
+        .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cab"))
+        .filter(col("cab") >= 5)
+      bi.join(uni.select(col("w").as("w1"), col("cw").as("c1")), Seq("w1"))
+        .join(uni.select(col("w").as("w2"), col("cw").as("c2")), Seq("w2"))
+        .crossJoin(broadcast(n))
+        .withColumn("pmi_ppm",
+          expr("cab * n_tokens * 1000000 div (c1 * c2)"))
+        .select(col("w1"), col("w2"), col("cab"), col("pmi_ppm"))
+        .orderBy(col("pmi_ppm").desc, col("w1"), col("w2"))
+        .limit(20)
+    },
+    Some(s"""WITH base AS (SELECT doc_id, $tokensSql AS t FROM documents),
+             uni AS (SELECT u.w, count(*) AS cw FROM (
+               SELECT unnest(t) AS w FROM base) u GROUP BY 1),
+             n AS (SELECT CAST(sum(cw) AS BIGINT) AS n_tokens FROM uni),
+             bi AS (SELECT b.w1 AS w1, b.w2 AS w2, count(*) AS cab FROM (
+               SELECT unnest(list_transform(
+                 range(1, greatest(len(t) - 1, 0) + 1),
+                 i -> {'w1': t[i], 'w2': t[i + 1]})) AS b FROM base)
+               GROUP BY 1, 2 HAVING count(*) >= 5)
+             SELECT w1, w2, cab,
+               cab * n_tokens * 1000000 // (c1.cw * c2.cw) AS pmi_ppm
+             FROM bi, n, uni c1, uni c2
+             WHERE c1.w = w1 AND c2.w = w2
+             ORDER BY pmi_ppm DESC, w1, w2 LIMIT 20"""))
+
   /** Crawl URL canonicalization + duplicate grouping. Four messy variants
     * of the same logical URL are planted per doc-group (the corpus has no
     * URL column), then canonicalized: lowercase scheme+host, strip www.,
@@ -6583,7 +6677,7 @@ object Queries {
     eventsResample, dupSpanProfileQ, q22NoOrders, dailyNewUsers,
     q6Forecast, dataContract, s11AaTwoRegion, abAnalysis,
     embOutliers, s12IngestResume, q13Custdist, q15TopSupplier, q8MarketShare,
-    exportJsonlQ, labelNextPurchase,
+    exportJsonlQ, labelNextPurchase, multiStoreJoin, tokenPmi,
     funnelAnalysis, sourceDivergence, propsJson, qWindowFuncs,
     dedupIncrementalNear, datasetCard, kAnonymity, q17SmallQty,
     qSaltedJoin, s9Bootstrap, qPivot, w14HllUnion, bpeTrainMerges,
