@@ -6080,6 +6080,50 @@ object Queries {
              WHERE c1.w = w1 AND c2.w = w2
              ORDER BY pmi_ppm DESC, w1, w2 LIMIT 20"""))
 
+  /** Approximate-quantile sketch parity (the w12 pattern, for quantiles):
+    * exact per-language P50/P90 from the keyed percentile histogram are
+    * the hash-checked truth; Spark's mergeable `approx_percentile`
+    * sketch — what a 100-TB job would actually run — must land within
+    * its documented rank-error bound of them, carried as a boolean the
+    * oracle pins to TRUE (DuckDB cannot replay the sketch bits; it CAN
+    * check the bound held, same as the HLL row). */
+  val qApproxQuantile = QueryDef(
+    "q_approx_quantile",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("lang"), TextOps.tokenCount(col("text")).as("tok"))
+      val exact = graft.operators.Percentiles.disc(
+        t(s, dir, "documents"),
+        Seq("lang"), TextOps.tokenCount(col("text")), Seq(50, 90))
+      // relative rank error 1/accuracy = 1/100: the P50/P90 estimate must
+      // sit between the exact P40/P60 and P80/P100 rank neighborhoods —
+      // bound via the exact histogram's neighbor percentiles
+      val bounds = graft.operators.Percentiles.disc(
+        t(s, dir, "documents"),
+        Seq("lang"), TextOps.tokenCount(col("text")), Seq(40, 60, 80))
+        .select(col("lang"), col("p40"), col("p60"), col("p80"))
+      val approx = docs.groupBy(col("lang"))
+        .agg(percentile_approx(col("tok"), lit(0.5), lit(100)).as("a50"),
+          percentile_approx(col("tok"), lit(0.9), lit(100)).as("a90"),
+          max(col("tok")).as("mx"))
+      exact.join(approx, Seq("lang")).join(bounds, Seq("lang"))
+        .select(col("lang"), col("n_rows"), col("p50"), col("p90"),
+          (col("a50") >= col("p40") && col("a50") <= col("p60"))
+            .as("a50_within_bound"),
+          (col("a90") >= col("p80") && col("a90") <= col("mx"))
+            .as("a90_within_bound"))
+        .orderBy(col("lang"))
+    },
+    Some("""SELECT lang, count(*) AS n_rows,
+              quantile_disc(tok, 0.50) AS p50,
+              quantile_disc(tok, 0.90) AS p90,
+              true AS a50_within_bound, true AS a90_within_bound
+            FROM (SELECT lang,
+                    len(list_filter(string_split(lower(text), ' '),
+                        x -> x <> ''))::BIGINT AS tok
+                  FROM documents)
+            GROUP BY lang ORDER BY lang"""))
+
   /** Crawl URL canonicalization + duplicate grouping. Four messy variants
     * of the same logical URL are planted per doc-group (the corpus has no
     * URL column), then canonicalized: lowercase scheme+host, strip www.,
@@ -6678,6 +6722,7 @@ object Queries {
     q6Forecast, dataContract, s11AaTwoRegion, abAnalysis,
     embOutliers, s12IngestResume, q13Custdist, q15TopSupplier, q8MarketShare,
     exportJsonlQ, labelNextPurchase, multiStoreJoin, tokenPmi,
+    qApproxQuantile,
     funnelAnalysis, sourceDivergence, propsJson, qWindowFuncs,
     dedupIncrementalNear, datasetCard, kAnonymity, q17SmallQty,
     qSaltedJoin, s9Bootstrap, qPivot, w14HllUnion, bpeTrainMerges,
