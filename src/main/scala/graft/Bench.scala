@@ -119,7 +119,8 @@ object Bench {
       "s11_aa_two_region", "ab_analysis", "emb_outliers",
       "s12_ingest_resume", "q13_custdist", "q15_top_supplier",
       "q8_market_share", "export_jsonl", "label_next_purchase",
-      "multi_store_join", "token_pmi", "q_approx_quantile")
+      "multi_store_join", "token_pmi", "q_approx_quantile",
+      "rolling_distinct_hll")
     val core = results.filterNot(r => addedLater(r._1)).map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","core38":$core,"queries":$qs,"ok":$ok,"n":${results.size},"errors":$errs,"sf":"$sfDir"}""")
     if (results.exists(_._3.nonEmpty)) System.err.println(

@@ -6124,6 +6124,50 @@ object Queries {
                   FROM documents)
             GROUP BY lang ORDER BY lang"""))
 
+  /** Rolling 24-hour distinct users per hour via MERGEABLE HLL sketches —
+    * at 100 TB an exact rolling distinct would re-touch 24 hours of raw
+    * rows per window, while sketches build once per hour and each window
+    * unions ≤24 fixed-size sketches (a bounded self-join on the hour
+    * range). The exact counts ride along (24-offset explode + distinct)
+    * as the hash-checked truth; the sketch estimate is pinned within its
+    * 6σ bound, w12-style. */
+  val rollingDistinct = QueryDef(
+    "rolling_distinct_hll",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(expr("unix_millis(ts) div 3600000").as("h"), col("user_id"))
+      val hourly = ev.groupBy(col("h"))
+        .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"))
+      val est = hourly.select(col("h").as("ah"))
+        .join(hourly.select(col("h").as("bh"), col("sk")),
+          col("bh").between(col("ah") - 23, col("ah")))
+        .groupBy(col("ah").as("h"))
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("approx"),
+          count(lit(1)).as("n_hours_merged"))
+      val exact = ev
+        .select(explode(sequence(col("h"), col("h") + 23)).as("h"),
+          col("user_id"))
+        .join(ev.select(col("h").as("__live")).distinct(),
+          col("h") === col("__live"), "left_semi")
+        .groupBy(col("h"))
+        .agg(count_distinct(col("user_id")).as("exact_users"))
+      exact.join(est, Seq("h"))
+        .select(col("h"), col("n_hours_merged"), col("exact_users"),
+          (abs(col("approx") - col("exact_users")).cast("double") <=
+            lit(6 * 0.0081) * col("exact_users")).as("within_bound"))
+        .orderBy(col("h"))
+    },
+    Some("""WITH e AS (SELECT epoch_ms(ts) // 3600000 AS h, user_id
+              FROM events),
+            hours AS (SELECT DISTINCT h FROM e),
+            w AS (SELECT hours.h AS h, e.user_id
+              FROM hours JOIN e ON e.h BETWEEN hours.h - 23 AND hours.h)
+            SELECT h,
+              (SELECT count(*) FROM hours h2
+                 WHERE h2.h BETWEEN w.h - 23 AND w.h) AS n_hours_merged,
+              count(DISTINCT user_id) AS exact_users, true AS within_bound
+            FROM w GROUP BY h ORDER BY h"""))
+
   /** Crawl URL canonicalization + duplicate grouping. Four messy variants
     * of the same logical URL are planted per doc-group (the corpus has no
     * URL column), then canonicalized: lowercase scheme+host, strip www.,
@@ -6722,7 +6766,7 @@ object Queries {
     q6Forecast, dataContract, s11AaTwoRegion, abAnalysis,
     embOutliers, s12IngestResume, q13Custdist, q15TopSupplier, q8MarketShare,
     exportJsonlQ, labelNextPurchase, multiStoreJoin, tokenPmi,
-    qApproxQuantile,
+    qApproxQuantile, rollingDistinct,
     funnelAnalysis, sourceDivergence, propsJson, qWindowFuncs,
     dedupIncrementalNear, datasetCard, kAnonymity, q17SmallQty,
     qSaltedJoin, s9Bootstrap, qPivot, w14HllUnion, bpeTrainMerges,
