@@ -6168,6 +6168,31 @@ object Queries {
               count(DISTINCT user_id) AS exact_users, true AS within_bound
             FROM w GROUP BY h ORDER BY h"""))
 
+  /** Day-of-week × hour activity heatmap — the traffic-shape table behind
+    * capacity planning and anomaly baselines. All calendar math is raw
+    * integer epoch arithmetic ((epoch_day + 4) mod 7 anchors Thursday =
+    * 1970-01-01 — no engine week/locale rules cross the oracle), one
+    * partial-aggregated groupBy over a 7×24-bounded key space. */
+  val eventsHeatmap = QueryDef(
+    "events_heatmap",
+    (s, dir) => Tables.events(s, dir)
+      .select(expr("unix_millis(ts) div 86400000").as("d"),
+        expr("unix_millis(ts) div 3600000 % 24").as("hour"),
+        col("user_id"), col("value"))
+      .withColumn("dow", expr("(d + 4) % 7"))
+      .groupBy(col("dow"), col("hour"))
+      .agg(count(lit(1)).as("n_events"),
+        count_distinct(col("user_id")).as("n_users"),
+        sum(round(col("value") * 100).cast("long")).as("value_cents"))
+      .orderBy(col("dow"), col("hour")),
+    Some("""SELECT (epoch_ms(ts) // 86400000 + 4) % 7 AS dow,
+              epoch_ms(ts) // 3600000 % 24 AS hour,
+              count(*) AS n_events,
+              count(DISTINCT user_id) AS n_users,
+              CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                AS value_cents
+            FROM events GROUP BY 1, 2 ORDER BY dow, hour"""))
+
   /** Crawl URL canonicalization + duplicate grouping. Four messy variants
     * of the same logical URL are planted per doc-group (the corpus has no
     * URL column), then canonicalized: lowercase scheme+host, strip www.,
@@ -6766,7 +6791,7 @@ object Queries {
     q6Forecast, dataContract, s11AaTwoRegion, abAnalysis,
     embOutliers, s12IngestResume, q13Custdist, q15TopSupplier, q8MarketShare,
     exportJsonlQ, labelNextPurchase, multiStoreJoin, tokenPmi,
-    qApproxQuantile, rollingDistinct,
+    qApproxQuantile, rollingDistinct, eventsHeatmap,
     funnelAnalysis, sourceDivergence, propsJson, qWindowFuncs,
     dedupIncrementalNear, datasetCard, kAnonymity, q17SmallQty,
     qSaltedJoin, s9Bootstrap, qPivot, w14HllUnion, bpeTrainMerges,
