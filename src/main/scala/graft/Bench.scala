@@ -120,7 +120,8 @@ object Bench {
       "s12_ingest_resume", "q13_custdist", "q15_top_supplier",
       "q8_market_share", "export_jsonl", "label_next_purchase",
       "multi_store_join", "token_pmi", "q_approx_quantile",
-      "rolling_distinct_hll", "events_heatmap")
+      "rolling_distinct_hll", "events_heatmap", "event_transitions",
+      "purchase_intervals")
     val core = results.filterNot(r => addedLater(r._1)).map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","core38":$core,"queries":$qs,"ok":$ok,"n":${results.size},"errors":$errs,"sf":"$sfDir"}""")
     if (results.exists(_._3.nonEmpty)) System.err.println(

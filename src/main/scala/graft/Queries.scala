@@ -6193,6 +6193,73 @@ object Queries {
                 AS value_cents
             FROM events GROUP BY 1, 2 ORDER BY dow, hour"""))
 
+  /** Behavioral transition matrix: counts of consecutive (event_type →
+    * next event_type) per user — the first-order Markov table behind
+    * next-action models and funnel anomaly baselines. ONE keyed window
+    * (lead over the (ts, event_id) total order, which makes coincident
+    * timestamps deterministic) + a partial-aggregated groupBy over a
+    * #types²-bounded key space. */
+  val eventTransitions = QueryDef(
+    "event_transitions",
+    (s, dir) => Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"),
+        unix_millis(col("ts")).as("ts_ms"), col("event_id"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(
+        Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_ms"), col("event_id"))))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type"), col("next_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("event_type"), col("next_type")),
+    Some("""SELECT event_type, next_type, count(*) AS n FROM (
+              SELECT event_type, lead(event_type) OVER (
+                PARTITION BY user_id
+                ORDER BY epoch_ms(ts), event_id) AS next_type
+              FROM events)
+            WHERE next_type IS NOT NULL
+            GROUP BY 1, 2 ORDER BY event_type, next_type"""))
+
+  /** Inter-purchase interval histogram: gaps between a user's consecutive
+    * purchases, bucketed by power-of-two minutes (integer bit-length —
+    * the skew_profile trick, no float log2). The repeat-behavior
+    * distribution a retention model calibrates against. One keyed lag
+    * window + a bounded histogram agg. */
+  val purchaseIntervals = QueryDef(
+    "purchase_intervals",
+    (s, dir) => {
+      val p = Tables.events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), unix_millis(col("ts")).as("ts_ms"),
+          col("event_id"))
+      val gaps = p.withColumn("prev_ts", lag(col("ts_ms"), 1).over(
+          Window.partitionBy(col("user_id"))
+            .orderBy(col("ts_ms"), col("event_id"))))
+        .filter(col("prev_ts").isNotNull)
+        .select(expr("(ts_ms - prev_ts) div 60000").as("gap_min"))
+      // power-of-two bucket via binary length: bucket k covers
+      // [2^(k-1), 2^k) minutes; gap 0 lands in bucket 0
+      gaps.withColumn("bucket",
+          when(col("gap_min") <= 0, 0L)
+            .otherwise(length(conv(col("gap_min"), 10, 2)).cast("long")))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_gaps"),
+          min(col("gap_min")).as("min_gap_min"),
+          max(col("gap_min")).as("max_gap_min"))
+        .orderBy(col("bucket"))
+    },
+    Some("""WITH p AS (SELECT user_id, epoch_ms(ts) AS ts_ms, event_id
+              FROM events WHERE event_type = 'purchase'),
+            g AS (SELECT (ts_ms - lag(ts_ms) OVER (PARTITION BY user_id
+                ORDER BY ts_ms, event_id)) // 60000 AS gap_min
+              FROM p),
+            b AS (SELECT gap_min,
+              CASE WHEN gap_min <= 0 THEN 0
+                   ELSE length(bin(gap_min)) END AS bucket
+              FROM g WHERE gap_min IS NOT NULL)
+            SELECT CAST(bucket AS BIGINT) AS bucket, count(*) AS n_gaps,
+              min(gap_min) AS min_gap_min, max(gap_min) AS max_gap_min
+            FROM b GROUP BY 1 ORDER BY bucket"""))
+
   /** Crawl URL canonicalization + duplicate grouping. Four messy variants
     * of the same logical URL are planted per doc-group (the corpus has no
     * URL column), then canonicalized: lowercase scheme+host, strip www.,
@@ -6792,6 +6859,7 @@ object Queries {
     embOutliers, s12IngestResume, q13Custdist, q15TopSupplier, q8MarketShare,
     exportJsonlQ, labelNextPurchase, multiStoreJoin, tokenPmi,
     qApproxQuantile, rollingDistinct, eventsHeatmap,
+    eventTransitions, purchaseIntervals,
     funnelAnalysis, sourceDivergence, propsJson, qWindowFuncs,
     dedupIncrementalNear, datasetCard, kAnonymity, q17SmallQty,
     qSaltedJoin, s9Bootstrap, qPivot, w14HllUnion, bpeTrainMerges,
