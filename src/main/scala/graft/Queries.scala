@@ -396,7 +396,7 @@ object Queries {
           element_at(errs, "dotProduct").as("err_msg"))
         .orderBy(col("vec_id"))
     },
-    Some("""SELECT vec_id, label, 0.0 AS dot_bad, 'dotProduct' AS err_ops,
+    Some("""SELECT vec_id, label, 0.0::DOUBLE AS dot_bad, 'dotProduct' AS err_ops,
             'array length ' || len(embedding) || ' does not match param length 32' AS err_msg
             FROM embeddings ORDER BY vec_id"""))
 
@@ -2211,8 +2211,10 @@ object Queries {
             // (sq - sq%n)/n is an exact multiple, so the double division is
             // exact — integral mean without engine-specific div operators
             ((sq - pmod(sq, n)) / n).cast("long").as("mean_quality_micro") },
-          round(sum(when(col("keep"), 1L).otherwise(0L)).cast("double") /
-            count(lit(1)), 6).as("kept_frac"))
+          // kept fraction in integer ppm (same convention as every other
+          // ratio in the suite — exact integer division on both engines)
+          expr("(1000000 * sum(CASE WHEN keep THEN 1 ELSE 0 END)) div count(1)")
+            .as("kept_ppm"))
         .orderBy(col("lang"), col("source"))
     },
     Some(s"""WITH base AS (SELECT lang, source, text, $tokensSql AS toks
@@ -2231,10 +2233,10 @@ object Queries {
                FROM sig)
              SELECT lang, source, count(*) AS n_docs,
                sum(n_tok)::BIGINT AS total_tokens,
-               sum(round(q * 1000000)::BIGINT) // count(*)
+               (sum(round(q * 1000000)::BIGINT) // count(*))::BIGINT
                  AS mean_quality_micro,
-               round(sum(CASE WHEN keep THEN 1 ELSE 0 END)::DOUBLE
-                 / count(*), 6) AS kept_frac
+               ((1000000 * sum(CASE WHEN keep THEN 1 ELSE 0 END))
+                 // count(*))::BIGINT AS kept_ppm
              FROM k GROUP BY 1, 2 ORDER BY 1, 2"""))
 
   /** Sequence packing manifest: every document's tokens laid end-to-end in
@@ -2260,15 +2262,16 @@ object Queries {
                FROM documents),
              o AS (SELECT doc_id, n_tok,
                  coalesce(sum(n_tok) OVER (ORDER BY doc_id
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
                    AS start_offset
                FROM tk)
              SELECT doc_id, n_tok, start_offset,
-               CASE WHEN n_tok > 0 THEN start_offset // 2048 END AS first_seq,
-               CASE WHEN n_tok > 0 THEN (start_offset + n_tok - 1) // 2048 END
-                 AS last_seq,
-               CASE WHEN n_tok > 0 THEN (start_offset + n_tok - 1) // 2048
-                 - start_offset // 2048 + 1 ELSE 0 END AS n_seqs
+               (CASE WHEN n_tok > 0 THEN start_offset // 2048 END)::BIGINT
+                 AS first_seq,
+               (CASE WHEN n_tok > 0 THEN (start_offset + n_tok - 1) // 2048
+                 END)::BIGINT AS last_seq,
+               (CASE WHEN n_tok > 0 THEN (start_offset + n_tok - 1) // 2048
+                 - start_offset // 2048 + 1 ELSE 0 END)::BIGINT AS n_seqs
              FROM o ORDER BY doc_id"""))
 
   /** Unigram-LM rarity scoring (the integer-exact stand-in for perplexity
@@ -2412,8 +2415,11 @@ object Queries {
         // m is FloatType (array_max over float[]): round to 6 in DOUBLE —
         // a float can't hold 0.303005 and would surface its full double
         // expansion in the compare
+        // codes serialized to a CSV string: the driver's comparator can't
+        // sort/hash array cells, and a joined string is hash-stable on both
+        // engines (same digits, same separator)
         .select(col("vec_id"), round(m.cast("double"), 6).as("max_abs"),
-          col("codes"),
+          array_join(col("codes").cast("array<string>"), ",").as("codes"),
           round(array_max(zip_with(col("embedding"), col("codes"),
             (x, c) => abs(x - c * m / 127.0d))), 6).as("max_err"))
         .orderBy(col("vec_id"))
@@ -2426,7 +2432,8 @@ object Queries {
                   x -> floor(x * 127.0 / m + 0.5)::INT)
                 ELSE list_transform(vec, x -> 0) END AS codes
               FROM s)
-            SELECT vec_id, round(m, 6) AS max_abs, codes,
+            SELECT vec_id, round(m, 6) AS max_abs,
+              array_to_string(codes, ',') AS codes,
               round(list_max(list_transform(range(1, len(vec) + 1),
                 i -> abs(vec[i] - codes[i] * m / 127.0))), 6) AS max_err
             FROM c ORDER BY vec_id"""))
@@ -2648,7 +2655,8 @@ object Queries {
     },
     Some("""SELECT (epoch_ms(ts) // 3600000) * 3600000 AS bucket_ms,
               event_type, count(*) AS n_events,
-              sum(CAST(round(value * 100) AS BIGINT)) AS value_cents
+              CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                AS value_cents
             FROM events GROUP BY 1, 2 ORDER BY bucket_ms, event_type"""))
 
   /** TPC-H Q5-style local-supplier revenue: a six-table join where the
@@ -2937,8 +2945,9 @@ object Queries {
     * df floor of 5 in-source occurrences kills noise tokens; top-5 per
     * source by (lift desc, token asc). Two partial-agged token groupBys
     * + one token-keyed equi-join; the per-source window runs over the
-    * (source, token) agg, never raw tokens. At ≳1e13-token corpora the
-    * ×1e6 needs a decimal widen — documented, not hit at any test SF. */
+    * (source, token) agg, never raw tokens. The ×1e6 runs in a
+    * DECIMAL(38,0) intermediate (HUGEINT on the oracle side) so a
+    * ≳1e13-token corpus can't wrap the Long. */
   val sourceDivergence = QueryDef(
     "source_divergence",
     (s, dir) => {
@@ -2954,7 +2963,8 @@ object Queries {
       st.filter(col("tf_s") >= 5)
         .join(ct, "token").join(srcTot, "source")
         .withColumn("lift_ppm",
-          expr(s"(tf_s * ${tCorpus}L * 1000000L) div (tf_c * t_s)"))
+          expr(s"CAST((CAST(tf_s AS DECIMAL(20,0)) * ${tCorpus}L * 1000000)" +
+            " div (CAST(tf_c AS DECIMAL(20,0)) * t_s) AS BIGINT)"))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 5)
         .select(col("source"), col("rank"), col("token"), col("tf_s"),
@@ -2971,11 +2981,11 @@ object Queries {
              n AS (SELECT count(*) AS t_corpus FROM toks)
              SELECT source,
                row_number() OVER (PARTITION BY source
-                 ORDER BY (tf_s * n.t_corpus * 1000000) // (tf_c * t_s) DESC,
-                   token) AS rank,
+                 ORDER BY (tf_s::HUGEINT * n.t_corpus * 1000000)
+                   // (tf_c::HUGEINT * t_s) DESC, token) AS rank,
                token, tf_s, tf_c,
-               CAST((tf_s * n.t_corpus * 1000000) // (tf_c * t_s) AS BIGINT)
-                 AS lift_ppm
+               (tf_s::HUGEINT * n.t_corpus * 1000000
+                 // (tf_c::HUGEINT * t_s))::BIGINT AS lift_ppm
              FROM st JOIN ct USING (token) JOIN tot USING (source), n
              WHERE tf_s >= 5
              QUALIFY rank <= 5
@@ -3306,7 +3316,10 @@ object Queries {
         .filter(conv(substring(md5(concat_ws("|", col("doc_id"), col("b"))),
           32, 1), 16, 10).cast("int") % 2 === 0)
       val perRep = reps.groupBy(col("lang"), col("b"))
-        .agg(expr("(1000000 * sum(n_chars)) div count(1)").as("m"))
+        // DECIMAL intermediate: 1e6 · a 100-TB replicate's char sum
+        // (~1e14) wraps Long; the per-doc mean itself is BIGINT-safe
+        .agg(expr("CAST((1000000 * CAST(sum(n_chars) AS DECIMAL(20,0)))" +
+          " div count(1) AS BIGINT)").as("m"))
       perRep.groupBy(col("lang"))
         .agg(count(lit(1)).as("n_reps"),
           expr("sum(m) div count(1)").as("mean_micro"),
@@ -3325,10 +3338,10 @@ object Queries {
               WHERE ('0x' || substr(md5(doc_id || '|' || b.b), 32, 1))::INT
                 % 2 = 0),
             pr AS (SELECT lang, b,
-              (1000000 * sum(n_chars)) // count(*) AS m
+              ((1000000 * sum(n_chars)) // count(*))::BIGINT AS m
               FROM reps GROUP BY 1, 2),
             agg AS (SELECT lang, count(*) AS n_reps,
-              sum(m) // count(*) AS mean_micro,
+              (sum(m) // count(*))::BIGINT AS mean_micro,
               min(m) AS min_micro, max(m) AS max_micro
               FROM pr GROUP BY 1)
             SELECT a.lang AS lang, a.n_reps, a.mean_micro, a.min_micro,
@@ -3999,9 +4012,14 @@ object Queries {
         .join(cb, Seq("w1", "w2"), "left")
         .join(cu.select(col("w").as("w1"), col("c").as("cu1")), Seq("w1"), "left")
         .join(cu.select(col("w").as("w2"), col("c").as("cu2")), Seq("w2"), "left")
+        // DECIMAL intermediates: 1e6·unigram-count (and 5e6·corpus-total)
+        // wrap Long once the half-corpus passes ~1e13 tokens
         .withColumn("ippm",
-          when(col("cb").isNotNull, expr("(1000000L * cu1) div cb"))
-            .otherwise(expr(s"(5000000L * ${tot}L) div (2L * coalesce(cu2, 1L))")))
+          when(col("cb").isNotNull,
+            expr("CAST((1000000 * CAST(cu1 AS DECIMAL(20,0))) div cb" +
+              " AS BIGINT)"))
+            .otherwise(expr(s"CAST((5000000 * CAST(${tot}L AS DECIMAL(20,0)))" +
+              " div (2L * coalesce(cu2, 1L)) AS BIGINT)")))
         .withColumn("backoff",
           when(col("cb").isNull, lit(1L)).otherwise(lit(0L)))
       scored.groupBy(col("doc_id"))
@@ -4023,8 +4041,10 @@ object Queries {
              cb AS (SELECT w1, w2, count(*) AS c FROM bgf
                WHERE doc_id % 2 = 0 GROUP BY w1, w2),
              sc AS (SELECT f.doc_id,
-                 CASE WHEN cb.c IS NOT NULL THEN (1000000 * cu1.c) // cb.c
-                      ELSE (5000000 * tot.t) // (2 * COALESCE(cu2.c, 1))
+                 CASE WHEN cb.c IS NOT NULL
+                      THEN (1000000::HUGEINT * cu1.c // cb.c)::BIGINT
+                      ELSE (5000000::HUGEINT * tot.t
+                        // (2 * COALESCE(cu2.c, 1)))::BIGINT
                  END AS ippm,
                  CASE WHEN cb.c IS NULL THEN 1 ELSE 0 END AS backoff
                FROM bgf f
@@ -4245,7 +4265,8 @@ object Queries {
     },
     Some("""SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
               count(*) OVER w AS n_1h,
-              sum(CAST(round(value * 100) AS BIGINT)) OVER w AS cents_1h
+              CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT)
+                AS cents_1h
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
               RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)
@@ -5148,7 +5169,7 @@ object Queries {
   /** Size-tiered compaction policy: the overlay row count triggers a
     * repush once it passes budget (`compactIfNeeded`) — the knob that
     * bounds read amplification on a hybrid store. The query drives the
-    * policy twice: the first call must FIRE (30 pending rows > 10
+    * policy twice: the first call must FIRE (25 pending rows > 10
     * budget), folding the overlay into version 2; the second must NO-OP
     * (fresh overlay is empty). Both outcomes ride in the output columns,
     * so a policy that failed to fire, fired twice, or corrupted content
@@ -5314,7 +5335,10 @@ object Queries {
             .otherwise(0L)).as("promo_cents"),
           sum(col("rev_cents")).as("total_cents"))
         .select(col("promo_cents"), col("total_cents"),
-          expr("promo_cents * 1000000 div total_cents").as("promo_ppm"))
+          // DECIMAL intermediate: cents·1e6 overflows Long once the month's
+          // revenue passes ~9e12 cents (a 100-TB fact table does)
+          expr("CAST((CAST(promo_cents AS DECIMAL(20,0)) * 1000000)" +
+            " div total_cents AS BIGINT)").as("promo_ppm"))
     },
     Some("""SELECT
               CAST(sum(CASE WHEN p_type = 'PROMO'
@@ -5322,11 +5346,11 @@ object Queries {
                 ELSE 0 END) AS BIGINT) AS promo_cents,
               CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
                 AS BIGINT)) AS BIGINT) AS total_cents,
-              CAST(sum(CASE WHEN p_type = 'PROMO'
+              (sum(CASE WHEN p_type = 'PROMO'
                 THEN CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
-                ELSE 0 END) AS BIGINT) * 1000000
-                // CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
-                  AS BIGINT)) AS BIGINT) AS promo_ppm
+                ELSE 0 END)::HUGEINT * 1000000
+                // sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                  AS BIGINT)))::BIGINT AS promo_ppm
             FROM lineitem, part
             WHERE l_partkey = p_partkey
               AND l_shipdate >= TIMESTAMP '1997-01-01'
@@ -5889,11 +5913,14 @@ object Queries {
             .otherwise(0L)).as("brazil_cents"),
           sum(col("rev_cents")).as("total_cents"))
         .select(col("o_year"), col("brazil_cents"), col("total_cents"),
-          expr("brazil_cents * 1000000 div total_cents").as("share_ppm"))
+          // DECIMAL intermediate: cents·1e6 overflows Long at 100-TB sums
+          expr("CAST((CAST(brazil_cents AS DECIMAL(20,0)) * 1000000)" +
+            " div total_cents AS BIGINT)").as("share_ppm"))
         .orderBy(col("o_year"))
     },
     Some("""SELECT o_year, brazil_cents, total_cents,
-              brazil_cents * 1000000 // total_cents AS share_ppm
+              (brazil_cents::HUGEINT * 1000000 // total_cents)::BIGINT
+                AS share_ppm
             FROM (
               SELECT year(o_orderdate) AS o_year,
                 CAST(sum(CASE WHEN sn.n_name = 'BRAZIL'
@@ -6059,8 +6086,13 @@ object Queries {
       bi.join(uni.select(col("w").as("w1"), col("cw").as("c1")), Seq("w1"))
         .join(uni.select(col("w").as("w2"), col("cw").as("c2")), Seq("w2"))
         .crossJoin(broadcast(n))
+        // numerator in DECIMAL(38,0): cab·N·1e6 overflows Long once
+        // N ~ 1e10+ with million-count bigrams (Spark would wrap
+        // silently); the quotient itself is ≤ N·1e6/max(c1,c2) — BIGINT-
+        // safe given the cab ≥ 5 floor — so only the intermediate widens
         .withColumn("pmi_ppm",
-          expr("cab * n_tokens * 1000000 div (c1 * c2)"))
+          expr("CAST((CAST(cab AS DECIMAL(20,0)) * n_tokens * 1000000)" +
+            " div (CAST(c1 AS DECIMAL(20,0)) * c2) AS BIGINT)"))
         .select(col("w1"), col("w2"), col("cab"), col("pmi_ppm"))
         .orderBy(col("pmi_ppm").desc, col("w1"), col("w2"))
         .limit(20)
@@ -6075,7 +6107,8 @@ object Queries {
                  i -> {'w1': t[i], 'w2': t[i + 1]})) AS b FROM base)
                GROUP BY 1, 2 HAVING count(*) >= 5)
              SELECT w1, w2, cab,
-               cab * n_tokens * 1000000 // (c1.cw * c2.cw) AS pmi_ppm
+               (cab::HUGEINT * n_tokens * 1000000
+                 // (c1.cw::HUGEINT * c2.cw))::BIGINT AS pmi_ppm
              FROM bi, n, uni c1, uni c2
              WHERE c1.w = w1 AND c2.w = w2
              ORDER BY pmi_ppm DESC, w1, w2 LIMIT 20"""))

@@ -15,8 +15,8 @@ object StressCheck {
     import spark.implicits._
 
     // optional section tags as args (keyed lsh semdedup pq crdt1m crdt10m
-    // squash minhash clusters bucket rebucket asof shuffleorder aaview
-    // bloom) — no args runs everything
+    // squash minhash clusters bucket rebucket ngramcap asof shuffleorder
+    // aaview bloom) — no args runs everything
     val only = args.toSet
     def on(tag: String): Boolean = only.isEmpty || only(tag)
     // (new tags round 5: salted, aggview)

@@ -161,25 +161,24 @@ object Packing {
     *
     * Writes `outDir/shard=K/part-*.txt` (one JSON object per line) and
     * returns the manifest frame (shard, n_docs, id_sum) — the artifact a
-    * training job's data loader consumes first. */
+    * training job's data loader consumes first. The manifest is built by
+    * READING the shard files back from `outDir` (partition-discovered
+    * `shard` column + the id parsed out of each JSON line), so its hash
+    * covers the artifact actually on disk — a misrouted partition or a
+    * dropped task output breaks the manifest, not just the plan. */
   def exportJsonl(df: DataFrame, idCol: String, outDir: String,
       numShards: Int): DataFrame = {
     require(numShards > 0, "exportJsonl needs a positive shard count")
-    val sharded = df
-      .withColumn("shard",
+    df.withColumn("shard",
         graft.functions.TextOps.splitBucket(col(idCol)) % numShards)
-      .cache()
-    sharded
       .select(col("shard"),
         to_json(struct(df.columns.map(col): _*)).as("value"))
       .write.mode("overwrite").partitionBy("shard").text(outDir)
-    val manifest = sharded.groupBy(col("shard"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col(idCol)).cast("long").as("id_sum"))
+    df.sparkSession.read.text(outDir)
+      .select(col("shard").cast("int").as("shard"),
+        get_json_object(col("value"), s"$$.$idCol").cast("long").as("__id"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__id")).as("id_sum"))
       .orderBy(col("shard"))
-    val out = manifest.cache()
-    out.count()
-    sharded.unpersist()
-    out
   }
 }

@@ -499,10 +499,7 @@ object Similarity {
     *
     * Scale shape: centroids are |labels| rows — broadcast; the corpus is
     * scanned ONCE against them (narrow after the per-label mean's two
-    * keyed aggregations). Ties break to the smaller label id.
-    *
-    * @param vecs (id, vec, label)
-    * @return (id, label, pred, sim) — one row per input vector */
+    * keyed aggregations). Ties break to the smaller label id. */
   /** Scaled-integer per-label mean vectors (engine-exact: the recentring
     * sums round(x·1000) longs, so the oracle replays the means bit-for-
     * bit). One partial-aggregated explode; #labels × dims rows out. */
@@ -518,6 +515,8 @@ object Similarity {
       .select(col("label").as("clabel"),
         transform(col("pv"), e => e.getField("v")).as("cvec"))
 
+  /** @param vecs (id, vec, label)
+    * @return (id, label, pred, sim) — one row per input vector */
   def centroidClassify(vecs: DataFrame): DataFrame = {
     val cent = broadcast(labelCentroids(vecs).withColumn("__cn", norm(col("cvec"))))
     val w = Window.partitionBy(col("id"))

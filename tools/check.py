@@ -20,6 +20,34 @@ def canon(rows, cols):
     out = [tuple(norm(r[i]) for i in order) for r in rows]
     return sorted(out), [cols[i] for i in order]
 
+# DuckDB output types the driver's pandas canonicalizer cannot digest:
+# HUGEINT/DECIMAL render differently from Spark's BIGINT/DOUBLE, and
+# LIST/STRUCT/MAP cells crash pandas sort_values (unhashable ndarray).
+# Every oracle must emit only these driver-safe scalar types.
+SAFE_TYPES = {"BIGINT", "INTEGER", "SMALLINT", "TINYINT", "DOUBLE", "FLOAT",
+              "VARCHAR", "BOOLEAN", "DATE", "TIMESTAMP", "BLOB",
+              "TIMESTAMP WITH TIME ZONE"}
+
+def lint(con, name, sql, spark_files):
+    """Returns a list of lint errors for one oracle query: unsafe output
+    dtypes, plus name-sorted dtype mismatches vs the Spark parquet output
+    (int-width differences are tolerated — pandas renders them alike)."""
+    errs = []
+    otypes = {r[0]: r[1] for r in con.sql(f"DESCRIBE {sql}").fetchall()}
+    for c, t in otypes.items():
+        if t not in SAFE_TYPES:
+            errs.append(f"oracle column {c} has driver-unsafe type {t}")
+    if spark_files:
+        stypes = {r[0]: r[1] for r in con.sql(
+            f"DESCRIBE SELECT * FROM read_parquet({spark_files!r})").fetchall()}
+        ints = {"BIGINT", "INTEGER", "SMALLINT", "TINYINT"}
+        flts = {"DOUBLE", "FLOAT"}
+        for c in sorted(set(otypes) & set(stypes)):
+            a, b = otypes[c], stypes[c]
+            if a == b or ({a, b} <= ints) or ({a, b} <= flts): continue
+            errs.append(f"column {c} dtype mismatch: oracle={a} spark={b}")
+    return errs
+
 def main(sfdir, outdir, only=None):
     con = duckdb.connect()
     for t in TABLES:
@@ -28,6 +56,14 @@ def main(sfdir, outdir, only=None):
     n_ok = n_bad = 0
     for name, sql in sorted(oracle.items()):
         if only and name not in only: continue
+        try:
+            lerrs = lint(con, name, sql,
+                         glob.glob(f"{outdir}/{name}/*.parquet"))
+        except Exception as e:
+            lerrs = [f"lint failed: {e}"]
+        if lerrs:
+            for e in lerrs: print(f"LINT     {name}: {e}")
+            n_bad += 1; continue
         files = glob.glob(f"{outdir}/{name}/*.parquet")
         if not files:
             print(f"MISSING  {name}: no spark output"); n_bad += 1; continue
