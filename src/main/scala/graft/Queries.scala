@@ -470,6 +470,54 @@ object Queries {
             WHERE rn = 1 AND event_type <> 'error'
             ORDER BY user_id"""))
 
+  /** W6 A/A DELETE-wins, end-to-end against the engine: a newer tombstone
+    * must reject PUTs that carry an OLDER conflict-resolution timestamp
+    * even when they ARRIVE after the delete, and the tombstone must keep
+    * its timestamp through a repush so the rejection keeps holding against
+    * the compacted version (reference semantics:
+    * AbstractMerge.deleteWithValueLevelTimestamp — delete wins on
+    * oldTs <= deleteTs and the RMD stores deleteTs "to reject future PUT
+    * record with lower replication timestamp";
+    * MergeConflictResolver.java:164-202). Exact ts ties are deliberately
+    * absent: the reference resolves them by arrival order (delete-wins
+    * when the delete is incoming, value-compare when the put is), which a
+    * commutative batch fold can't — and shouldn't — replay.
+    *
+    * Script on `nation` (25 keys): delete keys 0–9 @2000; put 0–4
+    * 'LATE_OLD' @1000 (arrives after — stays dead); put 8–9 'RESURRECTED'
+    * @3000 (newer — comes back); REPUSH (tombstones compact, RMD
+    * persisted); put 0–1 'POST_REPUSH_OLD' @1500 (still dead — tombstone
+    * ts survived the compaction); put 2 'POST_REPUSH_NEW' @2500 (alive —
+    * the tombstone is a ts gate, not a permanent kill). */
+  val w6DeleteWins = QueryDef(
+    "w6_delete_wins",
+    (s, dir) => {
+      val e = tempEngine(s, "graft-w6")
+      e.createStore("n", Seq("n_nationkey"))
+      val nat = t(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+      e.push("n", nat, numBuckets = 4)
+      e.enableActiveActive("n")
+      def put(lo: Int, hi: Int, name: String, ts: Long): Unit =
+        e.putAA("n", nat.filter(col("n_nationkey").between(lo, hi))
+          .withColumn("n_name", lit(name)), tsMs = ts)
+      e.deleteAA("n", nat.filter(col("n_nationkey") <= 9)
+        .select("n_nationkey"), tsMs = 2000L)
+      put(0, 4, "LATE_OLD", 1000L)
+      put(8, 9, "RESURRECTED", 3000L)
+      e.repush("n")
+      put(0, 1, "POST_REPUSH_OLD", 1500L)
+      put(2, 2, "POST_REPUSH_NEW", 2500L)
+      e.servingView("n")
+        .select(col("n_nationkey"), col("n_name"))
+        .orderBy(col("n_nationkey"))
+    },
+    Some("""SELECT n_nationkey,
+              CASE WHEN n_nationkey = 2 THEN 'POST_REPUSH_NEW'
+                   WHEN n_nationkey IN (8, 9) THEN 'RESURRECTED'
+                   ELSE n_name END AS n_name
+            FROM nation WHERE n_nationkey = 2 OR n_nationkey >= 8
+            ORDER BY n_nationkey"""))
+
   /** W3 write-compute end-to-end: snapshot of per-user tag sets (events
     * before Jan 15) + an update stream (setUnion of each later event's type,
     * then a final setDiff removing 'error') folded per key in ts order. */
@@ -6861,7 +6909,7 @@ object Queries {
     r4Dot, r5Cosine, r6Hadamard, r7Count, r7CountMap, r8ComputeErrors, r9Prefix,
     r10Predicates, r11Stream, qWindow, qRollup, qSemi, qAnti, qSessionize,
     b3Ttl, b4Compaction, b4DupAudit, b7Quota, b8Partition,
-    w3WriteCompute, w5Lww, w7Crdt, w7CrdtMap, w8Squash, w11Div, w12Hll, w13HotKeys,
+    w3WriteCompute, w5Lww, w6DeleteWins, w7Crdt, w7CrdtMap, w8Squash, w11Div, w12Hll, w13HotKeys,
     r12Meta, r13SchemaEvolution, b13IncrementalView, b14AaView,
     r14AaEvolution, s3LagGate, w1PutDelete,
     w2UpdateBuilder, w4UpdateSchema, w9Chunk, b6Wire,
