@@ -260,9 +260,23 @@ object Similarity {
     * the tile count tracks the cluster size without a parameter — 32 local
     * cores → 12 blocks / 78 tiles; 1000 executors·4 cores → 127 blocks /
     * 8128 tiles. For genuine near-dup thresholds (cos ≳ 0.7) use
-    * [[lshCosinePairs]] — near-linear, tunable recall. */
+    * [[lshCosinePairs]] — near-linear, tunable recall.
+    *
+    * THIS IS THE EXACT ALL-PAIRS BASELINE — the comparison count is
+    * Θ(n²) by definition, tiling only bounds memory and shuffle width.
+    * `maxExactRows` (default 1M ⇒ ≤ 5·10¹¹ dot products, the practical
+    * ceiling for an exactness check) guards against running it on a
+    * corpus-scale input by accident: beyond the cap it refuses with a
+    * pointer to the scale paths ([[lshCosinePairs]], [[semDedup]]).
+    * Raise the cap EXPLICITLY to run bigger exactness studies. */
   def cosinePairs(corpus: DataFrame, threshold: Double,
-      blocks: Int = 0): DataFrame = {
+      blocks: Int = 0, maxExactRows: Long = 1000000L): DataFrame = {
+    val nRows = corpus.count()
+    require(nRows <= maxExactRows,
+      s"cosinePairs is the exact O(n²) all-pairs baseline and its input " +
+        s"has $nRows rows (cap $maxExactRows). Use lshCosinePairs or " +
+        "semDedup for corpus-scale near-dup detection, or raise " +
+        "maxExactRows explicitly for a deliberate exactness study.")
     val b = if (blocks > 0) blocks
       else math.max(8, 2 * math.ceil(math.sqrt(
         corpus.sparkSession.sparkContext.defaultParallelism)).toInt)

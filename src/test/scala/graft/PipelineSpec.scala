@@ -115,6 +115,16 @@ class PipelineSpec extends AnyFunSuite {
     assert(want.nonEmpty)
   }
 
+  test("cosinePairs refuses corpus-scale input (exact-baseline guard)") {
+    val emb = Tables.embeddings(spark, sf)
+    val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.cosinePairs(corpus, 0.3, maxExactRows = 10L)
+    }
+    assert(ex.getMessage.contains("lshCosinePairs"),
+      s"guard message must point at the scale path: ${ex.getMessage}")
+  }
+
   test("lshCosinePairs finds every planted near-dup (recall 1.0 at cos≥0.9)") {
     import spark.implicits._
     val rnd = new scala.util.Random(42)
