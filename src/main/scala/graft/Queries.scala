@@ -3508,6 +3508,9 @@ object Queries {
                   AND TIMESTAMP '1998-12-31')
             GROUP BY 1, 2, 3 ORDER BY supp_nation, cust_nation, l_year"""))
 
+  /** TPC-H Q17 shape: revenue impact of small-quantity orders for one
+    * brand+container — the correlated per-part average rewritten as one
+    * keyed aggregate joined back (never a per-row subquery). */
   val q17SmallQty = QueryDef(
     "q17_small_qty",
     (s, dir) => {
