@@ -327,6 +327,57 @@ class GraftEngine(val spark: SparkSession, val root: String) {
     servingView(name).join(broadcast(keys), meta.keyCols, "left_semi")
   }
 
+  /** R11 streaming batchGet — the Venice `streamingBatchGet` /
+    * `streamingExecute` read contract (partial results delivered
+    * incrementally; non-existing keys surfaced to the callback as explicit
+    * markers; a completion result says whether every route answered —
+    * ComputeRequestBuilder.java:82-91, semantics not code):
+    *
+    *  - `onRecord(row, missing)` fires once per requested key, in arrival
+    *    order. Found keys carry the full value row; missing keys fire with
+    *    `missing = true` (their value columns null) — Venice's
+    *    non-existing-key callback.
+    *  - Delivery is INCREMENTAL: the plan is consumed through
+    *    `toLocalIterator`, so partitions stream to the driver one at a
+    *    time (O(one partition) driver memory) and the callback starts
+    *    firing while later partitions are still executing. A callback
+    *    that throws aborts the remaining delivery — the client-side
+    *    early-termination analog.
+    *  - Returns the completion event: (found, missing) counts — the
+    *    analog of Venice's isFullResponse signal (here a batch engine
+    *    always reaches every "route", so found+missing = #keys).
+    *
+    * Scale shape: identical to [[batchGet]] — the serving view never
+    * shuffles. Found rows come off the broadcast left-semi join; the
+    * missing set is the key set anti-joined against the FOUND KEYS (both
+    * sides ≤ the request size, broadcast), never against the view. */
+  def streamingBatchGet(name: String, keys: DataFrame)(
+      onRecord: (org.apache.spark.sql.Row, Boolean) => Unit): (Long, Long) = {
+    val meta = storeMeta(name)
+    // materialize the (small, ≤ request-size) found rows once: they feed
+    // both the delivery and the anti-join, and a localCheckpoint keeps the
+    // second consumer from re-scanning the store
+    val found = batchGet(name, keys).localCheckpoint()
+    val valueCols = found.columns.filterNot(meta.keyCols.contains)
+    val markers = keys.select(meta.keyCols.map(col): _*)
+      .join(broadcast(found.select(meta.keyCols.map(col): _*)),
+        meta.keyCols, "left_anti")
+      .select(meta.keyCols.map(col) ++
+        valueCols.map(c => lit(null).cast(found.schema(c).dataType).as(c)): _*)
+    var nFound = 0L
+    var nMissing = 0L
+    val it = found.withColumn("__missing", lit(false))
+      .unionByName(markers.withColumn("__missing", lit(true)))
+      .toLocalIterator()
+    while (it.hasNext) {
+      val r = it.next()
+      val missing = r.getBoolean(r.fieldIndex("__missing"))
+      if (missing) nMissing += 1 else nFound += 1
+      onRecord(r, missing)
+    }
+    (nFound, nMissing)
+  }
+
   def compute(name: String): ComputeBuilder =
     new ComputeBuilder(servingView(name), storeMeta(name).keyCols)
 

@@ -38,6 +38,33 @@ class EngineSpec extends AnyFunSuite {
     assert(got.count() == 2)
   }
 
+  test("streamingBatchGet delivers incrementally with missing-key markers") {
+    import spark.implicits._
+    val keys = Seq(1L, 2L, 9999L, 9998L).toDF("c_custkey")
+    val seen = scala.collection.mutable.ArrayBuffer[(Long, Boolean)]()
+    val (found, missing) = engine.streamingBatchGet("cust2", keys) {
+      (row, miss) =>
+        seen += ((row.getAs[Long]("c_custkey"), miss))
+        // a found row carries the value; a marker row nulls it (the
+        // Venice non-existing-key callback shape)
+        assert(row.isNullAt(row.fieldIndex("c_name")) == miss)
+    }
+    assert((found, missing) == (2L, 2L), s"completion event: $found/$missing")
+    assert(seen.size == 4)
+    assert(seen.filter(_._2).map(_._1).toSet == Set(9999L, 9998L))
+    assert(seen.filterNot(_._2).map(_._1).toSet == Set(1L, 2L))
+    // client-side early termination: a throwing callback aborts delivery
+    // partway instead of draining every partition first
+    var delivered = 0
+    val ex = intercept[RuntimeException] {
+      engine.streamingBatchGet("cust2", keys) { (_, _) =>
+        delivered += 1
+        if (delivered == 2) throw new RuntimeException("early-terminate")
+      }
+    }
+    assert(ex.getMessage == "early-terminate" && delivered == 2)
+  }
+
   test("put/delete overlay via serving view + changelog + repush") {
     import spark.implicits._
     engine.createStore("cust3", Seq("c_custkey"))
