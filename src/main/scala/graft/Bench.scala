@@ -121,7 +121,8 @@ object Bench {
       "q8_market_share", "export_jsonl", "label_next_purchase",
       "multi_store_join", "token_pmi", "q_approx_quantile",
       "rolling_distinct_hll", "events_heatmap", "event_transitions",
-      "purchase_intervals", "w6_delete_wins")
+      "purchase_intervals", "w6_delete_wins", "dedup_ngram_capped",
+      "pack_masks")
     val core = results.filterNot(r => addedLater(r._1)).map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","core38":$core,"queries":$qs,"ok":$ok,"n":${results.size},"errors":$errs,"sf":"$sfDir"}""")
     if (results.exists(_._3.nonEmpty)) System.err.println(

@@ -1484,6 +1484,39 @@ object Queries {
              FROM shared WHERE inter::DOUBLE / (n_a + n_b - inter) >= 0.5
              ORDER BY id_a, id_b"""))
 
+  /** n-gram Jaccard with the document-frequency cap — the PRODUCTION
+    * scale path of `dedup_ngram_jaccard`, oracled: shingles shared by
+    * more than 64 docs are dropped before the self-join (a hot
+    * boilerplate shingle otherwise creates a df²/2 join bucket — measured
+    * 40.7 → 1.9 s at sf1), and the oracle replays the exact same cap in
+    * SQL, so the hash pins the capped semantics, not just the plan. The
+    * Jaccard stays computed from exact set sizes; only the intersection
+    * count sees the cap (a ≤-side estimate — see the operator scaladoc
+    * for why true near-dups keep their pairs). */
+  val dedupNgramCapped = QueryDef(
+    "dedup_ngram_capped",
+    (s, dir) => graft.operators.Dedup.ngramJaccardPairs(
+      graft.operators.Dedup.shingleSets(t(s, dir, "documents"), "doc_id", "text", 3),
+      0.5, maxPostings = 64)
+      .orderBy(col("id_a"), col("id_b")),
+    Some(s"""WITH sh AS (
+               SELECT doc_id AS id, ${shinglesSql("t")} AS shingles
+               FROM (SELECT doc_id, $tokensSql AS t FROM documents)),
+             sized AS (SELECT id, shingles, len(shingles) AS n FROM sh
+               WHERE len(shingles) > 0),
+             posts AS (SELECT id, n, unnest(shingles) AS sh FROM sized),
+             capped AS (SELECT id, n, sh FROM (
+                 SELECT id, n, sh, count(*) OVER (PARTITION BY sh) AS df
+                 FROM posts) WHERE df <= 64),
+             shared AS (SELECT l.id AS id_a, r.id AS id_b, l.n AS n_a,
+                 r.n AS n_b, count(*) AS inter
+               FROM capped l JOIN capped r ON l.sh = r.sh AND l.id < r.id
+               GROUP BY 1, 2, 3, 4)
+             SELECT id_a, id_b,
+               round(inter::DOUBLE / (n_a + n_b - inter), 6) AS jaccard
+             FROM shared WHERE inter::DOUBLE / (n_a + n_b - inter) >= 0.5
+             ORDER BY id_a, id_b"""))
+
   /** Embedding near-dup pairs: cosine ≥ 0.4 (testdata max ≈ 0.51). */
   val dedupEmbedding = QueryDef(
     "dedup_embedding",
@@ -2321,6 +2354,42 @@ object Queries {
                (CASE WHEN n_tok > 0 THEN (start_offset + n_tok - 1) // 2048
                  - start_offset // 2048 + 1 ELSE 0 END)::BIGINT AS n_seqs
              FROM o ORDER BY doc_id"""))
+
+  /** Loss-mask manifest for the packed layout: one row per
+    * (sequence, document) overlap of [[packSequences]]' 2048-token
+    * sequences — the per-sequence attention-reset spans a trainer feeds
+    * alongside the token stream so attention can't cross document
+    * boundaries inside a pack. Integer interval intersection over the
+    * distributed prefix-sum offsets (`graft.operators.Packing.packMaskSpans`);
+    * the oracle replays the same layout with a window cumsum +
+    * generate_series. Invariants the hash pins: spans within a sequence
+    * tile it exactly (sum of span_len = 2048 for every full sequence), and
+    * every doc's spans sum to its token count. */
+  val packMasks = QueryDef(
+    "pack_masks",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_tok"))
+      graft.operators.Packing
+        .packMaskSpans(docs, "doc_id", "n_tok", seqLen = 2048L)
+        .orderBy(col("seq_id"), col("doc_id"))
+    },
+    Some(s"""WITH tk AS (SELECT doc_id, len($tokensSql) AS n_tok
+               FROM documents),
+             o AS (SELECT doc_id, n_tok,
+                 coalesce(sum(n_tok) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+                   AS off
+               FROM tk WHERE n_tok > 0),
+             spans AS (SELECT o.doc_id, o.off, o.n_tok, s.seq_id
+               FROM o, LATERAL (SELECT unnest(generate_series(
+                 off // 2048, (off + n_tok - 1) // 2048)) AS seq_id) s)
+             SELECT seq_id, doc_id,
+               greatest(off - seq_id * 2048, 0)::BIGINT AS start_in_seq,
+               (least(off + n_tok - seq_id * 2048, 2048)
+                 - greatest(off - seq_id * 2048, 0))::BIGINT AS span_len
+             FROM spans ORDER BY seq_id, doc_id"""))
 
   /** Unigram-LM rarity scoring (the integer-exact stand-in for perplexity
     * filtering): corpus-wide term frequencies, then each doc scored by the
@@ -6918,11 +6987,13 @@ object Queries {
     w2UpdateBuilder, w4UpdateSchema, w9Chunk, b6Wire,
     b1Avro, w10Compression, b10Metrics, b11Incremental, b12Etl,
     s1Ingest, s2Rewind, s4Changelog, s6SqlView, s7TokenBucket,
-    dedupExact, dedupMinhash, dedupSimhash, dedupNgram, dedupEmbedding,
+    dedupExact, dedupMinhash, dedupSimhash, dedupNgram, dedupNgramCapped,
+    dedupEmbedding,
     dedupClusters, annTopk, annLsh, annIvf, textStats, textTokenCounts,
     mmDecode, mmFrames, textPiiRedact, splitAssignQ,
     decontaminate, sampleStratified, mixTokenBudget, textWinnow,
-    textRepetition, corpusFilter, mixReport, packSequences, lmRarity, semdedup,
+    textRepetition, corpusFilter, mixReport, packSequences, packMasks,
+    lmRarity, semdedup,
     boilerplateNgrams, embedQuantize, mixTemperature,
     streamWindowAgg, corpusShuffle, mmAudioResample, qAsofJoin,
     corpusPercentiles, qRangeJoin, qTopkGroup, dedupIncremental,

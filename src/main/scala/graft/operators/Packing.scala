@@ -122,6 +122,30 @@ object Packing {
         when(w > 0, col("last_seq") - col("first_seq") + 1).otherwise(lit(0L)))
   }
 
+  /** Per-sequence loss-mask spans for packed training data: explodes the
+    * [[packSequences]] layout into one row per (sequence, document) overlap
+    * — the attention-reset / loss-mask metadata a trainer consumes so
+    * cross-document attention inside a packed sequence can be masked
+    * (each span is `[start_in_seq, start_in_seq + span_len)` of `seq_id`,
+    * owned by `doc_id`). Pure integer interval intersection over the
+    * already-computed offsets; the explode is bounded by `n_seqs` per doc
+    * (≈ n_tok/seqLen + 1), so output size tracks corpus tokens / seqLen —
+    * embarrassingly parallel, no extra shuffle past the packing's own. */
+  def packMaskSpans(df: DataFrame, orderCol: String, weightCol: String,
+      seqLen: Long, numParts: Int = 0): DataFrame = {
+    val packed = packSequences(df, orderCol, weightCol, seqLen, numParts)
+    packed.filter(col("n_seqs") > 0)
+      .select(col(orderCol), col("start_offset"), col(weightCol).cast(LongType).as("__w"),
+        explode(expr("sequence(first_seq, last_seq)")).as("seq_id"))
+      .withColumn("__seq_base", col("seq_id") * seqLen)
+      .withColumn("start_in_seq",
+        greatest(col("start_offset") - col("__seq_base"), lit(0L)))
+      .withColumn("span_len",
+        least(col("start_offset") + col("__w") - col("__seq_base"), lit(seqLen))
+          - col("start_in_seq"))
+      .select(col("seq_id"), col(orderCol), col("start_in_seq"), col("span_len"))
+  }
+
   /** The dual of packing: splits each document's token sequence into
     * fixed-size context windows of `chunkLen` tokens starting every
     * `stride` tokens (overlap = chunkLen − stride when stride < chunkLen).
