@@ -30,6 +30,26 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("LessThan(o_custkey,200)"), p.take(400))
   }
 
+  test("DF-capped ngram self-join reuses the window's sh partitioning") {
+    // the cap's window shuffles+sorts on sh ONCE and the persisted result
+    // keeps that layout, so the self-join adds no further exchange on sh
+    // and the whole plan carries at most the window's exchange plus the
+    // final pair-aggregation exchange (an agg+anti-join cap variant loses
+    // the co-partitioning and re-shuffles BOTH join sides: measured 125 s
+    // vs ~35 s on the sf1 postings)
+    val shingled = graft.operators.Dedup.shingleSets(
+      Tables.documents(spark, sf), "doc_id", "text", 3)
+    val df = graft.operators.Dedup.ngramJaccardPairs(shingled, 0.5,
+      maxPostings = 64)
+    val p = plan(df)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 3,
+      s"capped ngram plan shuffles $exchanges times (expected ≤3: window " +
+        s"on sh + pair agg):\n${p.take(800)}")
+    assert(!p.contains("Exchange SinglePartition"), p.take(400))
+    spark.catalog.clearCache()
+  }
+
   test("dimension joins broadcast; no cartesian in the relational core") {
     val p = plan(Queries.byName("q3_join_topk").fn(spark, sf))
     assert(p.contains("BroadcastHashJoin"), p.take(400))
