@@ -6060,6 +6060,137 @@ object Queries {
               GROUP BY 1)
             ORDER BY o_year"""))
 
+  /** TPC-H Q9 shape: profit per (supplier nation, order year) for parts
+    * matching a LIKE filter — the classic "profit rollup" 5-table join.
+    * The LIKE pushes into the part scan and that small filtered dimension
+    * BROADCASTS into the fact; supplier/nation broadcast likewise; orders
+    * contributes only the year. Profit in integer cents: revenue −
+    * per-line tax proxy (this schema carries no partsupp supplycost),
+    * each term rounded per line so both engines sum identical longs. */
+  val q9Profit = QueryDef(
+    "q9_profit",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          (round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+            - round(col("l_extendedprice") * col("l_tax") * 100))
+            .cast("long").as("profit_cents"))
+      li.join(broadcast(t(s, dir, "part")
+          .filter(col("p_name").contains("widget")).select(col("p_partkey"))),
+          col("l_partkey") === col("p_partkey"))
+        .join(t(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_name"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(t(s, dir, "orders")
+          .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("n_name").as("nation"), col("o_year"))
+        .agg(sum(col("profit_cents")).as("profit_cents"))
+        .orderBy(col("nation"), col("o_year").desc)
+    },
+    Some("""SELECT n_name AS nation, year(o_orderdate) AS o_year,
+              CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                  - round(l_extendedprice * l_tax * 100) AS BIGINT))
+                AS BIGINT) AS profit_cents
+            FROM lineitem, part, supplier, nation, orders
+            WHERE l_partkey = p_partkey AND l_suppkey = s_suppkey
+              AND s_nationkey = n_nationkey AND l_orderkey = o_orderkey
+              AND p_name LIKE '%widget%'
+            GROUP BY 1, 2 ORDER BY nation, o_year DESC"""))
+
+  /** TPC-H Q11 shape: per-part "stock value" for one nation's suppliers,
+    * kept only where the part's value exceeds the GLOBAL mean part value
+    * — the HAVING-against-scalar-subquery pattern (the mean keeps the
+    * selectivity scale-invariant where Q11's fixed fraction would go
+    * empty as the part count grows). One keyed agg, the 1-row global
+    * aggregate broadcast back, the threshold comparison in DECIMAL so
+    * value·n_parts can't wrap a Long at warehouse scale. */
+  val q11ImportantStock = QueryDef(
+    "q11_important_stock",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey"),
+          round(col("l_extendedprice") * 100).cast("long").as("cents"))
+        .join(t(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, dir, "nation")
+          .filter(col("n_name") === "NATION_3").select(col("n_nationkey"))),
+          col("s_nationkey") === col("n_nationkey"))
+      val perPart = li.groupBy(col("l_partkey"))
+        .agg(sum(col("cents")).as("value_cents"))
+      perPart.crossJoin(broadcast(
+          perPart.agg(sum(col("value_cents")).as("total_cents"),
+            count(lit(1)).as("n_parts"))))
+        .filter(expr(
+          "CAST(value_cents AS DECIMAL(20,0)) * n_parts > total_cents"))
+        .select(col("l_partkey"), col("value_cents"))
+        .orderBy(col("value_cents").desc, col("l_partkey"))
+    },
+    Some("""WITH pp AS (SELECT l_partkey,
+                CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS value_cents
+              FROM lineitem, supplier, nation
+              WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+                AND n_name = 'NATION_3'
+              GROUP BY 1)
+            SELECT l_partkey, value_cents FROM pp
+            WHERE value_cents::HUGEINT * (SELECT count(*) FROM pp) >
+              (SELECT sum(value_cents) FROM pp)
+            ORDER BY value_cents DESC, l_partkey"""))
+
+  /** TPC-H Q21 shape: "waiting suppliers" — for multi-supplier orders, the
+    * suppliers who were the ONLY late shipper (late = shipped more than a
+    * year after the order date; this schema has no commit/receipt dates).
+    * The notorious correlated EXISTS + NOT-EXISTS pair over the same
+    * table, planned as one (order, supplier) aggregation feeding a
+    * LEFT-SEMI (some other supplier exists) and a LEFT-ANTI (no other
+    * LATE supplier) self-join — both equi-joins on the order key, no
+    * per-row subquery execution anywhere. */
+  val q21WaitingSupplier = QueryDef(
+    "q21_waiting_supplier",
+    (s, dir) => {
+      val perSupp = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"), col("l_suppkey"))
+        .agg(max(when(col("l_shipdate") >
+            col("o_orderdate") + expr("INTERVAL 365 DAYS"), 1L).otherwise(0L))
+          .as("is_late"))
+        .localCheckpoint()  // three consumers; truncate instead of recompute
+      val others = perSupp.select(col("l_orderkey").as("o_key"),
+        col("l_suppkey").as("o_supp"), col("is_late").as("o_late"))
+      perSupp.filter(col("is_late") === 1L)
+        .join(others, col("l_orderkey") === col("o_key") &&
+          col("l_suppkey") =!= col("o_supp"), "left_semi")
+        .join(others.filter(col("o_late") === 1L),
+          col("l_orderkey") === col("o_key") &&
+            col("l_suppkey") =!= col("o_supp"), "left_anti")
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("numwait"))
+        .join(broadcast(t(s, dir, "supplier")
+          .select(col("s_suppkey"), col("s_name"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("numwait"))
+        .orderBy(col("numwait").desc, col("s_suppkey"))
+    },
+    Some("""WITH ps AS (SELECT l_orderkey, l_suppkey,
+                max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 365 DAY
+                    THEN 1 ELSE 0 END) AS is_late
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              GROUP BY 1, 2)
+            SELECT s_suppkey, s_name, count(*) AS numwait
+            FROM ps a JOIN supplier ON a.l_suppkey = s_suppkey
+            WHERE a.is_late = 1
+              AND EXISTS (SELECT 1 FROM ps b
+                WHERE b.l_orderkey = a.l_orderkey
+                  AND b.l_suppkey <> a.l_suppkey)
+              AND NOT EXISTS (SELECT 1 FROM ps c
+                WHERE c.l_orderkey = a.l_orderkey
+                  AND c.l_suppkey <> a.l_suppkey AND c.is_late = 1)
+            GROUP BY 1, 2 ORDER BY numwait DESC, s_suppkey"""))
+
   /** JSONL training-shard export: the corpus lands as `shard=K` JSONL
     * files (a REAL partitioned text write, not a dry run) and the query
     * returns the manifest — md5-keyed shard membership counts + id sums,
@@ -7012,6 +7143,7 @@ object Queries {
     eventsResample, dupSpanProfileQ, q22NoOrders, dailyNewUsers,
     q6Forecast, dataContract, s11AaTwoRegion, abAnalysis,
     embOutliers, s12IngestResume, q13Custdist, q15TopSupplier, q8MarketShare,
+    q9Profit, q11ImportantStock, q21WaitingSupplier,
     exportJsonlQ, labelNextPurchase, multiStoreJoin, tokenPmi,
     qApproxQuantile, rollingDistinct, eventsHeatmap,
     eventTransitions, purchaseIntervals,

@@ -56,6 +56,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("Q21 exists/not-exists pair plans as equi semi/anti joins") {
+    // the correlated EXISTS + NOT EXISTS must ride the l_orderkey equi key
+    // (suppkey inequality as a residual condition), never a per-row
+    // subquery or nested loop — at fact scale a NestedLoop here is fatal
+    val p = plan(Queries.byName("q21_waiting_supplier").fn(spark, sf))
+    assert(p.contains("LeftSemi"), p.take(600))
+    assert(p.contains("LeftAnti"), p.take(600))
+    assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"),
+      s"Q21 fell off the equi-join path:\n${p.take(800)}")
+  }
+
   test("batchGet is a broadcast left-semi join") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft-plan").toString
