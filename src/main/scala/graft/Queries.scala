@@ -4335,6 +4335,59 @@ object Queries {
                    ' ' ORDER BY g), '') AS target_text
              FROM idx GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** Fill-in-the-middle (FIM) transform manifest: each document split
+    * into prefix | middle | suffix at two md5-derived cut points (order/
+    * partition-independent, reproducible — the same determinism contract
+    * as splits and sampling), applied to ~half the corpus (the FIM-rate
+    * knob); the hash pins the exact cuts AND the exact segment contents
+    * via per-segment md5 (a off-by-one slice on either engine breaks the
+    * row). Docs shorter than 3 tokens or outside the rate keep
+    * fim = false with null cuts. Pure narrow per-row expressions — no
+    * shuffle, embarrassingly parallel at any corpus size. */
+  val fimTransform = QueryDef(
+    "fim_transform",
+    (s, dir) => {
+      def h(salt: String) = conv(substring(
+        md5(concat(col("doc_id").cast("string"), lit("|" + salt))), 1, 4),
+        16, 10).cast("long")
+      val toks = TextOps.tokens(col("text"))
+      val n = size(toks).cast("long")
+      val fim = (h("rate") % 100 < 50) && n >= 3
+      val cut1 = lit(1L) + h("c1") % (n - 2)
+      val cut2 = cut1 + lit(1L) + h("c2") % (n - cut1 - 1)
+      def seg(start: org.apache.spark.sql.Column,
+          len: org.apache.spark.sql.Column) = md5(array_join(
+        slice(toks, start.cast("int"), len.cast("int")), " "))
+      t(s, dir, "documents")
+        .select(col("doc_id"), n.as("n_tok"), fim.as("fim"),
+          when(fim, cut1).as("cut1"), when(fim, cut2).as("cut2"),
+          when(fim, seg(lit(1L), cut1)).as("prefix_md5"),
+          when(fim, seg(cut1 + 1, cut2 - cut1)).as("middle_md5"),
+          when(fim, seg(cut2 + 1, n - cut2)).as("suffix_md5"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH tk AS (SELECT doc_id, $tokensSql AS t FROM documents),
+             c AS (SELECT doc_id, t, len(t)::BIGINT AS n,
+                 ((('0x' || substr(md5(doc_id::VARCHAR || '|rate'), 1, 4))::INT
+                   % 100 < 50) AND len(t) >= 3) AS fim,
+                 1 + ('0x' || substr(md5(doc_id::VARCHAR || '|c1'), 1, 4))::BIGINT
+                   % greatest(len(t) - 2, 1) AS cut1
+               FROM tk),
+             c2 AS (SELECT *, cut1 + 1 +
+                 ('0x' || substr(md5(doc_id::VARCHAR || '|c2'), 1, 4))::BIGINT
+                   % greatest(n - cut1 - 1, 1) AS cut2
+               FROM c)
+             SELECT doc_id, n AS n_tok, fim,
+               CASE WHEN fim THEN cut1 END AS cut1,
+               CASE WHEN fim THEN cut2 END AS cut2,
+               CASE WHEN fim THEN md5(array_to_string(t[1:cut1::INT], ' ')) END
+                 AS prefix_md5,
+               CASE WHEN fim THEN md5(array_to_string(
+                 t[(cut1 + 1)::INT:cut2::INT], ' ')) END AS middle_md5,
+               CASE WHEN fim THEN md5(array_to_string(
+                 t[(cut2 + 1)::INT:n::INT], ' ')) END AS suffix_md5
+             FROM c2 ORDER BY doc_id"""))
+
   /** Training-mix planning table WITH subtotals: per (lang, source) plus
     * per-lang and grand-total rollup rows in one pass — `GROUP BY ROLLUP`
     * computes all three grains from a single shuffle (Catalyst expands to
@@ -7135,7 +7188,8 @@ object Queries {
     curriculumInterleave, urlCanonicalize, bpePairStats, sampleWeighted,
     annIvfPq, streamSessionize, dedupSpans, seqLenHist,
     gopherRules, splitLeakage, r17Rollback, bm25Retrieval, lmBigram,
-    crawlPagerank, spanCorrupt, mixRollup, q5LocalSupplier, streamTrending,
+    crawlPagerank, spanCorrupt, fimTransform, mixRollup, q5LocalSupplier,
+    streamTrending,
     q18BigOrders, dedupRateReport, streamDedupQ, r18PartialKey, r19Rebucket,
     b17Recovery, s10StreamAggView, annDimTruncation,
     mmPairAudit, pipelineE2e, b18CompactPolicy,
