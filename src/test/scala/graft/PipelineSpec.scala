@@ -573,6 +573,36 @@ class PipelineSpec extends AnyFunSuite {
       .count() == 0)
   }
 
+  test("packMaskSpans: spans tile every full sequence and cover each doc") {
+    import spark.implicits._
+    import graft.operators.Packing
+    val rows = Seq((5L, 10L), (1L, 3L), (3L, 0L), (2L, 7L), (4L, 5L))
+      .toDF("id", "w")
+    val spans = Packing.packMaskSpans(rows, "id", "w", seqLen = 8L,
+        numParts = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    // per-doc coverage: span lengths sum to the doc's weight
+    val perDoc = spans.groupBy(_._2).view.mapValues(_.map(_._4).sum).toMap
+    assert(perDoc == Map(1L -> 3L, 2L -> 7L, 4L -> 5L, 5L -> 10L),
+      s"doc coverage broken: $perDoc")
+    // per-sequence tiling: total = 25 tokens → seqs 0..2 full (8 each),
+    // seq 3 holds the 1-token tail; spans within a sequence are disjoint
+    // and start at the previous span's end
+    val perSeq = spans.groupBy(_._1).view
+      .mapValues(_.sortBy(_._3)).toMap
+    assert(perSeq.keySet == Set(0L, 1L, 2L, 3L))
+    perSeq.foreach { case (seq, ss) =>
+      val expected = if (seq == 3L) 1L else 8L
+      assert(ss.map(_._4).sum == expected, s"seq $seq not tiled: $ss")
+      ss.foldLeft(0L) { case (pos, (_, _, start, len)) =>
+        assert(start == pos, s"seq $seq gap at $start (expected $pos)")
+        assert(len > 0, s"seq $seq empty span")
+        start + len
+      }
+    }
+  }
+
   test("winnowing: shared passage guarantees a shared fingerprint") {
     import spark.implicits._
     import graft.functions.TextOps
