@@ -2391,6 +2391,50 @@ object Queries {
                  - greatest(off - seq_id * 2048, 0))::BIGINT AS span_len
              FROM spans ORDER BY seq_id, doc_id"""))
 
+  /** Length-bucketed batching manifest with padding-waste accounting: docs
+    * sorted by token length, cut into fixed-size batches of 64, each batch
+    * reporting actual vs padded-to-batch-max tokens — the accounting that
+    * justifies length bucketing (padding a random batch to its max wastes
+    * the length spread; a sorted batch's max ≈ its min). The GLOBAL rank
+    * comes from `graft.operators.Packing.withGlobalOffsets` with weight 1
+    * (range shuffle + per-partition sums, O(#partitions) driver state) —
+    * never a single-partition `row_number` window, which is the
+    * die-at-100-TB way to rank a corpus. One keyed agg after the rank. */
+  val batchPaddingWaste = QueryDef(
+    "batch_padding_waste",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_tok"))
+        // composite sort key: length-major, id-minor — zero-padded so the
+        // string order equals the (n_tok, doc_id) numeric order
+        .withColumn("__k", concat(lpad(col("n_tok").cast("string"), 10, "0"),
+          lit("|"), lpad(col("doc_id").cast("string"), 12, "0")))
+        .withColumn("__one", lit(1L))
+      graft.operators.Packing.withGlobalOffsets(docs, "__k", "__one")
+        .withColumn("batch_id", expr("start_offset div 64"))
+        .groupBy(col("batch_id"))
+        .agg(count(lit(1)).as("n_docs"), max(col("n_tok")).as("max_tok"),
+          sum(col("n_tok")).as("actual_tokens"))
+        .withColumn("padded_tokens", col("n_docs") * col("max_tok"))
+        .withColumn("waste_tokens", col("padded_tokens") - col("actual_tokens"))
+        .select(col("batch_id"), col("n_docs"), col("max_tok"),
+          col("actual_tokens"), col("padded_tokens"), col("waste_tokens"))
+        .orderBy(col("batch_id"))
+    },
+    Some(s"""WITH tk AS (SELECT doc_id, len($tokensSql)::BIGINT AS n_tok
+               FROM documents),
+             r AS (SELECT n_tok,
+                 (row_number() OVER (ORDER BY n_tok, doc_id) - 1) // 64
+                   AS batch_id
+               FROM tk)
+             SELECT batch_id::BIGINT AS batch_id, count(*) AS n_docs,
+               max(n_tok) AS max_tok,
+               CAST(sum(n_tok) AS BIGINT) AS actual_tokens,
+               (count(*) * max(n_tok))::BIGINT AS padded_tokens,
+               (count(*) * max(n_tok) - sum(n_tok))::BIGINT AS waste_tokens
+             FROM r GROUP BY 1 ORDER BY batch_id"""))
+
   /** Unigram-LM rarity scoring (the integer-exact stand-in for perplexity
     * filtering): corpus-wide term frequencies, then each doc scored by the
     * mean and max "surprisal" of its tokens — rarity(tok) = total_tokens
@@ -7177,7 +7221,7 @@ object Queries {
     mmDecode, mmFrames, textPiiRedact, splitAssignQ,
     decontaminate, sampleStratified, mixTokenBudget, textWinnow,
     textRepetition, corpusFilter, mixReport, packSequences, packMasks,
-    lmRarity, semdedup,
+    batchPaddingWaste, lmRarity, semdedup,
     boilerplateNgrams, embedQuantize, mixTemperature,
     streamWindowAgg, corpusShuffle, mmAudioResample, qAsofJoin,
     corpusPercentiles, qRangeJoin, qTopkGroup, dedupIncremental,
