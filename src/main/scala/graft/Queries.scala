@@ -3141,9 +3141,9 @@ object Queries {
                FROM st GROUP BY source),
              n AS (SELECT count(*) AS t_corpus FROM toks)
              SELECT source,
-               row_number() OVER (PARTITION BY source
+               (row_number() OVER (PARTITION BY source
                  ORDER BY (tf_s::HUGEINT * n.t_corpus * 1000000)
-                   // (tf_c::HUGEINT * t_s) DESC, token) AS rank,
+                   // (tf_c::HUGEINT * t_s) DESC, token))::INT AS rank,
                token, tf_s, tf_c,
                (tf_s::HUGEINT * n.t_corpus * 1000000
                  // (tf_c::HUGEINT * t_s))::BIGINT AS lift_ppm
@@ -6139,7 +6139,7 @@ object Queries {
               (brazil_cents::HUGEINT * 1000000 // total_cents)::BIGINT
                 AS share_ppm
             FROM (
-              SELECT year(o_orderdate) AS o_year,
+              SELECT year(o_orderdate)::INT AS o_year,
                 CAST(sum(CASE WHEN sn.n_name = 'BRAZIL'
                   THEN CAST(round(l_extendedprice * (1 - l_discount) * 100)
                     AS BIGINT) ELSE 0 END) AS BIGINT) AS brazil_cents,
@@ -6187,7 +6187,7 @@ object Queries {
         .agg(sum(col("profit_cents")).as("profit_cents"))
         .orderBy(col("nation"), col("o_year").desc)
     },
-    Some("""SELECT n_name AS nation, year(o_orderdate) AS o_year,
+    Some("""SELECT n_name AS nation, year(o_orderdate)::INT AS o_year,
               CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
                   - round(l_extendedprice * l_tax * 100) AS BIGINT))
                 AS BIGINT) AS profit_cents
