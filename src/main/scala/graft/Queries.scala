@@ -1464,6 +1464,54 @@ object Queries {
              SELECT id_a, id_b, hamming FROM cand WHERE hamming <= 1
              ORDER BY id_a, id_b"""))
 
+  /** 64-bit SimHash near-dups, 4×16-bit bands, Hamming ≤ 3 — the SCALE
+    * path for signature dedup (65536 values per band ⇒ Θ(n²/65536)
+    * random-pair candidates vs the 16-bit scheme's Θ(n²/256)). The oracle
+    * replays every md5 BIT vote, the per-band 16-bit composition, the
+    * band equi-join AND the band-bucket cap in SQL, so the hash pins the
+    * full banded semantics bit-for-bit. */
+  val dedupSimhash64 = QueryDef(
+    "dedup_simhash64",
+    (s, dir) => graft.operators.Dedup.simhashPairs64(
+      t(s, dir, "documents").filter(size(TextOps.tokens(col("text"))) > 0),
+      "doc_id", "text")
+      .orderBy(col("id_a"), col("id_b")),
+    Some(s"""WITH toks AS (SELECT doc_id AS id, unnest($tokensSql) AS tk
+               FROM documents WHERE len($tokensSql) > 0),
+             votes AS (SELECT id, i.i AS i,
+                 sum(CASE WHEN ((strpos('0123456789abcdef',
+                       substr(md5(tk), (i.i // 4)::INT + 1, 1)) - 1)
+                     >> (3 - i.i % 4)) & 1 = 1
+                     THEN 1 ELSE -1 END) AS v
+               FROM toks, (SELECT unnest(range(0, 64)) AS i) i
+               GROUP BY id, i.i),
+             bands AS (SELECT id, (i // 16) AS band,
+                 sum(CASE WHEN v > 0 THEN (1 << (15 - (i % 16)))::INT
+                     ELSE 0 END)::INT AS bval
+               FROM votes GROUP BY id, (i // 16)),
+             sig AS (SELECT id,
+                 max(CASE WHEN band = 0 THEN bval END) AS b0,
+                 max(CASE WHEN band = 1 THEN bval END) AS b1,
+                 max(CASE WHEN band = 2 THEN bval END) AS b2,
+                 max(CASE WHEN band = 3 THEN bval END) AS b3
+               FROM bands GROUP BY id),
+             banded AS (SELECT id, b0, b1, b2, b3, unnest([
+                 '0:' || b0::VARCHAR, '1:' || b1::VARCHAR,
+                 '2:' || b2::VARCHAR, '3:' || b3::VARCHAR]) AS bandkey
+               FROM sig),
+             capped AS (SELECT * FROM (
+                 SELECT *, count(*) OVER (PARTITION BY bandkey) AS df
+                 FROM banded) WHERE df <= 1048576),
+             cand AS (SELECT DISTINCT l.id AS id_a, r.id AS id_b,
+                 (bit_count(xor(l.b0::BIGINT, r.b0::BIGINT)) +
+                  bit_count(xor(l.b1::BIGINT, r.b1::BIGINT)) +
+                  bit_count(xor(l.b2::BIGINT, r.b2::BIGINT)) +
+                  bit_count(xor(l.b3::BIGINT, r.b3::BIGINT)))::INT AS hamming
+               FROM capped l JOIN capped r
+                 ON l.bandkey = r.bandkey AND l.id < r.id)
+             SELECT id_a, id_b, hamming FROM cand WHERE hamming <= 3
+             ORDER BY id_a, id_b"""))
+
   /** Exact n-gram Jaccard via shared-shingle inverted index (no cross join). */
   val dedupNgram = QueryDef(
     "dedup_ngram_jaccard",
@@ -2407,9 +2455,11 @@ object Queries {
         .select(col("doc_id"),
           size(TextOps.tokens(col("text"))).cast("long").as("n_tok"))
         // composite sort key: length-major, id-minor — zero-padded so the
-        // string order equals the (n_tok, doc_id) numeric order
-        .withColumn("__k", concat(lpad(col("n_tok").cast("string"), 10, "0"),
-          lit("|"), lpad(col("doc_id").cast("string"), 12, "0")))
+        // string order equals the (n_tok, doc_id) numeric order; 19 digits
+        // covers any non-negative Long (Spark's lpad TRUNCATES overflow,
+        // which would silently corrupt the rank order)
+        .withColumn("__k", concat(lpad(col("n_tok").cast("string"), 19, "0"),
+          lit("|"), lpad(col("doc_id").cast("string"), 19, "0")))
         .withColumn("__one", lit(1L))
       graft.operators.Packing.withGlobalOffsets(docs, "__k", "__one")
         .withColumn("batch_id", expr("start_offset div 64"))
@@ -6255,7 +6305,10 @@ object Queries {
         .agg(max(when(col("l_shipdate") >
             col("o_orderdate") + expr("INTERVAL 365 DAYS"), 1L).otherwise(0L))
           .as("is_late"))
-        .localCheckpoint()  // three consumers; truncate instead of recompute
+        // three consumers; truncate instead of recompute. eager=false so
+        // merely BUILDING the plan (Explain / PlanSpec) stays lazy — the
+        // checkpoint materializes on the first action, not at construction
+        .localCheckpoint(eager = false)
       val others = perSupp.select(col("l_orderkey").as("o_key"),
         col("l_suppkey").as("o_supp"), col("is_late").as("o_late"))
       perSupp.filter(col("is_late") === 1L)
@@ -7215,8 +7268,8 @@ object Queries {
     w2UpdateBuilder, w4UpdateSchema, w9Chunk, b6Wire,
     b1Avro, w10Compression, b10Metrics, b11Incremental, b12Etl,
     s1Ingest, s2Rewind, s4Changelog, s6SqlView, s7TokenBucket,
-    dedupExact, dedupMinhash, dedupSimhash, dedupNgram, dedupNgramCapped,
-    dedupEmbedding,
+    dedupExact, dedupMinhash, dedupSimhash, dedupSimhash64, dedupNgram,
+    dedupNgramCapped, dedupEmbedding,
     dedupClusters, annTopk, annLsh, annIvf, textStats, textTokenCounts,
     mmDecode, mmFrames, textPiiRedact, splitAssignQ,
     decontaminate, sampleStratified, mixTokenBudget, textWinnow,

@@ -294,6 +294,18 @@ object StressCheck {
       timed("ngram pairs df-cap 64") {
         graft.operators.Dedup.ngramJaccardPairs(sh, 0.5, maxPostings = 64).count()
       }
+      // accident guard: the uncapped exact form must REFUSE input past its
+      // candidate-pair budget (the probe is a limit-scan, so the refusal
+      // itself is near-free) — here the budget is shrunk below the corpus
+      timed("ngram uncapped guard fires") {
+        val refused =
+          try { graft.operators.Dedup.ngramJaccardPairs(sh, 0.5,
+            maxCandidatePairs = 100L).count(); false }
+          catch { case e: IllegalArgumentException =>
+            e.getMessage.contains("dedup_ngram_capped") }
+        require(refused, "uncapped ngram guard did not fire")
+        1L
+      }
       sh.unpersist()
     }
     spark.catalog.clearCache()

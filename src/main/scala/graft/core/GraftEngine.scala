@@ -177,6 +177,12 @@ class GraftEngine(val spark: SparkSession, val root: String) {
       .write.mode("overwrite")
       .partitionBy(BucketCol)
       .parquet(dir(name, s"v=$v"))
+    // per-version bucket-count marker (underscore file — ignored by Spark's
+    // file index): BUCKETS tracks the LATEST push, but retained versions
+    // written before a rebucket keep their own count, and the DSv2 bucket-
+    // pruning rule must never prune an old version with the new modulus
+    Files.writeString(Paths.get(dir(name, s"v=$v", "_NBUCKETS")),
+      numBuckets.toString)
     setCurrentVersion(name, v)
     v
   }
@@ -354,28 +360,44 @@ class GraftEngine(val spark: SparkSession, val root: String) {
   def streamingBatchGet(name: String, keys: DataFrame)(
       onRecord: (org.apache.spark.sql.Row, Boolean) => Unit): (Long, Long) = {
     val meta = storeMeta(name)
+    // the request is a key SET (Venice batchGet takes Set<K>): distinct
+    // the frame so duplicate requested keys fire the callback exactly once
+    // whether found or missing — without this the anti-join would keep
+    // every duplicate of a missing key while found duplicates collapse
+    val keySet = keys.select(meta.keyCols.map(col): _*).distinct()
     // materialize the (small, ≤ request-size) found rows once: they feed
-    // both the delivery and the anti-join, and a localCheckpoint keeps the
-    // second consumer from re-scanning the store
-    val found = batchGet(name, keys).localCheckpoint()
-    val valueCols = found.columns.filterNot(meta.keyCols.contains)
-    val markers = keys.select(meta.keyCols.map(col): _*)
-      .join(broadcast(found.select(meta.keyCols.map(col): _*)),
-        meta.keyCols, "left_anti")
-      .select(meta.keyCols.map(col) ++
-        valueCols.map(c => lit(null).cast(found.schema(c).dataType).as(c)): _*)
-    var nFound = 0L
-    var nMissing = 0L
-    val it = found.withColumn("__missing", lit(false))
-      .unionByName(markers.withColumn("__missing", lit(true)))
-      .toLocalIterator()
-    while (it.hasNext) {
-      val r = it.next()
-      val missing = r.getBoolean(r.fieldIndex("__missing"))
-      if (missing) nMissing += 1 else nFound += 1
-      onRecord(r, missing)
+    // both the delivery and the anti-join, and caching keeps the second
+    // consumer from re-scanning the store. persist (not localCheckpoint):
+    // the cacheManager can actually release it in the finally below —
+    // unpersist() on a localCheckpoint leaks the RDD blocks until GC.
+    val found = batchGet(name, keySet)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val valueCols = found.columns.filterNot(meta.keyCols.contains)
+      val markers = keySet
+        .join(broadcast(found.select(meta.keyCols.map(col): _*)),
+          meta.keyCols, "left_anti")
+        .select(meta.keyCols.map(col) ++
+          valueCols.map(c =>
+            lit(null).cast(found.schema(c).dataType).as(c)): _*)
+      var nFound = 0L
+      var nMissing = 0L
+      val it = found.withColumn("__missing", lit(false))
+        .unionByName(markers.withColumn("__missing", lit(true)))
+        .toLocalIterator()
+      while (it.hasNext) {
+        val r = it.next()
+        val missing = r.getBoolean(r.fieldIndex("__missing"))
+        if (missing) nMissing += 1 else nFound += 1
+        onRecord(r, missing)
+      }
+      (nFound, nMissing)
+    } finally {
+      // the checkpoint's blocks are otherwise leaked until the DataFrame
+      // is GC'd — repeated calls on a long-lived session would accumulate
+      found.unpersist(blocking = false)
+      ()
     }
-    (nFound, nMissing)
   }
 
   def compute(name: String): ComputeBuilder =

@@ -186,6 +186,59 @@ object Dedup {
       .filter(col("hamming") <= 1)
   }
 
+  /** 64-bit SimHash near-dup pairs — the SCALE path for signature dedup
+    * (Charikar's simhash with Manku-style banded candidate generation,
+    * both public knowledge). 4 bands × 16 bits: Hamming ≤ 3 guarantees at
+    * least one intact band (pigeonhole: 3 flipped bits touch ≤ 3 of 4
+    * bands), so the band equi-join finds every qualifying pair — and each
+    * band has 65536 values, so random-text candidate pairs grow
+    * Θ(n²/65536) per band vs the 16-bit scheme's Θ(n²/256): a 256× fewer
+    * false candidates at the same corpus size, the difference between a
+    * band join that survives 100× scale-up and one that doesn't.
+    *
+    * Scale guards, mirroring [[ngramJaccardPairs]]:
+    *  - `maxPostings` caps a band BUCKET's size before the self-join (a
+    *    boilerplate-dominated corpus puts millions of near-identical docs
+    *    in one bucket → df²/2 joined pairs); dropped buckets lose only
+    *    pairs whose OTHER three bands are all broken, i.e. genuinely
+    *    distant docs plus near-dups of the hottest boilerplate — route
+    *    those through [[exact]] first.
+    *  - The bucket cap is a WINDOW count over bandkey, not an agg +
+    *    anti-join: the window's shuffle+sort on bandkey is exactly what
+    *    the self-join needs, so the persisted result co-partitions both
+    *    join sides and the join adds no further exchange.
+    *
+    * @return (id_a, id_b, hamming) with hamming ≤ maxHamming */
+  def simhashPairs64(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, maxPostings: Int = 1 << 20): DataFrame = {
+    require(maxHamming < 4,
+      s"4×16-bit banding only guarantees recall for hamming ≤ 3 " +
+        s"(pigeonhole over 4 bands); got maxHamming=$maxHamming")
+    val sh = df.select(col(idCol).as("id"),
+      graft.functions.SimHashExpr.simhash64(
+        TextOps.tokens(col(textCol))).as("simhash"))
+    val banded = sh.select(col("id"), col("simhash"),
+      explode(array((0 until 4).map { j =>
+        concat(lit(s"$j:"),
+          shiftrightunsigned(col("simhash"), (3 - j) * 16)
+            .bitwiseAND(lit(0xffffL)).cast("string"))
+      }: _*)).as("bandkey"))
+    val posts = banded
+      .withColumn("__df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("bandkey"))))
+      .filter(col("__df") <= maxPostings)
+      .drop("__df")
+      .persist()
+    val l = posts.as("l"); val r = posts.as("r")
+    l.join(r, col("l.bandkey") === col("r.bandkey") &&
+        col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+        bit_count(col("l.simhash").bitwiseXOR(col("r.simhash")))
+          .as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** n-gram-Jaccard pairs via a shared-shingle inverted index: explode
     * distinct shingles, equi-join on the shingle, count shared shingles per
     * pair, then Jaccard.
@@ -200,9 +253,40 @@ object Dedup {
     * they ALSO share still leaves shared discriminative shingles, and the
     * Jaccard itself is computed from exact set sizes, not postings). For
     * exactness-critical corpora route through [[minhashCandidates]] +
-    * [[jaccardVerify]] instead. */
+    * [[jaccardVerify]] instead.
+    *
+    * Accident guard (mirrors [[Similarity.cosinePairs]]'s refusal): with
+    * the DEFAULT maxPostings (2²⁰, effectively uncapped on test corpora)
+    * this is the exact Θ(n²)-capable baseline, so the call refuses inputs
+    * whose worst-case candidate count — n·min(n, maxPostings)/2, since a
+    * doc's posting can meet at most maxPostings−1 others per bucket —
+    * exceeds `maxCandidatePairs` (default 5·10¹¹, the same practical
+    * ceiling as cosinePairs' 1M-row cap). The bound SCALES WITH THE CAP:
+    * at maxPostings = 64 the production path admits ~1.5·10¹⁰ docs before
+    * refusing, so `dedup_ngram_capped` stays corpus-scale while the
+    * uncapped form refuses past ~1M docs. The row probe is a constant
+    * projection limited to rowCap+1 — column-pruned and early-terminating,
+    * never a full count of a big corpus. Raise maxCandidatePairs
+    * EXPLICITLY for a deliberate exactness study. */
   def ngramJaccardPairs(shingled: DataFrame, minJaccard: Double,
-      maxPostings: Int = 1 << 20): DataFrame = {
+      maxPostings: Int = 1 << 20,
+      maxCandidatePairs: Long = 500000000000L): DataFrame = {
+    val budget2 = 2L * maxCandidatePairs // f(n) = n·min(n, maxPostings) ≤ 2B
+    val rowCap =
+      if (maxPostings.toLong * maxPostings >= budget2)
+        math.sqrt(budget2.toDouble).toLong
+      else budget2 / maxPostings
+    val probeLimit = math.min(rowCap, (Int.MaxValue - 1).toLong).toInt
+    val probed = shingled.select(lit(1).as("__c")).limit(probeLimit + 1).count()
+    require(probed <= rowCap,
+      s"ngramJaccardPairs with maxPostings=$maxPostings admits up to " +
+        s"n*min(n,maxPostings)/2 candidate pairs and its input has at " +
+        s"least $probed docs (cap $rowCap rows for the " +
+        s"$maxCandidatePairs-pair budget). Use the document-frequency " +
+        "cap (maxPostings, e.g. 64 — the dedup_ngram_capped production " +
+        "path) or minhashCandidates+jaccardVerify for corpus-scale " +
+        "near-dup detection, or raise maxCandidatePairs explicitly for " +
+        "a deliberate exactness study.")
     val sized = shingled.filter(size(col("shingles")) > 0)
       .select(col("id"), col("shingles"), size(col("shingles")).as("n"))
     val exploded = sized.select(col("id"), col("n"),

@@ -268,15 +268,23 @@ object Similarity {
     * ceiling for an exactness check) guards against running it on a
     * corpus-scale input by accident: beyond the cap it refuses with a
     * pointer to the scale paths ([[lshCosinePairs]], [[semDedup]]).
-    * Raise the cap EXPLICITLY to run bigger exactness studies. */
+    * Raise the cap EXPLICITLY to run bigger exactness studies.
+    *
+    * The guard costs one extra pass over the input plan, but a CHEAP one:
+    * it counts a constant projection limited to cap+1 rows, so column
+    * pruning drops the embedding payload and the scan early-terminates as
+    * soon as the cap is provably exceeded — it never counts a 100-TB
+    * corpus to refuse it. (Caps above Int.MaxValue probe only the first
+    * Int.MaxValue rows; at that size you are past any exactness study.) */
   def cosinePairs(corpus: DataFrame, threshold: Double,
       blocks: Int = 0, maxExactRows: Long = 1000000L): DataFrame = {
-    val nRows = corpus.count()
-    require(nRows <= maxExactRows,
+    val probeLimit = math.min(maxExactRows, (Int.MaxValue - 1).toLong).toInt
+    val probed = corpus.select(lit(1).as("__c")).limit(probeLimit + 1).count()
+    require(probed <= maxExactRows,
       s"cosinePairs is the exact O(n²) all-pairs baseline and its input " +
-        s"has $nRows rows (cap $maxExactRows). Use lshCosinePairs or " +
-        "semDedup for corpus-scale near-dup detection, or raise " +
-        "maxExactRows explicitly for a deliberate exactness study.")
+        s"has at least $probed rows (cap $maxExactRows). Use " +
+        "lshCosinePairs or semDedup for corpus-scale near-dup detection, " +
+        "or raise maxExactRows explicitly for a deliberate exactness study.")
     val b = if (blocks > 0) blocks
       else math.max(8, 2 * math.ceil(math.sqrt(
         corpus.sparkSession.sparkContext.defaultParallelism)).toInt)
@@ -503,17 +511,6 @@ object Similarity {
         round(col("d2s").cast("double") / 1e6, 6).as("approx_d2"))
   }
 
-  /** Nearest-centroid classification over labeled embeddings: one
-    * scaled-integer mean vector per label (the same order-independent
-    * arithmetic as [[kmeansCentroids]] — float partial sums would break
-    * cross-engine determinism), then every vector assigned to its most
-    * cosine-similar label centroid. The label-quality eval a training-data
-    * pipeline runs on embedded corpora: the confusion matrix localizes
-    * label noise and near-duplicate label pairs.
-    *
-    * Scale shape: centroids are |labels| rows — broadcast; the corpus is
-    * scanned ONCE against them (narrow after the per-label mean's two
-    * keyed aggregations). Ties break to the smaller label id. */
   /** Scaled-integer per-label mean vectors (engine-exact: the recentring
     * sums round(x·1000) longs, so the oracle replays the means bit-for-
     * bit). One partial-aggregated explode; #labels × dims rows out. */
@@ -529,7 +526,19 @@ object Similarity {
       .select(col("label").as("clabel"),
         transform(col("pv"), e => e.getField("v")).as("cvec"))
 
-  /** @param vecs (id, vec, label)
+  /** Nearest-centroid classification over labeled embeddings: one
+    * scaled-integer mean vector per label (the same order-independent
+    * arithmetic as [[kmeansCentroids]] — float partial sums would break
+    * cross-engine determinism), then every vector assigned to its most
+    * cosine-similar label centroid. The label-quality eval a training-data
+    * pipeline runs on embedded corpora: the confusion matrix localizes
+    * label noise and near-duplicate label pairs.
+    *
+    * Scale shape: centroids are |labels| rows — broadcast; the corpus is
+    * scanned ONCE against them (narrow after the per-label mean's two
+    * keyed aggregations). Ties break to the smaller label id.
+    *
+    * @param vecs (id, vec, label)
     * @return (id, label, pred, sim) — one row per input vector */
   def centroidClassify(vecs: DataFrame): DataFrame = {
     val cent = broadcast(labelCentroids(vecs).withColumn("__cn", norm(col("cvec"))))

@@ -289,6 +289,62 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("simhashPairs64 banded join ≡ brute-force hamming≤3 over signatures") {
+    import graft.functions.{SimHashExpr, TextOps}
+    // completeness pin for the 4×16-bit banding pigeonhole: on the real
+    // corpus, the band equi-join must return EXACTLY the pairs a full
+    // all-pairs hamming scan finds at ≤ 3
+    val docs = Tables.documents(spark, sf)
+      .filter(size(TextOps.tokens(col("text"))) > 0)
+    val sigs = docs.select(col("doc_id"),
+      SimHashExpr.simhash64(TextOps.tokens(col("text"))).as("sh"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      (ia, sa) <- sigs; (ib, sb) <- sigs if ia < ib
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 3
+    } yield (ia, ib, h)).toSet
+    val banded = Dedup.simhashPairs64(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(banded == brute, s"banded=${banded.size} brute=${brute.size}")
+  }
+
+  test("simhashPairs64 finds planted near-dups; hamming>3 banding refused") {
+    import spark.implicits._
+    // strongly-biased votes: the repeated phrase pins every bit at |Σ|≥19,
+    // so a one-token change cannot flip any bit — the planted pair is a
+    // deterministic hamming-0 catch; the unrelated doc must be absent
+    val base = ("alpha beta gamma " * 20).trim
+    val docs = Seq(
+      (1L, s"$base delta"), (2L, s"$base epsilon"),
+      (3L, "totally different content about weather patterns today"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs64(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.simhashPairs64(docs, "doc_id", "text", maxHamming = 4)
+    }
+    assert(ex.getMessage.contains("pigeonhole"))
+  }
+
+  test("ngramJaccardPairs refuses oversized input for its candidate budget") {
+    import spark.implicits._
+    val docs = (0 until 20).map(i => (i.toLong, s"doc number $i words here"))
+      .toDF("doc_id", "text")
+    val sh = Dedup.shingleSets(docs, "doc_id", "text", 3)
+    // uncapped form + tiny pair budget → rowCap=√(2·10)=4 < 20 docs → refuse
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.ngramJaccardPairs(sh, 0.5, maxCandidatePairs = 10L)
+    }
+    assert(ex.getMessage.contains("dedup_ngram_capped"),
+      s"guard message must point at the production path: ${ex.getMessage}")
+    // the production DF-capped form admits the same input under the same
+    // budget: rowCap scales to 2·budget/maxPostings
+    assert(Dedup.ngramJaccardPairs(sh, 0.5, maxPostings = 2,
+      maxCandidatePairs = 100L).count() >= 0)
+  }
+
   test("SimHash16 expression ≡ higher-order-function formulation") {
     import graft.functions.{SimHashExpr, TextOps}
     val docs = Tables.documents(spark, sf)
