@@ -867,6 +867,38 @@ object Queries {
             WHERE c_custkey <= 2000 AND c_custkey NOT BETWEEN 6 AND 10
             ORDER BY c_custkey"""))
 
+  /** DSv2 connector read: the same hybrid store as w1 (push + RT puts +
+    * tombstones), but read back through VANILLA
+    * `spark.read.format("graft")` — no engine API on the read path. The
+    * analysis-time rewrite must reproduce servingView exactly (version
+    * pointer, LWW overlay, delete-wins), so the oracle is the same
+    * snapshot+ops replay the w1 oracle runs. */
+  val dsv2StoreRead = QueryDef(
+    "dsv2_store_read",
+    (s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft-dsv2q").toString
+      val e = new graft.core.GraftEngine(s, root)
+      e.createStore("c", Seq("c_custkey"))
+      val cust = t(s, dir, "customer").filter(col("c_custkey") <= 2000)
+      e.push("c", cust, numBuckets = 4)
+      e.put("c", cust.filter(col("c_custkey") <= 5)
+        .withColumn("c_name", concat(lit("DSV2-"), col("c_custkey").cast("string"))),
+        tsMs = 1000L)
+      e.delete("c", cust.filter(col("c_custkey").between(6, 10))
+        .select("c_custkey"), tsMs = 2000L)
+      s.read.format("graft").option("root", root).option("store", "c").load()
+        .select(col("c_custkey"), col("c_name"),
+          round(col("c_acctbal") * 100).cast("long").as("acctbal_cents"),
+          col("c_mktsegment"))
+        .orderBy(col("c_custkey"))
+    },
+    Some("""SELECT c_custkey,
+            CASE WHEN c_custkey <= 5 THEN 'DSV2-' || c_custkey ELSE c_name END AS c_name,
+            CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_cents, c_mktsegment
+            FROM customer
+            WHERE c_custkey <= 2000 AND c_custkey NOT BETWEEN 6 AND 10
+            ORDER BY c_custkey"""))
+
   /** W2 UpdateBuilder → update log → serving view: one builder-constructed
     * partial update replicated over keys 1–20. */
   val w2UpdateBuilder = QueryDef(
@@ -7264,7 +7296,7 @@ object Queries {
     b3Ttl, b4Compaction, b4DupAudit, b7Quota, b8Partition,
     w3WriteCompute, w5Lww, w6DeleteWins, w7Crdt, w7CrdtMap, w8Squash, w11Div, w12Hll, w13HotKeys,
     r12Meta, r13SchemaEvolution, b13IncrementalView, b14AaView,
-    r14AaEvolution, s3LagGate, w1PutDelete,
+    r14AaEvolution, s3LagGate, w1PutDelete, dsv2StoreRead,
     w2UpdateBuilder, w4UpdateSchema, w9Chunk, b6Wire,
     b1Avro, w10Compression, b10Metrics, b11Incremental, b12Etl,
     s1Ingest, s2Rewind, s4Changelog, s6SqlView, s7TokenBucket,

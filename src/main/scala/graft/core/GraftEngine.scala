@@ -276,12 +276,8 @@ class GraftEngine(val spark: SparkSession, val root: String) {
   private def bucketOf(name: String, key: Seq[Any]): Int =
     bucketHash(key, numBuckets(name))
 
-  private def bucketHash(key: Seq[Any], nb: Int): Int = {
-    val rendered = key.map(String.valueOf).mkString("|")
-    val hex = java.security.MessageDigest.getInstance("MD5")
-      .digest(rendered.getBytes("UTF-8")).map(b => f"$b%02x").mkString
-    (java.lang.Long.parseLong(hex.substring(0, 15), 16) % nb).toInt
-  }
+  private def bucketHash(key: Seq[Any], nb: Int): Int =
+    GraftEngine.bucketHashOf(key, nb)
 
   /** Point lookup. The bucket predicate prunes the snapshot scan to a
     * single partition directory (the Spark analog of Venice routing each
@@ -1647,4 +1643,14 @@ object GraftEngine {
     * winning delete) — distinguishes empty-but-real records from
     * tombstones. */
   val RecCol = "__rec"
+
+  /** Driver-side twin of HashOps.partitionId (md5 of the "|"-joined key
+    * rendering, first 15 hex chars mod N) — shared by the engine's point
+    * reads and the DSv2 bucket-pruning optimizer rule. */
+  private[graft] def bucketHashOf(key: Seq[Any], nb: Int): Int = {
+    val rendered = key.map(String.valueOf).mkString("|")
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(rendered.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    (java.lang.Long.parseLong(hex.substring(0, 15), 16) % nb).toInt
+  }
 }

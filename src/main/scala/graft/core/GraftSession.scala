@@ -8,6 +8,9 @@ object GraftSession {
   /** Confs required for correctness on the testdata (applied by every main
     * and test suite). */
   val requiredConfs: Seq[(String, String)] = Seq(
+    // DSv2 surface: serve graft-format relations via the analysis-time
+    // rewrite + bucket-pruning optimizer rule (sources/GraftExtensions)
+    "spark.sql.extensions" -> "graft.sources.GraftExtensions",
     // events.parquet uses TIMESTAMP(NANOS); Spark 4 reads it only as Long.
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",
     // CrdtMerge/WriteCompute rely on LAST_WIN map dedup (sorted entries ⇒

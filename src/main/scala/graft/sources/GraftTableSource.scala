@@ -1,0 +1,137 @@
+package graft.sources
+
+import java.util
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.NoSuchTableException
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DataSource V2 surface for graft stores — the reference's own integration
+  * direction (expose store data to an external SQL engine; semantics, not
+  * code: integrations/venice-duckdb/.../DuckDBDaVinciRecordTransformer.java:42,
+  * AvroToSQL.java:66-105). Vanilla Spark reads a store with
+  *
+  * {{{
+  *   spark.read.format("graft")
+  *     .option("root", "/stores").option("store", "user_features").load()
+  * }}}
+  *
+  * or through the catalog (`spark.sql.catalog.g=graft.sources.GraftCatalog`,
+  * `spark.sql.catalog.g.root=/stores` → `SELECT * FROM g.user_features`) —
+  * no graft API calls anywhere.
+  *
+  * Execution model: the relation is REWRITTEN at analysis time into the
+  * engine's serving-view logical plan ([[GraftExtensions]]), so the read is
+  * full-parity with `GraftEngine.servingView` by construction — current
+  * version resolution, RT-log LWW overlay with delete-wins, write-compute
+  * fold, A/A CRDT resolution, schema-superset conform — and everything
+  * downstream is ordinary Catalyst: filters push into the parquet scans,
+  * columns prune, and the [[GraftBucketPruning]] optimizer rule turns
+  * full-key equality predicates into partition-directory pruning on the
+  * store's md5-mod bucket layout. This beats a row-level DSv2 reader at
+  * every scale point: the snapshot stays on Spark's vectorized parquet
+  * path inside WholeStageCodegen instead of a per-row PartitionReader. */
+final case class GraftTable(root: String, store: String,
+    tableSchema: StructType) extends Table with SupportsRead {
+  override def name(): String = s"graft:$root/$store"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  // Never reached when GraftExtensions is installed — the analyzer rule
+  // replaces the relation before scan planning. Reaching it means the
+  // session was built without the extension; fail with the remedy.
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    throw new UnsupportedOperationException(
+      "graft tables are served through an analysis-time rewrite; add " +
+        "spark.sql.extensions=graft.sources.GraftExtensions to the session " +
+        "config (GraftSession.build does this automatically)")
+}
+
+object GraftTable {
+  def schemaOf(spark: SparkSession, root: String, store: String): StructType =
+    new graft.core.GraftEngine(spark, root).servingView(store).schema
+
+  def apply(spark: SparkSession, root: String, store: String): GraftTable =
+    GraftTable(root, store, schemaOf(spark, root, store))
+}
+
+/** `spark.read.format("graft")` entry point (registered via the
+  * DataSourceRegister service file, short name `graft`). */
+class GraftTableProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft"
+
+  private def rootStore(options: CaseInsensitiveStringMap): (String, String) = {
+    val root = options.get("root")
+    val store = options.get("store")
+    require(root != null && store != null,
+      "format(\"graft\") needs .option(\"root\", <storeRoot>) and " +
+        ".option(\"store\", <storeName>)")
+    (root, store)
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val (root, store) = rootStore(options)
+    GraftTable.schemaOf(SparkSession.active, root, store)
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val (root, store) = rootStore(
+      new CaseInsensitiveStringMap(properties))
+    GraftTable(root, store, schema)
+  }
+}
+
+/** TableCatalog over a store root: every store directory is a table in the
+  * catalog's flat namespace. Read-only — pushes go through the engine's
+  * push/put/delete lifecycle, exactly as Venice routes writes through the
+  * push job and the RT topic rather than SQL DML. */
+class GraftCatalog extends TableCatalog {
+  private var catalogName: String = _
+  private var root: String = _
+
+  override def initialize(name: String,
+      options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    root = options.get("root")
+    require(root != null,
+      s"catalog $name needs spark.sql.catalog.$name.root=<storeRoot>")
+  }
+
+  override def name(): String = catalogName
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val d = new java.io.File(root)
+    Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && new java.io.File(f, "KEYS").exists())
+      .map(f => Identifier.of(namespace, f.getName))
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    val store = ident.name()
+    if (!new java.io.File(new java.io.File(root, store), "KEYS").exists())
+      throw new NoSuchTableException(ident)
+    GraftTable(SparkSession.active, root, store)
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    throw new UnsupportedOperationException(
+      "graft stores are created through GraftEngine.createStore + push")
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "graft stores evolve through GraftEngine.registerValueSchema")
+
+  override def dropTable(ident: Identifier): Boolean =
+    throw new UnsupportedOperationException(
+      "graft stores are retired through GraftEngine lifecycle admin")
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException("graft stores cannot be renamed")
+}

@@ -1,0 +1,93 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter}
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.{GraftEngine, GraftSession, Tables}
+
+/** The DSv2 surface: vanilla `spark.read.format("graft")` / catalog SQL
+  * over stores, full-parity with servingView, with bucket pruning. */
+class ConnectorSpec extends AnyFunSuite {
+  lazy val spark = GraftSession.build(cpus = 4, appName = "connector-spec")
+  lazy val sf = "/root/testdata/sf0.001"
+  lazy val root = Files.createTempDirectory("graft-dsv2").toString
+  lazy val engine = new GraftEngine(spark, root)
+
+  private def readStore(store: String) =
+    spark.read.format("graft").option("root", root).option("store", store).load()
+
+  test("format(graft) read ≡ servingView on a hybrid store (puts+deletes)") {
+    engine.createStore("c", Seq("c_custkey"))
+    val cust = Tables.customer(spark, sf)
+    engine.push("c", cust, numBuckets = 4)
+    engine.put("c", cust.filter(col("c_custkey") <= 5)
+      .withColumn("c_name", lit("VIA-RT")), tsMs = 1000L)
+    engine.delete("c", cust.filter(col("c_custkey").between(6, 8))
+      .select("c_custkey"), tsMs = 2000L)
+    val viaConnector = readStore("c").orderBy("c_custkey").collect()
+    val viaEngine = engine.servingView("c").orderBy("c_custkey").collect()
+    assert(viaConnector.toSeq == viaEngine.toSeq)
+    assert(viaConnector.length == 147) // 150 - 3 tombstoned
+    assert(viaConnector.take(5).forall(_.getAs[String]("c_name") == "VIA-RT"))
+  }
+
+  test("catalog SQL: SELECT over a store resolves through the catalog") {
+    spark.conf.set("spark.sql.catalog.gtest", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gtest.root", root)
+    engine.createStore("n", Seq("n_nationkey"))
+    engine.push("n", Tables.nation(spark, sf), numBuckets = 2)
+    val got = spark.sql(
+      "SELECT n_nationkey, n_name FROM gtest.n WHERE n_nationkey < 5 " +
+        "ORDER BY n_nationkey").collect()
+    assert(got.length == 5 && got.head.getString(1).nonEmpty)
+    val tables = spark.sql("SHOW TABLES IN gtest").collect().map(_.getString(1))
+    assert(tables.contains("n") && tables.contains("c"))
+  }
+
+  test("full-key equality through the connector prunes to one bucket dir") {
+    engine.createStore("p", Seq("p_partkey"))
+    engine.push("p", Tables.part(spark, sf), numBuckets = 8)
+    val q = readStore("p").filter(col("p_partkey") === 77L)
+    // optimizer injected the derived __bucket predicate…
+    val hasBucketPred = q.queryExecution.optimizedPlan.collect {
+      case LFilter(cond, _) if cond.references.exists(
+        _.name == GraftEngine.BucketCol) => cond
+    }
+    assert(hasBucketPred.nonEmpty, "no __bucket predicate in optimized plan")
+    // …and the physical scan reads exactly ONE of the 8 partition dirs
+    val scans = q.queryExecution.executedPlan.collect {
+      case s: FileSourceScanExec => s }
+    assert(scans.nonEmpty)
+    assert(scans.forall(_.relation.location.inputFiles.length >= 1))
+    val partCounts = scans.map(_.selectedPartitions.partitionCount)
+    assert(partCounts.exists(_ == 1),
+      s"expected a 1-partition scan, got $partCounts")
+    // the pruned read still returns the right row (wrong-modulus guard)
+    val rows = q.collect()
+    assert(rows.length == 1 && rows.head.getAs[Long]("p_partkey") == 77L)
+  }
+
+  test("pruning uses the version's OWN modulus after a rebucket") {
+    engine.createStore("r", Seq("r_regionkey"))
+    engine.push("r", Tables.region(spark, sf), numBuckets = 2)
+    engine.rebucket("r", 8)
+    val rows = readStore("r").filter(col("r_regionkey") === 3L).collect()
+    assert(rows.length == 1 &&
+      rows.head.getAs[Number]("r_regionkey").longValue == 3L)
+  }
+
+  test("connector serves A/A stores through the CRDT fold") {
+    engine.createStore("aa", Seq("k"))
+    engine.enableActiveActive("aa")
+    import spark.implicits._
+    engine.push("aa", Seq((1L, "a"), (2L, "b")).toDF("k", "v"), numBuckets = 2)
+    engine.putAA("aa", Seq((1L, "a2")).toDF("k", "v"), tsMs = 10L)
+    engine.deleteAA("aa", Seq(Tuple1(2L)).toDF("k"), tsMs = 20L)
+    val got = readStore("aa").orderBy("k").collect()
+    val want = engine.servingView("aa").orderBy("k").collect()
+    assert(got.toSeq == want.toSeq)
+    assert(got.length == 1 && got.head.getAs[String]("v") == "a2")
+  }
+}
