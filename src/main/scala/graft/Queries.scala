@@ -839,6 +839,45 @@ object Queries {
             WHERE o_orderkey <= 3000 AND o_orderkey NOT BETWEEN 21 AND 30
             ORDER BY 1, 2"""))
 
+  /** Incremental JOIN-view maintenance (b19): two stores keyed by
+    * o_orderkey (prices / statuses), inner-joined into a materialized
+    * view, then puts on BOTH sides + deletes refreshed via the delta-join
+    * (changed keys from both changelogs probe the other side's serving
+    * view — never a full recompute; EngineSpec pins refresh ≡ recompute
+    * and StressCheck pins the delta-sized cost). */
+  val b19JoinView = QueryDef(
+    "b19_join_view",
+    (s, dir) => {
+      val e = tempEngine(s, "graft-b19")
+      e.createStore("op", Seq("o_orderkey"))
+      e.createStore("os", Seq("o_orderkey"))
+      val ord = t(s, dir, "orders").filter(col("o_orderkey") <= 3000)
+      e.push("op", ord.select(col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("long").as("price_cents")),
+        numBuckets = 4)
+      e.push("os", ord.select(col("o_orderkey"), col("o_orderstatus")),
+        numBuckets = 4)
+      e.joinView("op", "os", "oj", numBuckets = 4)
+      e.put("op", ord.filter(col("o_orderkey") <= 20)
+        .select(col("o_orderkey"), lit(1L).as("price_cents")), tsMs = 1000L)
+      e.put("os", ord.filter(col("o_orderkey").between(100, 110))
+        .select(col("o_orderkey"), lit("X").as("o_orderstatus")), tsMs = 1500L)
+      e.delete("os", ord.filter(col("o_orderkey").between(21, 30))
+        .select("o_orderkey"), tsMs = 2000L)
+      e.refreshJoinView("oj")
+      e.servingView("oj")
+        .select(col("o_orderkey"), col("price_cents"), col("o_orderstatus"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""SELECT o_orderkey,
+            CASE WHEN o_orderkey <= 20 THEN 1
+                 ELSE CAST(round(o_totalprice * 100) AS BIGINT) END AS price_cents,
+            CASE WHEN o_orderkey BETWEEN 100 AND 110 THEN 'X'
+                 ELSE o_orderstatus END AS o_orderstatus
+            FROM orders
+            WHERE o_orderkey <= 3000 AND o_orderkey NOT BETWEEN 21 AND 30
+            ORDER BY o_orderkey"""))
+
   /** W1 put/delete through the RT log: puts override, tombstones hide. */
   val w1PutDelete = QueryDef(
     "w1_put_delete",
@@ -7295,7 +7334,7 @@ object Queries {
     r10Predicates, r11Stream, qWindow, qRollup, qSemi, qAnti, qSessionize,
     b3Ttl, b4Compaction, b4DupAudit, b7Quota, b8Partition,
     w3WriteCompute, w5Lww, w6DeleteWins, w7Crdt, w7CrdtMap, w8Squash, w11Div, w12Hll, w13HotKeys,
-    r12Meta, r13SchemaEvolution, b13IncrementalView, b14AaView,
+    r12Meta, r13SchemaEvolution, b13IncrementalView, b14AaView, b19JoinView,
     r14AaEvolution, s3LagGate, w1PutDelete, dsv2StoreRead,
     w2UpdateBuilder, w4UpdateSchema, w9Chunk, b6Wire,
     b1Avro, w10Compression, b10Metrics, b11Incremental, b12Etl,

@@ -19,7 +19,7 @@ object StressCheck {
     // aaview bloom) — no args runs everything
     val only = args.toSet
     def on(tag: String): Boolean = only.isEmpty || only(tag)
-    // (new tags round 5: salted, aggview)
+    // (new tags round 5: salted, aggview; round 7: joinview)
 
     val base = Tables.events(spark, sfDir)
       .crossJoin(spark.range(120).select(col("id").as("rep")))
@@ -454,6 +454,62 @@ object StressCheck {
       val diff = got.exceptAll(full).union(full.exceptAll(got)).count()
       require(diff == 0, s"agg view != recompute on $diff groups")
       println("[stress] agg view refresh ≡ full recompute (checked)")
+    }
+
+    if (on("bpe100")) {
+      // the driver-loop cost curve: one recount job per merge (batch=1)
+      // vs the batched variant's steps/batch jobs — the difference between
+      // a 3-step demo and a real 32k-merge vocab build
+      val words = Tables.documents(spark, sfDir)
+        .select(explode(split(lower(col("text")), " ")).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy("word").agg(count(lit(1)).as("f"))
+        .persist()
+      words.count()
+      timed("bpe 100 merges batch=8") {
+        val (m, v) = graft.operators.Bpe.trainMerges(spark, words, 100,
+          batch = 8)
+        v.unpersist(); m.length.toLong
+      }
+      timed("bpe 100 merges batch=1") {
+        val (m, v) = graft.operators.Bpe.trainMerges(spark, words, 100)
+        v.unpersist(); m.length.toLong
+      }
+      words.unpersist()
+    }
+
+    if (on("joinview")) {
+      val eng = new graft.core.GraftEngine(spark,
+        java.nio.file.Files.createTempDirectory("graft-stress-jv").toString)
+      val nKeys = 1500000L
+      eng.createStore("jl", Seq("k"))
+      eng.createStore("jr", Seq("k"))
+      eng.push("jl", spark.range(nKeys).select(col("id").as("k"),
+        (col("id") % 1000).as("lv")), numBuckets = 32)
+      eng.push("jr", spark.range(nKeys).select(col("id").as("k"),
+        (col("id") % 777).as("rv")), numBuckets = 32)
+      timed("join view build 1.5M⋈1.5M") {
+        eng.joinView("jl", "jr", "jv", numBuckets = 32)
+        eng.servingView("jv").count()
+      }
+      // 5k puts left + 3k puts right + 2k deletes: the refresh must do
+      // delta-sized work (broadcast probes), never re-join 1.5M×1.5M
+      eng.put("jl", spark.range(5000).select(col("id").as("k"),
+        lit(9999L).as("lv")), tsMs = 1000L)
+      eng.put("jr", spark.range(5000, 8000).select(col("id").as("k"),
+        lit(8888L).as("rv")), tsMs = 1100L)
+      eng.delete("jl", spark.range(8000, 10000).select(col("id").as("k")),
+        tsMs = 1200L)
+      timed("join view refresh 10k") {
+        eng.refreshJoinView("jv")
+        1L
+      }
+      val got = eng.servingView("jv").select("k", "lv", "rv")
+      val full = eng.servingView("jl").join(eng.servingView("jr"), Seq("k"))
+        .select("k", "lv", "rv")
+      val diff = got.exceptAll(full).union(full.exceptAll(got)).count()
+      require(diff == 0, s"join view != recompute on $diff rows")
+      println("[stress] join view refresh ≡ full recompute (checked)")
     }
 
     if (on("aaview")) {

@@ -177,6 +177,15 @@ class GraftEngine(val spark: SparkSession, val root: String) {
       .write.mode("overwrite")
       .partitionBy(BucketCol)
       .parquet(dir(name, s"v=$v"))
+    // zero-row version (every key tombstoned before a repush): the
+    // partitionBy write above emits no data files, so the snapshot read
+    // would fail schema inference — append ONE empty schema-carrying file
+    // with __bucket as a regular column (drop/filter behave identically on
+    // read). Detection is a driver-side listing; limit(0) folds to an
+    // empty LocalRelation, so the plan is never re-executed.
+    if (!hasParquetData(Paths.get(dir(name, s"v=$v"))))
+      bucketed.limit(0).repartition(1).write.mode("append")
+        .parquet(dir(name, s"v=$v"))
     // per-version bucket-count marker (underscore file — ignored by Spark's
     // file index): BUCKETS tracks the LATEST push, but retained versions
     // written before a rebucket keep their own count, and the DSv2 bucket-
@@ -1023,8 +1032,7 @@ class GraftEngine(val spark: SparkSession, val root: String) {
       // would physically retain — and resurrect — purged rows)
       Seq("log", "updates").foreach { d =>
         val p = Paths.get(dir(viewName, d))
-        if (Files.exists(p))
-          Files.move(p, Paths.get(dir(viewName, s"${d}_applied_v$v")))
+        if (Files.exists(p)) Files.move(p, archiveTarget(viewName, d, v))
       }
       saveViewCoord(viewName, src, newCoord)
       return
@@ -1057,6 +1065,112 @@ class GraftEngine(val spark: SparkSession, val root: String) {
         tsCol = col("__r_ts"), deletedCol = col("__r_del"))
       saveViewCoord(viewName, src, newCoord)
     } finally latest.unpersist()
+  }
+
+  // ---- incremental JOIN views ----------------------------------------------
+
+  /** Materialize the INNER equi-join of two stores sharing key columns —
+    * the feature-store join (user_features ⋈ user_profile on user_id),
+    * maintainable from both changelogs without recomputing the join
+    * (reference intent: views are maintained from the ingest path, not by
+    * rescan — views/MaterializedView.java:23-70; semantics, not code).
+    * Value columns must be disjoint (standard join hygiene). Returns the
+    * view's initial version. */
+  def joinView(left: String, right: String, viewName: String,
+      numBuckets: Int = 16): Int = {
+    val lk = storeMeta(left).keyCols
+    val rk = storeMeta(right).keyCols
+    require(lk == rk,
+      s"joinView needs both stores keyed by the same columns ($lk vs $rk)")
+    val overlap = (servingView(left).columns.toSet
+      .intersect(servingView(right).columns.toSet)) -- lk
+    require(overlap.isEmpty,
+      s"joinView value columns must be disjoint; both sides carry $overlap")
+    createStore(viewName, lk)
+    // capture coordinates BEFORE materializing (at-least-once replay)
+    val cl = latestCoordinate(left)
+    val cr = latestCoordinate(right)
+    val v = push(viewName, servingView(left).join(servingView(right), lk),
+      numBuckets)
+    saveJoinCoords(viewName, left, cl, right, cr)
+    v
+  }
+
+  private def saveJoinCoords(viewName: String, l: String, cl: ChangeCoordinate,
+      r: String, cr: ChangeCoordinate): Unit =
+    Files.writeString(Paths.get(dir(viewName, "JOIN_SRC")),
+      s"$l,${cl.version},${cl.seq}\n$r,${cr.version},${cr.seq}")
+
+  private def joinCoords(viewName: String)
+      : ((String, ChangeCoordinate), (String, ChangeCoordinate)) = {
+    val Array(l0, r0) = Files.readString(Paths.get(dir(viewName, "JOIN_SRC")))
+      .trim.split("\n")
+    def parse(s: String) = {
+      val p = s.split(","); (p(0), ChangeCoordinate(p(1).toInt, p(2).toLong))
+    }
+    (parse(l0), parse(r0))
+  }
+
+  /** Delta-join refresh: changed keys from EITHER changelog probe the
+    * other store's serving view — the last IVM shape [[refreshView]]
+    * (re-key) and [[aggView]] (distributive aggregates) don't cover.
+    *
+    *  1. Δ = union of both sources' changed keys since the stored
+    *     coordinates (latest-per-key compaction, then distinct) —
+    *     delta-sized by construction;
+    *  2. tombstone every view row keyed in Δ (a delete for a key the view
+    *     never held is a harmless tombstone — no read needed);
+    *  3. recompute the join FOR Δ ONLY: each side's serving view is
+    *     semi-joined down to Δ (broadcast — Δ is small; the store scans
+    *     stay filter-pushed point-ish reads, exactly batchGet's shape),
+    *     inner-joined, and re-inserted one LWW tick above the tombstone.
+    *
+    * Deletes on either side fall out naturally: the key is in Δ, the
+    * inner join no longer emits it, the tombstone stands. A source
+    * repush/rollback (version moved) falls back to a full rebuild — the
+    * changelog consumer's resync rule. Cost per refresh: O(|Δ|) probe
+    * rows + two broadcast semi-joins; never a view scan-rewrite. */
+  def refreshJoinView(viewName: String): Unit = {
+    val ((left, cl), (right, cr)) = joinCoords(viewName)
+    val keys = storeMeta(viewName).keyCols
+    val ncl = latestCoordinate(left)
+    val ncr = latestCoordinate(right)
+    if (cl == ncl && cr == ncr) return // caught up
+    if (cl.version != currentVersion(left) ||
+        cr.version != currentVersion(right)) {
+      // post-swap resync: full rebuild, pending view deltas superseded
+      val v = push(viewName, servingView(left).join(servingView(right), keys),
+        numBuckets(viewName))
+      Seq("log", "updates").foreach { d =>
+        val p = Paths.get(dir(viewName, d))
+        if (Files.exists(p)) Files.move(p, archiveTarget(viewName, d, v))
+      }
+      saveJoinCoords(viewName, left, ncl, right, ncr)
+      return
+    }
+    val changed = changelogSince(left, cl).select(keys.map(col): _*)
+      .unionByName(changelogSince(right, cr).select(keys.map(col): _*))
+      .distinct().cache()
+    try {
+      if (changed.limit(1).isEmpty) {
+        saveJoinCoords(viewName, left, ncl, right, ncr); return
+      }
+      val tick = 2L * (currentLogSeq(viewName) + 1)
+      val fresh = servingView(left)
+        .join(broadcast(changed), keys, "left_semi")
+        .join(servingView(right).join(broadcast(changed), keys, "left_semi"),
+          keys)
+      // ONE atomic append (tombstones + re-inserts), as in refreshView:
+      // two appends would leave a crash window with rows lost
+      val stale = changed
+        .withColumn("__r_ts", lit(tick)).withColumn("__r_del", lit(true))
+      val live = fresh
+        .withColumn("__r_ts", lit(tick + 1)).withColumn("__r_del", lit(false))
+      appendLogRows(viewName,
+        stale.unionByName(live, allowMissingColumns = true),
+        tsCol = col("__r_ts"), deletedCol = col("__r_del"))
+      saveJoinCoords(viewName, left, ncl, right, ncr)
+    } finally { changed.unpersist(); () }
   }
 
   // ---- incremental AGGREGATE views -----------------------------------------
@@ -1377,7 +1491,12 @@ class GraftEngine(val spark: SparkSession, val root: String) {
     // repush inherits it; changing it REQUIRES a full push — semantics,
     // not code: VeniceHelixAdmin partition-count handling)
     val nb = newBuckets.getOrElse(numBuckets(name))
-    if (isActiveActive(name) && hasAaLog(name)) {
+    // A/A stores take this branch even with NO pending op log (e.g. a
+    // rebucket right after a repush): the LWW branch below would conform
+    // the snapshot to the value superset, STRIPPING the persisted RMD
+    // columns — a tombstoned record would resurrect as a live null row
+    // (found by EngineFuzzSpec: ADel; repush; rebucket).
+    if (isActiveActive(name)) {
       // compact WITH the merged RMD columns: the new version keeps
       // per-field/per-element timestamps, so late out-of-order events
       // arriving after the repush still resolve correctly (Venice persists
@@ -1406,8 +1525,9 @@ class GraftEngine(val spark: SparkSession, val root: String) {
       rows.count()
       val v = push(name, rows, nb)
       rows.unpersist()
-      Files.move(Paths.get(dir(name, "aa_log")),
-        Paths.get(dir(name, s"aa_log_applied_v$v")))
+      if (hasAaLog(name))
+        Files.move(Paths.get(dir(name, "aa_log")),
+          archiveTarget(name, "aa_log", v))
       // the archived log's bucket layout dies with it — the next append
       // re-pins to the (possibly changed) snapshot bucket count
       Files.deleteIfExists(Paths.get(dir(name, "AA_BUCKETS")))
@@ -1440,10 +1560,28 @@ class GraftEngine(val spark: SparkSession, val root: String) {
     // the new version now carries the folded state — archive consumed logs
     Seq("log", "updates").foreach { d =>
       val p = Paths.get(dir(name, d))
-      if (Files.exists(p))
-        Files.move(p, Paths.get(dir(name, s"${d}_applied_v$v")))
+      if (Files.exists(p)) Files.move(p, archiveTarget(name, d, v))
     }
     v
+  }
+
+  /** Any .parquet data file under `p` (recursive one level — bucket dirs)? */
+  private def hasParquetData(p: java.nio.file.Path): Boolean = {
+    val s = Files.walk(p, 2)
+    try s.anyMatch(f => f.getFileName.toString.endsWith(".parquet"))
+    finally s.close()
+  }
+
+  /** Unique archive path for a consumed log: `<d>_applied_v<v>` can repeat
+    * after a rollback + repush re-mints version v — suffix until free. */
+  private def archiveTarget(name: String, d: String,
+      v: Int): java.nio.file.Path = {
+    var cand = Paths.get(dir(name, s"${d}_applied_v$v"))
+    var i = 2
+    while (Files.exists(cand)) {
+      cand = Paths.get(dir(name, s"${d}_applied_v${v}_$i")); i += 1
+    }
+    cand
   }
 
   /** Size-tiered compaction policy: repush iff the RT overlay has grown

@@ -39,11 +39,23 @@ object Bpe {
   final case class Merge(step: Int, pair: String, count: Long)
 
   /** @param words (word: String, f: Long) vocabulary with corpus counts
+    * @param batch merges applied per Spark iteration. 1 (default) is the
+    *        EXACT sequential greedy loop — one recount job per merge, the
+    *        oracle path. Larger batches apply up to `batch`
+    *        symbol-DISJOINT pairs from one count (the standard batched-BPE
+    *        optimization, public knowledge): a merge only perturbs counts
+    *        of pairs sharing one of its symbols, so disjoint picks keep
+    *        their batch-start counts exact; the approximation is only that
+    *        a pair CREATED by an earlier pick (x,ab) cannot be chosen
+    *        until the next batch — a real 32k-merge vocab trains in
+    *        steps/batch recount jobs instead of steps (the driver-loop
+    *        cost curve StressCheck's 100-merge case pins).
     * @return the chosen merges in order, and the vocab with its final
     *         space-delimited symbol encoding (`word`, `f`, `sym`) */
-  def trainMerges(spark: SparkSession, words: DataFrame, steps: Int)
-      : (Seq[Merge], DataFrame) = {
+  def trainMerges(spark: SparkSession, words: DataFrame, steps: Int,
+      batch: Int = 1): (Seq[Merge], DataFrame) = {
     require(steps >= 1, s"steps must be >= 1, got $steps")
+    require(batch >= 1, s"batch must be >= 1, got $batch")
     // char-split via a zero-width regex; the (?=.) guard stops the split
     // from also matching at end-of-string (Spark splits with limit -1,
     // which would append a trailing empty symbol)
@@ -53,9 +65,11 @@ object Bpe {
       .persist()
     vocab.count() // materialize before the loop re-derives from it
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
-    for (step <- 1 to steps) {
+    var step = 1
+    while (step <= steps) {
+      val want = math.min(batch, steps - step + 1)
       val s = split(trim(col("sym")), " ")
-      val best = vocab
+      val top = vocab
         // single-symbol words have no pairs — and would make the
         // sequence() below DESCEND through index 0 (ANSI array error)
         .filter(size(s) >= 2)
@@ -65,17 +79,27 @@ object Bpe {
           .as("pair"))
         .groupBy(col("pair")).agg(sum(col("f")).as("cnt"))
         .orderBy(col("cnt").desc, col("pair").asc)
-        .limit(1).collect()
-      if (best.isEmpty) return (merges.toSeq, vocab) // nothing left to merge
-      val pair = best(0).getString(0)
-      val cnt = best(0).getLong(1)
-      merges += Merge(step, pair, cnt)
-      val pat = lit(s" $pair "); val rep = lit(" " + pair.replace(" ", "") + " ")
+        // over-fetch so conflict skips still fill the batch; want=1 keeps
+        // the original single-argmax semantics (picked head = argmax)
+        .limit(math.max(4 * want, 4)).collect()
+      if (top.isEmpty) return (merges.toSeq, vocab) // nothing left to merge
+      val used = scala.collection.mutable.Set.empty[String]
+      val picked = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+      top.iterator.takeWhile(_ => picked.size < want).foreach { r =>
+        val p = r.getString(0)
+        val syms = p.split(" ")
+        if (syms.forall(!used(_))) {
+          picked += ((p, r.getLong(1))); used ++= syms
+        }
+      }
+      picked.foreach { case (p, c) => merges += Merge(step, p, c); step += 1 }
       val prev = vocab
       vocab = prev.withColumn("sym",
-        org.apache.spark.sql.functions.replace(
-          org.apache.spark.sql.functions.replace(col("sym"), pat, rep),
-          pat, rep))
+        picked.foldLeft(col("sym")) { case (c, (p, _)) =>
+          val pat = lit(s" $p "); val rep = lit(" " + p.replace(" ", "") + " ")
+          org.apache.spark.sql.functions.replace(
+            org.apache.spark.sql.functions.replace(c, pat, rep), pat, rep)
+        })
         .persist()
       vocab.count()
       prev.unpersist()

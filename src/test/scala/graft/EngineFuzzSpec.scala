@@ -1,0 +1,408 @@
+package graft
+
+import java.nio.file.Files
+import java.util.concurrent.{Callable, Executors, TimeUnit}
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalacheck.{Gen, rng}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.{GraftEngine, GraftSession}
+import graft.operators.{UpdateBuilder, WriteCompute}
+
+/** Engine-level differential fuzzing: random op interleavings
+  * (put/delete/update/repush/rollback/rebucket, LWW and A/A stores)
+  * executed against a real [[GraftEngine]] and replayed on a sequential
+  * in-memory model of the documented semantics — the engine-boundary
+  * analog of the reference's TLA+ intent (specs/TLA+/CRDT: convergence of
+  * the conflict resolution under arbitrary op orders; semantics, not
+  * code), beyond CrdtMergeSpec's per-fold permutations.
+  *
+  * 1000 ScalaCheck-generated scripts (500 LWW + 500 A/A), run on a thread
+  * pool (independent stores; Spark schedules concurrent jobs FIFO). On a
+  * mismatch the failing script is SHRUNK by greedy op-deletion to a
+  * minimal reproduction before reporting.
+  *
+  * Model semantics pinned here:
+  *  - LWW: winner per key = max (ts, deleted, rendered-payload) — snapshot
+  *    rows at ts 0, delete-wins on ties, string tie-break on put/put ties
+  *    (concat_ws skips null columns).
+  *  - Write-compute: updates fold IN TS ORDER onto the post-LWW state;
+  *    an update whose key is absent creates the record from a null base.
+  *  - A/A: per-field (ts, value); put stamps record marker + every field,
+  *    delete beats fields/marker with older ts and leaves its own ts
+  *    behind (late lower-ts puts stay dead), set-field touches one field;
+  *    visible iff the marker survived or any field is live.
+  *  - repush/rebucket: fold everything into a new version, logs archived;
+  *    rollback: pointer flip to the newest older version, pending logs
+  *    still overlay; repush after rollback re-mints the version number.
+  */
+class EngineFuzzSpec extends AnyFunSuite {
+  lazy val spark = GraftSession.build(cpus = 8, appName = "engine-fuzz")
+
+  private val Keys = Seq(1L, 2L, 3L, 4L, 5L)
+  private val TsPool = Seq(10L, 20L, 30L, 40L) // reuse → tie coverage (LWW)
+
+  // ---------------------------------------------------------------- LWW ----
+
+  sealed trait LOp
+  case class LPut(kvs: Seq[(Long, String, Long)], ts: Long) extends LOp
+  case class LDel(ks: Seq[Long], ts: Long) extends LOp
+  case class LUpd(k: Long, field: String, sv: String, lv: Long, ts: Long)
+    extends LOp
+  case object LRepush extends LOp
+  case object LRollback extends LOp
+  case class LRebucket(n: Int) extends LOp
+
+  case class MVal(name: Option[String], score: Option[Long])
+
+  /** Sequential in-memory model of an LWW store. */
+  final class LwwModel {
+    val versions = mutable.Map[Int, Map[Long, MVal]]()
+    var current = 0
+    var log = Vector.empty[(Long, Long, Boolean, MVal)] // ts, k, del, v
+    var updates = Vector.empty[(Long, Long, String, String, Long)]
+
+    def init(rows: Map[Long, MVal]): Unit = { versions(1) = rows; current = 1 }
+
+    private def render(k: Long, v: MVal): String =
+      (Seq(k.toString) ++ v.name.toSeq ++ v.score.map(_.toString)).mkString("|")
+
+    def resolve(): Map[Long, MVal] = {
+      val snap = versions.getOrElse(current, Map.empty)
+      val keys = snap.keySet ++ log.map(_._2)
+      val merged = keys.flatMap { k =>
+        val cands = snap.get(k).map(v => (0L, false, v)).toSeq ++
+          log.collect { case (ts, `k`, del, v) => (ts, del, v) }
+        val win = cands.maxBy { case (ts, del, v) =>
+          (ts, if (del) 1 else 0, render(k, v)) }
+        if (win._2) None else Some(k -> win._3)
+      }.toMap
+      val byKey = updates.groupBy(_._2)
+      (merged.keySet ++ byKey.keySet).flatMap { k =>
+        byKey.get(k) match {
+          case None => merged.get(k).map(k -> _)
+          case Some(us) =>
+            val base = merged.getOrElse(k, MVal(None, None))
+            Some(k -> us.sortBy(_._1).foldLeft(base) { (acc, u) =>
+              if (u._3 == "name") acc.copy(name = Some(u._4))
+              else acc.copy(score = Some(u._5))
+            })
+        }
+      }.toMap
+    }
+
+    def hasBackup: Boolean = versions.keys.exists(_ < current)
+
+    def apply(op: LOp): Unit = op match {
+      case LPut(kvs, ts) =>
+        log ++= kvs.map { case (k, n, s) =>
+          (ts, k, false, MVal(Some(n), Some(s))) }
+      case LDel(ks, ts) =>
+        log ++= ks.map(k => (ts, k, true, MVal(None, None)))
+      case LUpd(k, f, sv, lv, ts) => updates :+= ((ts, k, f, sv, lv))
+      case LRepush | LRebucket(_) =>
+        val state = resolve(); val v = current + 1
+        versions(v) = state; current = v
+        log = Vector.empty; updates = Vector.empty
+      case LRollback =>
+        current = versions.keys.filter(_ < current).max
+    }
+  }
+
+  private val lwwOpGen: Gen[LOp] = {
+    val put = for {
+      ks <- Gen.nonEmptyContainerOf[Set, Long](Gen.oneOf(Keys))
+      ts <- Gen.oneOf(TsPool)
+      tag <- Gen.choose(0, 9)
+    } yield LPut(ks.toSeq.sorted.map(k => (k, s"p$tag-$k", tag * 100L + k)), ts)
+    val del = for {
+      ks <- Gen.nonEmptyContainerOf[Set, Long](Gen.oneOf(Keys))
+      ts <- Gen.oneOf(TsPool)
+    } yield LDel(ks.toSeq.sorted, ts)
+    val upd = for {
+      k <- Gen.oneOf(Keys)
+      f <- Gen.oneOf("name", "score")
+      tag <- Gen.choose(0, 9)
+    } yield LUpd(k, f, s"u$tag", 1000L + tag, 0L) // ts assigned per-index below
+    Gen.frequency(4 -> put, 3 -> del, 2 -> upd, 1 -> Gen.const(LRepush),
+      1 -> Gen.const(LRollback), 1 -> Gen.choose(2, 8).map(LRebucket))
+  }
+
+  private val lwwScriptGen: Gen[List[LOp]] = for {
+    n <- Gen.choose(3, 8)
+    ops <- Gen.listOfN(n, lwwOpGen)
+  } yield ops.zipWithIndex.map { // unique ts per update: squash order defined
+    case (u: LUpd, i) => u.copy(ts = 200L + i)
+    case (op, _) => op
+  }
+
+  private def runLww(script: List[LOp]): Option[String] = {
+    val root = Files.createTempDirectory("fuzz-lww").toString
+    val e = new GraftEngine(spark, root)
+    e.createStore("s", Seq("k"))
+    val model = new LwwModel
+    val initRows = Keys.take(3).map(k => (k, s"init$k", k * 100L))
+    val schema = StructType(Seq(StructField("k", LongType),
+      StructField("name", StringType), StructField("score", LongType)))
+    def df(rows: Seq[(Long, String, Long)]) = spark.createDataFrame(
+      rows.map(r => Row(r._1, r._2, r._3)).asJava, schema)
+    e.push("s", df(initRows), numBuckets = 4)
+    model.init(initRows.map(r => r._1 -> MVal(Some(r._2), Some(r._3))).toMap)
+    val valueSchema = StructType(schema.fields.filterNot(_.name == "k"))
+    val updSchema = StructType(StructField("k", LongType) +:
+      WriteCompute.deriveUpdateSchema(valueSchema).fields)
+    script.foreach {
+      case op @ LPut(kvs, ts) => e.put("s", df(kvs), ts); model(op)
+      case op @ LDel(ks, ts) =>
+        e.delete("s", spark.createDataFrame(
+          ks.map(k => Row(k)).asJava,
+          StructType(Seq(StructField("k", LongType)))), ts)
+        model(op)
+      case op @ LUpd(k, f, sv, lv, ts) =>
+        val b = new UpdateBuilder(valueSchema)
+        val u = (if (f == "name") b.setField("name", sv)
+                 else b.setField("score", lv)).buildRow()
+        e.update("s", spark.createDataFrame(
+          List(Row.fromSeq(k +: u.toSeq)).asJava, updSchema), ts)
+        model(op)
+      case LRepush => e.repush("s"); model(LRepush)
+      case op @ LRebucket(n) => e.rebucket("s", n); model(op)
+      case LRollback =>
+        if (model.hasBackup) { e.rollback("s"); model(LRollback) }
+        else {
+          intercept[IllegalStateException] { e.rollback("s") }
+          () // engine refused; state unchanged on both sides
+        }
+    }
+    val got = e.servingView("s").select("k", "name", "score").collect()
+      .map(r => r.getLong(0) ->
+        MVal(Option(r.get(1)).map(_.toString),
+          Option(r.get(2)).map(_.asInstanceOf[Long]))).toMap
+    val want = model.resolve()
+    if (got == want) None
+    else Some(s"engine=$got\n  model=$want")
+  }
+
+  // ---------------------------------------------------------------- A/A ----
+
+  sealed trait AOp { def ts: Long }
+  case class APut(k: Long, name: String, score: Long, ts: Long) extends AOp
+  case class ADel(k: Long, ts: Long) extends AOp
+  case class ASet(k: Long, field: String, sv: String, lv: Long, ts: Long)
+    extends AOp
+  case class AAdmin(kind: String, n: Int, ts: Long) extends AOp // repush etc
+
+  case class AField(ts: Long, v: Option[Any])
+  case class ARec(recTs: Long, rec: Boolean, name: AField, score: AField)
+
+  final class AaModel {
+    private val Bottom = Long.MinValue
+    private def blank = ARec(Bottom, false, AField(Bottom, None),
+      AField(Bottom, None))
+    val versions = mutable.Map[Int, Map[Long, ARec]]()
+    var current = 0
+    var ops = Vector.empty[AOp]
+
+    def init(rows: Map[Long, (String, Long)]): Unit = {
+      versions(1) = rows.map { case (k, (n, s)) =>
+        k -> ARec(Bottom, true, AField(Bottom, Some(n)), AField(Bottom, Some(s)))
+      }.toMap
+      current = 1
+    }
+
+    def resolve(): Map[Long, ARec] = {
+      val state = mutable.Map.empty[Long, ARec] ++
+        versions.getOrElse(current, Map.empty)
+      ops.foreach {
+        case APut(k, n, s, ts) =>
+          val r = state.getOrElse(k, blank)
+          state(k) = r.copy(
+            recTs = math.max(r.recTs, ts),
+            rec = if (ts > r.recTs) true else r.rec,
+            name = if (ts > r.name.ts) AField(ts, Some(n)) else r.name,
+            score = if (ts > r.score.ts) AField(ts, Some(s)) else r.score)
+        case ADel(k, ts) =>
+          val r = state.getOrElse(k, blank)
+          state(k) = r.copy(
+            recTs = math.max(r.recTs, ts),
+            rec = if (ts > r.recTs) false else r.rec,
+            name = if (ts > r.name.ts) AField(ts, None) else r.name,
+            score = if (ts > r.score.ts) AField(ts, None) else r.score)
+        case ASet(k, f, sv, lv, ts) =>
+          val r = state.getOrElse(k, blank)
+          state(k) =
+            if (f == "name")
+              r.copy(name =
+                if (ts > r.name.ts) AField(ts, Some(sv)) else r.name)
+            else
+              r.copy(score =
+                if (ts > r.score.ts) AField(ts, Some(lv)) else r.score)
+        case _: AAdmin => // handled by apply
+      }
+      state.toMap
+    }
+
+    def visible(): Map[Long, (Option[String], Option[Long])] =
+      resolve().collect {
+        case (k, r) if r.rec || r.name.v.nonEmpty || r.score.v.nonEmpty =>
+          k -> (r.name.v.map(_.toString),
+            r.score.v.map(_.asInstanceOf[Long]))
+      }
+
+    def hasBackup: Boolean = versions.keys.exists(_ < current)
+
+    def apply(op: AOp): Unit = op match {
+      case AAdmin("repush", _, _) | AAdmin("rebucket", _, _) =>
+        val v = current + 1
+        versions(v) = resolve(); current = v; ops = Vector.empty
+      case AAdmin("rollback", _, _) =>
+        current = versions.keys.filter(_ < current).max
+      case o => ops :+= o
+    }
+  }
+
+  private val aaOpGen: Gen[AOp] = {
+    val put = for {
+      k <- Gen.oneOf(Keys); tag <- Gen.choose(0, 9)
+    } yield APut(k, s"a$tag-$k", tag * 10L + k, 0L)
+    val del = Gen.oneOf(Keys).map(k => ADel(k, 0L))
+    val set = for {
+      k <- Gen.oneOf(Keys); f <- Gen.oneOf("name", "score")
+      tag <- Gen.choose(0, 9)
+    } yield ASet(k, f, s"s$tag", 500L + tag, 0L)
+    Gen.frequency(4 -> put, 3 -> del, 3 -> set,
+      1 -> Gen.const(AAdmin("repush", 0, 0L)),
+      1 -> Gen.const(AAdmin("rollback", 0, 0L)),
+      1 -> Gen.choose(2, 8).map(n => AAdmin("rebucket", n, 0L)))
+  }
+
+  /** Distinct, SHUFFLED timestamps: ops arrive out of ts order — the A/A
+    * resolution must converge regardless (including late old-ts events
+    * landing after a repush persisted the RMD state). */
+  private val aaScriptGen: Gen[List[AOp]] = for {
+    n <- Gen.choose(3, 8)
+    ops <- Gen.listOfN(n, aaOpGen)
+    perm <- Gen.const(()).flatMap(_ => genPerm(n))
+  } yield ops.zip(perm).map {
+    case (o: APut, t) => o.copy(ts = t)
+    case (o: ADel, t) => o.copy(ts = t)
+    case (o: ASet, t) => o.copy(ts = t)
+    case (o: AAdmin, _) => o
+  }
+
+  private def genPerm(n: Int): Gen[Seq[Long]] =
+    Gen.listOfN(n, Gen.choose(0, 1 << 20)).map { rs =>
+      // rank-order the random draws → a shuffled permutation of 10,20,…
+      val ranks = rs.zipWithIndex.sortBy(x => (x._1, x._2)).zipWithIndex
+        .map { case ((_, orig), rank) => orig -> ((rank + 1) * 10L) }
+        .toMap
+      (0 until n).map(ranks)
+    }
+
+  private def runAa(script: List[AOp]): Option[String] = {
+    val root = Files.createTempDirectory("fuzz-aa").toString
+    val e = new GraftEngine(spark, root)
+    e.createStore("s", Seq("k"))
+    e.enableActiveActive("s")
+    val model = new AaModel
+    val initRows = Keys.take(3).map(k => (k, s"init$k", k * 100L))
+    val schema = StructType(Seq(StructField("k", LongType),
+      StructField("name", StringType), StructField("score", LongType)))
+    def df(rows: Seq[(Long, String, Long)]) = spark.createDataFrame(
+      rows.map(r => Row(r._1, r._2, r._3)).asJava, schema)
+    e.push("s", df(initRows), numBuckets = 4)
+    model.init(initRows.map(r => r._1 -> (r._2, r._3)).toMap)
+    val kdf = (k: Long) => spark.createDataFrame(List(Row(k)).asJava,
+      StructType(Seq(StructField("k", LongType))))
+    script.foreach {
+      case op @ APut(k, n, s, ts) => e.putAA("s", df(Seq((k, n, s))), ts); model(op)
+      case op @ ADel(k, ts) => e.deleteAA("s", kdf(k), ts); model(op)
+      case op @ ASet(k, f, sv, lv, ts) =>
+        if (f == "name")
+          e.setFieldAA("s", spark.createDataFrame(List(Row(k, sv)).asJava,
+            StructType(Seq(StructField("k", LongType),
+              StructField("name", StringType)))), "name", ts)
+        else
+          e.setFieldAA("s", spark.createDataFrame(List(Row(k, lv)).asJava,
+            StructType(Seq(StructField("k", LongType),
+              StructField("score", LongType)))), "score", ts)
+        model(op)
+      case op @ AAdmin("repush", _, _) => e.repush("s"); model(op)
+      case op @ AAdmin("rebucket", n, _) => e.rebucket("s", n); model(op)
+      case op @ AAdmin("rollback", _, _) =>
+        if (model.hasBackup) { e.rollback("s"); model(op) }
+        else { intercept[IllegalStateException] { e.rollback("s") }; () }
+      case other => fail(s"unknown op $other")
+    }
+    val got = e.servingView("s").select("k", "name", "score").collect()
+      .map(r => r.getLong(0) -> (Option(r.get(1)).map(_.toString),
+        Option(r.get(2)).map(_.asInstanceOf[Long]))).toMap
+    val want = model.visible()
+    if (got == want) None
+    else Some(s"engine=$got\n  model=$want")
+  }
+
+  // ------------------------------------------------------------- harness ---
+
+  private def genAt[T](g: Gen[T], seed: Long): T =
+    g.apply(Gen.Parameters.default, rng.Seed(seed)).get
+
+  /** Greedy delta-debugging shrink: drop ops one at a time while the
+    * mismatch persists (engine runs are deterministic). */
+  private def shrink[T](script: List[T], fails: List[T] => Option[String])
+      : (List[T], String) = {
+    var cur = script
+    var msg = fails(cur).getOrElse("")
+    var progress = true
+    while (progress && cur.length > 1) {
+      progress = false
+      var i = 0
+      while (i < cur.length && !progress) {
+        val cand = cur.patch(i, Nil, 1)
+        fails(cand) match {
+          case Some(m) => cur = cand; msg = m; progress = true
+          case None => i += 1
+        }
+      }
+    }
+    (cur, msg)
+  }
+
+  private def fuzz[T](label: String, n: Int, gen: Gen[List[T]],
+      run: List[T] => Option[String]): Unit = {
+    val pool = Executors.newFixedThreadPool(8)
+    try {
+      val tasks = (0 until n).map { i =>
+        new Callable[Option[(Long, List[T], String)]] {
+          override def call(): Option[(Long, List[T], String)] = {
+            val script = genAt(gen, i.toLong)
+            run(script).map(msg => (i.toLong, script, msg))
+          }
+        }
+      }
+      val failures = pool.invokeAll(tasks.asJava).asScala
+        .flatMap(_.get()).toList
+      failures.headOption.foreach { case (seed, script, _) =>
+        val (minScript, minMsg) = shrink(script, run)
+        fail(s"$label differential mismatch (seed=$seed, " +
+          s"${failures.length}/$n scripts failed).\n  Minimal script " +
+          s"(${minScript.length} ops): ${minScript.mkString("; ")}\n  $minMsg")
+      }
+    } finally {
+      pool.shutdown()
+      pool.awaitTermination(10, TimeUnit.MINUTES)
+      ()
+    }
+  }
+
+  test("LWW engine ≡ sequential model over 500 random op scripts") {
+    fuzz("LWW", 500, lwwScriptGen, runLww)
+  }
+
+  test("A/A engine ≡ sequential model over 500 random op scripts") {
+    fuzz("A/A", 500, aaScriptGen, runAa)
+  }
+}

@@ -784,4 +784,38 @@ class EngineSpec extends AnyFunSuite {
     // recovery bootstraps — it refuses to overwrite an existing store
     intercept[IllegalArgumentException] { b.recoverStoreFrom(a.root, "aa") }
   }
+
+  test("join view: delta refresh ≡ full recompute across puts/deletes/new keys") {
+    import spark.implicits._
+    engine.createStore("jl", Seq("k"))
+    engine.createStore("jr", Seq("k"))
+    engine.push("jl", (1L to 100L).map(k => (k, s"L$k")).toDF("k", "lv"),
+      numBuckets = 4)
+    engine.push("jr", (1L to 95L).map(k => (k, k * 10L)).toDF("k", "rv"),
+      numBuckets = 4)
+    engine.joinView("jl", "jr", "jv", numBuckets = 4)
+    assert(engine.servingView("jv").count() == 95) // inner: 96..100 left-only
+    // delta: value change, delete (drops from inner), key completing the
+    // pair from the OTHER side, and a still-unmatched new key
+    engine.put("jl", Seq((10L, "L10x"), (200L, "L200")).toDF("k", "lv"), 1000L)
+    engine.put("jr", Seq((200L, 2000L), (300L, 3000L)).toDF("k", "rv"), 1500L)
+    engine.delete("jl", Seq(Tuple1(1L)).toDF("k"), 2000L)
+    engine.refreshJoinView("jv")
+    def recompute() = engine.servingView("jl")
+      .join(engine.servingView("jr"), Seq("k"))
+      .select("k", "lv", "rv").collect().toSet
+    assert(engine.servingView("jv").select("k", "lv", "rv").collect().toSet
+      == recompute())
+    assert(engine.get("jv", Seq(200L)).get.getAs[String]("lv") == "L200")
+    assert(engine.get("jv", Seq(1L)).isEmpty)
+    assert(engine.get("jv", Seq(300L)).isEmpty) // right-only stays out
+    // caught-up refresh is a no-op; a source repush forces the resync
+    // rebuild and the view still matches
+    engine.refreshJoinView("jv")
+    engine.repush("jl")
+    engine.put("jr", Seq((10L, 111L)).toDF("k", "rv"), 3000L)
+    engine.refreshJoinView("jv")
+    assert(engine.servingView("jv").select("k", "lv", "rv").collect().toSet
+      == recompute())
+  }
 }

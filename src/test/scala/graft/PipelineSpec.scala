@@ -996,6 +996,32 @@ class PipelineSpec extends AnyFunSuite {
     vocab.unpersist()
   }
 
+  test("BPE batched training: disjoint picks match sequential; conflicts defer") {
+    import spark.implicits._
+    import graft.operators.Bpe
+    // disjoint top pairs: batch=2 must equal the sequential merge list
+    val disjoint = Seq(("ab", 10L), ("cd", 9L), ("ef", 8L)).toDF("word", "f")
+    val seqM = Bpe.trainMerges(spark, disjoint, steps = 3)._1
+    val batM = Bpe.trainMerges(spark, disjoint, steps = 3, batch = 2)._1
+    assert(seqM.map(m => (m.step, m.pair, m.count)) ==
+      batM.map(m => (m.step, m.pair, m.count)))
+    // conflicting pairs ("a b" and "b c" share b): the batch defers the
+    // conflict to the next recount — identical to sequential here too
+    val conflict = Seq(("abc", 10L)).toDF("word", "f")
+    val seqC = Bpe.trainMerges(spark, conflict, steps = 2)._1
+    val batC = Bpe.trainMerges(spark, conflict, steps = 2, batch = 2)._1
+    assert(seqC.map(m => (m.pair, m.count)) == batC.map(m => (m.pair, m.count)))
+    // textbook goldens are untouched by the default (batch=1) path —
+    // pinned by the adjacent tests; here pin that the 3-step textbook
+    // vocab under batch=3 still merges only real, count-correct pairs
+    val words = Seq(("low", 5L), ("lower", 2L), ("newest", 6L),
+      ("widest", 3L)).toDF("word", "f")
+    val (bm, bv) = Bpe.trainMerges(spark, words, steps = 3, batch = 3)
+    assert(bm.head.pair == "e s" && bm.head.count == 9L) // argmax unchanged
+    assert(bm.map(_.step) == Seq(1, 2, 3))
+    bv.unpersist()
+  }
+
   test("BPE training: a run of identical symbols merges fully pairwise " +
       "(the two-pass replace rule)") {
     import spark.implicits._
