@@ -479,37 +479,41 @@ object StressCheck {
     }
 
     if (on("joinview")) {
-      val eng = new graft.core.GraftEngine(spark,
-        java.nio.file.Files.createTempDirectory("graft-stress-jv").toString)
-      val nKeys = 1500000L
-      eng.createStore("jl", Seq("k"))
-      eng.createStore("jr", Seq("k"))
-      eng.push("jl", spark.range(nKeys).select(col("id").as("k"),
-        (col("id") % 1000).as("lv")), numBuckets = 32)
-      eng.push("jr", spark.range(nKeys).select(col("id").as("k"),
-        (col("id") % 777).as("rv")), numBuckets = 32)
-      timed("join view build 1.5M⋈1.5M") {
-        eng.joinView("jl", "jr", "jv", numBuckets = 32)
-        eng.servingView("jv").count()
+      // two store sizes: the BUILD (full join + full view write) must grow
+      // with the stores while the 10k-delta REFRESH stays near-flat — the
+      // delta-sized-cost claim as a measured scaling curve, not one point
+      Seq(1500000L -> "1.5M", 6000000L -> "6M").foreach { case (nKeys, tag) =>
+        val eng = new graft.core.GraftEngine(spark,
+          java.nio.file.Files.createTempDirectory("graft-stress-jv").toString)
+        eng.createStore("jl", Seq("k"))
+        eng.createStore("jr", Seq("k"))
+        eng.push("jl", spark.range(nKeys).select(col("id").as("k"),
+          (col("id") % 1000).as("lv")), numBuckets = 32)
+        eng.push("jr", spark.range(nKeys).select(col("id").as("k"),
+          (col("id") % 777).as("rv")), numBuckets = 32)
+        timed(s"join view build $tag⋈$tag") {
+          eng.joinView("jl", "jr", "jv", numBuckets = 32)
+          eng.servingView("jv").count()
+        }
+        // 5k puts left + 3k puts right + 2k deletes: the refresh must do
+        // delta-sized work (restricted probes), never re-join the stores
+        eng.put("jl", spark.range(5000).select(col("id").as("k"),
+          lit(9999L).as("lv")), tsMs = 1000L)
+        eng.put("jr", spark.range(5000, 8000).select(col("id").as("k"),
+          lit(8888L).as("rv")), tsMs = 1100L)
+        eng.delete("jl", spark.range(8000, 10000).select(col("id").as("k")),
+          tsMs = 1200L)
+        timed(s"join view refresh 10k @$tag") {
+          eng.refreshJoinView("jv")
+          1L
+        }
+        val got = eng.servingView("jv").select("k", "lv", "rv")
+        val full = eng.servingView("jl").join(eng.servingView("jr"), Seq("k"))
+          .select("k", "lv", "rv")
+        val diff = got.exceptAll(full).union(full.exceptAll(got)).count()
+        require(diff == 0, s"join view != recompute on $diff rows @$tag")
+        println(s"[stress] join view refresh ≡ full recompute @$tag (checked)")
       }
-      // 5k puts left + 3k puts right + 2k deletes: the refresh must do
-      // delta-sized work (broadcast probes), never re-join 1.5M×1.5M
-      eng.put("jl", spark.range(5000).select(col("id").as("k"),
-        lit(9999L).as("lv")), tsMs = 1000L)
-      eng.put("jr", spark.range(5000, 8000).select(col("id").as("k"),
-        lit(8888L).as("rv")), tsMs = 1100L)
-      eng.delete("jl", spark.range(8000, 10000).select(col("id").as("k")),
-        tsMs = 1200L)
-      timed("join view refresh 10k") {
-        eng.refreshJoinView("jv")
-        1L
-      }
-      val got = eng.servingView("jv").select("k", "lv", "rv")
-      val full = eng.servingView("jl").join(eng.servingView("jr"), Seq("k"))
-        .select("k", "lv", "rv")
-      val diff = got.exceptAll(full).union(full.exceptAll(got)).count()
-      require(diff == 0, s"join view != recompute on $diff rows")
-      println("[stress] join view refresh ≡ full recompute (checked)")
     }
 
     if (on("aaview")) {

@@ -333,9 +333,39 @@ class GraftEngine(val spark: SparkSession, val root: String) {
   }
 
   /** batchGet: broadcast-hash left-semi join; missing keys omitted. */
-  def batchGet(name: String, keys: DataFrame): DataFrame = {
+  def batchGet(name: String, keys: DataFrame): DataFrame =
+    servingViewForKeys(name, keys)
+
+  /** The serving view RESTRICTED to a key set — the multi-key point-read
+    * shape shared by [[batchGet]] and the incremental view refreshes.
+    *
+    * Scale shape: snapshot, RT log and update log are EACH semi-joined to
+    * the (broadcast) key set BEFORE the LWW merge and update fold — a
+    * view-then-filter plan would run the store-wide keyed merge shuffle
+    * first and filter after (Catalyst pushes filters through aggregates,
+    * but a JOIN cannot push through one), so restricting the inputs is
+    * what turns a store-sized shuffle into an O(|keys|) merge. The scans
+    * stay scans (broadcast-hash semi, no shuffle of the store), and
+    * LWW(snap, log)|K ≡ LWW(snap|K, log|K) because the merge is per-key. */
+  def servingViewForKeys(name: String, keys: DataFrame): DataFrame = {
     val meta = storeMeta(name)
-    servingView(name).join(broadcast(keys), meta.keyCols, "left_semi")
+    val keySet = keys.select(meta.keyCols.map(col): _*)
+    if (isActiveActive(name))
+      return servingView(name).join(broadcast(keySet), meta.keyCols, "left_semi")
+    def restrict(df: DataFrame): DataFrame =
+      df.join(broadcast(keySet), meta.keyCols, "left_semi")
+    val snap = restrict(resolvedSnapshot(name))
+      .withColumn(TsCol, lit(0L)).withColumn(DeletedCol, lit(false))
+    val merged =
+      if (!hasLog(name)) snap
+      else Merge.lww(snap, restrict(readLog(name)), meta.keyCols, col(TsCol),
+        concat_ws("|", snap.columns.filterNot(Set(TsCol, DeletedCol))
+          .map(c => col(c).cast("string")): _*), col(DeletedCol))
+    val base = Merge.dropTombstones(merged, col(DeletedCol))
+      .drop(TsCol, DeletedCol)
+    if (!hasUpdates(name)) base
+    else graft.operators.WriteCompute.applyUpdates(base,
+      restrict(readUpdates(name)), meta.keyCols)
   }
 
   /** R11 streaming batchGet — the Venice `streamingBatchGet` /
@@ -1156,10 +1186,10 @@ class GraftEngine(val spark: SparkSession, val root: String) {
         saveJoinCoords(viewName, left, ncl, right, ncr); return
       }
       val tick = 2L * (currentLogSeq(viewName) + 1)
-      val fresh = servingView(left)
-        .join(broadcast(changed), keys, "left_semi")
-        .join(servingView(right).join(broadcast(changed), keys, "left_semi"),
-          keys)
+      // servingViewForKeys restricts snapshot+logs BEFORE the LWW merge,
+      // so each probe's keyed merge is delta-sized, not store-sized
+      val fresh = servingViewForKeys(left, changed)
+        .join(servingViewForKeys(right, changed), keys)
       // ONE atomic append (tombstones + re-inserts), as in refreshView:
       // two appends would leave a crash window with rows lost
       val stale = changed

@@ -94,14 +94,22 @@ object Bpe {
       }
       picked.foreach { case (p, c) => merges += Merge(step, p, c); step += 1 }
       val prev = vocab
-      vocab = prev.withColumn("sym",
+      val applied = prev.withColumn("sym",
         picked.foldLeft(col("sym")) { case (c, (p, _)) =>
           val pat = lit(s" $p "); val rep = lit(" " + p.replace(" ", "") + " ")
           org.apache.spark.sql.functions.replace(
             org.apache.spark.sql.functions.replace(c, pat, rep), pat, rep)
         })
-        .persist()
-      vocab.count()
+      // SEVER THE LINEAGE each iteration: chaining hundreds of
+      // withColumns grows the logical plan and the RDD dependency chain
+      // without bound — re-analysis goes quadratic, the driver heap dies
+      // near ~90 sequential merges, and DAG traversal StackOverflows
+      // (both found by StressCheck bpe100; plan-only rebasing fixed the
+      // heap but left the RDD chain). localCheckpoint materializes the
+      // step AND replaces the dependency graph with the checkpointed
+      // blocks — the standard iterative-algorithm idiom; superseded
+      // checkpoints are freed by the ContextCleaner once unreferenced.
+      vocab = applied.localCheckpoint()
       prev.unpersist()
     }
     (merges.toSeq, vocab)
