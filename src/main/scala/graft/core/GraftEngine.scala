@@ -28,8 +28,16 @@ import graft.operators.{Compaction, Merge}
 final case class StoreMeta(name: String, keyCols: Seq[String])
 
 /** CDC checkpoint: a (version, log-append-seq) coordinate — exact resume
-  * position, unlike a timestamp seek (S4). */
-final case class ChangeCoordinate(version: Int, seq: Long)
+  * position, unlike a timestamp seek (S4). `epoch` is the store's lineage
+  * counter, bumped by every event that invalidates (version, seq) as a
+  * resume position — a log archive (repush/rebucket consumed the entries)
+  * or a pointer move that reuses version numbers (rollback/roll-forward).
+  * Without it, `put; repush; rollback` aliases: the stored (v1, seq) looks
+  * caught-up against a v1 whose overlay was archived, and a delta consumer
+  * would silently keep state the store has lost (found by EngineFuzzSpec's
+  * view-maintenance property). Plain pushes don't bump it — the version
+  * change already forces the resync. */
+final case class ChangeCoordinate(version: Int, seq: Long, epoch: Long = 0L)
 
 class GraftEngine(val spark: SparkSession, val root: String) {
   import GraftEngine._
@@ -237,6 +245,10 @@ class GraftEngine(val spark: SparkSession, val root: String) {
       case vs => vs.max
     }
     setCurrentVersion(name, backup)
+    // the pointer moved BACKWARD onto a version number consumers may have
+    // already checkpointed — bump the lineage epoch so (version, seq)
+    // coordinates from the rolled-off timeline force a resync
+    bumpEpoch(name)
     backup
   }
 
@@ -269,6 +281,7 @@ class GraftEngine(val spark: SparkSession, val root: String) {
       case vs => vs.min
     }
     setCurrentVersion(name, future)
+    bumpEpoch(name) // same lineage rule as rollback — version numbers reused
     future
   }
 
@@ -1021,12 +1034,13 @@ class GraftEngine(val spark: SparkSession, val root: String) {
   private def saveViewCoord(viewName: String, src: String,
       c: ChangeCoordinate): Unit =
     Files.writeString(Paths.get(dir(viewName, "VIEW_SRC")),
-      s"$src,${c.version},${c.seq}")
+      s"$src,${c.version},${c.seq},${c.epoch}")
 
   private def viewCoord(viewName: String): (String, ChangeCoordinate) = {
     val parts = Files.readString(Paths.get(dir(viewName, "VIEW_SRC")))
       .trim.split(",")
-    (parts(0), ChangeCoordinate(parts(1).toInt, parts(2).toLong))
+    (parts(0), ChangeCoordinate(parts(1).toInt, parts(2).toLong,
+      if (parts.length > 3) parts(3).toLong else 0L))
   }
 
   /** Incremental view maintenance (reference intent:
@@ -1054,16 +1068,14 @@ class GraftEngine(val spark: SparkSession, val root: String) {
     val vmeta = storeMeta(viewName)
     val newCoord = latestCoordinate(src)
     if (coord == newCoord) return // caught up
-    if (coord.version != currentVersion(src)) {
+    if (coord.version != currentVersion(src) ||
+        coord.epoch != currentEpoch(src)) {
       val v = push(viewName, servingView(src), numBuckets(viewName))
       // the rebuild supersedes every pending view-log delta — archive the
       // log rather than let it overlay the fresh snapshot (idempotent in
       // the ordinary resync, but after a source purge the stale deltas
       // would physically retain — and resurrect — purged rows)
-      Seq("log", "updates").foreach { d =>
-        val p = Paths.get(dir(viewName, d))
-        if (Files.exists(p)) Files.move(p, archiveTarget(viewName, d, v))
-      }
+      Seq("log", "updates").foreach(archiveLog(viewName, _, v))
       saveViewCoord(viewName, src, newCoord)
       return
     }
@@ -1129,14 +1141,17 @@ class GraftEngine(val spark: SparkSession, val root: String) {
   private def saveJoinCoords(viewName: String, l: String, cl: ChangeCoordinate,
       r: String, cr: ChangeCoordinate): Unit =
     Files.writeString(Paths.get(dir(viewName, "JOIN_SRC")),
-      s"$l,${cl.version},${cl.seq}\n$r,${cr.version},${cr.seq}")
+      s"$l,${cl.version},${cl.seq},${cl.epoch}\n" +
+        s"$r,${cr.version},${cr.seq},${cr.epoch}")
 
   private def joinCoords(viewName: String)
       : ((String, ChangeCoordinate), (String, ChangeCoordinate)) = {
     val Array(l0, r0) = Files.readString(Paths.get(dir(viewName, "JOIN_SRC")))
       .trim.split("\n")
     def parse(s: String) = {
-      val p = s.split(","); (p(0), ChangeCoordinate(p(1).toInt, p(2).toLong))
+      val p = s.split(",")
+      (p(0), ChangeCoordinate(p(1).toInt, p(2).toLong,
+        if (p.length > 3) p(3).toLong else 0L))
     }
     (parse(l0), parse(r0))
   }
@@ -1167,14 +1182,13 @@ class GraftEngine(val spark: SparkSession, val root: String) {
     val ncr = latestCoordinate(right)
     if (cl == ncl && cr == ncr) return // caught up
     if (cl.version != currentVersion(left) ||
-        cr.version != currentVersion(right)) {
+        cl.epoch != currentEpoch(left) ||
+        cr.version != currentVersion(right) ||
+        cr.epoch != currentEpoch(right)) {
       // post-swap resync: full rebuild, pending view deltas superseded
       val v = push(viewName, servingView(left).join(servingView(right), keys),
         numBuckets(viewName))
-      Seq("log", "updates").foreach { d =>
-        val p = Paths.get(dir(viewName, d))
-        if (Files.exists(p)) Files.move(p, archiveTarget(viewName, d, v))
-      }
+      Seq("log", "updates").foreach(archiveLog(viewName, _, v))
       saveJoinCoords(viewName, left, ncl, right, ncr)
       return
     }
@@ -1276,9 +1290,7 @@ class GraftEngine(val spark: SparkSession, val root: String) {
       numBuckets)
     // a rebuild supersedes any pending deltas on both stores
     Seq(viewName -> v, aggTwin(viewName) -> vTwin).foreach { case (st, ver) =>
-      val p = Paths.get(dir(st, "log"))
-      if (Files.exists(p))
-        Files.move(p, Paths.get(dir(st, s"log_applied_v$ver")))
+      archiveLog(st, "log", ver)
     }
   }
 
@@ -1305,7 +1317,8 @@ class GraftEngine(val spark: SparkSession, val root: String) {
     val mNames = measures.map(_._1)
     val newCoord = latestCoordinate(src)
     if (coord == newCoord) return
-    if (coord.version != currentVersion(src)) {
+    if (coord.version != currentVersion(src) ||
+        coord.epoch != currentEpoch(src)) {
       rebuildAggFrom(src, viewName, groupCols, measures, numBuckets(viewName))
       saveViewCoord(viewName, src, newCoord)
       return
@@ -1448,7 +1461,8 @@ class GraftEngine(val spark: SparkSession, val root: String) {
     * coordinate (VeniceChangeCoordinate.java:30). Timestamp seeks are
     * approximate (duplicate/skewed event times); the coordinate is not. */
   def latestCoordinate(name: String): ChangeCoordinate =
-    ChangeCoordinate(currentVersion(name), currentLogSeq(name))
+    ChangeCoordinate(currentVersion(name), currentLogSeq(name),
+      currentEpoch(name))
 
   /** Bootstrapping changelog consumer: the full current state as
     * after-images PLUS the exact coordinate to resume the live stream
@@ -1477,7 +1491,8 @@ class GraftEngine(val spark: SparkSession, val root: String) {
     * schema matches [[changelog]] (value cols + ts + deleted). */
   def changelogSince(name: String, coord: ChangeCoordinate): DataFrame = {
     if (isActiveActive(name)) {
-      if (coord.version != currentVersion(name)) {
+      if (coord.version != currentVersion(name) ||
+          coord.epoch != currentEpoch(name)) {
         // post-swap resync: the full resolved state as after-images at
         // ts 0, tombstoned records flagged deleted (the consumer's
         // TopicSwitch-style re-read)
@@ -1494,7 +1509,8 @@ class GraftEngine(val spark: SparkSession, val root: String) {
       return aaAfterImages(name, col(LogSeqCol) > coord.seq)
     }
     val logExists = hasLog(name)
-    if (coord.version != currentVersion(name)) {
+    if (coord.version != currentVersion(name) ||
+          coord.epoch != currentEpoch(name)) {
       val snap = resolvedSnapshot(name)
         .withColumn(TsCol, lit(0L)).withColumn(DeletedCol, lit(false))
       if (logExists) snap.unionByName(readLog(name)) else snap
@@ -1555,9 +1571,7 @@ class GraftEngine(val spark: SparkSession, val root: String) {
       rows.count()
       val v = push(name, rows, nb)
       rows.unpersist()
-      if (hasAaLog(name))
-        Files.move(Paths.get(dir(name, "aa_log")),
-          archiveTarget(name, "aa_log", v))
+      if (hasAaLog(name)) archiveLog(name, "aa_log", v)
       // the archived log's bucket layout dies with it — the next append
       // re-pins to the (possibly changed) snapshot bucket count
       Files.deleteIfExists(Paths.get(dir(name, "AA_BUCKETS")))
@@ -1588,11 +1602,28 @@ class GraftEngine(val spark: SparkSession, val root: String) {
     val v = push(name, rows, nb)
     rows.unpersist()
     // the new version now carries the folded state — archive consumed logs
-    Seq("log", "updates").foreach { d =>
-      val p = Paths.get(dir(name, d))
-      if (Files.exists(p)) Files.move(p, archiveTarget(name, d, v))
-    }
+    Seq("log", "updates").foreach(archiveLog(name, _, v))
     v
+  }
+
+  /** Store lineage epoch — see [[ChangeCoordinate]]. */
+  def currentEpoch(name: String): Long = {
+    val p = Paths.get(dir(name, "EPOCH"))
+    if (Files.exists(p)) Files.readString(p).trim.toLong else 0L
+  }
+
+  private def bumpEpoch(name: String): Unit =
+    Files.writeString(Paths.get(dir(name, "EPOCH")),
+      (currentEpoch(name) + 1).toString)
+
+  /** Archive a consumed log dir and bump the lineage epoch (the archived
+    * entries' seq range is no longer a valid resume window). */
+  private def archiveLog(name: String, d: String, v: Int): Unit = {
+    val p = Paths.get(dir(name, d))
+    if (Files.exists(p)) {
+      Files.move(p, archiveTarget(name, d, v))
+      bumpEpoch(name)
+    }
   }
 
   /** Any .parquet data file under `p` (recursive one level — bucket dirs)? */

@@ -167,7 +167,13 @@ object Dedup {
 
   /** SimHash near-dup pairs with Hamming distance ≤ 1 over the 16-bit
     * signature. Two 8-bit bands: distance ≤ 1 guarantees one intact band
-    * (pigeonhole), so the band equi-join finds every qualifying pair. */
+    * (pigeonhole), so the band equi-join finds every qualifying pair.
+    *
+    * SCALE WARNING: 256 values per band ⇒ Θ(n²/256) random-pair
+    * candidates — measured 1.67 s @ sf0.1 → 9.82 s @ sf1. This stays as
+    * the compact verification baseline; corpus-scale signature dedup goes
+    * through [[simhashPairs64]] (65536 values/band, near-flat across the
+    * same decade, wider hamming budget). */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val sh = df.select(col(idCol).as("id"),
       graft.functions.SimHashExpr.simhash16(

@@ -405,4 +405,110 @@ class EngineFuzzSpec extends AnyFunSuite {
   test("A/A engine ≡ sequential model over 500 random op scripts") {
     fuzz("A/A", 500, aaScriptGen, runAa)
   }
+
+  // ------------------------------------------- view maintenance fuzz ------
+
+  sealed trait VOp
+  case class VLPut(ks: Seq[Long], tag: Int, ts: Long) extends VOp
+  case class VLDel(ks: Seq[Long], ts: Long) extends VOp
+  case class VRPut(ks: Seq[Long], tag: Int, ts: Long) extends VOp
+  case class VRDel(ks: Seq[Long], ts: Long) extends VOp
+  case object VRepushL extends VOp
+  case object VRollbackL extends VOp
+  case class VRebucketL(n: Int) extends VOp
+  case object VRefresh extends VOp
+
+  private val vOpGen: Gen[VOp] = {
+    val ks = Gen.nonEmptyContainerOf[Set, Long](Gen.choose(1L, 12L))
+      .map(_.toSeq.sorted)
+    Gen.frequency(
+      4 -> Gen.zip(ks, Gen.choose(0, 9)).map { case (k, t) => VLPut(k, t, 0L) },
+      3 -> ks.map(VLDel(_, 0L)),
+      3 -> Gen.zip(ks, Gen.choose(0, 9)).map { case (k, t) => VRPut(k, t, 0L) },
+      2 -> ks.map(VRDel(_, 0L)),
+      1 -> Gen.const(VRepushL), 1 -> Gen.const(VRollbackL),
+      1 -> Gen.choose(2, 8).map(VRebucketL),
+      2 -> Gen.const(VRefresh))
+  }
+
+  private val vScriptGen: Gen[List[VOp]] = for {
+    n <- Gen.choose(3, 7)
+    ops <- Gen.listOfN(n, vOpGen)
+  } yield ops.zipWithIndex.map { // monotone ts per op keeps intent obvious;
+    case (o: VLPut, i) => o.copy(ts = 100L + i) // refresh ≡ recompute must
+    case (o: VLDel, i) => o.copy(ts = 100L + i) // hold under ANY ts anyway
+    case (o: VRPut, i) => o.copy(ts = 100L + i)
+    case (o: VRDel, i) => o.copy(ts = 100L + i)
+    case (o, _) => o
+  }
+
+  /** Invariant fuzz (no model — recompute IS the oracle): after any op
+    * interleaving incl. repush/rollback/rebucket of the source, refreshing
+    * the re-key view, the aggregate view and the join view reproduces the
+    * full recompute exactly. Covers the resync fallbacks and the
+    * delta-path tombstone/re-insert logic under randomized schedules. */
+  private def runViews(script: List[VOp]): Option[String] = {
+    val root = Files.createTempDirectory("fuzz-view").toString
+    val e = new GraftEngine(spark, root)
+    import org.apache.spark.sql.DataFrame
+    val schema = StructType(Seq(StructField("k", LongType),
+      StructField("g", LongType), StructField("lv", LongType)))
+    def ldf(ks: Seq[Long], tag: Int) = spark.createDataFrame(
+      ks.map(k => Row(k, k % 3, tag * 100L + k)).asJava, schema)
+    val rschema = StructType(Seq(StructField("k", LongType),
+      StructField("rv", LongType)))
+    def rdf(ks: Seq[Long], tag: Int) = spark.createDataFrame(
+      ks.map(k => Row(k, tag * 1000L + k)).asJava, rschema)
+    def kdf(ks: Seq[Long]) = spark.createDataFrame(
+      ks.map(Row(_)).asJava, StructType(Seq(StructField("k", LongType))))
+    e.createStore("L", Seq("k"))
+    e.createStore("R", Seq("k"))
+    e.push("L", ldf(1L to 8L, 0), numBuckets = 4)
+    e.push("R", rdf(1L to 6L, 0), numBuckets = 4)
+    e.materializedView("L", "mv", Seq("g", "k"), numBuckets = 4)
+    e.aggregateView("L", "av", Seq("g"), Seq("slv" -> "lv"), numBuckets = 4)
+    e.joinView("L", "R", "jv", numBuckets = 4)
+    var lCurrent = 1
+    def refreshAll(): Unit = {
+      e.refreshView("mv"); e.refreshAggView("av"); e.refreshJoinView("jv")
+    }
+    script.foreach {
+      case VLPut(ks, tag, ts) => e.put("L", ldf(ks, tag), ts)
+      case VLDel(ks, ts) => e.delete("L", kdf(ks), ts)
+      case VRPut(ks, tag, ts) => e.put("R", rdf(ks, tag), ts)
+      case VRDel(ks, ts) => e.delete("R", kdf(ks), ts)
+      case VRepushL => e.repush("L"); lCurrent += 1
+      case VRebucketL(n) => e.rebucket("L", n); lCurrent += 1
+      case VRollbackL =>
+        // versions 1..max are all retained (no vacuum in the script), so
+        // a backup exists exactly when the pointer sits above v1
+        if (lCurrent > 1) { e.rollback("L"); lCurrent -= 1 }
+        else intercept[IllegalStateException] { e.rollback("L") }
+      case VRefresh => refreshAll()
+    }
+    refreshAll()
+    def canon(df: DataFrame, cols: String*): Set[Seq[Any]] =
+      df.select(cols.map(col): _*).collect().map(_.toSeq).toSet
+    val L = e.servingView("L")
+    val mvWant = canon(L, "g", "k", "lv")
+    val mvGot = canon(e.servingView("mv"), "g", "k", "lv")
+    if (mvGot != mvWant)
+      return Some(s"mv: got=${mvGot.size} want=${mvWant.size} " +
+        s"diff=${(mvGot diff mvWant).take(3)}|${(mvWant diff mvGot).take(3)}")
+    val avWant = canon(L.groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), sum(col("lv")).as("slv")), "g", "n", "slv")
+    val avGot = canon(e.servingView("av"), "g", "n", "slv")
+    if (avGot != avWant)
+      return Some(s"av: got=$avGot want=$avWant")
+    val jvWant = canon(L.join(e.servingView("R"), Seq("k")), "k", "lv", "rv")
+    val jvGot = canon(e.servingView("jv"), "k", "lv", "rv")
+    if (jvGot != jvWant)
+      return Some(s"jv: got=${jvGot.size} want=${jvWant.size} " +
+        s"diff=${(jvGot diff jvWant).take(3)}|${(jvWant diff jvGot).take(3)}")
+    None
+  }
+
+  test("view maintenance: refresh ≡ recompute over 150 random op scripts") {
+    fuzz("views", 150, vScriptGen, runViews)
+  }
 }
