@@ -364,7 +364,9 @@ class GraftEngine(val spark: SparkSession, val root: String) {
     val meta = storeMeta(name)
     val keySet = keys.select(meta.keyCols.map(col): _*)
     if (isActiveActive(name))
-      return servingView(name).join(broadcast(keySet), meta.keyCols, "left_semi")
+      // the CRDT fold groups by key, so semi-restricting snapshot AND op
+      // log BEFORE the fold is sound — O(|keys|) fold, not store-sized
+      return aaView(name, keys = Some(broadcast(keySet)))
     def restrict(df: DataFrame): DataFrame =
       df.join(broadcast(keySet), meta.keyCols, "left_semi")
     val snap = restrict(resolvedSnapshot(name))
@@ -824,9 +826,10 @@ class GraftEngine(val spark: SparkSession, val root: String) {
     * state. */
   private[graft] def aaView(name: String, snapBucket: Option[Int] = None,
       logBucket: Option[Int] = None,
-      keyPred: Option[Column] = None): DataFrame = {
+      keyPred: Option[Column] = None,
+      keys: Option[DataFrame] = None): DataFrame = {
     val resolved = aaResolve(name, keepRmd = false, snapBucket = snapBucket,
-      logBucket = logBucket, keyPred = keyPred)
+      logBucket = logBucket, keyPred = keyPred, keys = keys)
     // visible iff the record-existence marker survived (a put won it) OR
     // any field carries live state (a partial update after a delete
     // resurrects those fields — Venice A/A semantics). A record whose

@@ -89,5 +89,9 @@ class ConnectorSpec extends AnyFunSuite {
     val want = engine.servingView("aa").orderBy("k").collect()
     assert(got.toSeq == want.toSeq)
     assert(got.length == 1 && got.head.getAs[String]("v") == "a2")
+    // restricted A/A read (batchGet → pre-fold semi-restriction) agrees
+    // with the full fold: present key found, tombstoned key absent
+    val bg = engine.batchGet("aa", Seq(1L, 2L).toDF("k")).collect()
+    assert(bg.length == 1 && bg.head.getAs[String]("v") == "a2")
   }
 }
