@@ -139,8 +139,20 @@ class GraftEngine(val spark: SparkSession, val root: String) {
   /** Snapshot resolved to the superset schema: fields added after the
     * version was pushed read as typed nulls, widened fields cast. */
   private def resolvedSnapshot(name: String,
-      version: Option[Int] = None): DataFrame = {
-    val snap = snapshot(name, version)
+      version: Option[Int] = None,
+      buckets: Option[Seq[Int]] = None): DataFrame = {
+    val v = version.getOrElse(currentVersion(name))
+    require(v > 0, s"store $name has no pushed version")
+    val raw = spark.read.parquet(dir(name, s"v=$v"))
+    // bucket-SET pruning (multi-key point reads): the filter sits on the
+    // partition column BEFORE the drop, so the scan reads only the
+    // requested bucket directories
+    val pruned = buckets match {
+      case Some(bs) if raw.columns.contains(BucketCol) =>
+        raw.filter(col(BucketCol).isin(bs.map(Integer.valueOf): _*))
+      case _ => raw
+    }
+    val snap = pruned.drop(BucketCol)
     supersetSchemaOpt(name) match {
       case Some(s) => SchemaEvolution.conform(snap, s)
       case None => snap
@@ -369,7 +381,18 @@ class GraftEngine(val spark: SparkSession, val root: String) {
       return aaView(name, keys = Some(broadcast(keySet)))
     def restrict(df: DataFrame): DataFrame =
       df.join(broadcast(keySet), meta.keyCols, "left_semi")
-    val snap = restrict(resolvedSnapshot(name))
+    // bucket-SET pruning: the requested keys' distinct bucket ids are a
+    // ≤ numBuckets collect (one cheap job over the key set, paid at plan
+    // build), and the snapshot scan then reads ONLY those partition dirs
+    // — a 10-key batchGet on a 1024-bucket store touches ~10 directories.
+    // Skipped when the keys cover every bucket (no pruning to gain).
+    val nb = numBuckets(name)
+    val hitBuckets = keySet
+      .select(graft.functions.HashOps.partitionId(
+        concat_ws("|", meta.keyCols.map(col): _*), nb).as("__b"))
+      .distinct().collect().map(_.getInt(0)).toSeq.sorted
+    val buckets = if (hitBuckets.length >= nb) None else Some(hitBuckets)
+    val snap = restrict(resolvedSnapshot(name, buckets = buckets))
       .withColumn(TsCol, lit(0L)).withColumn(DeletedCol, lit(false))
     val merged =
       if (!hasLog(name)) snap

@@ -785,6 +785,27 @@ class EngineSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { b.recoverStoreFrom(a.root, "aa") }
   }
 
+  test("batchGet prunes the snapshot scan to the requested keys' buckets") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    engine.createStore("bgp", Seq("k"))
+    engine.push("bgp", (1L to 5000L).map(k => (k, k * 3L)).toDF("k", "v"),
+      numBuckets = 8)
+    val q = engine.batchGet("bgp", Seq(7L, 8L).toDF("k"))
+    // sparkPlan (pre-AQE): the adaptive wrapper hides the scans until run
+    val partCounts = q.queryExecution.sparkPlan.collect {
+      case s: FileSourceScanExec => s.selectedPartitions.partitionCount }
+    assert(partCounts.nonEmpty && partCounts.forall(_ <= 2),
+      s"expected ≤2-bucket scans, got $partCounts")
+    val rows = q.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows == Map(7L -> 21L, 8L -> 24L))
+    // overlay rows still merge on the pruned path
+    engine.put("bgp", Seq((7L, 700L)).toDF("k", "v"), tsMs = 10L)
+    val rows2 = engine.batchGet("bgp", Seq(7L, 8L).toDF("k"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows2 == Map(7L -> 700L, 8L -> 24L))
+  }
+
   test("join view: delta refresh ≡ full recompute across puts/deletes/new keys") {
     import spark.implicits._
     engine.createStore("jl", Seq("k"))
