@@ -55,8 +55,16 @@ class EngineFuzzSpec extends AnyFunSuite {
   case object LRepush extends LOp
   case object LRollback extends LOp
   case class LRebucket(n: Int) extends LOp
+  /** Register the evolved schema (adds `extra: Long`). */
+  case object LEvolve extends LOp
+  /** Put under the EVOLVED writer schema (carries `extra`). Before the
+    * evolution registers, the engine conforms the batch to the superset
+    * and the unknown column is dropped — the model mirrors that. */
+  case class LPutNew(kvs: Seq[(Long, String, Long, Long)], ts: Long)
+    extends LOp
 
-  case class MVal(name: Option[String], score: Option[Long])
+  case class MVal(name: Option[String], score: Option[Long],
+    extra: Option[Long] = None)
 
   /** Sequential in-memory model of an LWW store. */
   final class LwwModel {
@@ -65,10 +73,13 @@ class EngineFuzzSpec extends AnyFunSuite {
     var log = Vector.empty[(Long, Long, Boolean, MVal)] // ts, k, del, v
     var updates = Vector.empty[(Long, Long, String, String, Long)]
 
+    var evolved = false
+
     def init(rows: Map[Long, MVal]): Unit = { versions(1) = rows; current = 1 }
 
     private def render(k: Long, v: MVal): String =
-      (Seq(k.toString) ++ v.name.toSeq ++ v.score.map(_.toString)).mkString("|")
+      (Seq(k.toString) ++ v.name.toSeq ++ v.score.map(_.toString) ++
+        v.extra.map(_.toString)).mkString("|")
 
     def resolve(): Map[Long, MVal] = {
       val snap = versions.getOrElse(current, Map.empty)
@@ -100,6 +111,11 @@ class EngineFuzzSpec extends AnyFunSuite {
       case LPut(kvs, ts) =>
         log ++= kvs.map { case (k, n, s) =>
           (ts, k, false, MVal(Some(n), Some(s))) }
+      case LEvolve => evolved = true
+      case LPutNew(kvs, ts) =>
+        log ++= kvs.map { case (k, n, s, x) =>
+          (ts, k, false,
+            MVal(Some(n), Some(s), if (evolved) Some(x) else None)) }
       case LDel(ks, ts) =>
         log ++= ks.map(k => (ts, k, true, MVal(None, None)))
       case LUpd(k, f, sv, lv, ts) => updates :+= ((ts, k, f, sv, lv))
@@ -127,8 +143,15 @@ class EngineFuzzSpec extends AnyFunSuite {
       f <- Gen.oneOf("name", "score")
       tag <- Gen.choose(0, 9)
     } yield LUpd(k, f, s"u$tag", 1000L + tag, 0L) // ts assigned per-index below
+    val putNew = for {
+      ks <- Gen.nonEmptyContainerOf[Set, Long](Gen.oneOf(Keys))
+      ts <- Gen.oneOf(TsPool)
+      tag <- Gen.choose(0, 9)
+    } yield LPutNew(ks.toSeq.sorted.map(k =>
+      (k, s"n$tag-$k", tag * 100L + k, tag * 7L + k)), ts)
     Gen.frequency(4 -> put, 3 -> del, 2 -> upd, 1 -> Gen.const(LRepush),
-      1 -> Gen.const(LRollback), 1 -> Gen.choose(2, 8).map(LRebucket))
+      1 -> Gen.const(LRollback), 1 -> Gen.choose(2, 8).map(LRebucket),
+      1 -> Gen.const(LEvolve), 2 -> putNew)
   }
 
   private val lwwScriptGen: Gen[List[LOp]] = for {
@@ -154,8 +177,15 @@ class EngineFuzzSpec extends AnyFunSuite {
     val valueSchema = StructType(schema.fields.filterNot(_.name == "k"))
     val updSchema = StructType(StructField("k", LongType) +:
       WriteCompute.deriveUpdateSchema(valueSchema).fields)
+    val evolvedSchema = StructType(schema.fields :+
+      StructField("extra", LongType))
+    def df4(rows: Seq[(Long, String, Long, Long)]) = spark.createDataFrame(
+      rows.map(r => Row(r._1, r._2, r._3, r._4)).asJava, evolvedSchema)
     script.foreach {
       case op @ LPut(kvs, ts) => e.put("s", df(kvs), ts); model(op)
+      case op @ LEvolve =>
+        e.registerValueSchema("s", evolvedSchema); model(op)
+      case op @ LPutNew(kvs, ts) => e.put("s", df4(kvs), ts); model(op)
       case op @ LDel(ks, ts) =>
         e.delete("s", spark.createDataFrame(
           ks.map(k => Row(k)).asJava,
@@ -177,10 +207,19 @@ class EngineFuzzSpec extends AnyFunSuite {
           () // engine refused; state unchanged on both sides
         }
     }
-    val got = e.servingView("s").select("k", "name", "score").collect()
+    val view = e.servingView("s")
+    val hasExtra = view.columns.contains("extra")
+    if (hasExtra != model.evolved)
+      return Some(s"schema: engine extra=$hasExtra model=${model.evolved}")
+    val got = view
+      .select(Seq(col("k"), col("name"), col("score")) ++
+        (if (hasExtra) Seq(col("extra")) else Nil): _*)
+      .collect()
       .map(r => r.getLong(0) ->
         MVal(Option(r.get(1)).map(_.toString),
-          Option(r.get(2)).map(_.asInstanceOf[Long]))).toMap
+          Option(r.get(2)).map(_.asInstanceOf[Long]),
+          if (hasExtra) Option(r.get(3)).map(_.asInstanceOf[Long]) else None))
+      .toMap
     val want = model.resolve()
     if (got == want) None
     else Some(s"engine=$got\n  model=$want")
