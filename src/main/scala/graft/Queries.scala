@@ -478,17 +478,37 @@ object Queries {
     * AbstractMerge.deleteWithValueLevelTimestamp — delete wins on
     * oldTs <= deleteTs and the RMD stores deleteTs "to reject future PUT
     * record with lower replication timestamp";
-    * MergeConflictResolver.java:164-202). Exact ts ties are deliberately
-    * absent: the reference resolves them by arrival order (delete-wins
-    * when the delete is incoming, value-compare when the put is), which a
-    * commutative batch fold can't — and shouldn't — replay.
+    * MergeConflictResolver.java:164-202).
+    *
+    * Exact-ts ties (pinned here in both arrival orders): the reference's
+    * FIELD-level resolver is arrival-order-dependent — an incoming delete
+    * kills a field at currFieldTs <= deleteTs
+    * (PerFieldTimestampMergeRecordHelper.deleteRecordField), but an
+    * incoming put at the same ts then resurrects it via value-compare
+    * against the deleted field's default (putOnField → compareAndReturn,
+    * where non-null beats the null default) — so two regions applying the
+    * same tied ops in different orders DIVERGE. A commutative lattice
+    * cannot (and should not) replay arrival order; this engine resolves
+    * exact-ts put-vs-delete ties with the convergent refinement "live
+    * value beats field tombstone", which agrees with the reference
+    * whenever the put arrives last and guarantees cross-region
+    * convergence when it doesn't. (The VALUE-level resolver — our non-A/A
+    * [[graft.operators.Merge.lww]] — is delete-wins in BOTH directions:
+    * AbstractMerge.java:53-55 plus MergeUtils.java:12-17 "nulls win … we
+    * prefer deletes to win"; that path matches the reference exactly,
+    * see w5_lww_merge.)
     *
     * Script on `nation` (25 keys): delete keys 0–9 @2000; put 0–4
     * 'LATE_OLD' @1000 (arrives after — stays dead); put 8–9 'RESURRECTED'
     * @3000 (newer — comes back); REPUSH (tombstones compact, RMD
     * persisted); put 0–1 'POST_REPUSH_OLD' @1500 (still dead — tombstone
     * ts survived the compaction); put 2 'POST_REPUSH_NEW' @2500 (alive —
-    * the tombstone is a ts gate, not a permanent kill). */
+    * the tombstone is a ts gate, not a permanent kill); then the tie
+    * pins: delete 10 @7000 THEN put 10 'TIE_RESURRECT' @7000 (put arrives
+    * last — alive, agreeing with the reference) and put 11
+    * 'TIE_PUT_FIRST' @8000 THEN delete 11 @8000 (delete arrives last —
+    * alive under the convergent refinement; the reference would kill this
+    * one and diverge from its own other-order outcome). */
   val w6DeleteWins = QueryDef(
     "w6_delete_wins",
     (s, dir) => {
@@ -507,6 +527,13 @@ object Queries {
       e.repush("n")
       put(0, 1, "POST_REPUSH_OLD", 1500L)
       put(2, 2, "POST_REPUSH_NEW", 2500L)
+      // exact-ts ties, both arrival orders (see scaladoc)
+      e.deleteAA("n", nat.filter(col("n_nationkey") === 10)
+        .select("n_nationkey"), tsMs = 7000L)
+      put(10, 10, "TIE_RESURRECT", 7000L)
+      put(11, 11, "TIE_PUT_FIRST", 8000L)
+      e.deleteAA("n", nat.filter(col("n_nationkey") === 11)
+        .select("n_nationkey"), tsMs = 8000L)
       e.servingView("n")
         .select(col("n_nationkey"), col("n_name"))
         .orderBy(col("n_nationkey"))
@@ -514,6 +541,8 @@ object Queries {
     Some("""SELECT n_nationkey,
               CASE WHEN n_nationkey = 2 THEN 'POST_REPUSH_NEW'
                    WHEN n_nationkey IN (8, 9) THEN 'RESURRECTED'
+                   WHEN n_nationkey = 10 THEN 'TIE_RESURRECT'
+                   WHEN n_nationkey = 11 THEN 'TIE_PUT_FIRST'
                    ELSE n_name END AS n_name
             FROM nation WHERE n_nationkey = 2 OR n_nationkey >= 8
             ORDER BY n_nationkey"""))
