@@ -20,10 +20,15 @@ import graft.operators.{UpdateBuilder, WriteCompute}
   * the conflict resolution under arbitrary op orders; semantics, not
   * code), beyond CrdtMergeSpec's per-fold permutations.
   *
-  * 1000 ScalaCheck-generated scripts (500 LWW + 500 A/A), run on a thread
-  * pool (independent stores; Spark schedules concurrent jobs FIFO). On a
-  * mismatch the failing script is SHRUNK by greedy op-deletion to a
-  * minimal reproduction before reporting.
+  * 1450 ScalaCheck-generated scripts: 500 LWW + 500 A/A through the
+  * engine API, 100 + 100 whose final state is read through the DSv2
+  * connector instead, and 150 + 100 view-maintenance scripts (LWW and
+  * A/A source stores) where full recompute is the oracle — run on a
+  * thread pool (independent stores; Spark schedules concurrent jobs
+  * FIFO). Both op alphabets include schema evolution (register an
+  * `extra: Long` field mid-script, old- and new-writer puts
+  * interleaved). On a mismatch the failing script is SHRUNK by greedy
+  * op-deletion to a minimal reproduction before reporting.
   *
   * Model semantics pinned here:
   *  - LWW: winner per key = max (ts, deleted, rendered-payload) — snapshot
@@ -162,7 +167,8 @@ class EngineFuzzSpec extends AnyFunSuite {
     case (op, _) => op
   }
 
-  private def runLww(script: List[LOp]): Option[String] = {
+  private def runLww(script: List[LOp],
+      viaConnector: Boolean = false): Option[String] = {
     val root = Files.createTempDirectory("fuzz-lww").toString
     val e = new GraftEngine(spark, root)
     e.createStore("s", Seq("k"))
@@ -207,7 +213,10 @@ class EngineFuzzSpec extends AnyFunSuite {
           () // engine refused; state unchanged on both sides
         }
     }
-    val view = e.servingView("s")
+    val view =
+      if (viaConnector) spark.read.format("graft")
+        .option("root", root).option("store", "s").load()
+      else e.servingView("s")
     val hasExtra = view.columns.contains("extra")
     if (hasExtra != model.evolved)
       return Some(s"schema: engine extra=$hasExtra model=${model.evolved}")
@@ -233,21 +242,36 @@ class EngineFuzzSpec extends AnyFunSuite {
   case class ASet(k: Long, field: String, sv: String, lv: Long, ts: Long)
     extends AOp
   case class AAdmin(kind: String, n: Int, ts: Long) extends AOp // repush etc
+  /** Register the evolved A/A schema (adds `extra: Long`). */
+  case class AEvolve(ts: Long) extends AOp
+  /** Put under the EVOLVED writer schema. Pre-evolution the engine
+    * conforms the batch to the superset (extra dropped) — the model
+    * downgrades the op to a plain put. Post-evolution, old-writer puts
+    * get BOTTOM state for `extra` (SchemaIdCol dispatch: an old-schema
+    * put must not clobber a field it never knew), while whole-record
+    * deletes tombstone ALL superset fields at their ts — Venice deletes
+    * are schema-agnostic, and applying them over the resolve-time
+    * superset is the order-independent reading of that. */
+  case class APutNew(k: Long, name: String, score: Long, extra: Long,
+    ts: Long) extends AOp
 
   case class AField(ts: Long, v: Option[Any])
-  case class ARec(recTs: Long, rec: Boolean, name: AField, score: AField)
+  case class ARec(recTs: Long, rec: Boolean, name: AField, score: AField,
+    extra: AField)
 
   final class AaModel {
     private val Bottom = Long.MinValue
     private def blank = ARec(Bottom, false, AField(Bottom, None),
-      AField(Bottom, None))
+      AField(Bottom, None), AField(Bottom, None))
     val versions = mutable.Map[Int, Map[Long, ARec]]()
     var current = 0
     var ops = Vector.empty[AOp]
+    var evolved = false
 
     def init(rows: Map[Long, (String, Long)]): Unit = {
       versions(1) = rows.map { case (k, (n, s)) =>
-        k -> ARec(Bottom, true, AField(Bottom, Some(n)), AField(Bottom, Some(s)))
+        k -> ARec(Bottom, true, AField(Bottom, Some(n)),
+          AField(Bottom, Some(s)), AField(Bottom, None))
       }.toMap
       current = 1
     }
@@ -263,13 +287,22 @@ class EngineFuzzSpec extends AnyFunSuite {
             rec = if (ts > r.recTs) true else r.rec,
             name = if (ts > r.name.ts) AField(ts, Some(n)) else r.name,
             score = if (ts > r.score.ts) AField(ts, Some(s)) else r.score)
+        case APutNew(k, n, s, x, ts) =>
+          val r = state.getOrElse(k, blank)
+          state(k) = r.copy(
+            recTs = math.max(r.recTs, ts),
+            rec = if (ts > r.recTs) true else r.rec,
+            name = if (ts > r.name.ts) AField(ts, Some(n)) else r.name,
+            score = if (ts > r.score.ts) AField(ts, Some(s)) else r.score,
+            extra = if (ts > r.extra.ts) AField(ts, Some(x)) else r.extra)
         case ADel(k, ts) =>
           val r = state.getOrElse(k, blank)
           state(k) = r.copy(
             recTs = math.max(r.recTs, ts),
             rec = if (ts > r.recTs) false else r.rec,
             name = if (ts > r.name.ts) AField(ts, None) else r.name,
-            score = if (ts > r.score.ts) AField(ts, None) else r.score)
+            score = if (ts > r.score.ts) AField(ts, None) else r.score,
+            extra = if (ts > r.extra.ts) AField(ts, None) else r.extra)
         case ASet(k, f, sv, lv, ts) =>
           val r = state.getOrElse(k, blank)
           state(k) =
@@ -284,11 +317,13 @@ class EngineFuzzSpec extends AnyFunSuite {
       state.toMap
     }
 
-    def visible(): Map[Long, (Option[String], Option[Long])] =
+    def visible(): Map[Long, (Option[String], Option[Long], Option[Long])] =
       resolve().collect {
-        case (k, r) if r.rec || r.name.v.nonEmpty || r.score.v.nonEmpty =>
+        case (k, r) if r.rec || r.name.v.nonEmpty || r.score.v.nonEmpty ||
+            r.extra.v.nonEmpty =>
           k -> (r.name.v.map(_.toString),
-            r.score.v.map(_.asInstanceOf[Long]))
+            r.score.v.map(_.asInstanceOf[Long]),
+            r.extra.v.map(_.asInstanceOf[Long]))
       }
 
     def hasBackup: Boolean = versions.keys.exists(_ < current)
@@ -299,6 +334,9 @@ class EngineFuzzSpec extends AnyFunSuite {
         versions(v) = resolve(); current = v; ops = Vector.empty
       case AAdmin("rollback", _, _) =>
         current = versions.keys.filter(_ < current).max
+      case AEvolve(_) => evolved = true
+      case APutNew(k, n, s, _, ts) if !evolved =>
+        ops :+= APut(k, n, s, ts) // conform dropped the unknown column
       case o => ops :+= o
     }
   }
@@ -312,10 +350,14 @@ class EngineFuzzSpec extends AnyFunSuite {
       k <- Gen.oneOf(Keys); f <- Gen.oneOf("name", "score")
       tag <- Gen.choose(0, 9)
     } yield ASet(k, f, s"s$tag", 500L + tag, 0L)
+    val putNew = for {
+      k <- Gen.oneOf(Keys); tag <- Gen.choose(0, 9)
+    } yield APutNew(k, s"e$tag-$k", tag * 10L + k, tag * 7L + k, 0L)
     Gen.frequency(4 -> put, 3 -> del, 3 -> set,
       1 -> Gen.const(AAdmin("repush", 0, 0L)),
       1 -> Gen.const(AAdmin("rollback", 0, 0L)),
-      1 -> Gen.choose(2, 8).map(n => AAdmin("rebucket", n, 0L)))
+      1 -> Gen.choose(2, 8).map(n => AAdmin("rebucket", n, 0L)),
+      1 -> Gen.const(AEvolve(0L)), 2 -> putNew)
   }
 
   /** Distinct, SHUFFLED timestamps: ops arrive out of ts order — the A/A
@@ -329,6 +371,8 @@ class EngineFuzzSpec extends AnyFunSuite {
     case (o: APut, t) => o.copy(ts = t)
     case (o: ADel, t) => o.copy(ts = t)
     case (o: ASet, t) => o.copy(ts = t)
+    case (o: APutNew, t) => o.copy(ts = t)
+    case (o: AEvolve, _) => o
     case (o: AAdmin, _) => o
   }
 
@@ -341,7 +385,8 @@ class EngineFuzzSpec extends AnyFunSuite {
       (0 until n).map(ranks)
     }
 
-  private def runAa(script: List[AOp]): Option[String] = {
+  private def runAa(script: List[AOp],
+      viaConnector: Boolean = false): Option[String] = {
     val root = Files.createTempDirectory("fuzz-aa").toString
     val e = new GraftEngine(spark, root)
     e.createStore("s", Seq("k"))
@@ -356,8 +401,16 @@ class EngineFuzzSpec extends AnyFunSuite {
     model.init(initRows.map(r => r._1 -> (r._2, r._3)).toMap)
     val kdf = (k: Long) => spark.createDataFrame(List(Row(k)).asJava,
       StructType(Seq(StructField("k", LongType))))
+    val evolvedSchema = StructType(schema.fields :+
+      StructField("extra", LongType))
     script.foreach {
       case op @ APut(k, n, s, ts) => e.putAA("s", df(Seq((k, n, s))), ts); model(op)
+      case op @ AEvolve(_) =>
+        e.registerValueSchema("s", evolvedSchema); model(op)
+      case op @ APutNew(k, n, s, x, ts) =>
+        e.putAA("s", spark.createDataFrame(List(Row(k, n, s, x)).asJava,
+          evolvedSchema), ts)
+        model(op)
       case op @ ADel(k, ts) => e.deleteAA("s", kdf(k), ts); model(op)
       case op @ ASet(k, f, sv, lv, ts) =>
         if (f == "name")
@@ -376,9 +429,21 @@ class EngineFuzzSpec extends AnyFunSuite {
         else { intercept[IllegalStateException] { e.rollback("s") }; () }
       case other => fail(s"unknown op $other")
     }
-    val got = e.servingView("s").select("k", "name", "score").collect()
+    val view =
+      if (viaConnector) spark.read.format("graft")
+        .option("root", root).option("store", "s").load()
+      else e.servingView("s")
+    val hasExtra = view.columns.contains("extra")
+    if (hasExtra != model.evolved)
+      return Some(s"schema: engine extra=$hasExtra model=${model.evolved}")
+    val got = view
+      .select(Seq(col("k"), col("name"), col("score")) ++
+        (if (hasExtra) Seq(col("extra")) else Nil): _*)
+      .collect()
       .map(r => r.getLong(0) -> (Option(r.get(1)).map(_.toString),
-        Option(r.get(2)).map(_.asInstanceOf[Long]))).toMap
+        Option(r.get(2)).map(_.asInstanceOf[Long]),
+        if (hasExtra) Option(r.get(3)).map(_.asInstanceOf[Long]) else None))
+      .toMap
     val want = model.visible()
     if (got == want) None
     else Some(s"engine=$got\n  model=$want")
@@ -438,11 +503,26 @@ class EngineFuzzSpec extends AnyFunSuite {
   }
 
   test("LWW engine ≡ sequential model over 500 random op scripts") {
-    fuzz("LWW", 500, lwwScriptGen, runLww)
+    fuzz("LWW", 500, lwwScriptGen, (s: List[LOp]) => runLww(s))
   }
 
   test("A/A engine ≡ sequential model over 500 random op scripts") {
-    fuzz("A/A", 500, aaScriptGen, runAa)
+    fuzz("A/A", 500, aaScriptGen, (s: List[AOp]) => runAa(s))
+  }
+
+  /** Same differential, but the final state is read through the DSv2
+    * connector (`format("graft")`) instead of the engine API — fuzz-proves
+    * the analysis-time rewrite tracks every engine state the scripts can
+    * reach (schema evolution, rollback, rebucket, pending logs, updates,
+    * A/A RMD), not just the happy path ConnectorSpec pins. */
+  test("DSv2 connector ≡ model over 100 random LWW op scripts") {
+    fuzz("LWW-connector", 100, lwwScriptGen,
+      (s: List[LOp]) => runLww(s, viaConnector = true))
+  }
+
+  test("DSv2 connector ≡ model over 100 random A/A op scripts") {
+    fuzz("A/A-connector", 100, aaScriptGen,
+      (s: List[AOp]) => runAa(s, viaConnector = true))
   }
 
   // ------------------------------------------- view maintenance fuzz ------
@@ -486,7 +566,8 @@ class EngineFuzzSpec extends AnyFunSuite {
     * the re-key view, the aggregate view and the join view reproduces the
     * full recompute exactly. Covers the resync fallbacks and the
     * delta-path tombstone/re-insert logic under randomized schedules. */
-  private def runViews(script: List[VOp]): Option[String] = {
+  private def runViews(script: List[VOp],
+      aaLeft: Boolean = false): Option[String] = {
     val root = Files.createTempDirectory("fuzz-view").toString
     val e = new GraftEngine(spark, root)
     import org.apache.spark.sql.DataFrame
@@ -503,6 +584,7 @@ class EngineFuzzSpec extends AnyFunSuite {
     e.createStore("L", Seq("k"))
     e.createStore("R", Seq("k"))
     e.push("L", ldf(1L to 8L, 0), numBuckets = 4)
+    if (aaLeft) e.enableActiveActive("L")
     e.push("R", rdf(1L to 6L, 0), numBuckets = 4)
     e.materializedView("L", "mv", Seq("g", "k"), numBuckets = 4)
     e.aggregateView("L", "av", Seq("g"), Seq("slv" -> "lv"), numBuckets = 4)
@@ -512,8 +594,12 @@ class EngineFuzzSpec extends AnyFunSuite {
       e.refreshView("mv"); e.refreshAggView("av"); e.refreshJoinView("jv")
     }
     script.foreach {
-      case VLPut(ks, tag, ts) => e.put("L", ldf(ks, tag), ts)
-      case VLDel(ks, ts) => e.delete("L", kdf(ks), ts)
+      case VLPut(ks, tag, ts) =>
+        if (aaLeft) e.putAA("L", ldf(ks, tag), ts)
+        else e.put("L", ldf(ks, tag), ts)
+      case VLDel(ks, ts) =>
+        if (aaLeft) e.deleteAA("L", kdf(ks), ts)
+        else e.delete("L", kdf(ks), ts)
       case VRPut(ks, tag, ts) => e.put("R", rdf(ks, tag), ts)
       case VRDel(ks, ts) => e.delete("R", kdf(ks), ts)
       case VRepushL => e.repush("L"); lCurrent += 1
@@ -548,6 +634,16 @@ class EngineFuzzSpec extends AnyFunSuite {
   }
 
   test("view maintenance: refresh ≡ recompute over 150 random op scripts") {
-    fuzz("views", 150, vScriptGen, runViews)
+    fuzz("views", 150, vScriptGen, (s: List[VOp]) => runViews(s))
+  }
+
+  /** Same invariant with an ACTIVE-ACTIVE source store: the re-key,
+    * aggregate and join views must refresh correctly from the A/A
+    * changelog (resolved after-images), through repush/rollback/rebucket,
+    * with deletes arriving as RMD tombstones rather than LWW rows. */
+  test("view maintenance over an A/A source: refresh ≡ recompute over " +
+      "100 random op scripts") {
+    fuzz("views-aa", 100, vScriptGen,
+      (s: List[VOp]) => runViews(s, aaLeft = true))
   }
 }
