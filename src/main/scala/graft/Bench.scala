@@ -123,7 +123,8 @@ object Bench {
       "rolling_distinct_hll", "events_heatmap", "event_transitions",
       "purchase_intervals", "w6_delete_wins", "dedup_ngram_capped",
       "pack_masks", "q9_profit", "q11_important_stock",
-      "q21_waiting_supplier", "fim_transform", "batch_padding_waste")
+      "q21_waiting_supplier", "fim_transform", "batch_padding_waste",
+      "r20_davinci")
     val core = results.filterNot(r => addedLater(r._1)).map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","core38":$core,"queries":$qs,"ok":$ok,"n":${results.size},"errors":$errs,"sf":"$sfDir"}""")
     if (results.exists(_._3.nonEmpty)) System.err.println(

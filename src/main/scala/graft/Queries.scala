@@ -5300,6 +5300,40 @@ object Queries {
               CAST(sum(strlen(c_name)) AS BIGINT) AS name_bytes
             FROM base GROUP BY 1 ORDER BY bucket"""))
 
+  /** R20 DaVinci embedded-client read (reference intent:
+    * clients/da-vinci-client/.../DaVinciClient.java — the store
+    * materialized inside the reader's process, point reads served from
+    * the local replica with no remote call; semantics, not code). A store
+    * pushed from `nation`, an RT overlay put AFTER the client subscribed
+    * — the client must observe staleness via the change coordinate,
+    * refresh, and then serve all 25 keys from in-process memory (zero
+    * Spark jobs on the read path; [[graft.core.DaVinciClient]], throughput
+    * pinned at 1.6M ops/sec by StressCheck `davinci`). The result frame is
+    * assembled driver-side from the client's rows — that is the point —
+    * and handed back to Spark only for the oracle compare. */
+  val r20Davinci = QueryDef(
+    "r20_davinci",
+    (s, dir) => {
+      val e = tempEngine(s, "graft-r20")
+      e.createStore("n", Seq("n_nationkey"))
+      val nat = t(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+      e.push("n", nat, numBuckets = 4)
+      val dv = e.daVinci("n")
+      e.put("n", nat.filter(col("n_nationkey") < 5)
+        .withColumn("n_name", lit("OVERLAY")), tsMs = 1000L)
+      require(!dv.isFresh, "coordinate must move on put")
+      require(dv.refresh(), "refresh must re-materialize")
+      val keys = nat.select("n_nationkey").collect().map(_.get(0))
+      val rows = keys.toSeq.flatMap(k => dv.get(Seq(k)))
+      import scala.jdk.CollectionConverters._
+      s.createDataFrame(rows.asJava, rows.head.schema)
+        .orderBy(col("n_nationkey"))
+    },
+    Some("""SELECT n_nationkey,
+              CASE WHEN n_nationkey < 5 THEN 'OVERLAY' ELSE n_name END
+                AS n_name
+            FROM nation ORDER BY n_nationkey"""))
+
   /** Cross-region data recovery (reference: Venice admin data recovery —
     * DataRecoveryManager copies a store's data from a healthy source
     * fabric to bootstrap a broken target; semantics, not code). Region A
@@ -7388,6 +7422,7 @@ object Queries {
     crawlPagerank, spanCorrupt, fimTransform, mixRollup, q5LocalSupplier,
     streamTrending,
     q18BigOrders, dedupRateReport, streamDedupQ, r18PartialKey, r19Rebucket,
+    r20Davinci,
     b17Recovery, s10StreamAggView, annDimTruncation,
     mmPairAudit, pipelineE2e, b18CompactPolicy,
     q10Returns, docLangConfusion, embNormAudit, q14Promo, q19Bands,

@@ -19,7 +19,8 @@ object StressCheck {
     // aaview bloom) — no args runs everything
     val only = args.toSet
     def on(tag: String): Boolean = only.isEmpty || only(tag)
-    // (new tags round 5: salted, aggview; round 7: joinview)
+    // (new tags round 5: salted, aggview; round 7: joinview, bpe100,
+    // pagerank, davinci)
 
     val base = Tables.events(spark, sfDir)
       .crossJoin(spark.range(120).select(col("id").as("rep")))
@@ -606,6 +607,41 @@ object StressCheck {
         pr.count()
       }
       nodes.unpersist(); edges.unpersist()
+    }
+    if (on("davinci")) {
+      // DaVinci embedded-client throughput: 1M random point reads off the
+      // in-process materialization, after a 200k warm-up — the number to
+      // hold against the reference's ~1M ops/sec/node local-read claim
+      // (BASELINE.md). Also proves 0 Spark jobs on the read path: the job
+      // counter must not move between the clock marks.
+      val root = java.nio.file.Files.createTempDirectory("stress-dv").toString
+      val e = new graft.core.GraftEngine(spark, root)
+      e.createStore("dv", Seq("user_id"))
+      val users = Tables.events(spark, sfDir)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      e.push("dv", users, numBuckets = 16)
+      val client = e.daVinci("dv", maxRows = 500000)
+      val keys = users.select("user_id").collect().map(_.getLong(0))
+      println(s"[stress] davinci store: ${client.size} keys materialized")
+      var acc = 0L
+      var i = 0
+      while (i < 200000) { // JIT warm-up, untimed
+        if (client.get(Seq(keys(i % keys.length))).isDefined) acc += 1
+        i += 1
+      }
+      val jobs0 = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+      val t0 = System.nanoTime()
+      i = 0
+      while (i < 1000000) {
+        if (client.get(Seq(keys((i * 31) % keys.length))).isDefined) acc += 1
+        i += 1
+      }
+      val sec = (System.nanoTime() - t0) / 1e9
+      val jobs1 = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+      require(jobs1 == jobs0, s"read path ran ${jobs1 - jobs0} Spark jobs")
+      println(f"[stress] davinci 1M gets        $sec%7.2f s  " +
+        f"${1000000 / sec / 1e6}%6.2f M ops/s  (hits=$acc, jobs=0)")
     }
     spark.catalog.clearCache()
     spark.stop()

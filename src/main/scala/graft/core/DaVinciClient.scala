@@ -1,0 +1,130 @@
+package graft.core
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** DaVinci-style embedded client: the subscribed slice of a store
+  * materialized into driver-process memory, so point reads are O(1)
+  * hash-map lookups with NO Spark job on the read path — the reference's
+  * sub-millisecond local-read contract (reference intent:
+  * clients/da-vinci-client/.../DaVinciClient.java — subscribeAll /
+  * subscribe(partitions), reads served from the node-local
+  * materialization; semantics, not code).
+  *
+  * Memory is bounded the way the reference bounds it: SUBSCRIPTION.
+  * `buckets = Some(...)` pins only those bucket directories' keys (Venice
+  * partition subscription — a 100-TB store stays readable on one host by
+  * subscribing to the partitions assigned to it); an unrestricted
+  * subscription refuses to materialize more than `maxRows` rows unless the
+  * cap is raised explicitly, mirroring the guard on the exact all-pairs
+  * cosine baseline.
+  *
+  * Consistency is the reference's: EVENTUAL. `get` serves the materialized
+  * state with no synchronous freshness check — that is what makes it
+  * sub-millisecond. `isFresh` costs two metadata file reads; `refresh()`
+  * re-materializes iff the store's change coordinate moved (version swap,
+  * put/delete/update, repush, rebucket, rollback — every one bumps it).
+  * Pass `autoRefreshMs >= 0` to piggyback the staleness check on reads at
+  * most once per interval (the Venice shape: ingestion updates the local
+  * replica asynchronously while reads keep serving).
+  *
+  * A `get` for a key routing outside the subscribed buckets throws — the
+  * reference's non-local-read error, not a silent miss. Bucket routing is
+  * evaluated against the bucket count captured at materialization time, so
+  * a rebucket is picked up on the next refresh (staleness, not wrongness:
+  * the thrown message says which). */
+final class DaVinciClient private[core] (engine: GraftEngine, name: String,
+    buckets: Option[Seq[Int]], maxRows: Int, autoRefreshMs: Long) {
+
+  private val keyCols: Seq[String] = engine.storeMeta(name).keyCols
+  private val subscribed: Option[Set[Int]] = buckets.map(_.toSet)
+
+  // state swapped atomically on refresh; reads never lock
+  @volatile private var state: DaVinciClient.State = _
+  @volatile private var lastCheckNanos = 0L
+
+  refreshNow()
+
+  /** O(1) in-process point read of the FULL row (key + value columns).
+    * None = key absent (or tombstoned) in the materialized state. */
+  def get(key: Seq[Any]): Option[Row] = {
+    maybeAutoRefresh()
+    val s = state
+    subscribed.foreach { bs =>
+      val b = GraftEngine.bucketHashOf(key, s.nBuckets)
+      if (!bs.contains(b)) throw new IllegalStateException(
+        s"key ${key.mkString("|")} routes to bucket $b of ${s.nBuckets}, " +
+          s"outside this client's subscription $bs — subscribe to it or " +
+          "use GraftEngine.get (Venice: non-local reads are errors, not " +
+          "misses)")
+    }
+    Option(s.table.get(DaVinciClient.render(key)))
+  }
+
+  /** Batch of [[get]]s (one staleness check, not one per key). */
+  def batchGet(keys: Seq[Seq[Any]]): Map[Seq[Any], Option[Row]] = {
+    maybeAutoRefresh()
+    keys.map(k => k -> get(k)).toMap
+  }
+
+  /** Number of materialized rows (subscribed slice only). */
+  def size: Int = state.table.size()
+
+  /** True iff the materialized state reflects the store's current change
+    * coordinate (two metadata file reads, no scan). */
+  def isFresh: Boolean = state.coord == engine.latestCoordinate(name)
+
+  /** Re-materialize iff the change coordinate moved. Returns true when a
+    * re-materialization happened. */
+  def refresh(): Boolean = synchronized {
+    if (isFresh) false else { refreshNow(); true }
+  }
+
+  private def maybeAutoRefresh(): Unit = {
+    if (autoRefreshMs < 0 || state == null) return
+    val now = System.nanoTime()
+    if (now - lastCheckNanos >= autoRefreshMs * 1000000L) {
+      lastCheckNanos = now
+      refresh()
+      ()
+    }
+  }
+
+  private def refreshNow(): Unit = {
+    val coord = engine.latestCoordinate(name)
+    val nb = engine.numBuckets(name)
+    val view = engine.servingView(name)
+    val sliced = subscribed match {
+      case Some(bs) =>
+        val keyExpr = concat_ws("|",
+          keyCols.map(c => col(c).cast("string")): _*)
+        view.filter(graft.functions.HashOps.partitionId(keyExpr, nb)
+          .isin(bs.toSeq: _*))
+      case None => view
+    }
+    // limit(maxRows + 1) bounds driver memory in ONE job: if the extra row
+    // comes back the slice is over budget and nothing oversized was kept
+    val rows = sliced.limit(maxRows + 1).collect()
+    if (rows.length > maxRows) throw new IllegalArgumentException(
+      s"store $name's subscribed slice exceeds maxRows=$maxRows — " +
+        "subscribe to fewer buckets (Venice partition subscription) or " +
+        "raise maxRows explicitly for a deliberately large local replica")
+    val idx = rows.headOption.map(r => keyCols.map(r.fieldIndex))
+      .getOrElse(Nil)
+    val table = new java.util.HashMap[String, Row](rows.length * 2)
+    rows.foreach { r =>
+      table.put(DaVinciClient.render(idx.map(r.get)), r)
+    }
+    state = DaVinciClient.State(coord, nb, table)
+  }
+}
+
+object DaVinciClient {
+  private[core] final case class State(coord: ChangeCoordinate, nBuckets: Int,
+    table: java.util.HashMap[String, Row])
+
+  /** Driver-side key rendering — the same `String.valueOf` join
+    * [[GraftEngine.bucketHashOf]] uses, so lookup and routing agree. */
+  private def render(key: Seq[Any]): String =
+    key.map(String.valueOf).mkString("|")
+}

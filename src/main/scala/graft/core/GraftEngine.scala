@@ -299,7 +299,7 @@ class GraftEngine(val spark: SparkSession, val root: String) {
 
   // ---- read path (R1/R2/R3) ------------------------------------------------
 
-  private def numBuckets(name: String): Int = {
+  private[core] def numBuckets(name: String): Int = {
     val p = Paths.get(dir(name, "BUCKETS"))
     if (Files.exists(p)) Files.readString(p).trim.toInt else 16
   }
@@ -1766,6 +1766,17 @@ class GraftEngine(val spark: SparkSession, val root: String) {
         df
     }
   }
+
+  /** Open a [[DaVinciClient]] on this store: the subscribed slice
+    * materialized into driver-process memory for O(1) sub-millisecond
+    * point reads with no Spark job on the read path (the reference's
+    * DaVinci embedded-client contract; [[cachedServingView]] is the
+    * DataFrame-shaped sibling for callers that want plans, not lookups).
+    * `buckets` = Venice partition subscription — the memory bound for
+    * corpus-scale stores. */
+  def daVinci(name: String, buckets: Option[Seq[Int]] = None,
+      maxRows: Int = 5000000, autoRefreshMs: Long = -1L): DaVinciClient =
+    new DaVinciClient(this, name, buckets, maxRows, autoRefreshMs)
 
   /** Drop `name`'s local cache (all stores when `name` is null). */
   def dropCachedView(name: String = null): Unit = synchronized {

@@ -1,0 +1,131 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import scala.jdk.CollectionConverters._
+import graft.core.{GraftEngine, GraftSession, Tables}
+
+/** [[graft.core.DaVinciClient]]: in-process materialized reads — O(1) map
+  * lookups off the Spark job path, partition (bucket) subscription as the
+  * memory bound, coordinate-driven eventual-consistency refresh. */
+class DaVinciSpec extends AnyFunSuite {
+  lazy val spark = GraftSession.build(cpus = 4, appName = "davinci-spec")
+  lazy val sf = "/root/testdata/sf0.001"
+  lazy val root = Files.createTempDirectory("graft-davinci").toString
+  lazy val engine = new GraftEngine(spark, root)
+
+  private def kdf(ks: Seq[Long]) = spark.createDataFrame(
+    ks.map(Row(_)).asJava,
+    StructType(Seq(StructField("c_custkey", LongType))))
+
+  test("subscribeAll: gets equal the serving view, misses are None") {
+    engine.createStore("c", Seq("c_custkey"))
+    engine.push("c", Tables.customer(spark, sf))
+    val dv = engine.daVinci("c")
+    assert(dv.size == 150)
+    val r = dv.get(Seq(42L))
+    assert(r.isDefined && r.get.getAs[Long]("c_custkey") == 42L)
+    assert(r.get.getAs[String]("c_name") ==
+      engine.get("c", Seq(42L)).get.getAs[String]("c_name"))
+    assert(dv.get(Seq(99999L)).isEmpty)
+    // batchGet: one call, hit + miss
+    val bg = dv.batchGet(Seq(Seq(1L), Seq(99999L)))
+    assert(bg(Seq(1L)).isDefined && bg(Seq(99999L)).isEmpty)
+  }
+
+  test("eventual consistency: stale until refresh, fresh after") {
+    engine.createStore("c2", Seq("c_custkey"))
+    engine.push("c2", Tables.customer(spark, sf))
+    val dv = engine.daVinci("c2")
+    val before = dv.get(Seq(7L)).get.getAs[String]("c_name")
+    engine.put("c2", Tables.customer(spark, sf)
+      .filter(col("c_custkey") === 7L)
+      .withColumn("c_name", lit("UPDATED")), tsMs = 1000L)
+    assert(!dv.isFresh)
+    assert(dv.get(Seq(7L)).get.getAs[String]("c_name") == before) // stale read
+    assert(dv.refresh())
+    assert(dv.isFresh)
+    assert(dv.get(Seq(7L)).get.getAs[String]("c_name") == "UPDATED")
+    assert(!dv.refresh()) // coordinate unchanged -> no re-materialization
+    // delete: the key disappears from the materialization on refresh
+    engine.delete("c2", kdf(Seq(7L)), tsMs = 2000L)
+    dv.refresh()
+    assert(dv.get(Seq(7L)).isEmpty)
+  }
+
+  test("bucket subscription bounds the slice; non-local reads throw") {
+    engine.createStore("c3", Seq("c_custkey"))
+    engine.push("c3", Tables.customer(spark, sf), numBuckets = 8)
+    val all = engine.daVinci("c3")
+    val sub = engine.daVinci("c3", buckets = Some(Seq(0, 1)))
+    assert(sub.size < all.size && sub.size > 0)
+    // a key in bucket 0 or 1 serves; one outside throws (not a miss)
+    val keys = (1L to 150L)
+    val local = keys.find(k =>
+      Set(0, 1)(GraftEngine.bucketHashOf(Seq(k), 8))).get
+    val foreign = keys.find(k =>
+      !Set(0, 1)(GraftEngine.bucketHashOf(Seq(k), 8))).get
+    assert(sub.get(Seq(local)).isDefined)
+    val ex = intercept[IllegalStateException] { sub.get(Seq(foreign)) }
+    assert(ex.getMessage.contains("subscription"))
+    // rebucket moves the coordinate; refresh re-routes against the new count
+    engine.rebucket("c3", 5)
+    assert(!sub.isFresh)
+    sub.refresh()
+    val local5 = keys.find(k =>
+      Set(0, 1)(GraftEngine.bucketHashOf(Seq(k), 5))).get
+    assert(sub.get(Seq(local5)).isDefined)
+  }
+
+  test("maxRows guard refuses an oversized unrestricted subscription") {
+    engine.createStore("c4", Seq("c_custkey"))
+    engine.push("c4", Tables.customer(spark, sf))
+    val ex = intercept[IllegalArgumentException] {
+      engine.daVinci("c4", maxRows = 10)
+    }
+    assert(ex.getMessage.contains("maxRows"))
+    assert(engine.daVinci("c4", buckets = Some(Seq(0)), maxRows = 40).size > 0)
+  }
+
+  test("A/A store: client serves the CRDT-resolved view") {
+    engine.createStore("n", Seq("n_nationkey"))
+    engine.push("n", Tables.nation(spark, sf)
+      .select(col("n_nationkey"), col("n_name")))
+    engine.enableActiveActive("n")
+    engine.deleteAA("n", spark.createDataFrame(List(Row(3L)).asJava,
+      StructType(Seq(StructField("n_nationkey", LongType)))), tsMs = 2000L)
+    engine.putAA("n", spark.createDataFrame(
+      List(Row(4L, "AA_WIN")).asJava,
+      StructType(Seq(StructField("n_nationkey", LongType),
+        StructField("n_name", StringType)))), tsMs = 3000L)
+    val dv = engine.daVinci("n")
+    assert(dv.get(Seq(3L)).isEmpty) // tombstoned
+    assert(dv.get(Seq(4L)).get.getAs[String]("n_name") == "AA_WIN")
+    assert(dv.get(Seq(5L)).get.getAs[String]("n_name") ==
+      engine.get("n", Seq(5L)).get.getAs[String]("n_name"))
+  }
+
+  test("read path is job-free and fast: 200k gets off one materialization") {
+    engine.createStore("c5", Seq("c_custkey"))
+    engine.push("c5", Tables.customer(spark, sf))
+    val dv = engine.daVinci("c5")
+    val keys = Tables.customer(spark, sf)
+      .select("c_custkey").collect().map(_.getLong(0))
+    val t0 = System.nanoTime()
+    var hits = 0
+    var i = 0
+    while (i < 200000) {
+      if (dv.get(Seq(keys(i % keys.length))).isDefined) hits += 1
+      i += 1
+    }
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(hits == 200000)
+    // generous floor: even a contended CI host does millions/sec from a
+    // HashMap; failing this means a Spark job crept onto the read path
+    assert(sec < 10.0, f"200k gets took $sec%.1f s - read path regressed")
+    info(f"200k in-process gets in $sec%.3f s (${200000 / sec}%.0f ops/sec)")
+  }
+}
