@@ -124,7 +124,7 @@ object Bench {
       "purchase_intervals", "w6_delete_wins", "dedup_ngram_capped",
       "pack_masks", "q9_profit", "q11_important_stock",
       "q21_waiting_supplier", "fim_transform", "batch_padding_waste",
-      "r20_davinci")
+      "r20_davinci", "nb_classifier_filter")
     val core = results.filterNot(r => addedLater(r._1)).map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","core38":$core,"queries":$qs,"ok":$ok,"n":${results.size},"errors":$errs,"sf":"$sfDir"}""")
     if (results.exists(_._3.nonEmpty)) System.err.println(

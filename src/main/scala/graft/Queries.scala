@@ -2629,6 +2629,112 @@ object Queries {
              FROM dtc JOIN vocab v USING (tok) CROSS JOIN tot t
              GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** Model-based corpus filtering, trained AND applied in-engine: a
+    * multinomial Naive-Bayes bag-of-words classifier (the
+    * fastText/CCNet/FineWeb-style linear filter) learned in one corpus
+    * scan, then every doc scored by summing its tokens' learned weights.
+    * The training label is a PLANTED signal — y = the doc contains the
+    * (rare, ~5%) marker token 'dup' — so the oracle pins that the
+    * estimator recovers the generating rule from counts alone (the same
+    * planted-recall pattern as the near-dup pins): the marker's
+    * smoothed odds explode positive while every shared token's
+    * class-normalized odds stay ≈1, and in-sample prediction matches the
+    * label everywhere.
+    *
+    * Weights are QUANTIZED log-odds computed in integer space to stay
+    * cross-engine exact: odds(t) scaled by 1024 via ordered integer
+    * division (the multiply-then-divide order is part of the contract;
+    * the 1e9 cap on the first ratio bounds the sf10-scale product under
+    * Long), then 2·floor(4·log2(·)) − 79 — quarter-log2 resolution
+    * expressed in half-quanta, the −79 (not −80) centering the floor's
+    * −½-quantum systematic bias to MEAN-ZERO error so neutral tokens
+    * don't drift negative and drown a rare marker in long docs.
+    * floor(k·log2) of an integer is ulp-safe because both engines round
+    * the integer to the same double and the floor boundaries sit at
+    * irrational 2^(j/4) (never hit exactly) except integer powers of two,
+    * where log2 is exact. Smoothing is add-one over the vocabulary; the
+    * class prior (doc-count log-odds through the same quantizer) is added
+    * to every score — with a ~5% positive class it contributes ≈ −33
+    * half-quanta, the margin that keeps neutral-noise docs (σ ≈ √n_tok)
+    * below zero while one marker occurrence (≈ +73) clears it. Train =
+    * test corpus (in-sample), as a filtering pass over the same corpus
+    * would be.
+    *
+    * Plan shape: one tokenize scan → (doc, y, tok) counts
+    * (localCheckpoint'd for its two consumers), a vocab-sized weights
+    * aggregate, one tok-keyed scoring join, one doc-keyed sum — at 100 TB
+    * the corpus crosses a shuffle only twice (class counts + scoring
+    * join), both partial-agged; weights stay vocab-bounded. */
+  val nbClassifierFilter = QueryDef(
+    "nb_classifier_filter",
+    (s, dir) => {
+      val dtc = t(s, dir, "documents")
+        .select(col("doc_id"),
+          array_contains(TextOps.tokens(col("text")), "dup")
+            .cast("int").cast("long").as("y"),
+          explode(TextOps.tokens(col("text"))).as("tok"))
+        .groupBy(col("doc_id"), col("y"), col("tok"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint()
+      val cls = dtc.groupBy(col("tok"))
+        .agg(sum(when(col("y") === 1L, col("c")).otherwise(0L)).as("c1"),
+          sum(when(col("y") === 0L, col("c")).otherwise(0L)).as("c0"))
+      val tot = cls.agg(sum(col("c1")).as("n1"), sum(col("c0")).as("n0"),
+        count(lit(1)).as("v"))
+      val weights = cls.crossJoin(broadcast(tot))
+        .withColumn("a",
+          least(expr("((c1 + 1) * 1024) div (c0 + 1)"), lit(1000000000L)))
+        .withColumn("o",
+          greatest(expr("(a * (n0 + v)) div (n1 + v)"), lit(1L)))
+        .withColumn("w", floor(log2(col("o")) * 4d).cast("long") * 2L - 79L)
+        .select(col("tok"), col("w"))
+      val prior = dtc.select(col("doc_id"), col("y")).distinct()
+        .agg(sum(col("y")).as("p1"), sum(lit(1L) - col("y")).as("p0"))
+        .withColumn("op",
+          greatest(expr("((p1 + 1) * 1024) div (p0 + 1)"), lit(1L)))
+        .withColumn("wp",
+          floor(log2(col("op")) * 4d).cast("long") * 2L - 79L)
+        .select(col("wp"))
+      dtc.join(weights, Seq("tok"))
+        .groupBy(col("doc_id"), col("y"))
+        .agg(sum(col("c") * col("w")).as("raw"),
+          sum(col("c")).as("n_tok"))
+        .crossJoin(broadcast(prior))
+        .select(col("doc_id"), col("n_tok"),
+          (col("raw") + col("wp")).as("score"),
+          ((col("raw") + col("wp")) > 0L).cast("int").as("pred"),
+          col("y").cast("int").as("label"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH tk AS (SELECT doc_id,
+               CASE WHEN list_contains($tokensSql, 'dup')
+                 THEN 1 ELSE 0 END AS y,
+               unnest($tokensSql) AS tok FROM documents),
+             dtc AS (SELECT doc_id, y, tok, count(*)::BIGINT AS c
+               FROM tk GROUP BY 1, 2, 3),
+             cls AS (SELECT tok,
+                 sum(CASE WHEN y = 1 THEN c ELSE 0 END)::BIGINT AS c1,
+                 sum(CASE WHEN y = 0 THEN c ELSE 0 END)::BIGINT AS c0
+               FROM dtc GROUP BY 1),
+             tot AS (SELECT sum(c1)::BIGINT AS n1, sum(c0)::BIGINT AS n0,
+                 count(*)::BIGINT AS v FROM cls),
+             w AS (SELECT tok,
+                 (floor(log2(greatest(
+                   (least(((c1 + 1) * 1024) // (c0 + 1), 1000000000)
+                     * (n0 + v)) // (n1 + v), 1)) * 4)::BIGINT * 2 - 79) AS w
+               FROM cls CROSS JOIN tot),
+             pr AS (SELECT (floor(log2(greatest(
+                   ((sum(y) + 1) * 1024) // (sum(1 - y) + 1), 1)) * 4)
+                 ::BIGINT * 2 - 79) AS wp
+               FROM (SELECT DISTINCT doc_id, y FROM tk))
+             SELECT doc_id, sum(c)::BIGINT AS n_tok,
+               (sum(c * w.w) + max(pr.wp))::BIGINT AS score,
+               (CASE WHEN sum(c * w.w) + max(pr.wp) > 0
+                  THEN 1 ELSE 0 END)::INT AS pred,
+               max(y)::INT AS label
+             FROM dtc JOIN w USING (tok) CROSS JOIN pr
+             GROUP BY doc_id ORDER BY doc_id"""))
+
   /** Temperature-flattened language mix (α = 0.5): per-language keep rates
     * (n_min/n_g)^0.5 — sqrt, so both engines agree bit-exactly — and the
     * deterministic salted-md5 admission per doc. The counts aggregate is
@@ -7408,7 +7514,7 @@ object Queries {
     mmDecode, mmFrames, textPiiRedact, splitAssignQ,
     decontaminate, sampleStratified, mixTokenBudget, textWinnow,
     textRepetition, corpusFilter, mixReport, packSequences, packMasks,
-    batchPaddingWaste, lmRarity, semdedup,
+    batchPaddingWaste, lmRarity, nbClassifierFilter, semdedup,
     boilerplateNgrams, embedQuantize, mixTemperature,
     streamWindowAgg, corpusShuffle, mmAudioResample, qAsofJoin,
     corpusPercentiles, qRangeJoin, qTopkGroup, dedupIncremental,
