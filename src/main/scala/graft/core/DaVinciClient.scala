@@ -37,7 +37,9 @@ final class DaVinciClient private[core] (engine: GraftEngine, name: String,
     buckets: Option[Seq[Int]], maxRows: Int, autoRefreshMs: Long) {
 
   private val keyCols: Seq[String] = engine.storeMeta(name).keyCols
-  private val subscribed: Option[Set[Int]] = buckets.map(_.toSet)
+  // None = all buckets (subscribeAll); Some(set) = partition subscription.
+  // Mutated only under `synchronized` by subscribe/unsubscribe.
+  @volatile private var subscribed: Option[Set[Int]] = buckets.map(_.toSet)
 
   // state swapped atomically on refresh; reads never lock
   @volatile private var state: DaVinciClient.State = _
@@ -79,6 +81,98 @@ final class DaVinciClient private[core] (engine: GraftEngine, name: String,
   def refresh(): Boolean = synchronized {
     if (isFresh) false else { refreshNow(); true }
   }
+
+  // ---- reference interface parity (DaVinciClient.java: subscribe /
+  // unsubscribe / getPartitionCount; semantics, not code) -------------------
+
+  /** Number of buckets (the reference's getPartitionCount). */
+  def partitionCount: Int = state.nBuckets
+
+  /** Ingest MORE buckets into the local materialization (the reference's
+    * subscribe(Set<Integer>) — additive). No-op buckets are fine; a client
+    * opened with subscribeAll stays all-subscribed. Pays one slice scan. */
+  def subscribe(more: Seq[Int]): Unit = synchronized {
+    subscribed = subscribed.map(_ ++ more)
+    refreshNow()
+  }
+
+  /** Drop buckets from the subscription AND their local state — a pure
+    * in-process map filter, NO Spark job (the reference drops the local
+    * partitions' data the same way). */
+  def unsubscribe(fewer: Seq[Int]): Unit = synchronized {
+    val s = state
+    val drop = fewer.toSet
+    subscribed = Some(
+      subscribed.getOrElse((0 until s.nBuckets).toSet) -- drop)
+    val table = new java.util.HashMap[String, org.apache.spark.sql.Row](s.table)
+    table.keySet.removeIf(k =>
+      drop.contains(GraftEngine.bucketHashOf(Seq(k), s.nBuckets)))
+    state = s.copy(table = table)
+  }
+
+  /** Drop everything (the reference's unsubscribeAll). */
+  def unsubscribeAll(): Unit = synchronized {
+    subscribed = Some(Set.empty)
+    state = state.copy(
+      table = new java.util.HashMap[String, org.apache.spark.sql.Row]())
+  }
+
+  // ---- local read-compute (the reference serves compute() from the local
+  // replica too — DaVinciComputeTest; same null/mismatch semantics as the
+  // engine's ComputeBuilder/VectorOps, checked differentially in
+  // DaVinciSpec) -------------------------------------------------------------
+
+  private def vec(key: Seq[Any], field: String): Option[Option[Seq[Double]]] =
+    get(key).map { r =>
+      val i = r.fieldIndex(field)
+      if (r.isNullAt(i)) None
+      else {
+        val xs = r.getSeq[Any](i).map {
+          case n: java.lang.Number => n.doubleValue()
+          case other => other.toString.toDouble
+        }
+        if (xs.isEmpty) None else Some(xs)
+      }
+    }
+
+  /** Venice dotProduct: None = key absent OR null/empty vector (the SQL
+    * null); Some(0.0) on length mismatch — VectorOps.dotProduct exactly. */
+  def dotProduct(key: Seq[Any], field: String,
+      param: Seq[Double]): Option[Double] =
+    vec(key, field).flatMap {
+      case None => None
+      case Some(v) if v.length != param.length => Some(0.0)
+      case Some(v) => Some(v.lazyZip(param).map(_ * _).sum)
+    }
+
+  /** Venice cosineSimilarity — same null/mismatch contract as dotProduct. */
+  def cosineSimilarity(key: Seq[Any], field: String,
+      param: Seq[Double]): Option[Double] =
+    vec(key, field).flatMap {
+      case None => None
+      case Some(v) if v.length != param.length => Some(0.0)
+      case Some(v) =>
+        val dot = v.lazyZip(param).map(_ * _).sum
+        val n2 = v.map(x => x * x).sum * param.map(x => x * x).sum
+        Some(dot / math.sqrt(n2))
+    }
+
+  /** Venice hadamardProduct: None on key-absent / null / mismatch. */
+  def hadamardProduct(key: Seq[Any], field: String,
+      param: Seq[Double]): Option[Seq[Double]] =
+    vec(key, field).flatMap {
+      case Some(v) if v.length == param.length =>
+        Some(v.lazyZip(param).map(_ * _))
+      case _ => None
+    }
+
+  /** Venice count: collection size, null field → −1 (CountOperator's error
+    * default); None only when the key is absent. */
+  def countElements(key: Seq[Any], field: String): Option[Long] =
+    get(key).map { r =>
+      val i = r.fieldIndex(field)
+      if (r.isNullAt(i)) -1L else r.getSeq[Any](i).length.toLong
+    }
 
   private def maybeAutoRefresh(): Unit = {
     if (autoRefreshMs < 0 || state == null) return

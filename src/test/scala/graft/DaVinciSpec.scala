@@ -108,6 +108,78 @@ class DaVinciSpec extends AnyFunSuite {
       engine.get("n", Seq(5L)).get.getAs[String]("n_name"))
   }
 
+  test("dynamic subscription: subscribe adds buckets, unsubscribe is local") {
+    engine.createStore("c6", Seq("c_custkey"))
+    engine.push("c6", Tables.customer(spark, sf), numBuckets = 8)
+    val dv = engine.daVinci("c6", buckets = Some(Seq(0)))
+    assert(dv.partitionCount == 8)
+    val n0 = dv.size
+    dv.subscribe(Seq(1, 2))
+    assert(dv.size > n0)
+    val keys = (1L to 150L)
+    val inB2 = keys.find(k => GraftEngine.bucketHashOf(Seq(k), 8) == 2).get
+    assert(dv.get(Seq(inB2)).isDefined)
+    // unsubscribe drops bucket-2 state locally — zero Spark jobs
+    val jobs0 = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    dv.unsubscribe(Seq(2))
+    val jobs1 = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    assert(jobs1 == jobs0, "unsubscribe must not run Spark jobs")
+    assert(intercept[IllegalStateException] {
+      dv.get(Seq(inB2))
+    }.getMessage.contains("subscription"))
+    dv.unsubscribeAll()
+    assert(dv.size == 0)
+  }
+
+  test("local compute ≡ Spark compute (dot/cosine/hadamard/count)") {
+    import graft.functions.VectorOps
+    engine.createStore("e", Seq("vec_id"))
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    // plant a null vector and keep a real slice
+    val rows = emb.limit(20)
+      .withColumn("embedding",
+        when(col("vec_id") % 7 === 0,
+          lit(null).cast(emb.schema("embedding").dataType))
+          .otherwise(col("embedding")))
+    engine.push("e", rows)
+    val dim = emb.filter(col("embedding").isNotNull)
+      .select(size(col("embedding"))).head().getInt(0)
+    val q = (1 to dim).map(i => (i % 5 - 2).toDouble)
+    val dv = engine.daVinci("e")
+    val sparkSide = engine.servingView("e").select(col("vec_id"),
+        VectorOps.dotProduct(col("embedding"), q).as("dot"),
+        VectorOps.cosineSimilarity(col("embedding"), q).as("cos"),
+        VectorOps.hadamardProduct(col("embedding"), q).as("had"),
+        VectorOps.countElements(col("embedding")).as("cnt"))
+      .collect()
+    assert(sparkSide.nonEmpty)
+    var checkedNull = false
+    sparkSide.foreach { r =>
+      val k = Seq(r.getLong(0))
+      val dot = dv.dotProduct(k, "embedding", q)
+      val cos = dv.cosineSimilarity(k, "embedding", q)
+      val had = dv.hadamardProduct(k, "embedding", q)
+      val cnt = dv.countElements(k, "embedding")
+      if (r.isNullAt(1)) { assert(dot.isEmpty && cos.isEmpty); checkedNull = true }
+      else {
+        assert(math.abs(dot.get - r.getDouble(1)) < 1e-9, s"dot $k")
+        assert(math.abs(cos.get - r.getDouble(2)) < 1e-9, s"cos $k")
+      }
+      if (r.isNullAt(3)) assert(had.isEmpty)
+      else {
+        val want = r.getSeq[Double](3)
+        assert(had.get.lazyZip(want).forall((a, b) => math.abs(a - b) < 1e-9))
+      }
+      assert(cnt.get == r.getInt(4).toLong, s"cnt $k")
+    }
+    assert(checkedNull, "the planted null-vector row must be exercised")
+    // mismatch contract: short query vector → dot/cos 0.0, hadamard None
+    val liveKey = sparkSide.find(!_.isNullAt(1)).get.getLong(0)
+    assert(dv.dotProduct(Seq(liveKey), "embedding", Seq(1.0)).contains(0.0))
+    assert(dv.hadamardProduct(Seq(liveKey), "embedding", Seq(1.0)).isEmpty)
+  }
+
   test("read path is job-free and fast: 200k gets off one materialization") {
     engine.createStore("c5", Seq("c_custkey"))
     engine.push("c5", Tables.customer(spark, sf))
