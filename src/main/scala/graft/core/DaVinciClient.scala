@@ -34,7 +34,10 @@ import org.apache.spark.sql.functions._
   * a rebucket is picked up on the next refresh (staleness, not wrongness:
   * the thrown message says which). */
 final class DaVinciClient private[core] (engine: GraftEngine, name: String,
-    buckets: Option[Seq[Int]], maxRows: Int, autoRefreshMs: Long) {
+    buckets: Option[Seq[Int]], maxRows: Int, autoRefreshMs: Long,
+    asOfTs: Option[Long] = None,
+    transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame
+      = identity) {
 
   private val keyCols: Seq[String] = engine.storeMeta(name).keyCols
   // None = all buckets (subscribeAll); Some(set) = partition subscription.
@@ -73,11 +76,13 @@ final class DaVinciClient private[core] (engine: GraftEngine, name: String,
   def size: Int = state.table.size()
 
   /** True iff the materialized state reflects the store's current change
-    * coordinate (two metadata file reads, no scan). */
-  def isFresh: Boolean = state.coord == engine.latestCoordinate(name)
+    * coordinate (two metadata file reads, no scan). A seekable client
+    * pinned at a past instant is always fresh — the past is immutable. */
+  def isFresh: Boolean =
+    asOfTs.isDefined || state.coord == engine.latestCoordinate(name)
 
   /** Re-materialize iff the change coordinate moved. Returns true when a
-    * re-materialization happened. */
+    * re-materialization happened; a pinned as-of client never does. */
   def refresh(): Boolean = synchronized {
     if (isFresh) false else { refreshNow(); true }
   }
@@ -187,7 +192,17 @@ final class DaVinciClient private[core] (engine: GraftEngine, name: String,
   private def refreshNow(): Unit = {
     val coord = engine.latestCoordinate(name)
     val nb = engine.numBuckets(name)
-    val view = engine.servingView(name)
+    val view0 = asOfTs match {
+      case Some(t) => engine.servingViewAsOf(name, t)
+      case None => engine.servingView(name)
+    }
+    // record-transformer hook (reference intent:
+    // DaVinciRecordTransformer.java — records transformed during local
+    // ingestion, the mechanism the DuckDB integration rides; semantics,
+    // not code). Keys must survive the transform — routing needs them.
+    val view = transform(view0)
+    keyCols.foreach(k => require(view.columns.contains(k),
+      s"transform dropped key column $k — the local replica cannot route"))
     val sliced = subscribed match {
       case Some(bs) =>
         val keyExpr = concat_ws("|",

@@ -1775,8 +1775,25 @@ class GraftEngine(val spark: SparkSession, val root: String) {
     * `buckets` = Venice partition subscription — the memory bound for
     * corpus-scale stores. */
   def daVinci(name: String, buckets: Option[Seq[Int]] = None,
-      maxRows: Int = 5000000, autoRefreshMs: Long = -1L): DaVinciClient =
-    new DaVinciClient(this, name, buckets, maxRows, autoRefreshMs)
+      maxRows: Int = 5000000, autoRefreshMs: Long = -1L,
+      transform: DataFrame => DataFrame = identity): DaVinciClient =
+    new DaVinciClient(this, name, buckets, maxRows, autoRefreshMs,
+      transform = transform)
+
+  /** Seekable DaVinci client pinned at a past instant (reference intent:
+    * AvroGenericSeekableDaVinciClient — subscribe the local replica as of
+    * a point in the change stream; semantics, not code): materializes
+    * [[servingViewAsOf]] once and never goes stale — the past is
+    * immutable. LWW stores only (the A/A op log resolves through the CRDT
+    * fold, which has no ts-prefix cut). */
+  def daVinciAsOf(name: String, tsMs: Long,
+      buckets: Option[Seq[Int]] = None, maxRows: Int = 5000000,
+      transform: DataFrame => DataFrame = identity): DaVinciClient = {
+    require(!isActiveActive(name),
+      s"store $name is active-active — daVinciAsOf pins the LWW log prefix")
+    new DaVinciClient(this, name, buckets, maxRows, autoRefreshMs = -1L,
+      asOfTs = Some(tsMs), transform = transform)
+  }
 
   /** Drop `name`'s local cache (all stores when `name` is null). */
   def dropCachedView(name: String = null): Unit = synchronized {

@@ -180,6 +180,45 @@ class DaVinciSpec extends AnyFunSuite {
     assert(dv.hadamardProduct(Seq(liveKey), "embedding", Seq(1.0)).isEmpty)
   }
 
+  test("seekable as-of client pins a past instant; transformer reshapes rows") {
+    engine.createStore("c7", Seq("c_custkey"))
+    engine.push("c7", Tables.customer(spark, sf))
+    engine.put("c7", Tables.customer(spark, sf)
+      .filter(col("c_custkey") === 5L)
+      .withColumn("c_name", lit("AT_1000")), tsMs = 1000L)
+    engine.put("c7", Tables.customer(spark, sf)
+      .filter(col("c_custkey") === 5L)
+      .withColumn("c_name", lit("AT_2000")), tsMs = 2000L)
+    val pinned = engine.daVinciAsOf("c7", tsMs = 1500L)
+    assert(pinned.get(Seq(5L)).get.getAs[String]("c_name") == "AT_1000")
+    // pinned clients never go stale — the past is immutable
+    engine.put("c7", Tables.customer(spark, sf)
+      .filter(col("c_custkey") === 5L)
+      .withColumn("c_name", lit("AT_3000")), tsMs = 3000L)
+    assert(pinned.isFresh && !pinned.refresh())
+    assert(pinned.get(Seq(5L)).get.getAs[String]("c_name") == "AT_1000")
+    assert(engine.daVinci("c7").get(Seq(5L))
+      .get.getAs[String]("c_name") == "AT_3000")
+    // record-transformer hook: project + derive during materialization
+    val dv = engine.daVinci("c7", transform = df =>
+      df.select(col("c_custkey"), upper(col("c_mktsegment")).as("seg")))
+    val r = dv.get(Seq(5L)).get
+    assert(r.schema.fieldNames.toSeq == Seq("c_custkey", "seg"))
+    assert(r.getAs[String]("seg") == r.getAs[String]("seg").toUpperCase)
+    // a transform that drops the key is refused
+    val ex = intercept[IllegalArgumentException] {
+      engine.daVinci("c7", transform = _.select(col("c_name")))
+    }
+    assert(ex.getMessage.contains("key column"))
+    // as-of on an A/A store is refused
+    engine.createStore("c8", Seq("c_custkey"))
+    engine.push("c8", Tables.customer(spark, sf))
+    engine.enableActiveActive("c8")
+    assert(intercept[IllegalArgumentException] {
+      engine.daVinciAsOf("c8", 1L)
+    }.getMessage.contains("active-active"))
+  }
+
   test("read path is job-free and fast: 200k gets off one materialization") {
     engine.createStore("c5", Seq("c_custkey"))
     engine.push("c5", Tables.customer(spark, sf))
