@@ -263,4 +263,16 @@ class PlanSpec extends AnyFunSuite {
       p.contains("BroadcastHashJoin"), p.take(1200))
     assert(!p.contains("CartesianProduct"), p.take(1200))
   }
+
+  test("NB filter: 1-row totals/prior broadcast, corpus side never cartesian") {
+    val p = plan(Queries.byName("nb_classifier_filter").fn(spark, sf))
+    // the two 1-row frames (class totals, prior) must ride broadcast nested
+    // loops, and the corpus-sized frames must only ever meet on equi-joins
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+    // the scoring join on tok must not broadcast the corpus-sized dtc side:
+    // either a shuffled equi-join, or weights (vocab-bounded) broadcast
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      p.take(1500))
+  }
 }
