@@ -967,6 +967,48 @@ object Queries {
             WHERE c_custkey <= 2000 AND c_custkey NOT BETWEEN 6 AND 10
             ORDER BY c_custkey"""))
 
+  /** The pure-SQL client, end to end: a store pushed through the engine is
+    * read back via `format("graft")` (the DSv2 rewrite), registered as a
+    * temp view, and ALL compute happens in `spark.sql` text through the
+    * injected `graft_*` functions ([[graft.functions.SqlFunctions]]) — no
+    * graft API call after the view registration. The SQL functions route
+    * to the same codegen'd expressions as the programmatic compute DSL
+    * (R4/R5/R6/R7), so this oracle doubles as the SQL↔DataFrame parity
+    * proof. Plan shape: the self-join on `vec_id + 1` is a plain
+    * broadcast/sort-merge equi-join over the store scan; per-row vector
+    * kernels stay inside whole-stage codegen. */
+  val sqlComputeClient = QueryDef(
+    "sql_compute_client",
+    (s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft-sqlfn").toString
+      val e = new graft.core.GraftEngine(s, root)
+      e.createStore("emb", Seq("vec_id"))
+      e.push("emb", t(s, dir, "embeddings"), numBuckets = 4)
+      s.read.format("graft").option("root", root).option("store", "emb").load()
+        .createOrReplaceTempView("emb_store")
+      s.sql("""SELECT a.vec_id,
+          round(graft_dot(a.embedding, b.embedding), 6) + 0.0 AS dot_next,
+          round(graft_cosine(a.embedding, b.embedding), 6) + 0.0 AS cos_next,
+          round(graft_l2norm(a.embedding), 6) + 0.0 AS nrm,
+          graft_count(a.embedding) AS n_dim,
+          round(graft_hadamard(a.embedding, b.embedding)[0], 6) + 0.0 AS had0
+        FROM emb_store a JOIN emb_store b ON b.vec_id = a.vec_id + 1
+        WHERE a.vec_id < 64
+        ORDER BY a.vec_id""")
+    },
+    Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+            SELECT a.vec_id,
+              round(list_dot_product(a.v, b.v), 6) + 0.0 AS dot_next,
+              round(list_dot_product(a.v, b.v) /
+                sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v)), 6)
+                + 0.0 AS cos_next,
+              round(sqrt(list_dot_product(a.v, a.v)), 6) + 0.0 AS nrm,
+              CAST(len(a.v) AS INTEGER) AS n_dim,
+              round(a.v[1] * b.v[1], 6) + 0.0 AS had0
+            FROM e a JOIN e b ON b.vec_id = a.vec_id + 1
+            WHERE a.vec_id < 64
+            ORDER BY a.vec_id"""))
+
   /** W2 UpdateBuilder → update log → serving view: one builder-constructed
     * partial update replicated over keys 1–20. */
   val w2UpdateBuilder = QueryDef(
@@ -4326,47 +4368,46 @@ object Queries {
     * tiny (3 terms × N/97 docs) and BROADCAST into the token-keyed tf
     * postings join — the corpus-side tables (tf, dl) shuffle once each on
     * their natural keys; final per-query top-5 is a bounded window. */
-  val bm25Retrieval = QueryDef(
-    "bm25_retrieval",
-    (s, dir) => {
-      val toks = t(s, dir, "documents")
-        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
-      val tf = toks.groupBy(col("doc_id"), col("token"))
-        .agg(count(lit(1)).as("tf"))
-      val dfreq = toks.distinct().groupBy(col("token"))
-        .agg(count(lit(1)).as("df"))
-      val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
-      val st = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("t")).collect()(0)
-      val n = st.getLong(0)
-      val tt = st.getLong(1)
-      val wq = Window.partitionBy(col("query_id"))
-        .orderBy(col("tscore").desc, col("token"))
-      val qterms = tf.filter(pmod(col("doc_id"), lit(97)) === 0)
-        .join(dfreq, "token")
-        .withColumn("tscore", col("tf") * expr(s"${n}L div df"))
-        .withColumn("query_id", col("doc_id"))
-        .withColumn("rk", row_number().over(wq))
-        .filter(col("rk") <= 3)
-        .select(col("query_id"), col("token"))
-      val cand = tf
-        .join(broadcast(qterms.join(dfreq, "token")), "token")
-        .filter(col("doc_id") =!= col("query_id"))
-        .join(dl, "doc_id")
-      val scored = cand
-        .withColumn("term_score",
-          expr(s"((1000000L * (2L*${n}L - 2L*df + 1L)) div (2L*df + 1L)) * " +
-            s"((44L * tf * ${tt}L * 1000L) div " +
-            s"(20L * tf * ${tt}L + 6L * ${tt}L + 18L * dl * ${n}L))"))
-        .groupBy(col("query_id"), col("doc_id"))
-        .agg(sum(col("term_score")).as("score"))
-      val wr = Window.partitionBy(col("query_id"))
-        .orderBy(col("score").desc, col("doc_id"))
-      scored.withColumn("rank", row_number().over(wr))
-        .filter(col("rank") <= 5)
-        .select(col("query_id"), col("rank"), col("doc_id"), col("score"))
-        .orderBy(col("query_id"), col("rank"))
-    },
-    Some(s"""WITH toks AS (SELECT doc_id, unnest($tokensSql) AS token
+  /** The BM25 scored frame shared by [[bm25Retrieval]] and [[rrfFusion]]:
+    * (query_id, doc_id, score) for every candidate doc sharing a query
+    * term with a query doc (doc_id % 97 == 0, top-3 TF-IDF terms each). */
+  private def bm25Scored(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
+    val tf = toks.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = toks.distinct().groupBy(col("token"))
+      .agg(count(lit(1)).as("df"))
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val st = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("t")).collect()(0)
+    val n = st.getLong(0)
+    val tt = st.getLong(1)
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("tscore").desc, col("token"))
+    val qterms = tf.filter(pmod(col("doc_id"), lit(97)) === 0)
+      .join(dfreq, "token")
+      .withColumn("tscore", col("tf") * expr(s"${n}L div df"))
+      .withColumn("query_id", col("doc_id"))
+      .withColumn("rk", row_number().over(wq))
+      .filter(col("rk") <= 3)
+      .select(col("query_id"), col("token"))
+    val cand = tf
+      .join(broadcast(qterms.join(dfreq, "token")), "token")
+      .filter(col("doc_id") =!= col("query_id"))
+      .join(dl, "doc_id")
+    cand
+      .withColumn("term_score",
+        expr(s"((1000000L * (2L*${n}L - 2L*df + 1L)) div (2L*df + 1L)) * " +
+          s"((44L * tf * ${tt}L * 1000L) div " +
+          s"(20L * tf * ${tt}L + 6L * ${tt}L + 18L * dl * ${n}L))"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("term_score")).as("score"))
+  }
+
+  /** CTE chain ending in `scored(query_id, doc_id, score)` — the oracle
+    * replay of [[bm25Scored]], shared by both oracles. */
+  private val bm25ScoredCtes: String =
+    s"""toks AS (SELECT doc_id, unnest($tokensSql) AS token
                FROM documents),
              tf AS (SELECT doc_id, token, count(*) AS tf
                FROM toks GROUP BY doc_id, token),
@@ -4391,13 +4432,86 @@ object Queries {
                JOIN dl ON dl.doc_id = tf.doc_id
                JOIN dfreq ON dfreq.token = q.token, stats
                WHERE tf.doc_id <> q.query_id
-               GROUP BY q.query_id, tf.doc_id)
+               GROUP BY q.query_id, tf.doc_id)"""
+
+  val bm25Retrieval = QueryDef(
+    "bm25_retrieval",
+    (s, dir) => {
+      val wr = Window.partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("doc_id"))
+      bm25Scored(s, dir).withColumn("rank", row_number().over(wr))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("rank"), col("doc_id"), col("score"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(s"""WITH $bm25ScoredCtes
              SELECT query_id,
                row_number() OVER (PARTITION BY query_id
                  ORDER BY score DESC, doc_id) AS rank,
                doc_id, score
              FROM scored
              QUALIFY rank <= 5
+             ORDER BY query_id, rank"""))
+
+  /** Hybrid retrieval with reciprocal-rank fusion (Cormack, Clarke &
+    * Buettcher, SIGIR'09): the lexical leg is [[bm25Scored]]'s top-10 per
+    * query, the dense leg is exact cosine top-10 over the same query docs'
+    * embeddings, fused by [[graft.operators.Retrieval.rrfFuse]] with the
+    * standard k=60 constant — scaled to 1e6/(60+rank) under integer
+    * division so both engines agree bit-for-bit (rank is exact in each
+    * leg, so no float ever enters the fusion). The RAG-stack shape: BM25
+    * catches exact-term matches the embedding misses, the dense leg
+    * catches paraphrases sharing no token.
+    *
+    * Shape at scale: each leg already ends in a bounded per-query top-K
+    * (queries × K rows — tiny), so the fusion itself is one groupBy over
+    * |queries|·2K rows regardless of corpus size; ALL corpus-sized work
+    * lives inside the legs, which are the independently-benched scale
+    * paths (BM25's broadcast postings join; swap the exact dense leg for
+    * [[graft.operators.Similarity.ivfTopK]]/lshTopK past brute-force
+    * range). */
+  val rrfFusion = QueryDef(
+    "rrf_fusion",
+    (s, dir) => {
+      val wl = Window.partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("doc_id"))
+      val lex = bm25Scored(s, dir)
+        .withColumn("rank", row_number().over(wl))
+        .filter(col("rank") <= 10)
+        .select(col("query_id"), col("doc_id"), col("rank"))
+      val emb = t(s, dir, "embeddings")
+      val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val qs = emb.filter(pmod(col("vec_id"), lit(97)) === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val den = graft.operators.Similarity.bruteForceTopK(corpus, qs, 10)
+        .select(col("qid").as("query_id"), col("id").as("doc_id"), col("rank"))
+      graft.operators.Retrieval.rrfFuse(Seq(lex, den), k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(s"""WITH $bm25ScoredCtes,
+             lex AS (SELECT query_id, doc_id, row_number() OVER (
+                 PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+               FROM scored QUALIFY rank <= 10),
+             qv AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qvec,
+                 sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS qn
+               FROM embeddings WHERE vec_id % 97 = 0),
+             cv AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec,
+                 sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS n
+               FROM embeddings),
+             den AS (SELECT qid AS query_id, id AS doc_id, rank FROM (
+                 SELECT qid, id, row_number() OVER (PARTITION BY qid
+                   ORDER BY round(list_dot_product(vec, qvec) / (n * qn), 6) + 0.0
+                     DESC, id) AS rank
+                 FROM cv, qv WHERE id <> qid) WHERE rank <= 10),
+             fused AS (SELECT query_id, doc_id,
+                 CAST(sum(1000000 // (60 + rank)) AS BIGINT) AS rrf_score,
+                 count(*) AS legs
+               FROM (SELECT * FROM lex UNION ALL SELECT * FROM den)
+               GROUP BY query_id, doc_id)
+             SELECT query_id, row_number() OVER (PARTITION BY query_id
+                 ORDER BY rrf_score DESC, doc_id) AS rank,
+               doc_id, rrf_score, legs
+             FROM fused QUALIFY rank <= 5
              ORDER BY query_id, rank"""))
 
   /** Bigram language-model quality scoring with stupid backoff (Brants et
@@ -7504,7 +7618,7 @@ object Queries {
     b3Ttl, b4Compaction, b4DupAudit, b7Quota, b8Partition,
     w3WriteCompute, w5Lww, w6DeleteWins, w7Crdt, w7CrdtMap, w8Squash, w11Div, w12Hll, w13HotKeys,
     r12Meta, r13SchemaEvolution, b13IncrementalView, b14AaView, b19JoinView,
-    r14AaEvolution, s3LagGate, w1PutDelete, dsv2StoreRead,
+    r14AaEvolution, s3LagGate, w1PutDelete, dsv2StoreRead, sqlComputeClient,
     w2UpdateBuilder, w4UpdateSchema, w9Chunk, b6Wire,
     b1Avro, w10Compression, b10Metrics, b11Incremental, b12Etl,
     s1Ingest, s2Rewind, s4Changelog, s6SqlView, s7TokenBucket,
@@ -7524,7 +7638,7 @@ object Queries {
     streamJoinOuterQ, r16AsofRead, qualityDeciles, b15Purge,
     curriculumInterleave, urlCanonicalize, bpePairStats, sampleWeighted,
     annIvfPq, streamSessionize, dedupSpans, seqLenHist,
-    gopherRules, splitLeakage, r17Rollback, bm25Retrieval, lmBigram,
+    gopherRules, splitLeakage, r17Rollback, bm25Retrieval, rrfFusion, lmBigram,
     crawlPagerank, spanCorrupt, fimTransform, mixRollup, q5LocalSupplier,
     streamTrending,
     q18BigOrders, dedupRateReport, streamDedupQ, r18PartialKey, r19Rebucket,

@@ -28,6 +28,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectResolutionRule(GraftRelationRewrite)
     ext.injectOptimizerRule(GraftBucketPruning)
+    // the compute DSL as plain SQL functions (graft_dot, graft_cosine, …)
+    // — with the relation rewrite above, spark.sql alone is a full client
+    graft.functions.SqlFunctions.all.foreach(ext.injectFunction)
   }
 }
 

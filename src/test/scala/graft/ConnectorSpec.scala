@@ -94,4 +94,41 @@ class ConnectorSpec extends AnyFunSuite {
     val bg = engine.batchGet("aa", Seq(1L, 2L).toDF("k")).collect()
     assert(bg.length == 1 && bg.head.getAs[String]("v") == "a2")
   }
+
+  test("injected graft_* SQL functions ≡ the programmatic compute DSL") {
+    import graft.functions.{SimHashExpr, VecDotExpr, VectorOps}
+    val emb = Tables.embeddings(spark, sf).limit(50)
+      .select(col("vec_id"), col("embedding"))
+    emb.createOrReplaceTempView("emb_fn")
+    val viaSql = spark.sql(
+      """SELECT vec_id, graft_dot(embedding, embedding) AS dd,
+           graft_dot_float(embedding, embedding) AS ddf,
+           graft_cosine(embedding, embedding) AS cs,
+           graft_count(embedding) AS n,
+           graft_l2norm(embedding) AS nrm
+         FROM emb_fn ORDER BY vec_id""").collect()
+    val viaApi = emb
+      .select(col("vec_id"),
+        VecDotExpr.vecDot(col("embedding").cast("array<double>"),
+          col("embedding").cast("array<double>")).as("dd"),
+        VecDotExpr.vecDotFloat(col("embedding"), col("embedding")).as("ddf"),
+        VectorOps.cosineCols(col("embedding"), col("embedding")).as("cs"),
+        VectorOps.countElements(col("embedding")).as("n"),
+        VectorOps.l2Norm(col("embedding")).as("nrm"))
+      .orderBy("vec_id").collect()
+    assert(viaSql.toSeq == viaApi.toSeq) // bit-exact: same expressions
+    // simhash64 over a token array, SQL vs expression API
+    val docs = Tables.documents(spark, sf).limit(20)
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+    docs.createOrReplaceTempView("doc_fn")
+    val sh1 = spark.sql(
+      "SELECT doc_id, graft_simhash64(tk) AS sh FROM doc_fn ORDER BY doc_id")
+      .collect()
+    val sh2 = docs.select(col("doc_id"),
+      SimHashExpr.simhash64(col("tk")).as("sh")).orderBy("doc_id").collect()
+    assert(sh1.toSeq == sh2.toSeq)
+    // wrong arity fails at analysis, not at runtime
+    val err = intercept[Exception](spark.sql("SELECT graft_dot(array(1.0))"))
+    assert(err.getMessage.contains("expects 2 argument"))
+  }
 }

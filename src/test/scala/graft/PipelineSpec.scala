@@ -1056,4 +1056,25 @@ class PipelineSpec extends AnyFunSuite {
     // a 16-token window cannot fit inside the 8-token passage: no dups
     assert(prof(16L) == ((0L, 0L, 0L)))
   }
+
+  test("rrfFuse: consensus doc outranks a single-leg #1; ranks deterministic") {
+    import spark.implicits._
+    // doc 30 is mid-ranked in BOTH legs (rank 2 + rank 3); docs 10/20 are
+    // each a leg's #1 but absent from the other. RRF must put the
+    // consensus doc first: 1e6/62 + 1e6/63 = 32000 > 1e6/61 = 16393.
+    val lex = Seq((1L, 10L, 1), (1L, 30L, 2), (1L, 40L, 3))
+      .toDF("query_id", "doc_id", "rank")
+    val den = Seq((1L, 20L, 1), (1L, 40L, 2), (1L, 30L, 3))
+      .toDF("query_id", "doc_id", "rank")
+    val fused = graft.operators.Retrieval.rrfFuse(Seq(lex, den), k = 4)
+      .orderBy(col("rank"))
+      .collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // doc 40 (ranks 3+2): 1e6/63 + 1e6/62 = 15873 + 16129 = 32002 — ties
+    // with nothing; doc 30 (ranks 2+3) has the same sum, tie broken on id
+    assert(fused(0) == ((1, 30L, 32002L, 2L)))
+    assert(fused(1) == ((2, 40L, 32002L, 2L)))
+    assert(fused(2) == ((3, 10L, 16393L, 1L)))
+    assert(fused(3) == ((4, 20L, 16393L, 1L)))
+  }
 }
