@@ -967,6 +967,44 @@ object Queries {
             WHERE c_custkey <= 2000 AND c_custkey NOT BETWEEN 6 AND 10
             ORDER BY c_custkey"""))
 
+  /** The changelog through the vanilla-Spark connector: the same writes as
+    * `dsv2_store_read`, read back as CHANGE EVENTS with
+    * `.option("changelog", "true")` (the B2/S4 surface for sessions with no
+    * graft API on the classpath — batch here; `readStream` over the same
+    * option is the live subscription, spec-verified in ConnectorSpec since
+    * a streaming drain has no SQL oracle). Events carry the value, the
+    * event-time, and the tombstone flag; the plan is the engine's
+    * changelog plan via the analysis-time rewrite — a pruned scan of the
+    * log directory only, never the snapshot. */
+  val dsv2ChangelogRead = QueryDef(
+    "dsv2_changelog_read",
+    (s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft-dsv2cl").toString
+      val e = new graft.core.GraftEngine(s, root)
+      e.createStore("c", Seq("c_custkey"))
+      val cust = t(s, dir, "customer").filter(col("c_custkey") <= 2000)
+      e.push("c", cust, numBuckets = 4)
+      e.put("c", cust.filter(col("c_custkey") <= 5)
+        .withColumn("c_name", concat(lit("DSV2-"), col("c_custkey").cast("string"))),
+        tsMs = 1000L)
+      e.delete("c", cust.filter(col("c_custkey").between(6, 10))
+        .select("c_custkey"), tsMs = 2000L)
+      s.read.format("graft").option("root", root).option("store", "c")
+        .option("changelog", "true").load()
+        .select(col("c_custkey"), col("c_name"),
+          col(graft.core.GraftEngine.TsCol).as("ts_ms"),
+          col(graft.core.GraftEngine.DeletedCol).as("deleted"))
+        .orderBy(col("c_custkey"))
+    },
+    Some("""SELECT c_custkey, 'DSV2-' || c_custkey AS c_name,
+              CAST(1000 AS BIGINT) AS ts_ms, false AS deleted
+            FROM customer WHERE c_custkey <= 5
+            UNION ALL
+            SELECT c_custkey, NULL AS c_name,
+              CAST(2000 AS BIGINT) AS ts_ms, true AS deleted
+            FROM customer WHERE c_custkey BETWEEN 6 AND 10
+            ORDER BY c_custkey"""))
+
   /** The pure-SQL client, end to end: a store pushed through the engine is
     * read back via `format("graft")` (the DSv2 rewrite), registered as a
     * temp view, and ALL compute happens in `spark.sql` text through the
@@ -7618,7 +7656,8 @@ object Queries {
     b3Ttl, b4Compaction, b4DupAudit, b7Quota, b8Partition,
     w3WriteCompute, w5Lww, w6DeleteWins, w7Crdt, w7CrdtMap, w8Squash, w11Div, w12Hll, w13HotKeys,
     r12Meta, r13SchemaEvolution, b13IncrementalView, b14AaView, b19JoinView,
-    r14AaEvolution, s3LagGate, w1PutDelete, dsv2StoreRead, sqlComputeClient,
+    r14AaEvolution, s3LagGate, w1PutDelete, dsv2StoreRead, dsv2ChangelogRead,
+    sqlComputeClient,
     w2UpdateBuilder, w4UpdateSchema, w9Chunk, b6Wire,
     b1Avro, w10Compression, b10Metrics, b11Incremental, b12Etl,
     s1Ingest, s2Rewind, s4Changelog, s6SqlView, s7TokenBucket,

@@ -5,8 +5,10 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, EqualTo, Expression, Literal}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.streaming.StreamingRelationV2
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.functions.col
 import graft.core.GraftEngine
 
 /** Session extension wiring for the graft DSv2 surface:
@@ -38,18 +40,54 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   * The rewrite preserves the relation's output attribute ids (an aliasing
   * Project), so references bound by the analyzer stay valid. */
 case class GraftRelationRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  /** Alias `view`'s outputs onto the relation's attribute ids so
+    * references the analyzer already bound stay valid. */
+  private def rebind(refs: Seq[Attribute], view: LogicalPlan,
+      what: String): LogicalPlan = {
+    val byName = view.output.map(a => a.name -> a).toMap
+    Project(refs.map { ref =>
+      val src = byName.getOrElse(ref.name,
+        throw new IllegalStateException(
+          s"$what no longer serves column ${ref.name}"))
+      Alias(src, ref.name)(exprId = ref.exprId)
+    }, view)
+  }
+
+  private def sinceTs(options: org.apache.spark.sql.util.CaseInsensitiveStringMap): Long =
+    options.getLong("sinceTs", 0L)
+
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformUp {
       case rel @ DataSourceV2Relation(t: GraftTable, _, _, _, _, _) =>
         val view = new GraftEngine(spark, t.root).servingView(t.store)
           .queryExecution.analyzed
-        val byName = view.output.map(a => a.name -> a).toMap
-        Project(rel.output.map { ref =>
-          val src = byName.getOrElse(ref.name,
-            throw new IllegalStateException(
-              s"store ${t.store} no longer serves column ${ref.name}"))
-          Alias(src, ref.name)(exprId = ref.exprId)
-        }, view)
+        rebind(rel.output, view, s"store ${t.store}")
+      // batch changelog: every change event since `sinceTs` (A/A stores
+      // emit conflict-resolved after-images, like GraftEngine.changelog)
+      case rel @ DataSourceV2Relation(t: GraftChangelogTable, _, _, _, _, _) =>
+        val view = new GraftEngine(spark, t.root)
+          .changelog(t.store, sinceTs(rel.options))
+          .queryExecution.analyzed
+        rebind(rel.output, view, s"changelog of ${t.store}")
+      // streaming changelog: substitute the parquet file source over the
+      // store's upsert log — MicroBatchExecution then runs a stock file
+      // stream (offset log = checkpointing; restarts resume in place).
+      case rel @ StreamingRelationV2(_, _, t: GraftChangelogTable,
+          options, _, _, _, _) =>
+        val engine = new GraftEngine(spark, t.root)
+        if (engine.isActiveActive(t.store))
+          throw new UnsupportedOperationException(
+            s"store ${t.store} is active-active: its changelog is a " +
+              "conflict-resolved after-image computed per batch, not a " +
+              "file stream — poll GraftEngine.changelog/bootstrapChangelog " +
+              "with ChangeCoordinate checkpoints instead")
+        val logDir = s"${t.root}/${t.store}/log"
+        val schema = spark.read.parquet(logDir).schema
+        val stream = spark.readStream.schema(schema).parquet(logDir)
+          .filter(col(GraftEngine.TsCol) >= sinceTs(options))
+        rebind(rel.output, stream.queryExecution.analyzed,
+          s"changelog of ${t.store}")
     }
 }
 

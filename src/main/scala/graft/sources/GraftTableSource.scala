@@ -59,6 +59,41 @@ object GraftTable {
     GraftTable(root, store, schemaOf(spark, root, store))
 }
 
+/** The store's CHANGE stream as a DSv2 table — the vanilla-Spark face of
+  * the changelog consumer (reference semantics, not code:
+  * VeniceChangelogConsumer.java's subscribe/seekToTimestamp surface).
+  * Selected with `.option("changelog", "true")`:
+  *
+  *  - `spark.read` → every change event since `sinceTs` (default 0):
+  *    key + value columns + event ts + tombstone flag. A/A stores emit
+  *    conflict-RESOLVED after-images, exactly like `GraftEngine.changelog`.
+  *  - `spark.readStream` → a Structured Streaming subscription to the
+  *    same events (micro-batched as the upsert log grows; checkpointing
+  *    is the file source's offset log, so a restarted query resumes where
+  *    it left off — the consumer-group story for free).
+  *
+  * Both are analysis-time rewrites ([[GraftExtensions]]) onto ordinary
+  * Catalyst plans, so there is no row-level reader: the batch side is the
+  * engine's changelog plan, the stream side is the parquet file source
+  * over the store's log directory. */
+final case class GraftChangelogTable(root: String, store: String,
+    tableSchema: StructType) extends Table with SupportsRead {
+  override def name(): String = s"graft-changelog:$root/$store"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    throw new UnsupportedOperationException(
+      "graft changelog tables are served through an analysis-time rewrite; " +
+        "add spark.sql.extensions=graft.sources.GraftExtensions to the " +
+        "session config (GraftSession.build does this automatically)")
+}
+
+object GraftChangelogTable {
+  def schemaOf(spark: SparkSession, root: String, store: String): StructType =
+    new graft.core.GraftEngine(spark, root).changelog(store, 0L).schema
+}
+
 /** `spark.read.format("graft")` entry point (registered via the
   * DataSourceRegister service file, short name `graft`). */
 class GraftTableProvider extends TableProvider with DataSourceRegister {
@@ -73,16 +108,22 @@ class GraftTableProvider extends TableProvider with DataSourceRegister {
     (root, store)
   }
 
+  private def isChangelog(options: CaseInsensitiveStringMap): Boolean =
+    options.getBoolean("changelog", false)
+
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val (root, store) = rootStore(options)
-    GraftTable.schemaOf(SparkSession.active, root, store)
+    if (isChangelog(options))
+      GraftChangelogTable.schemaOf(SparkSession.active, root, store)
+    else GraftTable.schemaOf(SparkSession.active, root, store)
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
-    val (root, store) = rootStore(
-      new CaseInsensitiveStringMap(properties))
-    GraftTable(root, store, schema)
+    val opts = new CaseInsensitiveStringMap(properties)
+    val (root, store) = rootStore(opts)
+    if (isChangelog(opts)) GraftChangelogTable(root, store, schema)
+    else GraftTable(root, store, schema)
   }
 }
 

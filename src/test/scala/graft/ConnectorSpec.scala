@@ -95,6 +95,73 @@ class ConnectorSpec extends AnyFunSuite {
     assert(bg.length == 1 && bg.head.getAs[String]("v") == "a2")
   }
 
+  test("changelog option: batch read ≡ engine.changelog, LWW and A/A") {
+    engine.createStore("cl", Seq("k"))
+    import spark.implicits._
+    engine.push("cl", Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"),
+      numBuckets = 2)
+    engine.put("cl", Seq((1L, "a2")).toDF("k", "v"), tsMs = 100L)
+    engine.delete("cl", Seq(Tuple1(3L)).toDF("k"), tsMs = 200L)
+    def readChangelog(store: String, since: Long = 0L) =
+      spark.read.format("graft").option("root", root).option("store", store)
+        .option("changelog", "true").option("sinceTs", since).load()
+    val got = readChangelog("cl").orderBy("k").collect()
+    val want = engine.changelog("cl", 0L).orderBy("k").collect()
+    assert(got.toSeq == want.toSeq)
+    assert(got.length == 2)
+    // sinceTs seeks: only the delete remains
+    val later = readChangelog("cl", since = 150L).collect()
+    assert(later.length == 1 && later.head.getAs[Long]("k") == 3L)
+    // A/A: the connector serves resolved after-images, same as the engine
+    engine.createStore("claa", Seq("k"))
+    engine.enableActiveActive("claa")
+    engine.push("claa", Seq((1L, "x")).toDF("k", "v"), numBuckets = 2)
+    engine.putAA("claa", Seq((1L, "x2")).toDF("k", "v"), tsMs = 10L)
+    val gotAa = readChangelog("claa").collect()
+    val wantAa = engine.changelog("claa", 0L).collect()
+    assert(gotAa.toSeq == wantAa.toSeq)
+    assert(gotAa.length == 1 && gotAa.head.getAs[String]("v") == "x2")
+  }
+
+  test("readStream.format(graft): a live changelog subscription") {
+    engine.createStore("cs", Seq("k"))
+    import spark.implicits._
+    engine.push("cs", Seq((1L, "a")).toDF("k", "v"), numBuckets = 2)
+    engine.put("cs", Seq((1L, "a2"), (2L, "b")).toDF("k", "v"), tsMs = 100L)
+    val stream = spark.readStream.format("graft")
+      .option("root", root).option("store", "cs")
+      .option("changelog", "true").load()
+    assert(stream.isStreaming)
+    val cp = Files.createTempDirectory("graft-cs-cp").toString
+    val out = Files.createTempDirectory("graft-cs-out").toString
+    def drain(): Unit = {
+      val q = stream.writeStream.format("parquet")
+        .option("checkpointLocation", cp).option("path", out)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drain()
+    assert(spark.read.parquet(out).count() == 2)
+    // a RESTARTED subscription resumes from its checkpoint: only the new
+    // append is delivered (re-reading from scratch would make 5 rows)
+    engine.delete("cs", Seq(Tuple1(1L)).toDF("k"), tsMs = 200L)
+    drain()
+    val all = spark.read.parquet(out)
+    assert(all.count() == 3)
+    assert(all.filter(col(core.GraftEngine.DeletedCol)).count() == 1)
+    // streaming an A/A changelog is refused with the batch remedy
+    engine.createStore("csaa", Seq("k"))
+    engine.enableActiveActive("csaa")
+    engine.push("csaa", Seq((1L, "x")).toDF("k", "v"), numBuckets = 2)
+    engine.putAA("csaa", Seq((1L, "x2")).toDF("k", "v"), tsMs = 10L)
+    val err = intercept[Exception] {
+      spark.readStream.format("graft").option("root", root)
+        .option("store", "csaa").option("changelog", "true").load()
+    }
+    assert(err.getMessage.contains("active-active"))
+  }
+
   test("injected graft_* SQL functions ≡ the programmatic compute DSL") {
     import graft.functions.{SimHashExpr, VecDotExpr, VectorOps}
     val emb = Tables.embeddings(spark, sf).limit(50)
