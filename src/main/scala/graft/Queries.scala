@@ -967,6 +967,39 @@ object Queries {
             WHERE c_custkey <= 2000 AND c_custkey NOT BETWEEN 6 AND 10
             ORDER BY c_custkey"""))
 
+  /** The write path through the vanilla-Spark connector: `.mode("overwrite")`
+    * is a full version push (bucketed layout + atomic pointer swap — the
+    * VenicePushJob lifecycle as a DataFrameWriter), `.mode("append")` is a
+    * nearline put at `option("tsMs")`. Store creation stays an admin op
+    * (`createStore`), as Venice refuses pushes to undeclared stores; after
+    * that, write→read round-trips never touch the graft API. The oracle is
+    * the pushed data with the appended overlay applied — LWW through the
+    * DSv2 write, byte-identical to the engine-API path (`dsv2_store_read`'s
+    * contract, written via `df.write`). */
+  val dsv2StoreWrite = QueryDef(
+    "dsv2_store_write",
+    (s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft-dsv2w").toString
+      val e = new graft.core.GraftEngine(s, root)
+      e.createStore("c", Seq("c_custkey"))
+      val cust = t(s, dir, "customer").filter(col("c_custkey") <= 2000)
+      cust.write.format("graft").option("root", root).option("store", "c")
+        .option("numBuckets", 4).mode("overwrite").save()
+      cust.filter(col("c_custkey") <= 5)
+        .withColumn("c_name", concat(lit("WRT-"), col("c_custkey").cast("string")))
+        .write.format("graft").option("root", root).option("store", "c")
+        .option("tsMs", 1000L).mode("append").save()
+      s.read.format("graft").option("root", root).option("store", "c").load()
+        .select(col("c_custkey"), col("c_name"),
+          round(col("c_acctbal") * 100).cast("long").as("acctbal_cents"))
+        .orderBy(col("c_custkey"))
+    },
+    Some("""SELECT c_custkey,
+            CASE WHEN c_custkey <= 5 THEN 'WRT-' || c_custkey ELSE c_name END AS c_name,
+            CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_cents
+            FROM customer WHERE c_custkey <= 2000
+            ORDER BY c_custkey"""))
+
   /** The changelog through the vanilla-Spark connector: the same writes as
     * `dsv2_store_read`, read back as CHANGE EVENTS with
     * `.option("changelog", "true")` (the B2/S4 surface for sessions with no
@@ -7656,8 +7689,8 @@ object Queries {
     b3Ttl, b4Compaction, b4DupAudit, b7Quota, b8Partition,
     w3WriteCompute, w5Lww, w6DeleteWins, w7Crdt, w7CrdtMap, w8Squash, w11Div, w12Hll, w13HotKeys,
     r12Meta, r13SchemaEvolution, b13IncrementalView, b14AaView, b19JoinView,
-    r14AaEvolution, s3LagGate, w1PutDelete, dsv2StoreRead, dsv2ChangelogRead,
-    sqlComputeClient,
+    r14AaEvolution, s3LagGate, w1PutDelete, dsv2StoreRead, dsv2StoreWrite,
+    dsv2ChangelogRead, sqlComputeClient,
     w2UpdateBuilder, w4UpdateSchema, w9Chunk, b6Wire,
     b1Avro, w10Compression, b10Metrics, b11Incremental, b12Etl,
     s1Ingest, s2Rewind, s4Changelog, s6SqlView, s7TokenBucket,

@@ -57,9 +57,21 @@ case class GraftRelationRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
   private def sinceTs(options: org.apache.spark.sql.util.CaseInsensitiveStringMap): Long =
     options.getLong("sinceTs", 0L)
 
-  override def apply(plan: LogicalPlan): LogicalPlan =
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    // a relation that is the TARGET of a write command must stay a real
+    // DSv2 relation (the V1-write exec resolves the table from it); only
+    // read-side occurrences become the serving-view plan. Identity-based:
+    // `INSERT INTO t SELECT … FROM t` still rewrites the read occurrence.
+    val writeTargets = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[LogicalPlan, java.lang.Boolean]())
+    plan.foreach {
+      case w: org.apache.spark.sql.catalyst.plans.logical.V2WriteCommand =>
+        writeTargets.add(w.table); ()
+      case _ => ()
+    }
     plan.transformUp {
-      case rel @ DataSourceV2Relation(t: GraftTable, _, _, _, _, _) =>
+      case rel @ DataSourceV2Relation(t: GraftTable, _, _, _, _, _)
+          if !writeTargets.contains(rel) =>
         val view = new GraftEngine(spark, t.root).servingView(t.store)
           .queryExecution.analyzed
         rebind(rel.output, view, s"store ${t.store}")
@@ -89,6 +101,7 @@ case class GraftRelationRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         rebind(rel.output, stream.queryExecution.analyzed,
           s"changelog of ${t.store}")
     }
+  }
 }
 
 /** Optimizer rule: derive bucket-partition pruning from full-key equality.

@@ -36,11 +36,19 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * every scale point: the snapshot stays on Spark's vectorized parquet
   * path inside WholeStageCodegen instead of a per-row PartitionReader. */
 final case class GraftTable(root: String, store: String,
-    tableSchema: StructType) extends Table with SupportsRead {
+    tableSchema: StructType) extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"graft:$root/$store"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      // writes ride the V1 fallback (the sanctioned whole-DataFrame write
+      // seam): overwrite = a full push creating a NEW version, append = a
+      // nearline put — df.write IS the push job, which is exactly what the
+      // reference's VenicePushJob is (a Spark job writing a store version;
+      // semantics, not code: AbstractDataWriterSparkJob.java). Any-schema
+      // because an overwrite push may legitimately evolve the value schema.
+      TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE, TableCapability.ACCEPT_ANY_SCHEMA)
   // Never reached when GraftExtensions is installed — the analyzer rule
   // replaces the relation before scan planning. Reaching it means the
   // session was built without the extension; fail with the remedy.
@@ -49,11 +57,65 @@ final case class GraftTable(root: String, store: String,
       "graft tables are served through an analysis-time rewrite; add " +
         "spark.sql.extensions=graft.sources.GraftExtensions to the session " +
         "config (GraftSession.build does this automatically)")
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    GraftWriteBuilder(root, store, info, overwrite = false)
+}
+
+/** `df.write.format("graft")` — the push-job/nearline-write surface.
+  *
+  *  - `.mode("overwrite")` → [[graft.core.GraftEngine.push]]: a NEW store
+  *    version written bucketed+sorted and atomically version-swapped (the
+  *    VenicePushJob lifecycle). `.option("numBuckets", n)` sizes the
+  *    layout (default: the engine's default modulus).
+  *  - `.mode("append")` → `put` (or `putAA` on an active-active store): a
+  *    nearline write batch stamped `.option("tsMs", t)`, defaulting to
+  *    wall-clock — Venice's producer-timestamp behavior.
+  *
+  * The store must already exist: creation is an admin operation
+  * (`GraftEngine.createStore`), exactly as Venice refuses pushes to
+  * undeclared stores. Implemented as a V1 write (InsertableRelation): the
+  * engine's writers are whole-DataFrame plans (bucketing, sorting, log
+  * layout), which a row-level DataWriter cannot express. */
+private[sources] final case class GraftWriteBuilder(root: String,
+    store: String,
+    info: org.apache.spark.sql.connector.write.LogicalWriteInfo,
+    overwrite: Boolean)
+    extends org.apache.spark.sql.connector.write.WriteBuilder
+    with org.apache.spark.sql.connector.write.SupportsTruncate {
+
+  override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder =
+    copy(overwrite = true)
+
+  override def build(): org.apache.spark.sql.connector.write.Write =
+    new org.apache.spark.sql.connector.write.V1Write {
+      override def toInsertableRelation: org.apache.spark.sql.sources.InsertableRelation =
+        (data: org.apache.spark.sql.DataFrame, overwriteFlag: Boolean) => {
+          val engine = new graft.core.GraftEngine(data.sparkSession, root)
+          val opts = info.options
+          if (overwrite || overwriteFlag) {
+            val nb = opts.getInt("numBuckets", 16)
+            engine.push(store, data, numBuckets = nb)
+            ()
+          } else {
+            val ts = opts.getLong("tsMs", System.currentTimeMillis())
+            if (engine.isActiveActive(store)) engine.putAA(store, data, ts)
+            else engine.put(store, data, ts)
+          }
+        }
+    }
 }
 
 object GraftTable {
-  def schemaOf(spark: SparkSession, root: String, store: String): StructType =
-    new graft.core.GraftEngine(spark, root).servingView(store).schema
+  def schemaOf(spark: SparkSession, root: String, store: String): StructType = {
+    val engine = new graft.core.GraftEngine(spark, root)
+    // pre-first-push the store has no serving schema yet — the table is
+    // write-only (ACCEPT_ANY_SCHEMA; the first overwrite push defines it);
+    // reads still fail in the rewrite with the engine's own message
+    if (engine.currentVersion(store) == 0) new StructType()
+    else engine.servingView(store).schema
+  }
 
   def apply(spark: SparkSession, root: String, store: String): GraftTable =
     GraftTable(root, store, schemaOf(spark, root, store))

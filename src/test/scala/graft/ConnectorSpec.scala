@@ -162,6 +162,44 @@ class ConnectorSpec extends AnyFunSuite {
     assert(err.getMessage.contains("active-active"))
   }
 
+  test("df.write.format(graft): overwrite = version push, append = nearline put") {
+    engine.createStore("w", Seq("k"))
+    import spark.implicits._
+    def write(df: org.apache.spark.sql.DataFrame) = df.write.format("graft")
+      .option("root", root).option("store", "w")
+    // overwrite: a full push — version 1, bucketed layout
+    write(Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+      .option("numBuckets", 2).mode("overwrite").save()
+    assert(engine.currentVersion("w") == 1)
+    assert(readStore("w").count() == 2)
+    // append: a nearline put, overlaid by the serving view at its ts
+    write(Seq((1L, "a2")).toDF("k", "v"))
+      .option("tsMs", 100L).mode("append").save()
+    val got = readStore("w").orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((1L, "a2"), (2L, "b")))
+    // a second overwrite pushes version 2; the RT overlay SURVIVES the
+    // swap (hybrid-store semantics — Venice re-applies the RT rewind
+    // window onto a new version rather than discarding nearline writes)
+    write(Seq((1L, "z1"), (9L, "z9")).toDF("k", "v"))
+      .option("numBuckets", 2).mode("overwrite").save()
+    assert(engine.currentVersion("w") == 2)
+    val got2 = readStore("w").orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got2 == Seq((1L, "a2"), (9L, "z9")))
+    // writes through the engine and through df.write are the same log:
+    // parity with a put issued via the API
+    engine.put("w", Seq((9L, "via-api")).toDF("k", "v"), tsMs = 200L)
+    assert(readStore("w").filter(col("k") === 9L).head().getString(1)
+      == "via-api")
+    // append to an unknown store refuses (creation is an admin op)
+    val err = intercept[Exception] {
+      Seq((1L, "x")).toDF("k", "v").write.format("graft")
+        .option("root", root).option("store", "nope").mode("append").save()
+    }
+    assert(err.getMessage != null)
+  }
+
   test("injected graft_* SQL functions ≡ the programmatic compute DSL") {
     import graft.functions.{SimHashExpr, VecDotExpr, VectorOps}
     val emb = Tables.embeddings(spark, sf).limit(50)
