@@ -60,7 +60,7 @@ final case class GraftTable(root: String, store: String,
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
-    GraftWriteBuilder(root, store, info, overwrite = false)
+    GraftWriteBuilder(root, store, tableSchema, info, overwrite = false)
 }
 
 /** `df.write.format("graft")` — the push-job/nearline-write surface.
@@ -80,6 +80,7 @@ final case class GraftTable(root: String, store: String,
   * layout), which a row-level DataWriter cannot express. */
 private[sources] final case class GraftWriteBuilder(root: String,
     store: String,
+    tableSchema: StructType,
     info: org.apache.spark.sql.connector.write.LogicalWriteInfo,
     overwrite: Boolean)
     extends org.apache.spark.sql.connector.write.WriteBuilder
@@ -88,10 +89,25 @@ private[sources] final case class GraftWriteBuilder(root: String,
   override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder =
     copy(overwrite = true)
 
+  /** ACCEPT_ANY_SCHEMA skips Spark's output-column resolution, so
+    * `INSERT INTO … VALUES` arrives with positional names (col1, col2, …)
+    * the engine's by-name conform would null out. Same-arity inputs whose
+    * names don't all match are realigned positionally — the INSERT
+    * contract; named DataFrame writes pass through untouched. */
+  private def align(data: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val want = tableSchema.fieldNames
+    if (want.isEmpty || data.columns.sameElements(want) ||
+      data.columns.length != want.length ||
+      data.columns.forall(want.contains)) data
+    else data.toDF(scala.collection.immutable.ArraySeq.unsafeWrapArray(want): _*)
+  }
+
   override def build(): org.apache.spark.sql.connector.write.Write =
     new org.apache.spark.sql.connector.write.V1Write {
       override def toInsertableRelation: org.apache.spark.sql.sources.InsertableRelation =
-        (data: org.apache.spark.sql.DataFrame, overwriteFlag: Boolean) => {
+        (rows: org.apache.spark.sql.DataFrame, overwriteFlag: Boolean) => {
+          val data = align(rows)
           val engine = new graft.core.GraftEngine(data.sparkSession, root)
           val opts = info.options
           if (overwrite || overwriteFlag) {

@@ -200,6 +200,43 @@ class ConnectorSpec extends AnyFunSuite {
     assert(err.getMessage != null)
   }
 
+  test("SQL INSERT INTO a catalog store lands as a nearline put") {
+    spark.conf.set("spark.sql.catalog.gins", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gins.root", root)
+    engine.createStore("ins", Seq("k"))
+    import spark.implicits._
+    engine.push("ins", Seq((1L, "a"), (2L, "b")).toDF("k", "v"), numBuckets = 2)
+    spark.sql("INSERT INTO gins.ins VALUES (1, 'sql-upsert'), (3, 'sql-new')")
+    val got = spark.sql("SELECT k, v FROM gins.ins ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((1L, "sql-upsert"), (2L, "b"), (3L, "sql-new")))
+  }
+
+  test("streaming ingest via foreachBatch + the DSv2 batch write") {
+    engine.createStore("si", Seq("k"))
+    import spark.implicits._
+    engine.push("si", Seq((1L, "base")).toDF("k", "v"), numBuckets = 2)
+    // the vanilla streaming-write recipe: each microbatch appended as a
+    // nearline put through df.write.format("graft") — no graft API in the
+    // stream body
+    val src = Files.createTempDirectory("graft-si-src").toString
+    Seq((1L, "s1"), (4L, "s4")).toDF("k", "v")
+      .write.mode("overwrite").parquet(src)
+    val stream = spark.readStream
+      .schema("k LONG, v STRING").parquet(src)
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        batch.write.format("graft").option("root", root).option("store", "si")
+          .option("tsMs", 100L + id).mode("append").save()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = readStore("si").orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((1L, "s1"), (4L, "s4")))
+  }
+
   test("injected graft_* SQL functions ≡ the programmatic compute DSL") {
     import graft.functions.{SimHashExpr, VecDotExpr, VectorOps}
     val emb = Tables.embeddings(spark, sf).limit(50)
