@@ -20,10 +20,12 @@ import graft.operators.{UpdateBuilder, WriteCompute}
   * the conflict resolution under arbitrary op orders; semantics, not
   * code), beyond CrdtMergeSpec's per-fold permutations.
   *
-  * 1450 ScalaCheck-generated scripts: 500 LWW + 500 A/A through the
+  * 1550 ScalaCheck-generated scripts: 500 LWW + 500 A/A through the
   * engine API, 100 + 100 whose final state is read through the DSv2
-  * connector instead, and 150 + 100 view-maintenance scripts (LWW and
-  * A/A source stores) where full recompute is the oracle — run on a
+  * connector instead, 100 LWW scripts whose puts AND initial push go
+  * through the DSv2 writer (df.write.format("graft")), and 150 + 100
+  * view-maintenance scripts (LWW and A/A source stores) where full
+  * recompute is the oracle — run on a
   * thread pool (independent stores; Spark schedules concurrent jobs
   * FIFO). Both op alphabets include schema evolution (register an
   * `extra: Long` field mid-script, old- and new-writer puts
@@ -168,7 +170,8 @@ class EngineFuzzSpec extends AnyFunSuite {
   }
 
   private def runLww(script: List[LOp],
-      viaConnector: Boolean = false): Option[String] = {
+      viaConnector: Boolean = false,
+      viaWriter: Boolean = false): Option[String] = {
     val root = Files.createTempDirectory("fuzz-lww").toString
     val e = new GraftEngine(spark, root)
     e.createStore("s", Seq("k"))
@@ -178,7 +181,18 @@ class EngineFuzzSpec extends AnyFunSuite {
       StructField("name", StringType), StructField("score", LongType)))
     def df(rows: Seq[(Long, String, Long)]) = spark.createDataFrame(
       rows.map(r => Row(r._1, r._2, r._3)).asJava, schema)
-    e.push("s", df(initRows), numBuckets = 4)
+    // viaWriter: the puts and the initial push go through the DSv2 write
+    // surface (df.write.format("graft")) instead of the engine API —
+    // fuzz-proves the writer is byte-equivalent to put/push. Deletes,
+    // updates and admin ops stay on the API: the writer surface is
+    // put/push, exactly as Venice's push job carries no deletes.
+    def putVia(d: org.apache.spark.sql.DataFrame, ts: Long): Unit =
+      if (viaWriter) d.write.format("graft").option("root", root)
+        .option("store", "s").option("tsMs", ts).mode("append").save()
+      else e.put("s", d, ts)
+    if (viaWriter) df(initRows).write.format("graft").option("root", root)
+      .option("store", "s").option("numBuckets", 4).mode("overwrite").save()
+    else e.push("s", df(initRows), numBuckets = 4)
     model.init(initRows.map(r => r._1 -> MVal(Some(r._2), Some(r._3))).toMap)
     val valueSchema = StructType(schema.fields.filterNot(_.name == "k"))
     val updSchema = StructType(StructField("k", LongType) +:
@@ -188,10 +202,10 @@ class EngineFuzzSpec extends AnyFunSuite {
     def df4(rows: Seq[(Long, String, Long, Long)]) = spark.createDataFrame(
       rows.map(r => Row(r._1, r._2, r._3, r._4)).asJava, evolvedSchema)
     script.foreach {
-      case op @ LPut(kvs, ts) => e.put("s", df(kvs), ts); model(op)
+      case op @ LPut(kvs, ts) => putVia(df(kvs), ts); model(op)
       case op @ LEvolve =>
         e.registerValueSchema("s", evolvedSchema); model(op)
-      case op @ LPutNew(kvs, ts) => e.put("s", df4(kvs), ts); model(op)
+      case op @ LPutNew(kvs, ts) => putVia(df4(kvs), ts); model(op)
       case op @ LDel(ks, ts) =>
         e.delete("s", spark.createDataFrame(
           ks.map(k => Row(k)).asJava,
@@ -518,6 +532,16 @@ class EngineFuzzSpec extends AnyFunSuite {
   test("DSv2 connector ≡ model over 100 random LWW op scripts") {
     fuzz("LWW-connector", 100, lwwScriptGen,
       (s: List[LOp]) => runLww(s, viaConnector = true))
+  }
+
+  /** Both directions vanilla: every put (and the initial push) goes
+    * through df.write.format("graft"), the final read through
+    * format("graft") — the engine API appears only for deletes, updates
+    * and admin. Fuzz-proves the DSv2 writer ≡ put/push over every state
+    * the scripts reach. */
+  test("DSv2 writer ≡ model over 100 random LWW op scripts") {
+    fuzz("LWW-writer", 100, lwwScriptGen,
+      (s: List[LOp]) => runLww(s, viaConnector = true, viaWriter = true))
   }
 
   test("DSv2 connector ≡ model over 100 random A/A op scripts") {
