@@ -7369,24 +7369,11 @@ object Queries {
              SELECT lang, rnk, doc_id, n_chars FROM ranked
              WHERE rnk <= 10 ORDER BY lang, rnk"""))
 
-  /** Product-quantization ANN: per-subspace codebooks (4 × 16-dim, 8
-    * centroids each, one scaled-integer Lloyd step from the ids&lt;8
-    * seeds), corpus encoded to 4 codes/vector, asymmetric-distance top-k
-    * via broadcast distance tables and an exact integer sum. The oracle
-    * replays the entire construction — training, encoding, ADC — in SQL,
-    * so hash-match proves the whole quantizer, not just the final rank. */
-  val annIvfPq = QueryDef(
-    "ann_ivf_pq",
-    (s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
-      val queries = emb.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-      graft.operators.Similarity.pqTopK(corpus, queries, k = 10, m = 4,
-        ksub = 8, dim = 64, trainIters = 1)
-        .orderBy(col("qid"), col("rank"))
-    },
-    Some("""WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec
+  /** CTE chain ending in `cand(qid, id, d2s)` — the oracle replay of the
+    * whole PQ construction (training, encoding, ADC candidate distances),
+    * shared by [[annIvfPq]] and [[annPqRerank]]. */
+  private val pqCandCtes: String =
+    """v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec
               FROM embeddings),
             sub AS (SELECT id, mm.m AS m, vec[mm.m*16+1 : mm.m*16+16] AS svec
               FROM v, range(4) mm(m)),
@@ -7417,11 +7404,70 @@ object Queries {
               FROM sub q JOIN c1 c ON q.m = c.m WHERE q.id < 5),
             cand AS (SELECT d.qid, co.id, CAST(sum(d.d2i) AS BIGINT) AS d2s
               FROM codes co JOIN dt d ON co.m = d.m AND co.code = d.cid
-              WHERE co.id <> d.qid GROUP BY d.qid, co.id)
+              WHERE co.id <> d.qid GROUP BY d.qid, co.id)"""
+
+  /** Product-quantization ANN: per-subspace codebooks (4 × 16-dim, 8
+    * centroids each, one scaled-integer Lloyd step from the ids&lt;8
+    * seeds), corpus encoded to 4 codes/vector, asymmetric-distance top-k
+    * via broadcast distance tables and an exact integer sum. The oracle
+    * replays the entire construction — training, encoding, ADC — in SQL,
+    * so hash-match proves the whole quantizer, not just the final rank. */
+  val annIvfPq = QueryDef(
+    "ann_ivf_pq",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      graft.operators.Similarity.pqTopK(corpus, queries, k = 10, m = 4,
+        ksub = 8, dim = 64, trainIters = 1)
+        .orderBy(col("qid"), col("rank"))
+    },
+    Some(s"""WITH $pqCandCtes
             SELECT qid, rank, id, round(d2s / 1000000.0, 6) AS approx_d2 FROM (
               SELECT qid, id, d2s, row_number() OVER (
                 PARTITION BY qid ORDER BY d2s, id) AS rank FROM cand)
             WHERE rank <= 10 ORDER BY qid, rank"""))
+
+  /** Two-stage retrieval, the production ANN serving shape: PQ/ADC
+    * over-fetches 30 approximate candidates per query (compressed-domain,
+    * cheap), then ONLY those 30 are scored with exact cosine
+    * ([[graft.operators.Similarity.rerankExact]]) and cut to top-10 —
+    * recall from the cheap stage, ordering quality from the exact one.
+    * At corpus scale the rerank cost is |queries|·30 true dot products
+    * regardless of corpus size; the candidate join is a keyed equi-join,
+    * never a corpus scan. The oracle replays PQ training + encoding + ADC
+    * (shared CTEs with `ann_ivf_pq`) and the exact rerank in SQL. */
+  val annPqRerank = QueryDef(
+    "ann_pq_rerank",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val cands = graft.operators.Similarity.pqTopK(corpus, queries, k = 30,
+        m = 4, ksub = 8, dim = 64, trainIters = 1)
+      graft.operators.Similarity.rerankExact(corpus, queries, cands, k = 10)
+        .orderBy(col("qid"), col("rank"))
+    },
+    Some(s"""WITH $pqCandCtes,
+            cand30 AS (SELECT qid, id FROM (
+                SELECT qid, id, row_number() OVER (
+                  PARTITION BY qid ORDER BY d2s, id) AS rk FROM cand)
+              WHERE rk <= 30),
+            vv AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec,
+                sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS n
+              FROM embeddings),
+            rer AS (SELECT c.qid, c.id,
+                round(list_dot_product(cv.vec, qv.vec) / (cv.n * qv.n), 6)
+                  + 0.0 AS sim
+              FROM cand30 c
+              JOIN vv cv ON cv.id = c.id
+              JOIN vv qv ON qv.id = c.qid)
+            SELECT qid, row_number() OVER (PARTITION BY qid
+                ORDER BY sim DESC, id) AS rank, id, sim
+            FROM rer QUALIFY rank <= 10
+            ORDER BY qid, rank"""))
 
   /** FULLY-oracled streaming sessionization: events stream through the
     * flatMapGroupsWithState operator (gap = 6 h, emit-on-close), then a
@@ -7709,7 +7755,7 @@ object Queries {
     corpusDiff, domainStats, bloomExclusion, skewProfile, streamJoinQ,
     streamJoinOuterQ, r16AsofRead, qualityDeciles, b15Purge,
     curriculumInterleave, urlCanonicalize, bpePairStats, sampleWeighted,
-    annIvfPq, streamSessionize, dedupSpans, seqLenHist,
+    annIvfPq, annPqRerank, streamSessionize, dedupSpans, seqLenHist,
     gopherRules, splitLeakage, r17Rollback, bm25Retrieval, rrfFusion, lmBigram,
     crawlPagerank, spanCorrupt, fimTransform, mixRollup, q5LocalSupplier,
     streamTrending,

@@ -554,6 +554,35 @@ object Similarity {
       .select(col("id"), col("label"), col("clabel").as("pred"), col("sim"))
   }
 
+  /** Exact-cosine rerank of an approximate candidate list — the second
+    * stage of the production two-stage retrieval shape (an ANN recall
+    * stage over-fetches cheap approximate candidates, then only THOSE are
+    * scored exactly). cands: (qid, id); queries: (qid, qvec);
+    * corpus: (id, vec). Output: (qid, rank, id, sim), the same contract
+    * as [[bruteForceTopK]].
+    *
+    * Scale shape: the candidate list is |queries|·K rows — the corpus-side
+    * join is a keyed equi-join on id touching only candidate vectors (one
+    * shuffle of K·|queries| rows, NOT a corpus scan), queries broadcast,
+    * per-query rank bounded. Exactness of the final order costs only
+    * K·|queries| true dot products regardless of corpus size. */
+  def rerankExact(corpus: DataFrame, queries: DataFrame, cands: DataFrame,
+      k: Int): DataFrame = {
+    val c = corpus.withColumn("__n", norm(col("vec")))
+    val q = queries.withColumn("__qn", norm(col("qvec")))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("id"))
+    cands.select(col("qid"), col("id"))
+      .join(c, "id")
+      .join(broadcast(q), "qid")
+      .withColumn("sim",
+        round(vecDot(col("vec"), col("qvec")) / (col("__n") * col("__qn")), 6)
+          + lit(0.0))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("id"), col("sim"))
+  }
+
   /** Each vector's cosine to its OWN label's centroid — the label-noise /
     * outlier gate (a low self-similarity means the vector doesn't belong
     * where its label says). Broadcast equi-join on the label; one corpus

@@ -1057,6 +1057,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(prof(16L) == ((0L, 0L, 0L)))
   }
 
+  test("rerankExact over the full candidate set ≡ bruteForceTopK") {
+    val emb = Tables.embeddings(spark, sf)
+    val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val cands = queries.select(col("qid"))
+      .crossJoin(corpus.select(col("id")))
+      .filter(col("qid") =!= col("id"))
+    val reranked = Similarity.rerankExact(corpus, queries, cands, 10)
+      .orderBy(col("qid"), col("rank")).collect().toSeq
+    val exact = Similarity.bruteForceTopK(corpus, queries, 10)
+      .orderBy(col("qid"), col("rank")).collect().toSeq
+    assert(reranked == exact)
+  }
+
   test("rrfFuse: consensus doc outranks a single-leg #1; ranks deterministic") {
     import spark.implicits._
     // doc 30 is mid-ranked in BOTH legs (rank 2 + rank 3); docs 10/20 are
