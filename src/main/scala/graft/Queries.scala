@@ -1000,6 +1000,44 @@ object Queries {
             FROM customer WHERE c_custkey <= 2000
             ORDER BY c_custkey"""))
 
+  /** The text/dedup primitives as pure SQL: shingling, MinHash signatures
+    * and the store-layout bucket function through the injected `graft_*`
+    * functions, replayed in DuckDB with the same md5 hash constructions
+    * the dedup oracles use — SQL callers get the exact expressions the
+    * dedup/LSH pipeline runs (one-pass codegen'd ShingleSet/MinHashSig),
+    * not lookalikes. */
+  val sqlTextFns = QueryDef(
+    "sql_text_fns",
+    (s, dir) => {
+      t(s, dir, "documents").createOrReplaceTempView("docs_fns")
+      s.sql("""SELECT doc_id,
+          graft_bucket(doc_id, 8) AS bucket,
+          size(graft_shingles(text, 3)) AS n_shingles,
+          element_at(graft_minhash(graft_shingles(text, 3), 4), 1) AS mh0,
+          element_at(graft_minhash(graft_shingles(text, 3), 4), 4) AS mh3
+        FROM docs_fns ORDER BY doc_id""")
+    },
+    Some(s"""WITH sh AS (SELECT doc_id,
+              ${shinglesSql(tokensSql)} AS shingles FROM documents),
+            hv AS (SELECT doc_id,
+                ('0x' || substr(md5(s), 1, 8))::BIGINT AS h1,
+                ('0x' || substr(md5(s), 9, 8))::BIGINT AS h2
+              FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)
+              WHERE s IS NOT NULL),
+            mh AS (SELECT doc_id,
+                CAST(min(h1 % 2147483647) AS BIGINT) AS mh0,
+                CAST(min((h1 + 3 * h2) % 2147483647) AS BIGINT) AS mh3
+              FROM hv GROUP BY doc_id)
+            SELECT d.doc_id,
+              CAST(('0x' || substr(md5(d.doc_id::VARCHAR), 1, 15))::BIGINT % 8
+                AS INTEGER) AS bucket,
+              CAST(len(sh.shingles) AS INTEGER) AS n_shingles,
+              mh.mh0, mh.mh3
+            FROM documents d
+            JOIN sh USING (doc_id)
+            LEFT JOIN mh USING (doc_id)
+            ORDER BY d.doc_id"""))
+
   /** The changelog through the vanilla-Spark connector: the same writes as
     * `dsv2_store_read`, read back as CHANGE EVENTS with
     * `.option("changelog", "true")` (the B2/S4 surface for sessions with no
@@ -1501,7 +1539,9 @@ object Queries {
   // Training-data pipeline: dedup family, similarity search, text analysis
   // ---------------------------------------------------------------------------
 
-  private val tokensSql =
+  // lazy: referenced by QueryDef vals declared ABOVE this point in the
+  // object body (a plain val would interpolate null at init order)
+  private lazy val tokensSql =
     "list_filter(string_split(lower(text), ' '), x -> x <> '')"
   private def shinglesSql(toks: String) =
     s"list_distinct(list_transform(range(1, greatest(len($toks)-1, 1)), " +
@@ -7736,7 +7776,7 @@ object Queries {
     w3WriteCompute, w5Lww, w6DeleteWins, w7Crdt, w7CrdtMap, w8Squash, w11Div, w12Hll, w13HotKeys,
     r12Meta, r13SchemaEvolution, b13IncrementalView, b14AaView, b19JoinView,
     r14AaEvolution, s3LagGate, w1PutDelete, dsv2StoreRead, dsv2StoreWrite,
-    dsv2ChangelogRead, sqlComputeClient,
+    dsv2ChangelogRead, sqlComputeClient, sqlTextFns,
     w2UpdateBuilder, w4UpdateSchema, w9Chunk, b6Wire,
     b1Avro, w10Compression, b10Metrics, b11Incremental, b12Etl,
     s1Ingest, s2Rewind, s4Changelog, s6SqlView, s7TokenBucket,

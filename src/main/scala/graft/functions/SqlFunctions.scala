@@ -74,5 +74,41 @@ object SqlFunctions {
     fn("graft_simhash64", 1,
       "graft_simhash64(tokens) - 64-bit Charikar SimHash of a token array") {
       case Seq(a) => SimHashExpr.simhash64(a)
+    },
+    fn("graft_bucket", 2,
+      "graft_bucket(key, n) - the engine's md5-mod bucket id for a key " +
+        "(the store-layout partitioner; n must be a literal)") {
+      case Seq(a, n) => HashOps.partitionId(a, litInt(n, "graft_bucket"))
+    },
+    fn("graft_partition", 2,
+      "graft_partition(key, n) - byte-exact reference partition id " +
+        "(avro-encoded key, MD5 Horner-mod; n must be a literal)") {
+      case Seq(a, n) =>
+        VenicePartitionExpr.venicePartitionIdAvro(a,
+          litInt(n, "graft_partition"))
+    },
+    fn("graft_shingles", 2,
+      "graft_shingles(text, n) - distinct n-token shingles of a text " +
+        "column (n must be a literal)") { case Seq(a, n) =>
+      ShingleExpr.shingleSet(a, litInt(n, "graft_shingles"))
+    },
+    fn("graft_minhash", 2,
+      "graft_minhash(shingles, k) - k-element MinHash signature of a " +
+        "shingle set (k must be a literal)") { case Seq(a, k) =>
+      MinHashExpr.minhashSig(a, litInt(k, "graft_minhash"))
     })
+
+  /** Foldable-integer argument of a SQL function (sizes the expression at
+    * plan time — k hash lanes, bucket modulus — so it must be a literal). */
+  private def litInt(c: Column, fname: String): Int = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.eagerExpression(c) match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int,
+          org.apache.spark.sql.types.IntegerType) => v
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Long,
+          org.apache.spark.sql.types.LongType) => v.toInt
+      case other => throw new IllegalArgumentException(
+        s"$fname expects a literal integer, got $other")
+    }
+  }
 }

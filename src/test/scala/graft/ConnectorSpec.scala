@@ -272,5 +272,27 @@ class ConnectorSpec extends AnyFunSuite {
     // wrong arity fails at analysis, not at runtime
     val err = intercept[Exception](spark.sql("SELECT graft_dot(array(1.0))"))
     assert(err.getMessage.contains("expects 2 argument"))
+    // text/routing primitives: SQL ≡ expression API, bit-exact
+    Tables.documents(spark, sf).limit(20).createOrReplaceTempView("doc_raw")
+    val viaSql2 = spark.sql(
+      """SELECT doc_id, graft_bucket(doc_id, 8) AS b,
+           graft_partition(doc_id, 16) AS p,
+           graft_shingles(text, 3) AS sh,
+           graft_minhash(graft_shingles(text, 3), 4) AS mh
+         FROM doc_raw ORDER BY doc_id""").collect()
+    val viaApi2 = Tables.documents(spark, sf).limit(20)
+      .select(col("doc_id"),
+        graft.functions.HashOps.partitionId(col("doc_id"), 8).as("b"),
+        graft.functions.VenicePartitionExpr
+          .venicePartitionIdAvro(col("doc_id"), 16).as("p"),
+        graft.functions.ShingleExpr.shingleSet(col("text"), 3).as("sh"),
+        graft.functions.MinHashExpr.minhashSig(
+          graft.functions.ShingleExpr.shingleSet(col("text"), 3), 4).as("mh"))
+      .orderBy("doc_id").collect()
+    assert(viaSql2.toSeq.toString == viaApi2.toSeq.toString)
+    // the size arguments must be literals (they shape the plan)
+    val err2 = intercept[Exception](
+      spark.sql("SELECT graft_bucket(doc_id, doc_id) FROM doc_raw"))
+    assert(err2.getMessage.contains("literal integer"))
   }
 }
