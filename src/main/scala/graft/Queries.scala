@@ -1076,6 +1076,57 @@ object Queries {
             FROM customer WHERE c_custkey BETWEEN 6 AND 10
             ORDER BY c_custkey"""))
 
+  /** S1 through `writeStream.format("graft")` — the NATIVE streaming sink
+    * (no foreachBatch closure, no graft API in the stream body): a file
+    * stream of nearline events lands on a compacted batch snapshot, each
+    * microbatch one atomic log append with per-row event-time LWW
+    * (`option("tsColumn")`), exactly-once via the sink's per-query batch
+    * commit record. Same convergence contract as `s1_stream_ingest`, minus
+    * the transformer — the oracle replays the LWW fold over both waves. */
+  val dsv2StreamWrite = QueryDef(
+    "dsv2_stream_write",
+    (s, dir) => {
+      val e = tempEngine(s, "graft-dsv2s")
+      e.createStore("ev", Seq("user_id"))
+      val evAll = Tables.events(s, dir).filter(col("user_id") < 200)
+        .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
+      e.push("ev", graft.operators.Compaction.latestPerKey(
+        evAll.filter(col("event_id") % 10 < 5), Seq("user_id"),
+        Seq(col("event_id"))), numBuckets = 4)
+      val streamIn = s"${e.root}/in"
+      evAll.filter(col("event_id") % 10 >= 5).write.parquet(streamIn)
+      val q = s.readStream.schema(evAll.schema).parquet(streamIn)
+        .writeStream.format("graft")
+        .option("root", e.root).option("store", "ev")
+        .option("tsColumn", "event_id")
+        .option("checkpointLocation", s"${e.root}/cp")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      require(q.awaitTermination(180000),
+        "dsv2_stream_write: stream did not drain within 180s — refusing to " +
+          "read a partially-ingested view")
+      e.servingView("ev")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          round(col("value") * 100).cast("long").as("value_cents"))
+        .orderBy(col("user_id"))
+    },
+    Some("""SELECT user_id, event_id, event_type,
+              CAST(round(value * 100) AS BIGINT) AS value_cents
+            FROM (
+              SELECT user_id, event_id, event_type, value,
+                row_number() OVER (PARTITION BY user_id
+                  ORDER BY src DESC, event_id DESC) AS rn
+              FROM (
+                SELECT user_id, event_id, event_type, value, 1 AS src
+                FROM events
+                WHERE user_id < 200 AND event_id % 10 >= 5
+                UNION ALL
+                SELECT user_id, event_id, event_type, value, 0 AS src
+                FROM events WHERE user_id < 200 AND event_id % 10 < 5
+                QUALIFY row_number() OVER (PARTITION BY user_id
+                  ORDER BY event_id DESC) = 1))
+            WHERE rn = 1 ORDER BY user_id"""))
+
   /** The pure-SQL client, end to end: a store pushed through the engine is
     * read back via `format("graft")` (the DSv2 rewrite), registered as a
     * temp view, and ALL compute happens in `spark.sql` text through the
@@ -7776,7 +7827,7 @@ object Queries {
     w3WriteCompute, w5Lww, w6DeleteWins, w7Crdt, w7CrdtMap, w8Squash, w11Div, w12Hll, w13HotKeys,
     r12Meta, r13SchemaEvolution, b13IncrementalView, b14AaView, b19JoinView,
     r14AaEvolution, s3LagGate, w1PutDelete, dsv2StoreRead, dsv2StoreWrite,
-    dsv2ChangelogRead, sqlComputeClient, sqlTextFns,
+    dsv2ChangelogRead, dsv2StreamWrite, sqlComputeClient, sqlTextFns,
     w2UpdateBuilder, w4UpdateSchema, w9Chunk, b6Wire,
     b1Avro, w10Compression, b10Metrics, b11Incremental, b12Etl,
     s1Ingest, s2Rewind, s4Changelog, s6SqlView, s7TokenBucket,

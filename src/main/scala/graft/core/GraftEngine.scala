@@ -505,6 +505,18 @@ class GraftEngine(val spark: SparkSession, val root: String) {
   def delete(name: String, keys: DataFrame, tsMs: Long): Unit =
     appendLog(name, keys, lit(tsMs), deleted = true)
 
+  /** W1 as one CDC batch: a SINGLE atomic log append carrying per-row puts
+    * AND tombstones with per-row event time — the shape a changelog
+    * consumer or streaming producer emits (Venice's nearline writers
+    * interleave PUT and DELETE messages on the RT topic; semantics, not
+    * code: the leader path of StoreIngestionTask). Atomic because one
+    * append = one file commit: a crash can never land a batch's tombstones
+    * without its sibling puts. `deletedCol` may reference any input column
+    * (it is evaluated before the value-schema conform drops extras). */
+  def applyCdc(name: String, rows: DataFrame, tsCol: Column,
+      deletedCol: Column): Unit =
+    appendLogRows(name, rows, tsCol, deletedCol)
+
   /** Fill value columns missing from df with typed nulls and project to the
     * template's schema, carrying along any `keep` extra columns. */
   private def conformToValueSchema(df: DataFrame, tpl: DataFrame,
@@ -720,6 +732,12 @@ class GraftEngine(val spark: SparkSession, val root: String) {
     * record disappears from the view when every field is gone. */
   def deleteAA(name: String, keys: DataFrame, tsMs: Long): Unit =
     appendAA(name, keys, "delete", "", None, None, lit(tsMs))
+
+  /** DELETEs with a per-row event-time column — the A/A streaming-ingest
+    * shape (each tombstone carries its own conflict-resolution timestamp,
+    * resolved per-field downstream exactly like the tsMs form). */
+  def deleteAA(name: String, keys: DataFrame, tsCol: Column): Unit =
+    appendAA(name, keys, "delete", "", None, None, tsCol)
 
   /** Partial update of one scalar field (rows carry key cols + the field). */
   def setFieldAA(name: String, rows: DataFrame, field: String, tsMs: Long): Unit =

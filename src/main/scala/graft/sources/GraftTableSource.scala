@@ -173,9 +173,36 @@ object GraftChangelogTable {
 }
 
 /** `spark.read.format("graft")` entry point (registered via the
-  * DataSourceRegister service file, short name `graft`). */
-class GraftTableProvider extends TableProvider with DataSourceRegister {
+  * DataSourceRegister service file, short name `graft`).
+  *
+  * Also the `writeStream.format("graft")` entry point: [[GraftTable]]
+  * deliberately does NOT declare STREAMING_WRITE (a row-level streaming
+  * DataWriter cannot express the engine's whole-DataFrame log appends), so
+  * Spark falls back to this V1 [[StreamSinkProvider]] seam, whose
+  * `addBatch` receives each microbatch as a complete DataFrame — the same
+  * sanctioned fallback the batch write rides (V1_BATCH_WRITE). */
+class GraftTableProvider extends TableProvider with DataSourceRegister
+    with org.apache.spark.sql.sources.StreamSinkProvider {
   override def shortName(): String = "graft"
+
+  override def createSink(sqlContext: org.apache.spark.sql.SQLContext,
+      parameters: Map[String, String], partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    // parameters arrive case-insensitive (DataSource.caseInsensitiveOptions)
+    val root = parameters.getOrElse("root",
+      throw new IllegalArgumentException(
+        "writeStream.format(\"graft\") needs .option(\"root\", <storeRoot>)"))
+    val store = parameters.getOrElse("store",
+      throw new IllegalArgumentException(
+        "writeStream.format(\"graft\") needs .option(\"store\", <storeName>)"))
+    require(outputMode != org.apache.spark.sql.streaming.OutputMode.Complete(),
+      "graft streaming sink appends each microbatch to the store's upsert " +
+        "log (nearline puts); Complete mode would re-write the whole " +
+        "result every trigger — use append or update mode")
+    GraftStreamSink(root, store, parameters.map {
+      case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v })
+  }
 
   private def rootStore(options: CaseInsensitiveStringMap): (String, String) = {
     val root = options.get("root")

@@ -17,4 +17,17 @@ object GraftColumnBridge {
     * base type the analyzer reads immediately. */
   def eagerExpression(c: Column): Expression =
     classic.ColumnNodeToExpressionConverter.apply(c.node)
+
+  /** Rebind a V1 streaming sink's microbatch DataFrame as a plain batch
+    * plan over the SAME already-planned rows (the exact rebinding
+    * ForeachBatchSink performs): the frame handed to `Sink.addBatch` is
+    * tied to the microbatch's IncrementalExecution, so feeding it to a
+    * writer that re-plans it (the engine's log appends re-select and
+    * re-partition) needs a batch-mode LogicalRDD, not the streaming plan. */
+  def rebatch(df: Dataset[Row]): Dataset[Row] = {
+    val cdf = df.asInstanceOf[classic.Dataset[Row]]
+    classic.Dataset.ofRows(cdf.sparkSession,
+      execution.LogicalRDD.fromDataset(
+        cdf.queryExecution.toRdd, cdf, isStreaming = false))
+  }
 }

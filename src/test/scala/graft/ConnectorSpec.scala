@@ -237,6 +237,87 @@ class ConnectorSpec extends AnyFunSuite {
     assert(got == Seq((1L, "s1"), (4L, "s4")))
   }
 
+  test("writeStream.format(graft): the native nearline sink, exactly-once") {
+    engine.createStore("ws", Seq("k"))
+    import spark.implicits._
+    engine.push("ws", Seq((1L, "base", 0L)).toDF("k", "v", "ts"), numBuckets = 2)
+    val src = Files.createTempDirectory("graft-ws-src").toString
+    val cp = Files.createTempDirectory("graft-ws-cp").toString
+    Seq((1L, "s1", 100L), (4L, "s4", 100L)).toDF("k", "v", "ts")
+      .write.mode("append").parquet(src)
+    def drain(): Unit = {
+      val q = spark.readStream.schema("k LONG, v STRING, ts LONG").parquet(src)
+        .writeStream.format("graft")
+        .option("root", root).option("store", "ws")
+        .option("tsColumn", "ts").option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drain()
+    def view() = readStore("ws").orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(view() == Seq((1L, "s1"), (4L, "s4")))
+    // a RESTARTED query resumes from its checkpoint: only new files land
+    val logSeqAfterFirst = engine.currentLogSeq("ws")
+    Seq((4L, "s4b", 200L)).toDF("k", "v", "ts").write.mode("append").parquet(src)
+    drain()
+    assert(view() == Seq((1L, "s1"), (4L, "s4b")))
+    // exactly-once: a replayed batch id is skipped, the log does not grow
+    val seqBeforeReplay = engine.currentLogSeq("ws")
+    assert(seqBeforeReplay > logSeqAfterFirst)
+    val sink = sources.GraftStreamSink(root, "ws", Map("tscolumn" -> "ts"))
+    val replay = Seq((9L, "never", 300L)).toDF("k", "v", "ts")
+    sink.addBatch(0L, replay)  // fresh "adhoc" slot: applies, commits 0
+    sink.addBatch(0L, replay.withColumn("v", lit("replayed")))
+    assert(engine.currentLogSeq("ws") == seqBeforeReplay + 1)
+    assert(readStore("ws").filter(col("k") === 9L).head().getString(1)
+      == "never")
+  }
+
+  test("streaming sink: deleteColumn tombstones, LWW-atomic and A/A routed") {
+    import spark.implicits._
+    // LWW: one microbatch carries puts AND deletes in ONE log append
+    engine.createStore("wd", Seq("k"))
+    engine.push("wd", Seq((1L, "a", 0L), (2L, "b", 0L)).toDF("k", "v", "ts"),
+      numBuckets = 2)
+    val seq0 = engine.currentLogSeq("wd")
+    val sink = sources.GraftStreamSink(root, "wd",
+      Map("tscolumn" -> "ts", "deletecolumn" -> "dead"))
+    sink.addBatch(10L, Seq((1L, null.asInstanceOf[String], 100L, true),
+      (3L, "c", 100L, false)).toDF("k", "v", "ts", "dead"))
+    assert(engine.currentLogSeq("wd") == seq0 + 1) // atomic: ONE append
+    val got = readStore("wd").orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((2L, "b"), (3L, "c")))
+    // A/A: puts through the CRDT op log, tombstones per-field delete-wins
+    engine.createStore("wa", Seq("k"))
+    engine.enableActiveActive("wa")
+    engine.push("wa", Seq((1L, "a"), (2L, "b")).toDF("k", "v"), numBuckets = 2)
+    val sinkAa = sources.GraftStreamSink(root, "wa",
+      Map("tscolumn" -> "ts", "deletecolumn" -> "dead"))
+    sinkAa.addBatch(0L, Seq((1L, "a2", 100L, false),
+      (2L, null.asInstanceOf[String], 100L, true)).toDF("k", "v", "ts", "dead"))
+    val gotAa = readStore("wa").orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(gotAa == Seq((1L, "a2")))
+    assert(gotAa == engine.servingView("wa").orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq)
+    // Complete output mode is refused with the remedy at analysis time
+    val aggSrc = Files.createTempDirectory("graft-wd-src").toString
+    Seq((1L, "x")).toDF("k", "v").write.mode("overwrite").parquet(aggSrc)
+    val err = intercept[Exception] {
+      spark.readStream.schema("k LONG, v STRING").parquet(aggSrc)
+        .groupBy("k").count()
+        .writeStream.format("graft").option("root", root).option("store", "wd")
+        .outputMode("complete")
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft-wd-cp").toString)
+        .start()
+    }
+    assert(err.getMessage.contains("Complete mode"))
+  }
+
   test("injected graft_* SQL functions ≡ the programmatic compute DSL") {
     import graft.functions.{SimHashExpr, VecDotExpr, VectorOps}
     val emb = Tables.embeddings(spark, sf).limit(50)
