@@ -1127,6 +1127,53 @@ object Queries {
                   ORDER BY event_id DESC) = 1))
             WHERE rn = 1 ORDER BY user_id"""))
 
+  /** Time travel through the vanilla-Spark connector:
+    * `.option("asOfTs", t)` pins the serving view at a past instant (the
+    * DuckDB-style `AT (TIMESTAMP …)` read as a DSv2 option — r16's read
+    * primitive with no graft API in the read path). Three instants across
+    * an update/delete/re-put history, same worlds as `r16_asof_read`. */
+  val dsv2AsofRead = QueryDef(
+    "dsv2_asof_read",
+    (s, dir) => {
+      val e = tempEngine(s, "graft-dsv2t")
+      e.createStore("c", Seq("c_custkey"))
+      val cust = t(s, dir, "customer").filter(col("c_custkey") <= 1000)
+        .select(col("c_custkey"), col("c_name"))
+      e.push("c", cust, numBuckets = 4)
+      e.put("c", cust.filter(col("c_custkey") <= 100)
+        .withColumn("c_name", concat(col("c_name"), lit("_U1"))), tsMs = 1000L)
+      e.delete("c", cust.filter(col("c_custkey").between(101, 200))
+        .select("c_custkey"), tsMs = 2000L)
+      e.put("c", cust.filter(col("c_custkey").between(101, 150))
+        .withColumn("c_name", concat(col("c_name"), lit("_U3"))), tsMs = 3000L)
+      def read(ts: Long, tag: String) =
+        s.read.format("graft").option("root", e.root).option("store", "c")
+          .option("asOfTs", ts).load().withColumn("as_of", lit(tag))
+      read(1500L, "t1500")
+        .unionByName(read(2500L, "t2500"))
+        .unionByName(read(3500L, "t3500"))
+        .select(col("as_of"), col("c_custkey"), col("c_name"))
+        .orderBy(col("as_of"), col("c_custkey"))
+    },
+    Some("""WITH c AS (SELECT c_custkey, c_name FROM customer
+               WHERE c_custkey <= 1000)
+             SELECT 't1500' AS as_of, c_custkey,
+               CASE WHEN c_custkey <= 100 THEN c_name || '_U1'
+                    ELSE c_name END AS c_name
+             FROM c
+             UNION ALL
+             SELECT 't2500', c_custkey,
+               CASE WHEN c_custkey <= 100 THEN c_name || '_U1'
+                    ELSE c_name END
+             FROM c WHERE c_custkey NOT BETWEEN 101 AND 200
+             UNION ALL
+             SELECT 't3500', c_custkey,
+               CASE WHEN c_custkey <= 100 THEN c_name || '_U1'
+                    WHEN c_custkey BETWEEN 101 AND 150 THEN c_name || '_U3'
+                    ELSE c_name END
+             FROM c WHERE c_custkey NOT BETWEEN 151 AND 200
+             ORDER BY as_of, c_custkey"""))
+
   /** The pure-SQL client, end to end: a store pushed through the engine is
     * read back via `format("graft")` (the DSv2 rewrite), registered as a
     * temp view, and ALL compute happens in `spark.sql` text through the
@@ -1868,6 +1915,93 @@ object Queries {
                round(inter::DOUBLE / (n_a + n_b - inter), 6) AS jaccard
              FROM shared WHERE inter::DOUBLE / (n_a + n_b - inter) >= 0.5
              ORDER BY id_a, id_b"""))
+
+  /** DIRECTED n-gram containment (|A∩B|/|A| — Broder's containment, not
+    * resemblance): catches a short doc quoted inside a long one, which
+    * Jaccard's union denominator drowns. Production-capped (df ≤ 64) like
+    * `dedup_ngram_capped`; the oracle replays the cap and BOTH directions
+    * from the same intersection counts. */
+  val dedupContainment = QueryDef(
+    "dedup_containment",
+    (s, dir) => graft.operators.Dedup.containmentPairs(
+      graft.operators.Dedup.shingleSets(t(s, dir, "documents"), "doc_id", "text", 3),
+      0.6, maxPostings = 64)
+      .orderBy(col("id_inner"), col("id_outer")),
+    Some(s"""WITH sh AS (
+               SELECT doc_id AS id, ${shinglesSql("t")} AS shingles
+               FROM (SELECT doc_id, $tokensSql AS t FROM documents)),
+             sized AS (SELECT id, shingles, len(shingles) AS n FROM sh
+               WHERE len(shingles) > 0),
+             posts AS (SELECT id, n, unnest(shingles) AS sh FROM sized),
+             capped AS (SELECT id, n, sh FROM (
+                 SELECT id, n, sh, count(*) OVER (PARTITION BY sh) AS df
+                 FROM posts) WHERE df <= 64),
+             shared AS (SELECT l.id AS id_a, r.id AS id_b, l.n AS n_a,
+                 r.n AS n_b, count(*) AS inter
+               FROM capped l JOIN capped r ON l.sh = r.sh AND l.id < r.id
+               GROUP BY 1, 2, 3, 4)
+             SELECT id_inner, id_outer, containment FROM (
+               SELECT id_a AS id_inner, id_b AS id_outer,
+                 round(inter::DOUBLE / n_a, 6) AS containment,
+                 inter::DOUBLE / n_a AS raw
+               FROM shared
+               UNION ALL
+               SELECT id_b, id_a, round(inter::DOUBLE / n_b, 6),
+                 inter::DOUBLE / n_b
+               FROM shared)
+             WHERE raw >= 0.6 ORDER BY id_inner, id_outer"""))
+
+  /** Cluster-balanced diversity sampling: assign every embedding to its
+    * nearest of K fixed prototypes (cosine argmax — a deterministic
+    * diversity cell, no training loop to replay), then exact-k per cell by
+    * salted-md5 rank ([[graft.operators.Sampling.exactKPerGroup]]) — the
+    * "sample uniformly ACROSS semantic clusters, not across documents"
+    * step that keeps a curated corpus from collapsing onto its densest
+    * mode. Plan: broadcast K prototype rows (crossJoin + windowed argmax —
+    * one corpus scan, no shuffle until the per-cell window), then the
+    * window's cell partitioning carries the sampler. At 100 TB: K grows
+    * with the corpus, the corpus never self-joins, and the only shuffle
+    * keys on cell. */
+  val sampleClusterBalanced = QueryDef(
+    "sample_cluster_balanced",
+    (s, dir) => {
+      import graft.functions.VectorOps
+      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val protos = broadcast(emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cell"), col("embedding").as("pvec")))
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("sim").desc, col("cell"))
+      val assigned = emb.crossJoin(protos)
+        .withColumn("sim",
+          round(VectorOps.cosineCols(col("embedding"), col("pvec")), 6)
+            + lit(0.0))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("cell"), col("vec_id"), col("sim"))
+      graft.operators.Sampling.exactKPerGroup(
+          assigned, col("cell"), col("vec_id"), k = 5, salt = "cb")
+        .orderBy(col("cell"), col("vec_id"))
+    },
+    Some("""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec
+              FROM embeddings),
+            p AS (SELECT vec_id AS cell, vec AS pvec FROM v WHERE vec_id < 8),
+            assigned AS (SELECT cell, vec_id, sim FROM (
+              SELECT v.vec_id, p.cell,
+                round(list_dot_product(v.vec, p.pvec) /
+                  sqrt(list_dot_product(v.vec, v.vec) *
+                    list_dot_product(p.pvec, p.pvec)), 6) + 0.0 AS sim,
+                row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                  round(list_dot_product(v.vec, p.pvec) /
+                    sqrt(list_dot_product(v.vec, v.vec) *
+                      list_dot_product(p.pvec, p.pvec)), 6) + 0.0 DESC,
+                  p.cell) AS rn
+              FROM v, p) WHERE rn = 1)
+            SELECT cell, vec_id, sim FROM (
+              SELECT cell, vec_id, sim,
+                row_number() OVER (PARTITION BY cell
+                  ORDER BY md5('cb' || vec_id::VARCHAR), vec_id) AS rk
+              FROM assigned)
+            WHERE rk <= 5 ORDER BY cell, vec_id"""))
 
   /** Embedding near-dup pairs: cosine ≥ 0.4 (testdata max ≈ 0.51). */
   val dedupEmbedding = QueryDef(
@@ -7827,12 +7961,13 @@ object Queries {
     w3WriteCompute, w5Lww, w6DeleteWins, w7Crdt, w7CrdtMap, w8Squash, w11Div, w12Hll, w13HotKeys,
     r12Meta, r13SchemaEvolution, b13IncrementalView, b14AaView, b19JoinView,
     r14AaEvolution, s3LagGate, w1PutDelete, dsv2StoreRead, dsv2StoreWrite,
-    dsv2ChangelogRead, dsv2StreamWrite, sqlComputeClient, sqlTextFns,
+    dsv2ChangelogRead, dsv2StreamWrite, dsv2AsofRead, sqlComputeClient,
+    sqlTextFns,
     w2UpdateBuilder, w4UpdateSchema, w9Chunk, b6Wire,
     b1Avro, w10Compression, b10Metrics, b11Incremental, b12Etl,
     s1Ingest, s2Rewind, s4Changelog, s6SqlView, s7TokenBucket,
     dedupExact, dedupMinhash, dedupSimhash, dedupSimhash64, dedupNgram,
-    dedupNgramCapped, dedupEmbedding,
+    dedupNgramCapped, dedupContainment, sampleClusterBalanced, dedupEmbedding,
     dedupClusters, annTopk, annLsh, annIvf, textStats, textTokenCounts,
     mmDecode, mmFrames, textPiiRedact, splitAssignQ,
     decontaminate, sampleStratified, mixTokenBudget, textWinnow,

@@ -20,7 +20,7 @@ object StressCheck {
     val only = args.toSet
     def on(tag: String): Boolean = only.isEmpty || only(tag)
     // (new tags round 5: salted, aggview; round 7: joinview, bpe100,
-    // pagerank, davinci)
+    // pagerank, davinci, sink)
 
     val base = Tables.events(spark, sfDir)
       .crossJoin(spark.range(120).select(col("id").as("rep")))
@@ -642,6 +642,44 @@ object StressCheck {
       require(jobs1 == jobs0, s"read path ran ${jobs1 - jobs0} Spark jobs")
       println(f"[stress] davinci 1M gets        $sec%7.2f s  " +
         f"${1000000 / sec / 1e6}%6.2f M ops/s  (hits=$acc, jobs=0)")
+    }
+    if (on("sink")) {
+      // streaming-sink delivery overhead: 50 microbatches × 20k rows
+      // through GraftStreamSink.addBatch, then all 50 crash-REPLAYED.
+      // Pins the scale claims: sink state is O(1) per query (ONE commit
+      // file regardless of batch count), replays are skipped in
+      // metadata-only time (no Spark jobs), and the drained view is
+      // exactly the last batch per key.
+      val root = java.nio.file.Files.createTempDirectory("stress-sink").toString
+      val e = new graft.core.GraftEngine(spark, root)
+      e.createStore("sk", Seq("k"))
+      e.push("sk", spark.range(20000).select(col("id").as("k"),
+        lit(-1L).as("batch")), numBuckets = 8)
+      val nBatches = 50
+      def sinkAt(b: Int) = graft.sources.GraftStreamSink(root, "sk",
+        Map("tsms" -> (1000L + b).toString))
+      def batchDf(b: Int) = spark.range(20000).select(col("id").as("k"),
+        lit(b.toLong).as("batch"))
+      timed(s"sink $nBatches batches x20k") {
+        (0 until nBatches).foreach(b => sinkAt(b).addBatch(b.toLong, batchDf(b)))
+        nBatches.toLong
+      }
+      val jobs0 = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+      timed(s"sink $nBatches replays (skip)") {
+        (0 until nBatches).foreach(b => sinkAt(b).addBatch(b.toLong, batchDf(b)))
+        nBatches.toLong
+      }
+      val jobs1 = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+      require(jobs1 == jobs0, s"replay skip ran ${jobs1 - jobs0} Spark jobs")
+      val commits = java.nio.file.Paths.get(root, "sk", "_stream_commits")
+        .toFile.listFiles().length
+      require(commits == 1, s"sink state not O(1): $commits commit files")
+      val v = e.servingView("sk")
+      val got = v.agg(count(lit(1)), sum(col("batch"))).head()
+      require(got.getLong(0) == 20000 &&
+        got.getLong(1) == 20000L * (nBatches - 1),
+        s"sink view wrong: $got")
+      println(s"[stress] sink view converged: 20000 keys at batch ${nBatches - 1}, 1 commit file")
     }
     spark.catalog.clearCache()
     spark.stop()

@@ -331,6 +331,70 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** DIRECTED n-gram containment pairs: C(a→b) = |A∩B| / |A| ≥ t emits
+    * (id_inner, id_outer, containment) — "a's n-grams are mostly inside
+    * b". The asymmetric companion to [[ngramJaccardPairs]]: Jaccard misses
+    * a short document wholly quoted inside a long one (the union in the
+    * denominator drowns it), while containment is exactly the
+    * quote/partial-scrape/boilerplate-inclusion detector a curation
+    * pipeline runs next to near-dup removal (broder's resemblance vs
+    * containment distinction — public knowledge).
+    *
+    * Same inverted-index geometry as Jaccard — one posting self-join, one
+    * pair aggregation, then BOTH directions emitted from the same
+    * intersection counts (no second join). The length-ratio prune does
+    * not apply (containment is what the ratio prune would discard), so
+    * the document-frequency cap is the load-bearing scale guard here;
+    * same accident guard as the Jaccard form. */
+  def containmentPairs(shingled: DataFrame, minContainment: Double,
+      maxPostings: Int = 1 << 20,
+      maxCandidatePairs: Long = 500000000000L): DataFrame = {
+    val budget2 = 2L * maxCandidatePairs
+    val rowCap =
+      if (maxPostings.toLong * maxPostings >= budget2)
+        math.sqrt(budget2.toDouble).toLong
+      else budget2 / maxPostings
+    val probeLimit = math.min(rowCap, (Int.MaxValue - 1).toLong).toInt
+    val probed = shingled.select(lit(1).as("__c")).limit(probeLimit + 1).count()
+    require(probed <= rowCap,
+      s"containmentPairs with maxPostings=$maxPostings admits up to " +
+        s"n*min(n,maxPostings)/2 candidate pairs and its input has at " +
+        s"least $probed docs (cap $rowCap rows). Use the " +
+        "document-frequency cap (maxPostings, e.g. 64) or raise " +
+        "maxCandidatePairs explicitly for a deliberate exactness study.")
+    val sized = shingled.filter(size(col("shingles")) > 0)
+      .select(col("id"), col("shingles"), size(col("shingles")).as("n"))
+    val exploded = sized.select(col("id"), col("n"),
+      explode(col("shingles")).as("sh"))
+    // window-over-sh cap, NOT agg+anti-join — same co-partitioning
+    // argument as ngramJaccardPairs (the window pre-pays the self-join's
+    // shuffle+sort on sh)
+    val posts = exploded
+      .withColumn("__df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("sh"))))
+      .filter(col("__df") <= maxPostings)
+      .drop("__df")
+      .persist()
+    val l = posts.as("l"); val r = posts.as("r")
+    val shared = l.join(r, col("l.sh") === col("r.sh") &&
+        col("l.id") < col("r.id"))
+      .groupBy(col("l.id").as("id_a"), col("r.id").as("id_b"),
+        col("l.n").as("n_a"), col("r.n").as("n_b"))
+      .agg(count(lit(1)).as("inter"))
+      .persist()
+    val aInB = shared
+      .withColumn("containment", col("inter").cast("double") / col("n_a"))
+      .filter(col("containment") >= minContainment)
+      .select(col("id_a").as("id_inner"), col("id_b").as("id_outer"),
+        round(col("containment"), 6).as("containment"))
+    val bInA = shared
+      .withColumn("containment", col("inter").cast("double") / col("n_b"))
+      .filter(col("containment") >= minContainment)
+      .select(col("id_b").as("id_inner"), col("id_a").as("id_outer"),
+        round(col("containment"), 6).as("containment"))
+    aInB.unionByName(bInA)
+  }
+
   /** Training-corpus decontamination: for every training doc, the best
     * (max) overlap with any eval-set doc, where overlap = |shared shingles|
     * / |eval shingles| — "what fraction of this eval example's n-grams

@@ -318,6 +318,32 @@ class ConnectorSpec extends AnyFunSuite {
     assert(err.getMessage.contains("Complete mode"))
   }
 
+  test("asOfTs option: time travel through the connector, A/A refused") {
+    engine.createStore("tt", Seq("k"))
+    import spark.implicits._
+    engine.push("tt", Seq((1L, "v1"), (2L, "v1")).toDF("k", "v"), numBuckets = 2)
+    engine.put("tt", Seq((1L, "v2")).toDF("k", "v"), tsMs = 1000L)
+    engine.delete("tt", Seq(Tuple1(2L)).toDF("k"), tsMs = 2000L)
+    def readAt(ts: Long) = spark.read.format("graft")
+      .option("root", root).option("store", "tt").option("asOfTs", ts).load()
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(readAt(500L) == Seq((1L, "v1"), (2L, "v1")))
+    assert(readAt(1500L) == Seq((1L, "v2"), (2L, "v1")))
+    assert(readAt(2500L) == Seq((1L, "v2")))
+    // parity with the engine primitive at each instant
+    assert(readAt(1500L) == engine.servingViewAsOf("tt", 1500L)
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1))).toSeq)
+    // A/A stores refuse (the as-of pin is an LWW log prefix)
+    engine.createStore("ttaa", Seq("k"))
+    engine.enableActiveActive("ttaa")
+    engine.push("ttaa", Seq((1L, "x")).toDF("k", "v"), numBuckets = 2)
+    val err = intercept[Exception] {
+      spark.read.format("graft").option("root", root).option("store", "ttaa")
+        .option("asOfTs", 100L).load().collect()
+    }
+    assert(err.getMessage.contains("active-active"))
+  }
+
   test("injected graft_* SQL functions ≡ the programmatic compute DSL") {
     import graft.functions.{SimHashExpr, VecDotExpr, VectorOps}
     val emb = Tables.embeddings(spark, sf).limit(50)

@@ -20,10 +20,12 @@ import graft.operators.{UpdateBuilder, WriteCompute}
   * the conflict resolution under arbitrary op orders; semantics, not
   * code), beyond CrdtMergeSpec's per-fold permutations.
   *
-  * 1550 ScalaCheck-generated scripts: 500 LWW + 500 A/A through the
+  * 1650 ScalaCheck-generated scripts: 500 LWW + 500 A/A through the
   * engine API, 100 + 100 whose final state is read through the DSv2
   * connector instead, 100 LWW scripts whose puts AND initial push go
-  * through the DSv2 writer (df.write.format("graft")), and 150 + 100
+  * through the DSv2 writer (df.write.format("graft")), 100 whose puts
+  * and deletes ride the STREAMING sink's addBatch with crash replays
+  * (exactly-once differential), and 150 + 100
   * view-maintenance scripts (LWW and A/A source stores) where full
   * recompute is the oracle — run on a
   * thread pool (independent stores; Spark schedules concurrent jobs
@@ -171,7 +173,8 @@ class EngineFuzzSpec extends AnyFunSuite {
 
   private def runLww(script: List[LOp],
       viaConnector: Boolean = false,
-      viaWriter: Boolean = false): Option[String] = {
+      viaWriter: Boolean = false,
+      viaSink: Boolean = false): Option[String] = {
     val root = Files.createTempDirectory("fuzz-lww").toString
     val e = new GraftEngine(spark, root)
     e.createStore("s", Seq("k"))
@@ -181,13 +184,35 @@ class EngineFuzzSpec extends AnyFunSuite {
       StructField("name", StringType), StructField("score", LongType)))
     def df(rows: Seq[(Long, String, Long)]) = spark.createDataFrame(
       rows.map(r => Row(r._1, r._2, r._3)).asJava, schema)
+    // viaSink: puts AND deletes flow through the streaming sink's addBatch
+    // (one CDC microbatch each, per-batch tsMs), with deterministic CRASH
+    // REPLAYS: ~1 in 3 batches is re-delivered — same id, CORRUPTED
+    // payload — and must be skipped by the per-query commit record (a
+    // replay that applied would corrupt state and the model would catch
+    // it). Fuzz-proves exactly-once over every admin interleaving.
+    val sinkRng = new scala.util.Random(script.hashCode)
+    var nextBatch = 0L
+    def sinkBatch(d: org.apache.spark.sql.DataFrame, ts: Long): Unit = {
+      val sink = graft.sources.GraftStreamSink(root, "s",
+        Map("tsms" -> ts.toString, "deletecolumn" -> "dead"))
+      sink.addBatch(nextBatch, d)
+      if (sinkRng.nextInt(3) == 0) // crash replay: must be a no-op
+        sink.addBatch(nextBatch, d.withColumn("name", lit("REPLAYED"))
+          .withColumn("dead", !col("dead")))
+      if (sinkRng.nextInt(4) == 0 && nextBatch > 0) // stale re-delivery
+        graft.sources.GraftStreamSink(root, "s",
+          Map("tsms" -> (ts + 999).toString, "deletecolumn" -> "dead"))
+          .addBatch(sinkRng.nextLong(nextBatch), d)
+      nextBatch += 1
+    }
     // viaWriter: the puts and the initial push go through the DSv2 write
     // surface (df.write.format("graft")) instead of the engine API —
     // fuzz-proves the writer is byte-equivalent to put/push. Deletes,
     // updates and admin ops stay on the API: the writer surface is
     // put/push, exactly as Venice's push job carries no deletes.
     def putVia(d: org.apache.spark.sql.DataFrame, ts: Long): Unit =
-      if (viaWriter) d.write.format("graft").option("root", root)
+      if (viaSink) sinkBatch(d.withColumn("dead", lit(false)), ts)
+      else if (viaWriter) d.write.format("graft").option("root", root)
         .option("store", "s").option("tsMs", ts).mode("append").save()
       else e.put("s", d, ts)
     if (viaWriter) df(initRows).write.format("graft").option("root", root)
@@ -207,7 +232,11 @@ class EngineFuzzSpec extends AnyFunSuite {
         e.registerValueSchema("s", evolvedSchema); model(op)
       case op @ LPutNew(kvs, ts) => putVia(df4(kvs), ts); model(op)
       case op @ LDel(ks, ts) =>
-        e.delete("s", spark.createDataFrame(
+        if (viaSink) sinkBatch(spark.createDataFrame(
+          ks.map(k => Row(k)).asJava,
+          StructType(Seq(StructField("k", LongType))))
+          .withColumn("dead", lit(true)), ts)
+        else e.delete("s", spark.createDataFrame(
           ks.map(k => Row(k)).asJava,
           StructType(Seq(StructField("k", LongType)))), ts)
         model(op)
@@ -547,6 +576,17 @@ class EngineFuzzSpec extends AnyFunSuite {
   test("DSv2 connector ≡ model over 100 random A/A op scripts") {
     fuzz("A/A-connector", 100, aaScriptGen,
       (s: List[AOp]) => runAa(s, viaConnector = true))
+  }
+
+  /** Every put AND delete rides the streaming sink's addBatch (one CDC
+    * microbatch each), with ~1-in-3 batches crash-REPLAYED carrying a
+    * corrupted payload and ~1-in-4 re-delivered under a stale batch id —
+    * all must be skipped by the per-query commit record. Fuzz-proves the
+    * sink's exactly-once contract and its applyCdc atomicity across
+    * evolution/repush/rollback/rebucket interleavings. */
+  test("streaming sink ≡ model over 100 random LWW op scripts with replays") {
+    fuzz("LWW-sink", 100, lwwScriptGen,
+      (s: List[LOp]) => runLww(s, viaConnector = true, viaSink = true))
   }
 
   // ------------------------------------------- view maintenance fuzz ------
