@@ -935,6 +935,49 @@ object Queries {
             WHERE c_custkey <= 2000 AND c_custkey NOT BETWEEN 6 AND 10
             ORDER BY c_custkey"""))
 
+  /** W1 as ONE atomic CDC batch (`GraftEngine.applyCdc`): a single log
+    * append carrying puts AND tombstones with PER-ROW event times — the
+    * changelog-consumer / streaming-sink delivery shape. The batch even
+    * contains an intra-batch conflict (keys 11–13 are tombstoned at 2000
+    * and re-put at 3000 in the SAME append) resolved by LWW, proving the
+    * atomic mixed append needs no ordering between its rows. */
+  val w15ApplyCdc = QueryDef(
+    "w15_apply_cdc",
+    (s, dir) => {
+      val e = tempEngine(s, "graft-w15")
+      e.createStore("c", Seq("c_custkey"))
+      val cust = t(s, dir, "customer").filter(col("c_custkey") <= 2000)
+      e.push("c", cust, numBuckets = 4)
+      val puts = cust.filter(col("c_custkey") <= 5)
+        .withColumn("c_name",
+          concat(lit("CDC-"), col("c_custkey").cast("string")))
+        .withColumn("__ts", lit(1000L) + col("c_custkey"))
+        .withColumn("__dead", lit(false))
+      val tombs = cust.filter(col("c_custkey").between(6, 13))
+        .select(col("c_custkey"))
+        .withColumn("__ts", lit(2000L)).withColumn("__dead", lit(true))
+      val reputs = cust.filter(col("c_custkey").between(11, 13))
+        .withColumn("c_name",
+          concat(lit("RES-"), col("c_custkey").cast("string")))
+        .withColumn("__ts", lit(3000L)).withColumn("__dead", lit(false))
+      e.applyCdc("c",
+        puts.unionByName(tombs, allowMissingColumns = true)
+          .unionByName(reputs, allowMissingColumns = true),
+        col("__ts"), col("__dead"))
+      e.servingView("c")
+        .select(col("c_custkey"), col("c_name"),
+          round(col("c_acctbal") * 100).cast("long").as("acctbal_cents"))
+        .orderBy(col("c_custkey"))
+    },
+    Some("""SELECT c_custkey,
+            CASE WHEN c_custkey <= 5 THEN 'CDC-' || c_custkey
+                 WHEN c_custkey BETWEEN 11 AND 13 THEN 'RES-' || c_custkey
+                 ELSE c_name END AS c_name,
+            CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_cents
+            FROM customer
+            WHERE c_custkey <= 2000 AND c_custkey NOT BETWEEN 6 AND 10
+            ORDER BY c_custkey"""))
+
   /** DSv2 connector read: the same hybrid store as w1 (push + RT puts +
     * tombstones), but read back through VANILLA
     * `spark.read.format("graft")` — no engine API on the read path. The
@@ -7959,6 +8002,7 @@ object Queries {
     r10Predicates, r11Stream, qWindow, qRollup, qSemi, qAnti, qSessionize,
     b3Ttl, b4Compaction, b4DupAudit, b7Quota, b8Partition,
     w3WriteCompute, w5Lww, w6DeleteWins, w7Crdt, w7CrdtMap, w8Squash, w11Div, w12Hll, w13HotKeys,
+    w15ApplyCdc,
     r12Meta, r13SchemaEvolution, b13IncrementalView, b14AaView, b19JoinView,
     r14AaEvolution, s3LagGate, w1PutDelete, dsv2StoreRead, dsv2StoreWrite,
     dsv2ChangelogRead, dsv2StreamWrite, dsv2AsofRead, sqlComputeClient,

@@ -20,12 +20,12 @@ import graft.operators.{UpdateBuilder, WriteCompute}
   * the conflict resolution under arbitrary op orders; semantics, not
   * code), beyond CrdtMergeSpec's per-fold permutations.
   *
-  * 1650 ScalaCheck-generated scripts: 500 LWW + 500 A/A through the
+  * 1750 ScalaCheck-generated scripts: 500 LWW + 500 A/A through the
   * engine API, 100 + 100 whose final state is read through the DSv2
   * connector instead, 100 LWW scripts whose puts AND initial push go
-  * through the DSv2 writer (df.write.format("graft")), 100 whose puts
-  * and deletes ride the STREAMING sink's addBatch with crash replays
-  * (exactly-once differential), and 150 + 100
+  * through the DSv2 writer (df.write.format("graft")), 100 + 100 whose
+  * puts and deletes ride the STREAMING sink's addBatch with crash
+  * replays (exactly-once differential, LWW and A/A), and 150 + 100
   * view-maintenance scripts (LWW and A/A source stores) where full
   * recompute is the oracle — run on a
   * thread pool (independent stores; Spark schedules concurrent jobs
@@ -429,7 +429,8 @@ class EngineFuzzSpec extends AnyFunSuite {
     }
 
   private def runAa(script: List[AOp],
-      viaConnector: Boolean = false): Option[String] = {
+      viaConnector: Boolean = false,
+      viaSink: Boolean = false): Option[String] = {
     val root = Files.createTempDirectory("fuzz-aa").toString
     val e = new GraftEngine(spark, root)
     e.createStore("s", Seq("k"))
@@ -446,15 +447,42 @@ class EngineFuzzSpec extends AnyFunSuite {
       StructType(Seq(StructField("k", LongType))))
     val evolvedSchema = StructType(schema.fields :+
       StructField("extra", LongType))
+    // viaSink: puts and whole-record deletes ride the streaming sink's
+    // addBatch (exercising the A/A branch — putAA/deleteAA with a per-row
+    // flag split), with the same corrupted crash replays and stale
+    // re-deliveries as the LWW sink fuzz. Field-sets and admin stay API.
+    val sinkRng = new scala.util.Random(script.hashCode)
+    var nextBatch = 0L
+    def sinkBatch(d: org.apache.spark.sql.DataFrame, ts: Long): Unit = {
+      val sink = graft.sources.GraftStreamSink(root, "s",
+        Map("tsms" -> ts.toString, "deletecolumn" -> "dead"))
+      sink.addBatch(nextBatch, d)
+      if (sinkRng.nextInt(3) == 0) // crash replay: must be a no-op
+        sink.addBatch(nextBatch, d.withColumn("name", lit("REPLAYED"))
+          .withColumn("dead", !col("dead")))
+      if (sinkRng.nextInt(4) == 0 && nextBatch > 0) // stale re-delivery
+        graft.sources.GraftStreamSink(root, "s",
+          Map("tsms" -> (ts + 999).toString, "deletecolumn" -> "dead"))
+          .addBatch(sinkRng.nextLong(nextBatch), d)
+      nextBatch += 1
+    }
     script.foreach {
-      case op @ APut(k, n, s, ts) => e.putAA("s", df(Seq((k, n, s))), ts); model(op)
+      case op @ APut(k, n, s, ts) =>
+        if (viaSink) sinkBatch(df(Seq((k, n, s))).withColumn("dead", lit(false)), ts)
+        else e.putAA("s", df(Seq((k, n, s))), ts)
+        model(op)
       case op @ AEvolve(_) =>
         e.registerValueSchema("s", evolvedSchema); model(op)
       case op @ APutNew(k, n, s, x, ts) =>
-        e.putAA("s", spark.createDataFrame(List(Row(k, n, s, x)).asJava,
-          evolvedSchema), ts)
+        val d = spark.createDataFrame(List(Row(k, n, s, x)).asJava,
+          evolvedSchema)
+        if (viaSink) sinkBatch(d.withColumn("dead", lit(false)), ts)
+        else e.putAA("s", d, ts)
         model(op)
-      case op @ ADel(k, ts) => e.deleteAA("s", kdf(k), ts); model(op)
+      case op @ ADel(k, ts) =>
+        if (viaSink) sinkBatch(kdf(k).withColumn("dead", lit(true)), ts)
+        else e.deleteAA("s", kdf(k), ts)
+        model(op)
       case op @ ASet(k, f, sv, lv, ts) =>
         if (f == "name")
           e.setFieldAA("s", spark.createDataFrame(List(Row(k, sv)).asJava,
@@ -587,6 +615,16 @@ class EngineFuzzSpec extends AnyFunSuite {
   test("streaming sink ≡ model over 100 random LWW op scripts with replays") {
     fuzz("LWW-sink", 100, lwwScriptGen,
       (s: List[LOp]) => runLww(s, viaConnector = true, viaSink = true))
+  }
+
+  /** The A/A twin: puts and whole-record deletes ride the sink's
+    * active-active branch (per-row flag split into putAA/deleteAA with a
+    * per-batch event time), same corrupted replays — fuzz-proves the CRDT
+    * routing and the tsCol deleteAA overload over every admin
+    * interleaving. */
+  test("streaming sink ≡ model over 100 random A/A op scripts with replays") {
+    fuzz("A/A-sink", 100, aaScriptGen,
+      (s: List[AOp]) => runAa(s, viaConnector = true, viaSink = true))
   }
 
   // ------------------------------------------- view maintenance fuzz ------
