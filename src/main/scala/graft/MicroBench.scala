@@ -49,10 +49,29 @@ object MicroBench {
         .write.format("noop").mode("overwrite").save()
     }
 
+    // nearline ingestion: 20 sink microbatches (the writeStream.format
+    // delivery unit — one atomic log append + O(1) commit record each)
+    engine.createStore("nl", Seq("user_id"))
+    engine.push("nl", graft.operators.Compaction.latestPerKey(
+      ev, Seq("user_id"), Seq(col("event_id"))))
+    val slice = ev.select(col("user_id"), col("event_id"), col("event_type"),
+      col("value")).limit(20000).persist()
+    val nSink = slice.count() * 20
+    val sinkSec = timed {
+      (0 until 20).foreach { b =>
+        graft.sources.GraftStreamSink(root, "nl",
+          Map("tsms" -> (1000L + b).toString))
+          .addBatch(b.toLong, slice)
+      }
+    }
+    slice.unpersist()
+
     println(s"""{"push_lineitem_rows":$liCount,"push_sec":$pushSec,""" +
       s""""batchget_1k_sec":$batchGetSec,""" +
       s""""compute_dot_rows":$nVec,"compute_dot_sec":$computeSec,""" +
-      s""""crdt_merge_rows":$nEv,"crdt_merge_sec":$crdtSec,"sf":"$sfDir"}""")
+      s""""crdt_merge_rows":$nEv,"crdt_merge_sec":$crdtSec,""" +
+      s""""sink_batches":20,"sink_rows":$nSink,"sink_sec":$sinkSec,""" +
+      s""""sf":"$sfDir"}""")
     spark.stop()
   }
 }
