@@ -1217,6 +1217,52 @@ object Queries {
              FROM c WHERE c_custkey NOT BETWEEN 151 AND 200
              ORDER BY as_of, c_custkey"""))
 
+  /** SQL-STANDARD time travel through the catalog: `TIMESTAMP AS OF`
+    * pins a past instant (snapshot + log prefix), `VERSION AS OF n` is
+    * the rollback-preview read (version n's immutable snapshot with the
+    * LIVE log overlaid — the state `rollback` would serve; archived logs
+    * from before n's repush stay folded into later versions, exactly
+    * Venice's backup-version semantics). Three worlds in one result: the
+    * current view, a pre-delete instant on the current version, and the
+    * backup version under today's log. */
+  val sqlTimeTravel = QueryDef(
+    "sql_time_travel",
+    (s, dir) => {
+      val e = tempEngine(s, "graft-gtt")
+      s.conf.set("spark.sql.catalog.gtt", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gtt.root", e.root)
+      e.createStore("c", Seq("c_custkey"))
+      val cust = t(s, dir, "customer").filter(col("c_custkey") <= 1000)
+        .select(col("c_custkey"), col("c_name"))
+      e.push("c", cust, numBuckets = 4)
+      e.put("c", cust.filter(col("c_custkey") <= 100)
+        .withColumn("c_name", concat(col("c_name"), lit("_U1"))), tsMs = 1000L)
+      e.repush("c") // v2 folds the put, archives the log
+      e.delete("c", cust.filter(col("c_custkey").between(201, 300))
+        .select("c_custkey"), tsMs = 2000L)
+      def read(clause: String, tag: String) = s.sql(
+        s"SELECT '$tag' AS as_of, c_custkey, c_name FROM gtt.c $clause")
+      read("TIMESTAMP AS OF '1970-01-01 00:00:01.5'", "t1500")
+        .unionByName(read("VERSION AS OF 1", "v1"))
+        .unionByName(read("", "now"))
+        .orderBy(col("as_of"), col("c_custkey"))
+    },
+    Some("""WITH c AS (SELECT c_custkey, c_name FROM customer
+               WHERE c_custkey <= 1000)
+             SELECT 'now' AS as_of, c_custkey,
+               CASE WHEN c_custkey <= 100 THEN c_name || '_U1'
+                    ELSE c_name END AS c_name
+             FROM c WHERE c_custkey NOT BETWEEN 201 AND 300
+             UNION ALL
+             SELECT 't1500', c_custkey,
+               CASE WHEN c_custkey <= 100 THEN c_name || '_U1'
+                    ELSE c_name END
+             FROM c
+             UNION ALL
+             SELECT 'v1', c_custkey, c_name
+             FROM c WHERE c_custkey NOT BETWEEN 201 AND 300
+             ORDER BY as_of, c_custkey"""))
+
   /** The pure-SQL client, end to end: a store pushed through the engine is
     * read back via `format("graft")` (the DSv2 rewrite), registered as a
     * temp view, and ALL compute happens in `spark.sql` text through the
@@ -8006,7 +8052,7 @@ object Queries {
     r12Meta, r13SchemaEvolution, b13IncrementalView, b14AaView, b19JoinView,
     r14AaEvolution, s3LagGate, w1PutDelete, dsv2StoreRead, dsv2StoreWrite,
     dsv2ChangelogRead, dsv2StreamWrite, dsv2AsofRead, sqlComputeClient,
-    sqlTextFns,
+    sqlTextFns, sqlTimeTravel,
     w2UpdateBuilder, w4UpdateSchema, w9Chunk, b6Wire,
     b1Avro, w10Compression, b10Metrics, b11Incremental, b12Etl,
     s1Ingest, s2Rewind, s4Changelog, s6SqlView, s7TokenBucket,

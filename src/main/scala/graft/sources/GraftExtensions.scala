@@ -73,20 +73,23 @@ case class GraftRelationRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       case rel @ DataSourceV2Relation(t: GraftTable, _, _, _, _, _)
           if !writeTargets.contains(rel) =>
         val engine = new GraftEngine(spark, t.root)
-        // time travel: `.option("asOfTs", t)` pins a past instant — the
-        // current snapshot version plus only log entries at/before t
-        // (version dirs are immutable, so this is free; the DuckDB-style
-        // `AT (TIMESTAMP …)` read as a connector option)
-        val asOf = Option(rel.options.get("asOfTs")).map(_.toLong)
-        val view = asOf match {
-          case Some(ts) =>
-            require(!engine.isActiveActive(t.store),
-              s"store ${t.store} is active-active — asOfTs pins the LWW " +
-                "log prefix; use GraftEngine.servingView for A/A stores")
-            engine.servingViewAsOf(t.store, ts).queryExecution.analyzed
-          case None =>
+        // time travel: `.option("asOfTs", t)` or the catalog's SQL
+        // `TIMESTAMP AS OF` pins a past instant — the snapshot version
+        // plus only log entries at/before t (version dirs are immutable,
+        // so this is free); `VERSION AS OF n` pins snapshot version n
+        // with the live log overlaid (the rollback-preview read).
+        val asOf = t.asOfTs.orElse(
+          Option(rel.options.get("asOfTs")).map(_.toLong))
+        val view =
+          if (asOf.isEmpty && t.pinVersion.isEmpty)
             engine.servingView(t.store).queryExecution.analyzed
-        }
+          else {
+            require(!engine.isActiveActive(t.store),
+              s"store ${t.store} is active-active — time travel pins the " +
+                "LWW log prefix; use GraftEngine.servingView for A/A stores")
+            engine.servingViewAsOf(t.store, asOf.getOrElse(Long.MaxValue),
+              t.pinVersion).queryExecution.analyzed
+          }
         rebind(rel.output, view, s"store ${t.store}")
       // batch changelog: every change event since `sinceTs` (A/A stores
       // emit conflict-resolved after-images, like GraftEngine.changelog)

@@ -36,7 +36,14 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * every scale point: the snapshot stays on Spark's vectorized parquet
   * path inside WholeStageCodegen instead of a per-row PartitionReader. */
 final case class GraftTable(root: String, store: String,
-    tableSchema: StructType) extends Table with SupportsRead with SupportsWrite {
+    tableSchema: StructType,
+    // SQL-standard time travel (`SELECT … FROM g.store TIMESTAMP AS OF t`
+    // / `VERSION AS OF n`): the catalog's loadTable(ident, time/version)
+    // overloads pin the read here, and the analysis-time rewrite serves
+    // servingViewAsOf instead of servingView. asOfTs in epoch MILLIS.
+    asOfTs: Option[Long] = None,
+    pinVersion: Option[Int] = None)
+    extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"graft:$root/$store"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
@@ -262,6 +269,24 @@ class GraftCatalog extends TableCatalog {
     if (!new java.io.File(new java.io.File(root, store), "KEYS").exists())
       throw new NoSuchTableException(ident)
     GraftTable(SparkSession.active, root, store)
+  }
+
+  /** `SELECT … FROM cat.store TIMESTAMP AS OF t` — Spark hands the
+    * instant in epoch MICROseconds; the engine's as-of read is millis. */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table =
+    loadTable(ident).asInstanceOf[GraftTable]
+      .copy(asOfTs = Some(timestampMicros / 1000L))
+
+  /** `SELECT … FROM cat.store VERSION AS OF n` — the rollback-preview
+    * read: version n's immutable snapshot with the live RT log overlaid,
+    * i.e. the serving view as if n were current (Venice's backup-version
+    * semantics, the state `rollback` would serve). */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val v = try version.toInt catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"graft store versions are integers (push counters); got '$version'")
+    }
+    loadTable(ident).asInstanceOf[GraftTable].copy(pinVersion = Some(v))
   }
 
   override def createTable(ident: Identifier, schema: StructType,

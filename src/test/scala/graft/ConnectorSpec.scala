@@ -344,6 +344,32 @@ class ConnectorSpec extends AnyFunSuite {
     assert(err.getMessage.contains("active-active"))
   }
 
+  test("SQL time travel: TIMESTAMP AS OF and VERSION AS OF via the catalog") {
+    spark.conf.set("spark.sql.catalog.gtt2", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gtt2.root", root)
+    engine.createStore("tt2", Seq("k"))
+    import spark.implicits._
+    engine.push("tt2", Seq((1L, "v1"), (2L, "v1")).toDF("k", "v"), numBuckets = 2)
+    engine.put("tt2", Seq((1L, "v2")).toDF("k", "v"), tsMs = 1000L)
+    engine.repush("tt2") // version 2 folds the put, archives the log
+    engine.delete("tt2", Seq(Tuple1(2L)).toDF("k"), tsMs = 2000L)
+    def q(clause: String) = spark.sql(
+      s"SELECT k, v FROM gtt2.tt2 $clause ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(q("") == Seq((1L, "v2")))
+    // pre-delete instant on the current version: both keys, folded put
+    assert(q("TIMESTAMP AS OF '1970-01-01 00:00:01.5'")
+      == Seq((1L, "v2"), (2L, "v1")))
+    // backup version under today's log: original names, live delete applies
+    assert(q("VERSION AS OF 1") == Seq((1L, "v1")))
+    // parity with the engine primitive
+    assert(q("VERSION AS OF 1") ==
+      engine.servingViewAsOf("tt2", Long.MaxValue, Some(1)).orderBy("k")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq)
+    val err = intercept[Exception](q("VERSION AS OF 'abc'"))
+    assert(err.getMessage.contains("integers"))
+  }
+
   test("injected graft_* SQL functions ≡ the programmatic compute DSL") {
     import graft.functions.{SimHashExpr, VecDotExpr, VectorOps}
     val emb = Tables.embeddings(spark, sf).limit(50)
