@@ -50,6 +50,54 @@ class PlanSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("containment pairs reuse the capped ngram's exchange discipline") {
+    // same inverted-index geometry as the capped Jaccard path: the df-cap
+    // window pre-pays the self-join's shuffle+sort on sh, the pair
+    // aggregation adds one keyed exchange, and BOTH directed outputs
+    // project the same persisted pair frame — the union must not add
+    // exchanges or ever fall into a nested loop
+    val shingled = graft.operators.Dedup.shingleSets(
+      Tables.documents(spark, sf), "doc_id", "text", 3)
+    val df = graft.operators.Dedup.containmentPairs(shingled, 0.6,
+      maxPostings = 64)
+    val p = plan(df)
+    // both directed branches must read the SAME persisted pair frame (one
+    // physical computation of the join+agg, cached) …
+    val cacheScans = "InMemoryTableScan".r.findAllIn(p).size
+    assert(cacheScans >= 2,
+      s"directed branches do not share the cached pair frame:\n${p.take(800)}")
+    // … and the pair frame itself carries at most the window's exchange,
+    // the join's (reused) layout and the pair-agg exchange — the printed
+    // tree shows the cached plan once per branch, so the bound is 2×3
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 6,
+      s"containment plan shuffles $exchanges times (expected ≤3 per " +
+        s"cached-branch print):\n${p.take(800)}")
+    assert(!p.contains("Exchange SinglePartition") &&
+      !p.contains("CartesianProduct"), p.take(400))
+    spark.catalog.clearCache()
+  }
+
+  test("asOf reads through the connector keep full-key bucket pruning") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-plan-asof").toString
+    val e = new GraftEngine(spark, root)
+    e.createStore("c", Seq("k"))
+    e.push("c", spark.range(1000).select(col("id").as("k"),
+      col("id").cast("string").as("v")), numBuckets = 8)
+    e.put("c", Seq((7L, "x")).toDF("k", "v"), tsMs = 1000L)
+    val q = spark.read.format("graft").option("root", root)
+      .option("store", "c").option("asOfTs", 1500L).load()
+      .filter(col("k") === 7L)
+    // the derived __bucket predicate must reach the SNAPSHOT scan as a
+    // PartitionFilter even under the time-travel plan (servingViewAsOf
+    // scans the same bucketed version dir)
+    val p = plan(q)
+    val pf = "PartitionFilters: \\[[^\\]]*__bucket[^\\]]*\\]".r.findAllIn(p).size
+    assert(pf >= 1, s"asOf read lost bucket pruning:\n${p.take(800)}")
+    assert(q.collect().map(_.getString(1)).toSeq == Seq("x"))
+  }
+
   test("dimension joins broadcast; no cartesian in the relational core") {
     val p = plan(Queries.byName("q3_join_topk").fn(spark, sf))
     assert(p.contains("BroadcastHashJoin"), p.take(400))
