@@ -1217,6 +1217,53 @@ object Queries {
              FROM c WHERE c_custkey NOT BETWEEN 151 AND 200
              ORDER BY as_of, c_custkey"""))
 
+  /** Cross-store (active-passive) replication over PURE connector
+    * surfaces: `readStream(changelog)` → `writeStream(graft)` carries the
+    * leader's puts AND tombstones with their original event times into a
+    * follower store — no graft API in the pipeline body, exactly-once via
+    * the sink's commit record, checkpoint-resumable. The follower's
+    * serving view converges to the leader's (the cross-region
+    * replication story; reference semantics, not code: Venice A/P
+    * followers consume the leader's RT through the replication pipeline). */
+  val dsv2Replication = QueryDef(
+    "dsv2_replication",
+    (s, dir) => {
+      val e = tempEngine(s, "graft-rep")
+      e.createStore("lead", Seq("c_custkey"))
+      e.createStore("follow", Seq("c_custkey"))
+      val cust = t(s, dir, "customer").filter(col("c_custkey") <= 2000)
+      e.push("lead", cust, numBuckets = 4)
+      // follower starts from the same batch base; the stream closes the gap
+      e.push("follow", cust, numBuckets = 4)
+      e.put("lead", cust.filter(col("c_custkey") <= 5)
+        .withColumn("c_name", concat(lit("REP-"), col("c_custkey").cast("string"))),
+        tsMs = 1000L)
+      e.delete("lead", cust.filter(col("c_custkey").between(6, 10))
+        .select("c_custkey"), tsMs = 2000L)
+      val q = s.readStream.format("graft")
+        .option("root", e.root).option("store", "lead")
+        .option("changelog", "true").load()
+        .writeStream.format("graft")
+        .option("root", e.root).option("store", "follow")
+        .option("tsColumn", graft.core.GraftEngine.TsCol)
+        .option("deleteColumn", graft.core.GraftEngine.DeletedCol)
+        .option("checkpointLocation", s"${e.root}/cp")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      require(q.awaitTermination(180000),
+        "dsv2_replication: stream did not drain within 180s")
+      e.servingView("follow")
+        .select(col("c_custkey"), col("c_name"),
+          round(col("c_acctbal") * 100).cast("long").as("acctbal_cents"))
+        .orderBy(col("c_custkey"))
+    },
+    Some("""SELECT c_custkey,
+            CASE WHEN c_custkey <= 5 THEN 'REP-' || c_custkey ELSE c_name END AS c_name,
+            CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_cents
+            FROM customer
+            WHERE c_custkey <= 2000 AND c_custkey NOT BETWEEN 6 AND 10
+            ORDER BY c_custkey"""))
+
   /** SQL-STANDARD time travel through the catalog: `TIMESTAMP AS OF`
     * pins a past instant (snapshot + log prefix), `VERSION AS OF n` is
     * the rollback-preview read (version n's immutable snapshot with the
@@ -8051,8 +8098,8 @@ object Queries {
     w15ApplyCdc,
     r12Meta, r13SchemaEvolution, b13IncrementalView, b14AaView, b19JoinView,
     r14AaEvolution, s3LagGate, w1PutDelete, dsv2StoreRead, dsv2StoreWrite,
-    dsv2ChangelogRead, dsv2StreamWrite, dsv2AsofRead, sqlComputeClient,
-    sqlTextFns, sqlTimeTravel,
+    dsv2ChangelogRead, dsv2StreamWrite, dsv2AsofRead, dsv2Replication,
+    sqlComputeClient, sqlTextFns, sqlTimeTravel,
     w2UpdateBuilder, w4UpdateSchema, w9Chunk, b6Wire,
     b1Avro, w10Compression, b10Metrics, b11Incremental, b12Etl,
     s1Ingest, s2Rewind, s4Changelog, s6SqlView, s7TokenBucket,

@@ -344,6 +344,45 @@ class ConnectorSpec extends AnyFunSuite {
     assert(err.getMessage.contains("active-active"))
   }
 
+  test("store-to-store replication: changelog stream into the sink, deletes too") {
+    import spark.implicits._
+    // active-passive replication with NO graft API in the pipeline body:
+    // readStream(changelog) → writeStream(graft) carries puts AND
+    // tombstones with their original event times, so the follower
+    // converges to the leader's serving view — the cross-region
+    // replication story over pure connector surfaces
+    engine.createStore("lead", Seq("k"))
+    engine.createStore("follow", Seq("k"))
+    engine.push("lead", Seq((1L, "a"), (2L, "b")).toDF("k", "v"), numBuckets = 2)
+    engine.push("follow", Seq((1L, "stale")).toDF("k", "v"), numBuckets = 2)
+    engine.put("lead", Seq((1L, "a2"), (3L, "c")).toDF("k", "v"), tsMs = 100L)
+    engine.delete("lead", Seq(Tuple1(2L)).toDF("k"), tsMs = 200L)
+    val cp = Files.createTempDirectory("graft-rep-cp").toString
+    def replicate(): Unit = {
+      val q = spark.readStream.format("graft")
+        .option("root", root).option("store", "lead")
+        .option("changelog", "true").load()
+        .writeStream.format("graft")
+        .option("root", root).option("store", "follow")
+        .option("tsColumn", core.GraftEngine.TsCol)
+        .option("deleteColumn", core.GraftEngine.DeletedCol)
+        .option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    replicate()
+    def view(s: String) = readStore(s).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    // follower log replays the leader's puts and tombstone over its own
+    // base; keys 1,3 live with leader values, 2 tombstoned
+    assert(view("follow") == Seq((1L, "a2"), (3L, "c")))
+    // incremental: later leader writes flow through the SAME checkpoint
+    engine.put("lead", Seq((4L, "d")).toDF("k", "v"), tsMs = 300L)
+    replicate()
+    assert(view("follow") == Seq((1L, "a2"), (3L, "c"), (4L, "d")))
+  }
+
   test("SQL time travel: TIMESTAMP AS OF and VERSION AS OF via the catalog") {
     spark.conf.set("spark.sql.catalog.gtt2", "graft.sources.GraftCatalog")
     spark.conf.set("spark.sql.catalog.gtt2.root", root)
