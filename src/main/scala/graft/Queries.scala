@@ -8084,6 +8084,84 @@ object Queries {
              FROM a GROUP BY fingerprint HAVING count(DISTINCT split) > 1
              ORDER BY fingerprint"""))
 
+  /** Z-order (Morton) clustering summary over lineitem's two-dimensional
+    * (l_partkey, l_suppkey) key space — the layout pass a 100-TB table runs
+    * so that a box filter on EITHER dimension prunes files (a single-column
+    * sort leaves the other dimension's min/max stats useless). 8 bits per
+    * dimension, bounds from one broadcast 1-row agg; the result groups rows
+    * by coarse z-cell (top 4 bits of each dim, interleaved) and shows each
+    * cell's min/max along BOTH dims — exactly the per-file stats a
+    * [[graft.operators.Layout.zorderFrame]] re-layout would publish. All
+    * bit math is codegen'd Column ops; the oracle replays the identical
+    * unrolled Morton terms. One shuffle (the cell groupBy). */
+  val zorderLayout = QueryDef(
+    "zorder_layout",
+    (s, dir) => {
+      import graft.operators.Layout
+      val li = t(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey"))
+      Layout.zcellSummary(li, Seq("l_partkey", "l_suppkey"), bits = 8,
+        dropBits = 8)
+    },
+    Some {
+      val pb = graft.operators.Layout.rangeBucketSql(
+        "l_partkey", "p_lo", "p_hi", 8)
+      val sb = graft.operators.Layout.rangeBucketSql(
+        "l_suppkey", "s_lo", "s_hi", 8)
+      val z = graft.operators.Layout.interleaveSql(Seq("pb", "sb"), 8)
+      s"""WITH bounds AS (SELECT min(l_partkey) AS p_lo, max(l_partkey) AS p_hi,
+               min(l_suppkey) AS s_lo, max(l_suppkey) AS s_hi FROM lineitem),
+           b AS (SELECT l_partkey, l_suppkey, $pb AS pb, $sb AS sb
+             FROM lineitem, bounds),
+           z AS (SELECT l_partkey, l_suppkey, $z AS zv FROM b)
+           SELECT zv >> 8 AS zcell, count(*) AS n_rows,
+             CAST(min(l_partkey) AS BIGINT) AS min_l_partkey,
+             CAST(max(l_partkey) AS BIGINT) AS max_l_partkey,
+             CAST(min(l_suppkey) AS BIGINT) AS min_l_suppkey,
+             CAST(max(l_suppkey) AS BIGINT) AS max_l_suppkey
+           FROM z GROUP BY 1 ORDER BY 1"""
+    })
+
+  /** One-pass column profile of `orders` — the ANALYZE a pipeline runs
+    * before choosing partition counts, salt factors, and layout columns:
+    * per column, null count, exact distinct count, canonical min/max, and
+    * mean length. Single wide aggregate over one scan (exact DISTINCTs
+    * plan an Expand; `approxDistinct = true` collapses it to HLL sketches
+    * at production scale); the per-column rows are an O(#columns)
+    * driver-side unpivot of the ONE result row. */
+  val profileColumns = QueryDef(
+    "profile_columns",
+    (s, dir) =>
+      graft.operators.Profile.columns(t(s, dir, "orders")),
+    Some {
+      def statRow(name: String, minSql: String, maxSql: String,
+          lenSql: Option[String]): String = {
+        val avg = lenSql
+          .map(l => s"CAST(sum($l) * 100 // count($l) AS BIGINT)")
+          .getOrElse("CAST(NULL AS BIGINT)")
+        s"""SELECT '$name' AS col_name, count(*) AS n_rows,
+            CAST(sum(CASE WHEN $name IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_null,
+            CAST(count(DISTINCT $name) AS BIGINT) AS n_distinct,
+            CAST($minSql AS VARCHAR) AS min_v,
+            CAST($maxSql AS VARCHAR) AS max_v,
+            $avg AS avg_len_x100
+            FROM orders"""
+      }
+      Seq(
+        statRow("o_custkey", "min(o_custkey)", "max(o_custkey)", None),
+        statRow("o_orderdate", "epoch_ms(min(o_orderdate))",
+          "epoch_ms(max(o_orderdate))", None),
+        statRow("o_orderkey", "min(o_orderkey)", "max(o_orderkey)", None),
+        statRow("o_orderpriority", "min(o_orderpriority)",
+          "max(o_orderpriority)", Some("length(o_orderpriority)")),
+        statRow("o_orderstatus", "min(o_orderstatus)", "max(o_orderstatus)",
+          Some("length(o_orderstatus)")),
+        statRow("o_totalprice", "CAST(round(min(o_totalprice) * 100) AS BIGINT)",
+          "CAST(round(max(o_totalprice) * 100) AS BIGINT)", None)
+      ).mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    })
+
   // ---------------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------------
@@ -8138,7 +8216,8 @@ object Queries {
     dedupIncrementalNear, datasetCard, kAnonymity, q17SmallQty,
     qSaltedJoin, s9Bootstrap, qPivot, w14HllUnion, bpeTrainMerges,
     b16AggView, bpeEncode, dedupClusterKeeper, cohortRetention,
-    eventsDebounce, centroidClassify, q7Volume, qScdJoin, qualityCi)
+    eventsDebounce, centroidClassify, q7Volume, qScdJoin, qualityCi,
+    zorderLayout, profileColumns)
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }
