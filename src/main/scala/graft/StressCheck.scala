@@ -20,7 +20,7 @@ object StressCheck {
     val only = args.toSet
     def on(tag: String): Boolean = only.isEmpty || only(tag)
     // (new tags round 5: salted, aggview; round 7: joinview, bpe100,
-    // pagerank, davinci, sink)
+    // pagerank, davinci, sink, layout)
 
     val base = Tables.events(spark, sfDir)
       .crossJoin(spark.range(120).select(col("id").as("rep")))
@@ -680,6 +680,44 @@ object StressCheck {
         got.getLong(1) == 20000L * (nBatches - 1),
         s"sink view wrong: $got")
       println(s"[stress] sink view converged: 20000 keys at batch ${nBatches - 1}, 1 commit file")
+    }
+    // ---- Z-order layout: pruning economics must HOLD as data grows --------
+    if (on("layout")) {
+      // 10× the bench lineitem, 4× the spec's file count: if z-order is a
+      // real curve (not luck at one size), a 2-D box filter still confines
+      // the read to a small file subset while a 1-D sort reads everything
+      // for the secondary dimension.
+      val li = Tables.lineitem(spark, sfDir)
+        .crossJoin(spark.range(10).select(col("id").as("rep")))
+        .select(col("l_partkey"), col("l_suppkey"),
+          (col("l_orderkey") * 10 + col("rep")).as("l_orderkey"))
+      val nFiles = 64
+      val root = java.nio.file.Files.createTempDirectory("stress-layout")
+        .toString
+      timed(s"zorder write 10x -> $nFiles files") {
+        graft.operators.Layout.zorderFrame(li,
+          Seq("l_partkey", "l_suppkey"), bits = 8, numFiles = nFiles)
+          .write.mode("overwrite").parquet(s"$root/z")
+        li.count()
+      }
+      li.repartitionByRange(nFiles, col("l_partkey"))
+        .sortWithinPartitions(col("l_partkey"))
+        .write.mode("overwrite").parquet(s"$root/p")
+      def touched(path: String, pred: org.apache.spark.sql.Column): Long =
+        spark.read.parquet(path).filter(pred)
+          .select(input_file_name()).distinct().count()
+      // box = ~10% × ~20% of the (partkey, suppkey) plane at sf0.1 bounds
+      val box = col("l_partkey").between(9000, 11000) &&
+        col("l_suppkey").between(400, 600)
+      val sOnly = col("l_suppkey").between(400, 600)
+      val (zBox, pBox) = (touched(s"$root/z", box), touched(s"$root/p", box))
+      val (zS, pS) = (touched(s"$root/z", sOnly), touched(s"$root/p", sOnly))
+      require(zBox <= nFiles / 4,
+        s"zorder box locality degraded at 10x: $zBox of $nFiles files")
+      require(pS == nFiles.toLong && zS < pS,
+        s"secondary-dim pruning: zorder=$zS 1-D=$pS")
+      println(s"[stress] layout: box z=$zBox/1D=$pBox files; " +
+        s"suppkey-only z=$zS/1D=$pS of $nFiles — curve holds at 10x")
     }
     spark.catalog.clearCache()
     spark.stop()
