@@ -4020,6 +4020,46 @@ object Queries {
                ON best.id_batch = d.doc_id
              ORDER BY d.doc_id"""))
 
+  /** Store-backed LSH dedup index — the 100-TB production shape where the
+    * corpus's MinHash band rows live in an engine STORE (bandkey → sorted
+    * doc-id set) instead of being recomputed per run: built ONCE by push
+    * (docs ≢ 3,7 mod 10), GROWN incrementally (docs ≡ 3 arrive later as
+    * A/A set-union element-adds — commutative appends, no
+    * read-modify-write, no index rebuild), then PROBED by a crawl batch
+    * (docs ≡ 7) via bucket-set-pruned batchGet point reads — the corpus
+    * is never scanned at probe time. The result is pinned ≡ the stateless
+    * cross band join recomputed from the full corpus, proving
+    * push + CRDT union + batchGet compose exactly. */
+  val dedupIndexProbe = QueryDef(
+    "dedup_index_probe",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val isBatch = pmod(col("doc_id"), lit(10)) === 7
+      val isDelta = pmod(col("doc_id"), lit(10)) === 3
+      val shB = graft.operators.Dedup.shingleSets(
+        docs.filter(isBatch), "doc_id", "text", 3)
+      val shSeed = graft.operators.Dedup.shingleSets(
+        docs.filter(!isBatch && !isDelta), "doc_id", "text", 3)
+      val shDelta = graft.operators.Dedup.shingleSets(
+        docs.filter(isDelta), "doc_id", "text", 3)
+      val e = tempEngine(s, "graft-lshidx")
+      e.createStore("lsh", Seq("bandkey"))
+      e.push("lsh",
+        graft.operators.Dedup.lshIndexFrame(shSeed, k = 8, bands = 4),
+        numBuckets = 8)
+      e.enableActiveActive("lsh")
+      e.addToSetAA("lsh",
+        graft.operators.Dedup.bandRows(shDelta, k = 8, bands = 4)
+          .select(col("bandkey"), col("id")), "ids", "id", tsMs = 1000L)
+      graft.operators.Dedup.probeLshIndex(e, "lsh", shB, k = 8, bands = 4)
+        .orderBy(col("id_batch"), col("id_corpus"))
+    },
+    Some(s"""WITH $minhashBandsCtes
+             SELECT DISTINCT b.id AS id_batch, c.id AS id_corpus
+             FROM bk b JOIN bk c ON b.bandkey = c.bandkey
+             WHERE b.id % 10 = 7 AND c.id % 10 <> 7
+             ORDER BY id_batch, id_corpus"""))
+
   /** One-row dataset card — the corpus summary a dataset release ships
     * (docs/tokens/chars, language & source cardinality, exact-dup rate,
     * mean quality proxy): five independent partial-agged aggregates
@@ -8182,6 +8222,7 @@ object Queries {
     b1Avro, w10Compression, b10Metrics, b11Incremental, b12Etl,
     s1Ingest, s2Rewind, s4Changelog, s6SqlView, s7TokenBucket,
     dedupExact, dedupMinhash, dedupSimhash, dedupSimhash64, dedupNgram,
+    dedupIndexProbe,
     dedupNgramCapped, dedupContainment, sampleClusterBalanced, dedupEmbedding,
     dedupClusters, annTopk, annLsh, annIvf, textStats, textTokenCounts,
     mmDecode, mmFrames, textPiiRedact, splitAssignQ,

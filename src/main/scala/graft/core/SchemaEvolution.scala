@@ -47,6 +47,24 @@ object SchemaEvolution {
         s"field $name: irreconcilable $dx vs $dy")
     }
 
+  /** Recursively widen a schema to fully-nullable. Registered value
+    * schemas are normalized this way: snapshot parquet reads surface
+    * every field as nullable regardless of what the writer declared, and
+    * the A/A state rebuilds (array/map element casts in CrdtMerge) are
+    * illegal INTO a non-null-element type — a store pushed from a
+    * `collect_set` array (containsNull=false) must still fold. */
+  def nullable(s: StructType): StructType =
+    StructType(s.fields.map(f =>
+      f.copy(dataType = nullableType(f.dataType), nullable = true)))
+
+  private def nullableType(dt: DataType): DataType = dt match {
+    case s: StructType => nullable(s)
+    case ArrayType(e, _) => ArrayType(nullableType(e), containsNull = true)
+    case MapType(k, v, _) =>
+      MapType(nullableType(k), nullableType(v), valueContainsNull = true)
+    case other => other
+  }
+
   /** Type equality modulo nullability flags — a cast between types that
     * differ only in containsNull/valueContainsNull/field nullability is
     * unnecessary (and Spark rejects the narrowing direction outright). */

@@ -60,24 +60,30 @@ object Dedup {
       // once per doc beats recomputing per reference
       .persist()
 
-  /** MinHash-LSH candidate pairs: signature of k md5-min hashes, banded into
-    * `bands` groups; docs sharing any band key become a candidate pair.
-    * Pair enumeration is an equi-join on the band key. */
-  def minhashCandidates(shingled: DataFrame, k: Int, bands: Int): DataFrame = {
+  /** (id, bandkey) LSH band rows for a shingled frame — the unit every
+    * MinHash candidate generator joins on, and the unit the store-backed
+    * index ([[lshIndexFrame]]/[[probeLshIndex]]) persists and probes.
+    * Signature via the custom MinHashSig expression: ONE md5 + one tight
+    * k-min loop per shingle (the HOF formulation paid k interpreted
+    * transform lambdas per row — measured ~2× the whole-query wall time). */
+  def bandRows(shingled: DataFrame, k: Int, bands: Int): DataFrame = {
     require(k % bands == 0, "k must divide into bands")
     val rows = k / bands
-    // signature via the custom MinHashSig expression: ONE md5 + one tight
-    // k-min loop per shingle (the HOF formulation paid k interpreted
-    // transform lambdas per row — measured ~2× the whole-query wall time).
-    // Band keys are exploded and persisted once; both join sides reference
-    // the persisted frame, so the signature is computed once per doc.
-    val sig = shingled
+    shingled
       .filter(size(col("shingles")) > 0)
       .select(col("id"), TextOps.bandKeys(
         graft.functions.MinHashExpr.minhashSig(col("shingles"), k),
         bands, rows).as("bandkeys"))
       .select(col("id"), explode(col("bandkeys")).as("bandkey"))
-      .persist()
+  }
+
+  /** MinHash-LSH candidate pairs: signature of k md5-min hashes, banded into
+    * `bands` groups; docs sharing any band key become a candidate pair.
+    * Pair enumeration is an equi-join on the band key. */
+  def minhashCandidates(shingled: DataFrame, k: Int, bands: Int): DataFrame = {
+    // band keys are exploded and persisted once; both join sides reference
+    // the persisted frame, so the signature is computed once per doc
+    val sig = bandRows(shingled, k, bands).persist()
     val l = sig.as("l"); val r = sig.as("r")
     l.join(r, col("l.bandkey") === col("r.bandkey") &&
         col("l.id") < col("r.id"))
@@ -105,18 +111,50 @@ object Dedup {
     * nightly crawl delta dedup against a 100 TB corpus. Pair columns are
     * (id_batch, id_corpus); verify against shingles as usual. */
   def crossMinhashCandidates(corpusSh: DataFrame, batchSh: DataFrame,
-      k: Int, bands: Int): DataFrame = {
-    require(k % bands == 0, "k must divide into bands")
-    val rows = k / bands
-    def bandRows(df: DataFrame) = df
-      .filter(size(col("shingles")) > 0)
-      .select(col("id"), TextOps.bandKeys(
-        graft.functions.MinHashExpr.minhashSig(col("shingles"), k),
-        bands, rows).as("bandkeys"))
-      .select(col("id"), explode(col("bandkeys")).as("bandkey"))
-    bandRows(batchSh).as("b")
-      .join(bandRows(corpusSh).as("c"), col("b.bandkey") === col("c.bandkey"))
+      k: Int, bands: Int): DataFrame =
+    bandRows(batchSh, k, bands).as("b")
+      .join(bandRows(corpusSh, k, bands).as("c"),
+        col("b.bandkey") === col("c.bandkey"))
       .select(col("b.id").as("id_batch"), col("c.id").as("id_corpus"))
+      .distinct()
+
+  /** The PERSISTED LSH index frame: bandkey → sorted distinct corpus doc
+    * ids — what a production pipeline pushes into a key-value store ONCE
+    * so that every nightly crawl delta dedups by point reads instead of
+    * re-scanning the corpus. Hot bands (more than `maxPostings` docs) are
+    * dropped with the usual recall argument: a pair living only in a hot
+    * band is boilerplate-cluster noise routed through [[exact]] first.
+    *
+    * Scale shape: one groupBy on the band key (map-side partial
+    * collect_set), value size bounded by `maxPostings` — at 100 TB the
+    * index is a fraction of corpus bytes (ids, not text) and lives behind
+    * the engine's bucketed store layout, so a probe batch touches only
+    * the buckets its band keys hash to. */
+  def lshIndexFrame(corpusSh: DataFrame, k: Int, bands: Int,
+      maxPostings: Int = 1 << 20): DataFrame =
+    bandRows(corpusSh, k, bands)
+      .groupBy(col("bandkey"))
+      .agg(sort_array(collect_set(col("id"))).as("ids"))
+      .filter(size(col("ids")) <= maxPostings)
+
+  /** Probe a store-backed LSH index with a crawl batch: the batch's band
+    * keys become a batchGet key set (bucket-set-pruned point reads — the
+    * corpus is NEVER scanned), hit lists explode back into
+    * (id_batch, id_corpus) candidates. Result ≡
+    * [[crossMinhashCandidates]] recomputed from the full corpus, provided
+    * the store holds [[lshIndexFrame]] of that corpus (initial push +
+    * `addToSetAA` element-adds for every indexed delta since).
+    *
+    * This is the O(delta) dedup shape: index maintenance is an append of
+    * the delta's band rows (A/A set-union CRDT — commutative, no
+    * read-modify-write), and probing costs |batch band keys| point reads
+    * against a 100-TB corpus. */
+  def probeLshIndex(engine: graft.core.GraftEngine, store: String,
+      batchSh: DataFrame, k: Int, bands: Int): DataFrame = {
+    val probes = bandRows(batchSh, k, bands)
+    val hits = engine.batchGet(store, probes.select(col("bandkey")).distinct())
+    probes.join(hits, "bandkey")
+      .select(col("id").as("id_batch"), explode(col("ids")).as("id_corpus"))
       .distinct()
   }
 

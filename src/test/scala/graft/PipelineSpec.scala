@@ -1092,4 +1092,44 @@ class PipelineSpec extends AnyFunSuite {
     assert(fused(2) == ((3, 10L, 16393L, 1L)))
     assert(fused(3) == ((4, 20L, 16393L, 1L)))
   }
+
+  test("store-backed LSH index probe ≡ stateless cross-minhash candidates") {
+    val docs = Tables.documents(spark, sf)
+    val isBatch = pmod(col("doc_id"), lit(10)) === 7
+    val isDelta = pmod(col("doc_id"), lit(10)) === 3
+    val shB = Dedup.shingleSets(docs.filter(isBatch), "doc_id", "text", 3)
+    val shSeed = Dedup.shingleSets(
+      docs.filter(!isBatch && !isDelta), "doc_id", "text", 3)
+    val shDelta = Dedup.shingleSets(docs.filter(isDelta), "doc_id", "text", 3)
+    val shC = Dedup.shingleSets(docs.filter(!isBatch), "doc_id", "text", 3)
+    val e = new graft.core.GraftEngine(spark,
+      java.nio.file.Files.createTempDirectory("lshidx-spec").toString)
+    e.createStore("lsh", Seq("bandkey"))
+    e.push("lsh", Dedup.lshIndexFrame(shSeed, k = 8, bands = 4),
+      numBuckets = 4)
+    e.enableActiveActive("lsh")
+    // index maintenance: delta band rows arrive as commutative element-adds
+    e.addToSetAA("lsh", Dedup.bandRows(shDelta, k = 8, bands = 4)
+      .select(col("bandkey"), col("id")), "ids", "id", tsMs = 1000L)
+    val probed = Dedup.probeLshIndex(e, "lsh", shB, k = 8, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val direct = Dedup.crossMinhashCandidates(shC, shB, k = 8, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(probed == direct, "probe must equal the stateless band join")
+    assert(probed.nonEmpty, "sf0.001 must produce candidates")
+    assert(probed.exists(_._2 % 10 == 3),
+      "no candidates from the incrementally-indexed delta cohort")
+    Seq(shB, shSeed, shDelta, shC).foreach(_.unpersist())
+  }
+
+  test("lshIndexFrame drops hot bands past maxPostings") {
+    val docs = Tables.documents(spark, sf)
+    val sh = Dedup.shingleSets(docs, "doc_id", "text", 3)
+    val full = Dedup.lshIndexFrame(sh, k = 8, bands = 4)
+    val capped = Dedup.lshIndexFrame(sh, k = 8, bands = 4, maxPostings = 1)
+    assert(full.filter(size(col("ids")) > 1).count() > 0,
+      "test needs at least one multi-doc band")
+    assert(capped.filter(size(col("ids")) > 1).count() == 0)
+    sh.unpersist()
+  }
 }
