@@ -3775,6 +3775,66 @@ object Queries {
               CAST(1 AS BIGINT) AS n_planted_kept
             FROM documents"""))
 
+  /** Streaming NEAR-dup detection on arrival
+    * ([[graft.streaming.StreamDedup.nearDupPairs]]): the corpus streams in
+    * 2-file microbatches; each batch probes the store-backed LSH index for
+    * band collisions with everything indexed before it, self-joins its own
+    * band rows, then appends itself to the index (A/A set-union). A second
+    * drain plants an exact text copy of the min-id doc — the restart must
+    * find its pairs purely from STORE state (the index outlives the
+    * query). The collected pair set is pinned ≡ the batch band join over
+    * corpus + planted doc: microbatch boundaries, arrival order and the
+    * restart must leave no trace. */
+  val streamNearDupQ = QueryDef(
+    "stream_neardup",
+    (s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      import s.implicits._
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val (root, in) = stagedTopic(dir, "graft-sneardup", docs,
+        srcTable = "documents")
+      val e = tempEngine(s, "graft-sneardup")
+      e.createStore("lsh", Seq("bandkey"))
+      e.push("lsh", Seq.empty[(String, Array[Long])].toDF("bandkey", "ids"),
+        numBuckets = 8)
+      e.enableActiveActive("lsh")
+      val outDir = s"$root/pairs"
+      // schema-carrying empty seed: an all-empty drain must still read back
+      Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+        .write.mode("overwrite").parquet(outDir)
+      def drainOnce(): Unit = {
+        val prev = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        try {
+          val stream = s.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", "2").parquet(in)
+          val q = graft.streaming.StreamDedup.nearDupPairs(
+              stream, e, "lsh", "doc_id", "text") {
+              (pairs, _) => pairs.write.mode("append").parquet(outDir)
+            }
+            .option("checkpointLocation", s"$root/cp")
+            .trigger(Trigger.AvailableNow()).start()
+          require(q.awaitTermination(180000),
+            "stream_neardup: stream did not drain within 180s")
+        } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      }
+      drainOnce()
+      val firstText = docs.orderBy(col("doc_id")).select(col("text"))
+        .head().getString(0)
+      Seq((900001L, firstText)).toDF("doc_id", "text")
+        .write.mode("append").parquet(in)
+      drainOnce()
+      s.read.parquet(outDir).distinct().orderBy(col("id_a"), col("id_b"))
+    },
+    Some(s"""WITH $minhashBandsCtes,
+             bk2 AS (SELECT id, bandkey FROM bk
+                     UNION ALL
+                     SELECT CAST(900001 AS BIGINT) AS id, bandkey FROM bk
+                     WHERE id = (SELECT min(doc_id) FROM documents))
+             SELECT DISTINCT l.id AS id_a, r.id AS id_b
+             FROM bk2 l JOIN bk2 r ON l.bandkey = r.bandkey AND l.id < r.id
+             ORDER BY id_a, id_b"""))
+
   /** Ordered, ATTRIBUTED conversion funnel (view → click within 7 days of
     * the first view → purchase within 7 days of that click): the classic
     * product-analytics query, computed as three STAGED keyed mins — each
@@ -8241,7 +8301,8 @@ object Queries {
     gopherRules, splitLeakage, r17Rollback, bm25Retrieval, rrfFusion, lmBigram,
     crawlPagerank, spanCorrupt, fimTransform, mixRollup, q5LocalSupplier,
     streamTrending,
-    q18BigOrders, dedupRateReport, streamDedupQ, r18PartialKey, r19Rebucket,
+    q18BigOrders, dedupRateReport, streamDedupQ, streamNearDupQ,
+    r18PartialKey, r19Rebucket,
     r20Davinci,
     b17Recovery, s10StreamAggView, annDimTruncation,
     mmPairAudit, pipelineE2e, b18CompactPolicy,

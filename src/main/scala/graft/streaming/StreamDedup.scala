@@ -16,9 +16,10 @@ import graft.functions.TextOps
   * idempotent anyway); pass an event-time watermark to bound state to the
   * lateness horizon via `dropDuplicatesWithinWatermark` — the standard
   * "duplicates arrive close together" contract of at-least-once transports.
-  * Near-dup (MinHash/SimHash) streaming dedup is deliberately absent: its
-  * candidate join needs the full corpus index, which is the batch repush
-  * path's job ([[graft.operators.Dedup]]), not per-record streaming state.
+  * Near-dup (MinHash) streaming dedup does NOT live in streaming state —
+  * its candidate index is corpus-sized and must outlive the query — it
+  * rides the store-backed LSH index instead ([[nearDupPairs]]: probe the
+  * store, then index the batch into it).
   */
 object StreamDedup {
 
@@ -36,5 +37,61 @@ object StreamDedup {
       case None => fp.dropDuplicates("__fp")
     }
     deduped.drop("__fp")
+  }
+
+  /** Near-dup candidate detection ON ARRIVAL against a store-backed LSH
+    * index ([[graft.operators.Dedup.lshIndexFrame]] layout): every
+    * microbatch (1) probes the store for band collisions with everything
+    * indexed by PRIOR batches (bucket-pruned batchGet point reads — no
+    * corpus scan), (2) self-joins its own band rows for intra-batch
+    * collisions, then (3) APPENDS its band rows to the index as A/A
+    * set-union element-adds. `emit` receives the batch's normalized
+    * candidate pairs (id_a < id_b) and MUST materialize them (it runs
+    * before the index append, so a batch never probes itself).
+    *
+    * The emitted pair SET is microbatch-boundary- and arrival-order-
+    * INVARIANT: a band-sharing pair is caught exactly once — by the probe
+    * when its members land in different batches (the earlier member is
+    * indexed by then), by the self-join when they land together. So the
+    * drain of a corpus equals the batch band join over that corpus,
+    * whatever the trigger/file slicing did — the property the
+    * `stream_neardup` oracle pins.
+    *
+    * Delivery: index maintenance is idempotent (set-union of elements), so
+    * crash replays never corrupt the index; `emit` is foreachBatch-grade
+    * at-least-once — dedup downstream (the oracled query reads pairs back
+    * through a distinct) or write through an idempotent sink.
+    *
+    * Scale: per-batch work is O(batch shingles + band-key point reads);
+    * the corpus appears only as the store, which grows by appended band
+    * rows and is compacted by the engine's normal repush path. */
+  def nearDupPairs(rows: DataFrame, engine: graft.core.GraftEngine,
+      store: String, idCol: String, textCol: String,
+      k: Int = 8, bands: Int = 4, shingleN: Int = 3)(
+      emit: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    import graft.operators.Dedup
+    rows.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      if (!batch.isEmpty) {
+        val sh = Dedup.shingleSets(batch, idCol, textCol, shingleN)
+        val br = Dedup.bandRows(sh, k, bands).persist()
+        val hits = engine.batchGet(store,
+          br.select(col("bandkey")).distinct())
+        val cross = br.join(hits, "bandkey")
+          .select(col("id"), explode(col("ids")).as("other"))
+        val intra = br.as("l").join(br.as("r"),
+            col("l.bandkey") === col("r.bandkey") &&
+              col("l.id") < col("r.id"))
+          .select(col("r.id").as("id"), col("l.id").as("other"))
+        val pairs = cross.unionByName(intra)
+          .select(least(col("id"), col("other")).as("id_a"),
+            greatest(col("id"), col("other")).as("id_b"))
+          .distinct()
+        emit(pairs, batchId) // materializes BEFORE the batch is indexed
+        engine.addToSetAA(store, br.select(col("bandkey"), col("id")),
+          "ids", "id", tsMs = batchId)
+        br.unpersist(); sh.unpersist()
+      }
+      ()
+    }
   }
 }

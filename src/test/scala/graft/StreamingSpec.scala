@@ -393,4 +393,50 @@ class StreamingSpec extends AnyFunSuite {
     assert(pairs == Set((10L, 20L), (10L, 21L)),
       s"expected in-window pairs incl. inclusive upper bound, got $pairs")
   }
+
+  test("streaming near-dup pairs are microbatch-boundary-invariant") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).limit(120)
+    val src = s"$root/sndocs"
+    // many small files so maxFilesPerTrigger really changes the slicing
+    docs.repartition(8).write.mode("overwrite").parquet(src)
+    val schema = docs.schema
+
+    def drain(tag: String, filesPerTrigger: Option[Int]): Set[(Long, Long)] = {
+      val e = new GraftEngine(spark,
+        Files.createTempDirectory(s"snd-$tag").toString)
+      e.createStore("lsh", Seq("bandkey"))
+      e.push("lsh", Seq.empty[(String, Array[Long])].toDF("bandkey", "ids"),
+        numBuckets = 4)
+      e.enableActiveActive("lsh")
+      val out = s"$root/snd-out-$tag"
+      Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+        .write.mode("overwrite").parquet(out)
+      val reader = spark.readStream.schema(schema)
+      filesPerTrigger.foreach(n =>
+        reader.option("maxFilesPerTrigger", n.toString))
+      val q = graft.streaming.StreamDedup.nearDupPairs(
+          reader.parquet(src), e, "lsh", "doc_id", "text") {
+          (p, _) => p.write.mode("append").parquet(out)
+        }
+        .option("checkpointLocation", s"$root/snd-cp-$tag")
+        .trigger(Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(120000), s"drain $tag timed out")
+      spark.read.parquet(out)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+
+    val oneBig = drain("big", None)               // all files in one batch
+    val sliced = drain("sliced", Some(1))         // one file per batch
+    assert(oneBig == sliced,
+      s"pair set depends on slicing: ${oneBig.size} vs ${sliced.size}")
+    // and the drain equals the batch band join over the same docs
+    val sh = graft.operators.Dedup.shingleSets(docs, "doc_id", "text", 3)
+    val batch = graft.operators.Dedup.minhashCandidates(sh, k = 8, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .map(p => (math.min(p._1, p._2), math.max(p._1, p._2))).toSet
+    assert(oneBig == batch, "stream drain must equal the batch band join")
+    sh.unpersist()
+  }
 }
