@@ -2336,6 +2336,37 @@ object Queries {
               FROM cand)
             WHERE rank <= 10 ORDER BY qid, rank"""))
 
+  /** The IVF index as a SERVABLE STORE (Similarity.ivfIndexFrame /
+    * probeIvfIndex): the k-means codebook is pushed to a centroid store,
+    * the assigned corpus to a cell-keyed posting-list store; queries then
+    * assign against the SERVED codebook and fetch only their probed cells
+    * by batchGet point reads — no re-training, no corpus re-assignment,
+    * no corpus scan per search. The oracle is `ann_ivf`'s SQL verbatim:
+    * the store round-trip must not move a single rank or similarity. */
+  val annIndexProbe = QueryDef(
+    "ann_index_probe",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val e = tempEngine(s, "graft-annidx")
+      val trained = graft.operators.Similarity.kmeansCentroids(
+        corpus, k = 8, iters = 2)
+      e.createStore("cent", Seq("cid"))
+      e.push("cent", trained.select(col("id").as("cid"), col("vec").as("cvec")),
+        numBuckets = 2)
+      val cents = e.servingView("cent")
+        .select(col("cid").as("id"), col("cvec").as("vec"))
+      e.createStore("ivf", Seq("cid"))
+      e.push("ivf", graft.operators.Similarity.ivfIndexFrame(corpus, cents),
+        numBuckets = 4)
+      graft.operators.Similarity.probeIvfIndex(e, "ivf", "cent",
+          queries, k = 10, nProbe = 2)
+        .orderBy(col("qid"), col("rank"))
+    },
+    annIvf.oracle)
+
   /** LSH-bucketed ANN (scale path): the hyperplanes are deterministic md5
     * literals (Similarity.planeSignVal), so the oracle replays the whole
     * pipeline — plane construction, sign-bit code, radius-1 multi-probe,
@@ -8284,7 +8315,8 @@ object Queries {
     dedupExact, dedupMinhash, dedupSimhash, dedupSimhash64, dedupNgram,
     dedupIndexProbe,
     dedupNgramCapped, dedupContainment, sampleClusterBalanced, dedupEmbedding,
-    dedupClusters, annTopk, annLsh, annIvf, textStats, textTokenCounts,
+    dedupClusters, annTopk, annLsh, annIvf, annIndexProbe,
+    textStats, textTokenCounts,
     mmDecode, mmFrames, textPiiRedact, splitAssignQ,
     decontaminate, sampleStratified, mixTokenBudget, textWinnow,
     textRepetition, corpusFilter, mixReport, packSequences, packMasks,

@@ -243,6 +243,68 @@ object Similarity {
       .select(col("qid"), col("rank"), col("id"), col("sim"))
   }
 
+  /** The IVF index as a pushable store frame: cell id → members, the
+    * cell's (id, vec) structs sorted by id. The ANN twin of
+    * [[graft.operators.Dedup.lshIndexFrame]]: train the coarse quantizer
+    * ONCE ([[kmeansCentroids]] → its own store, the served codebook),
+    * push the assigned corpus as cell-keyed posting lists, and every
+    * query afterwards probes by bucket-pruned point reads
+    * ([[probeIvfIndex]]) instead of re-training + re-assigning the
+    * corpus per search (what [[ivfTopK]] does — right for one-shot
+    * analytics, waste as a serving path).
+    *
+    * Scale: one assignment scan (broadcast centroids) + one groupBy on
+    * the cell id. Cell member lists carry the vectors, so a cell's value
+    * is |corpus|/numCells vectors — size numCells so lists stay within
+    * value-size budgets (the reference chunks oversized values; the w9
+    * emulation applies) or shard hot cells the maxPostings way. */
+  def ivfIndexFrame(corpus: DataFrame, centroids: DataFrame): DataFrame =
+    ivfAssign(corpus, centroids).filter(col("rn") === 1)
+      .groupBy(col("cid"))
+      .agg(array_sort(collect_list(struct(col("id"), col("vec"))))
+        .as("members"))
+
+  /** Probe a store-backed IVF index: queries are assigned to their
+    * `nProbe` nearest cells AGAINST THE SERVED CODEBOOK (the centroid
+    * store — numCells rows, one tiny scan), the probed cells are fetched
+    * by batchGet point reads (bucket-set-pruned — the corpus index is
+    * never scanned), and exact cosine ranks the members. Result ≡
+    * [[ivfTopK]] with the same train/probe parameters — pinned by the
+    * `ann_index_probe` oracle reusing `ann_ivf`'s SQL verbatim.
+    *
+    * Index maintenance: new vectors are assigned against the same served
+    * codebook and folded in by incremental push / repush of their cells
+    * (posting-list values are rebuilt per affected cell — element-level
+    * CRDT adds fit scalar sets, not struct lists); periodic re-training
+    * is a new codebook version + full repush, the standard IVF refresh. */
+  def probeIvfIndex(engine: graft.core.GraftEngine, store: String,
+      centroidStore: String, queries: DataFrame, k: Int,
+      nProbe: Int): DataFrame = {
+    val cents = engine.servingView(centroidStore)
+      .select(col("cid").as("id"), col("cvec").as("vec"))
+    val probes = ivfAssign(
+        queries.select(col("qid").as("id"), col("qvec").as("vec")), cents)
+      .filter(col("rn") <= nProbe)
+      .select(col("id").as("qid"), col("vec").as("qvec"),
+        col("__n").as("__qn"), col("cid"))
+    val hits = engine.batchGet(store, probes.select(col("cid")).distinct())
+    val cand = probes.join(hits, "cid")
+      .select(col("qid"), col("qvec"), col("__qn"),
+        explode(col("members")).as("m"))
+      .select(col("qid"), col("qvec"), col("__qn"),
+        col("m").getField("id").as("id"), col("m").getField("vec").as("vec"))
+      .filter(col("id") =!= col("qid"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("id"))
+    cand
+      .withColumn("sim",
+        round(vecDot(col("vec"), col("qvec")) / (norm(col("vec")) * col("__qn")), 6)
+          + lit(0.0))
+      .select(col("qid"), col("id"), col("sim")).distinct()
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("id"), col("sim"))
+  }
+
   /** All pairs with cosine ≥ threshold (embedding near-dup), EXACT, with no
     * CartesianProduct node in the plan.
     *

@@ -1122,6 +1122,32 @@ class PipelineSpec extends AnyFunSuite {
     Seq(shB, shSeed, shDelta, shC).foreach(_.unpersist())
   }
 
+  test("store-backed IVF index probe ≡ ivfTopK, served codebook included") {
+    val emb = Tables.embeddings(spark, sf)
+    val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val e = new graft.core.GraftEngine(spark,
+      java.nio.file.Files.createTempDirectory("ivfidx-spec").toString)
+    val trained = Similarity.kmeansCentroids(corpus, k = 8, iters = 2)
+    e.createStore("cent", Seq("cid"))
+    e.push("cent", trained.select(col("id").as("cid"), col("vec").as("cvec")),
+      numBuckets = 2)
+    val cents = e.servingView("cent")
+      .select(col("cid").as("id"), col("cvec").as("vec"))
+    e.createStore("ivf", Seq("cid"))
+    e.push("ivf", Similarity.ivfIndexFrame(corpus, cents), numBuckets = 4)
+    val probed = Similarity.probeIvfIndex(e, "ivf", "cent", queries,
+        k = 5, nProbe = 3)
+      .orderBy(col("qid"), col("rank")).collect().toSeq
+    val direct = Similarity.ivfTopK(corpus, queries, k = 5, numCells = 8,
+        nProbe = 3, trainIters = 2)
+      .orderBy(col("qid"), col("rank")).collect().toSeq
+    assert(probed == direct,
+      "store round-trip moved a rank or similarity")
+    assert(probed.nonEmpty)
+  }
+
   test("lshIndexFrame drops hot bands past maxPostings") {
     val docs = Tables.documents(spark, sf)
     val sh = Dedup.shingleSets(docs, "doc_id", "text", 3)
