@@ -5016,6 +5016,38 @@ object Queries {
              QUALIFY rank <= 5
              ORDER BY query_id, rank"""))
 
+  /** The BM25 inverted index as a SERVABLE STORE
+    * (Retrieval.bm25IndexFrame / probeBm25Index) — the retrieval leg of
+    * the store-backed index family (LSH dedup, IVF ANN, BM25 lexical):
+    * postings (token → df + (doc_id, tf, dl) structs, doc length
+    * denormalized into the posting) and the 1-row corpus stats each live
+    * in a store; a query batch tokenizes, fetches its distinct tokens'
+    * postings in ONE bucket-set-pruned batchGet round, picks its top
+    * terms from the FETCHED df values and scores the already-fetched
+    * postings — the corpus is never scanned at query time. Oracle is
+    * `bm25_retrieval`'s SQL verbatim: serving from the store must not
+    * move a rank or score. */
+  val bm25IndexProbe = QueryDef(
+    "bm25_index_probe",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val e = tempEngine(s, "graft-bm25idx")
+      e.createStore("post", Seq("token"))
+      e.push("post",
+        graft.operators.Retrieval.bm25IndexFrame(docs, "doc_id", "text"),
+        numBuckets = 8)
+      e.createStore("stats", Seq("stats_id"))
+      e.push("stats",
+        graft.operators.Retrieval.bm25StatsFrame(docs, "doc_id", "text"),
+        numBuckets = 1)
+      val queries = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+        .select(col("doc_id"), col("text"))
+      graft.operators.Retrieval.probeBm25Index(e, "post", "stats",
+          queries, "doc_id", "text")
+        .orderBy(col("query_id"), col("rank"))
+    },
+    bm25Retrieval.oracle)
+
   /** Hybrid retrieval with reciprocal-rank fusion (Cormack, Clarke &
     * Buettcher, SIGIR'09): the lexical leg is [[bm25Scored]]'s top-10 per
     * query, the dense leg is exact cosine top-10 over the same query docs'
@@ -8330,7 +8362,8 @@ object Queries {
     streamJoinOuterQ, r16AsofRead, qualityDeciles, b15Purge,
     curriculumInterleave, urlCanonicalize, bpePairStats, sampleWeighted,
     annIvfPq, annPqRerank, streamSessionize, dedupSpans, seqLenHist,
-    gopherRules, splitLeakage, r17Rollback, bm25Retrieval, rrfFusion, lmBigram,
+    gopherRules, splitLeakage, r17Rollback, bm25Retrieval, bm25IndexProbe,
+    rrfFusion, lmBigram,
     crawlPagerank, spanCorrupt, fimTransform, mixRollup, q5LocalSupplier,
     streamTrending,
     q18BigOrders, dedupRateReport, streamDedupQ, streamNearDupQ,

@@ -46,4 +46,105 @@ object Retrieval {
       .select(col("query_id"), col("rank"), col("doc_id"),
         col("rrf_score"), col("legs"))
   }
+
+  /** The BM25 inverted index as a pushable store frame: token →
+    * (df, members) where members are the token's postings —
+    * (doc_id, tf, dl) structs sorted by doc_id, doc LENGTH DENORMALIZED
+    * into the posting (the classic search-engine layout: scoring a
+    * posting must not join a second doc-length store). The retrieval leg
+    * of the store-backed index family (LSH dedup, IVF ANN, BM25 lexical).
+    *
+    * Scale: tokenize scan + two keyed aggs (tf, dl) + one token groupBy.
+    * Posting lists of stop-word-grade terms are the hot-value concern —
+    * `maxDf` drops tokens whose document frequency exceeds the cap BEFORE
+    * the posting collect (the maxPostings pattern; BM25 barely weights
+    * df ≈ n terms anyway, so a production cap near n/2 changes nothing a
+    * stop-word-free query can retrieve — measured: the closed-vocab sf1
+    * corpus' uncapped hot postings are ~all of the 6.7×/decade index
+    * build growth). Default uncapped for the exactness oracle; chunk
+    * oversized survivors (w9) if a domain term still explodes. */
+  def bm25IndexFrame(docs: DataFrame, idCol: String, textCol: String,
+      maxDf: Long = Long.MaxValue): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(graft.functions.TextOps.tokens(col(textCol))).as("token"))
+    val tf = toks.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    // capped path pays a window over token — whose shuffle+sort the
+    // groupBy below reuses (the ngramJaccardPairs co-partitioning trick);
+    // uncapped (oracle) path skips it entirely
+    val byToken =
+      if (maxDf == Long.MaxValue) tf.join(dl, "doc_id")
+      else tf.join(dl, "doc_id")
+        .withColumn("__df", count(lit(1)).over(
+          Window.partitionBy(col("token"))))
+        .filter(col("__df") <= maxDf)
+        .drop("__df")
+    byToken
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("df"),
+        sort_array(collect_list(struct(col("doc_id"), col("tf"), col("dl"))))
+          .as("members"))
+  }
+
+  /** Corpus-constant store frame for [[bm25IndexFrame]]: one row,
+    * n = corpus doc count, t = total token count. */
+  def bm25StatsFrame(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        size(graft.functions.TextOps.tokens(col(textCol))).cast("long")
+          .as("dl"))
+      .filter(col("dl") > 0)
+      .agg(lit(1).as("stats_id"), count(lit(1)).as("n"),
+        sum(col("dl")).as("t"))
+
+  /** Serve BM25 top-`k` from the store-backed index: tokenize the query
+    * batch, fetch its distinct tokens' postings in ONE batchGet round
+    * (bucket-set-pruned point reads — the corpus is never scanned), pick
+    * the `topTerms` highest-leverage query terms from the FETCHED df
+    * values, score the already-fetched postings with the exact integer
+    * BM25 surrogate, rank. Corpus stats come from the 1-row stats store.
+    *
+    * Identical numbers to the stateless scorer by construction
+    * (`ann`-style pin: the `bm25_index_probe` oracle is
+    * `bm25_retrieval`'s SQL verbatim). Per-query-batch cost is
+    * O(query tokens + fetched postings) — independent of corpus size for
+    * fixed vocabulary overlap; index maintenance = incremental push /
+    * repush of changed tokens' postings. */
+  def probeBm25Index(engine: graft.core.GraftEngine, store: String,
+      statsStore: String, queries: DataFrame, idCol: String,
+      textCol: String, topTerms: Int = 3, k: Int = 5): DataFrame = {
+    val st = engine.servingView(statsStore).select(col("n"), col("t"))
+      .collect()(0)
+    val n = st.getLong(0)
+    val t = st.getLong(1)
+    val qtf = queries.select(col(idCol).as("query_id"),
+        explode(graft.functions.TextOps.tokens(col(textCol))).as("token"))
+      .groupBy(col("query_id"), col("token"))
+      .agg(count(lit(1)).as("qtf"))
+    val hits = engine.batchGet(store, qtf.select(col("token")).distinct())
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("tscore").desc, col("token"))
+    val qterms = qtf.join(hits, "token")
+      .withColumn("tscore", col("qtf") * expr(s"${n}L div df"))
+      .withColumn("rk", row_number().over(wq))
+      .filter(col("rk") <= topTerms)
+    val cand = qterms
+      .select(col("query_id"), col("df"), explode(col("members")).as("m"))
+      .select(col("query_id"), col("df"), col("m").getField("doc_id").as("doc_id"),
+        col("m").getField("tf").as("tf"), col("m").getField("dl").as("dl"))
+      .filter(col("doc_id") =!= col("query_id"))
+    val wr = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    cand
+      .withColumn("term_score",
+        expr(s"((1000000L * (2L*${n}L - 2L*df + 1L)) div (2L*df + 1L)) * " +
+          s"((44L * tf * ${t}L * 1000L) div " +
+          s"(20L * tf * ${t}L + 6L * ${t}L + 18L * dl * ${n}L))"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("term_score")).as("score"))
+      .withColumn("rank", row_number().over(wr))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("score"))
+  }
 }

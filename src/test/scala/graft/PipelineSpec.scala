@@ -1148,6 +1148,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(probed.nonEmpty)
   }
 
+  test("bm25IndexFrame maxDf drops hot tokens, keeps the rest byte-equal") {
+    val docs = Tables.documents(spark, sf)
+    val full = graft.operators.Retrieval.bm25IndexFrame(docs, "doc_id", "text")
+      .persist()
+    val cap = 20L
+    val capped = graft.operators.Retrieval.bm25IndexFrame(
+      docs, "doc_id", "text", maxDf = cap)
+    assert(full.filter(col("df") > cap).count() > 0,
+      "test needs at least one hot token")
+    assert(capped.filter(col("df") > cap).count() == 0)
+    // surviving tokens' postings are identical to the uncapped build
+    val kept = capped.select(col("token"), col("df"), col("members"))
+      .exceptAll(full.select(col("token"), col("df"), col("members"))
+        .filter(col("df") <= cap))
+    assert(kept.count() == 0, "cap altered a surviving posting list")
+    full.unpersist()
+  }
+
   test("lshIndexFrame drops hot bands past maxPostings") {
     val docs = Tables.documents(spark, sf)
     val sh = Dedup.shingleSets(docs, "doc_id", "text", 3)

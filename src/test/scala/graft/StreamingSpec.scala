@@ -394,6 +394,54 @@ class StreamingSpec extends AnyFunSuite {
       s"expected in-window pairs incl. inclusive upper bound, got $pairs")
   }
 
+  test("near-dup index survives a mid-stream repush: pairs unchanged") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).limit(120)
+    val firstHalf = docs.filter(col("doc_id") % 2 === 0)
+    val secondHalf = docs.filter(col("doc_id") % 2 === 1)
+    val src = s"$root/sncdocs"
+    firstHalf.repartition(2).write.mode("overwrite").parquet(src)
+    val e = new GraftEngine(spark,
+      Files.createTempDirectory("snd-repush").toString)
+    e.createStore("lsh", Seq("bandkey"))
+    e.push("lsh", Seq.empty[(String, Array[Long])].toDF("bandkey", "ids"),
+      numBuckets = 4)
+    e.enableActiveActive("lsh")
+    val out = s"$root/snc-out"
+    Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+      .write.mode("overwrite").parquet(out)
+    def drain(): Unit = {
+      val q = graft.streaming.StreamDedup.nearDupPairs(
+          spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", "1").parquet(src),
+          e, "lsh", "doc_id", "text") {
+          (p, _) => p.write.mode("append").parquet(out)
+        }
+        .option("checkpointLocation", s"$root/snc-cp")
+        .trigger(Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(120000), "drain timed out")
+    }
+    drain()
+    // compact the index mid-stream: op log folds into a fresh snapshot —
+    // the second half must still find every first-half collision
+    e.repush("lsh")
+    secondHalf.repartition(2).write.mode("append").parquet(src)
+    drain()
+    val streamed = spark.read.parquet(out)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sh = graft.operators.Dedup.shingleSets(docs, "doc_id", "text", 3)
+    val batch = graft.operators.Dedup.minhashCandidates(sh, k = 8, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .map(p => (math.min(p._1, p._2), math.max(p._1, p._2))).toSet
+    assert(streamed == batch,
+      s"repush changed the pair set: ${streamed.size} vs ${batch.size}")
+    // cross-half pairs exist, i.e. the repushed snapshot really served
+    assert(streamed.exists(p => p._1 % 2 != p._2 % 2),
+      "no cross-half pair — repushed index state was not exercised")
+    sh.unpersist()
+  }
+
   test("streaming near-dup pairs are microbatch-boundary-invariant") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf)
