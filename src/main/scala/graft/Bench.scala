@@ -74,58 +74,53 @@ object Bench {
       "\"" + k + "\":\"" + esc(e.take(300)) + "\"" }.mkString("{", ",", "}")
     val ok = results.count(_._3.isEmpty)
     val total = results.map(_._2).sum
-    // rounds 3-4 added engine-path queries (temp-store pushes, a streaming
-    // ingest, schema evolution, incremental views) on top of the 38-query
-    // set BASELINE.md's sweeps recorded; "core" is the subtotal over that
-    // original set so round-over-round comparisons stay apples-to-apples.
-    // "total" covers everything.
-    val addedLater = Set("w7_crdt_merge", "r7_count_map", "r12_store_meta", "w1_put_delete",
-      "w2_update_builder", "w4_update_schema", "w9_chunk_roundtrip",
-      "b6_wire_roundtrip", "b1_avro_roundtrip", "w10_compression",
-      "b10_job_metrics", "b11_incremental_push", "b12_etl_normalize",
-      "s1_stream_ingest", "s2_rewind", "s4_changelog", "s6_sql_view",
-      "mm_frame_sample", "text_token_counts", "b4_dup_audit", "w7_crdt_map",
-      "r13_schema_evolution", "b13_incremental_view",
-      "s7_token_bucket", "dedup_clusters", "text_pii_redact", "split_assign",
-      "b14_aa_incremental_view", "r14_aa_schema_evolution", "s3_lag_gate",
-      "decontaminate", "sample_stratified", "mix_token_budget", "text_winnow",
-      "text_repetition", "corpus_filter", "mix_report", "pack_sequences",
-      "lm_rarity", "semdedup", "boilerplate_ngrams", "embed_quantize",
-      "mix_temperature", "stream_window_agg", "corpus_shuffle",
-      "mm_audio_resample", "q_asof_join", "corpus_percentiles",
-      "q_range_join", "q_topk_group", "dedup_incremental", "sample_exact_k",
-      "r15_facet_count", "doc_chunk", "vocab_coverage", "hard_negatives",
-      "stream_enrich_join", "tfidf_topterms", "rolling_features",
-      "corpus_diff", "domain_stats", "bloom_exclusion", "skew_profile",
-      "stream_join", "stream_join_outer", "r16_asof_read",
-      "quality_deciles", "b15_purge", "curriculum_interleave",
-      "url_canonicalize", "bpe_pair_stats", "sample_weighted", "ann_ivf_pq",
-      "stream_sessionize", "dedup_spans", "seq_length_hist", "gopher_rules",
-      "split_leakage", "r17_rollback", "bm25_retrieval", "lm_bigram",
-      "crawl_pagerank", "span_corrupt", "mix_rollup", "q5_local_supplier",
-      "stream_trending", "q18_big_orders", "dedup_rate_report", "stream_dedup",
-      "r18_partial_key", "funnel_analysis", "source_divergence",
-      "props_json", "q_window_funcs", "dedup_incremental_near",
-      "dataset_card", "k_anonymity", "q17_small_qty",
-      "q_salted_join", "s9_bootstrap_changelog", "q_pivot", "w14_hll_union",
-      "bpe_train_merges", "b16_agg_view", "bpe_encode", "dedup_cluster_keeper",
-      "cohort_retention", "events_debounce", "centroid_classify", "q7_volume",
-      "q_scd_join", "quality_ci", "r19_rebucket", "b17_data_recovery",
-      "s10_stream_agg_view", "ann_dim_truncation",
-      "mm_pair_audit", "pipeline_e2e", "b18_compact_policy",
-      "q10_returns", "doc_lang_confusion", "emb_norm_audit",
-      "q14_promo", "q19_bands", "events_resample", "dup_span_profile",
-      "q22_no_orders", "daily_new_users", "q6_forecast", "data_contract",
-      "s11_aa_two_region", "ab_analysis", "emb_outliers",
-      "s12_ingest_resume", "q13_custdist", "q15_top_supplier",
-      "q8_market_share", "export_jsonl", "label_next_purchase",
-      "multi_store_join", "token_pmi", "q_approx_quantile",
-      "rolling_distinct_hll", "events_heatmap", "event_transitions",
-      "purchase_intervals", "w6_delete_wins", "dedup_ngram_capped",
-      "pack_masks", "q9_profit", "q11_important_stock",
-      "q21_waiting_supplier", "fim_transform", "batch_padding_waste",
-      "r20_davinci", "nb_classifier_filter")
-    val core = results.filterNot(r => addedLater(r._1)).map(_._2).sum
+    // "core38" is the subtotal over the round-1 registry so round-over-round
+    // comparisons stay apples-to-apples; "total" covers everything.
+    // CORE38 is an ALLOWLIST (the exact round-1 registry, from
+    // CORRECTNESS_r01.json) rather than a later-additions blocklist: a
+    // blocklist silently inflates the metric every time a query is added
+    // without touching this file (observed: 22 round-7 queries leaked in
+    // and posted a phantom 60.9 s "core38").
+    val core38 = Set(
+      "ann_ivf",
+      "ann_lsh",
+      "ann_topk",
+      "b3_ttl_filter",
+      "b4_compaction",
+      "b7_quota",
+      "b8_partition_counts",
+      "dedup_embedding",
+      "dedup_exact",
+      "dedup_minhash_lsh",
+      "dedup_ngram_jaccard",
+      "dedup_simhash",
+      "mm_decode",
+      "q1_agg",
+      "q3_join_topk",
+      "q_exists_semi",
+      "q_not_exists_anti",
+      "q_rollup",
+      "q_sessionize_batch",
+      "q_window_running",
+      "r10_predicates",
+      "r11_batchget_stream",
+      "r1_get",
+      "r2_batchget",
+      "r3_project",
+      "r4_dotproduct",
+      "r5_cosine",
+      "r6_hadamard",
+      "r7_count",
+      "r8_compute_errors",
+      "r9_prefix_scan",
+      "text_stats",
+      "w11_div_audit",
+      "w12_hll_distinct",
+      "w13_hot_keys",
+      "w3_write_compute",
+      "w5_lww_merge",
+      "w8_squash_sets")
+    val core = results.filter(r => core38(r._1)).map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","core38":$core,"queries":$qs,"ok":$ok,"n":${results.size},"errors":$errs,"sf":"$sfDir"}""")
     if (results.exists(_._3.nonEmpty)) System.err.println(
       s"[bench] ${results.count(_._3.nonEmpty)} queries FAILED")

@@ -284,6 +284,12 @@ class EngineFuzzSpec extends AnyFunSuite {
   case class ADel(k: Long, ts: Long) extends AOp
   case class ASet(k: Long, field: String, sv: String, lv: Long, ts: Long)
     extends AOp
+  /** Collection element ops on the `tags` array field — the
+    * observed-remove set CRDT under random interleavings with puts
+    * (which reset the collection at topTs), record deletes, repush
+    * (which persists collapsed element RMD) and rollback. */
+  case class ATagAdd(k: Long, tag: String, ts: Long) extends AOp
+  case class ATagRem(k: Long, tag: String, ts: Long) extends AOp
   case class AAdmin(kind: String, n: Int, ts: Long) extends AOp // repush etc
   /** Register the evolved A/A schema (adds `extra: Long`). */
   case class AEvolve(ts: Long) extends AOp
@@ -299,22 +305,33 @@ class EngineFuzzSpec extends AnyFunSuite {
     ts: Long) extends AOp
 
   case class AField(ts: Long, v: Option[Any])
+  /** Collection state mirroring CrdtMerge.mergedArray's bag semantics:
+    * per-element max add/remove ts + collection-level topTs; liveness is
+    * resolved at visibility time (addTs >= topTs && addTs > remTs — the
+    * filters are monotone in topTs, so never collapsing the maps is
+    * equivalent to the engine's collapse-at-merge). */
+  case class ACol(topTs: Long, add: Map[String, Long], rem: Map[String, Long])
   case class ARec(recTs: Long, rec: Boolean, name: AField, score: AField,
-    extra: AField)
+    extra: AField, tags: ACol)
 
   final class AaModel {
     private val Bottom = Long.MinValue
     private def blank = ARec(Bottom, false, AField(Bottom, None),
-      AField(Bottom, None), AField(Bottom, None))
+      AField(Bottom, None), AField(Bottom, None),
+      ACol(Bottom, Map.empty, Map.empty))
     val versions = mutable.Map[Int, Map[Long, ARec]]()
     var current = 0
     var ops = Vector.empty[AOp]
     var evolved = false
 
     def init(rows: Map[Long, (String, Long)]): Unit = {
+      // snapshot rows without persisted RMD enter the fold as putState at
+      // ts 0 (GraftEngine snapState) — element ts 0, topTs 0; scalar
+      // Bottom stays fine because op timestamps are always ≥ 10
       versions(1) = rows.map { case (k, (n, s)) =>
         k -> ARec(Bottom, true, AField(Bottom, Some(n)),
-          AField(Bottom, Some(s)), AField(Bottom, None))
+          AField(Bottom, Some(s)), AField(Bottom, None),
+          ACol(0L, Map(s"t$k" -> 0L), Map.empty))
       }.toMap
       current = 1
     }
@@ -322,6 +339,12 @@ class EngineFuzzSpec extends AnyFunSuite {
     def resolve(): Map[Long, ARec] = {
       val state = mutable.Map.empty[Long, ARec] ++
         versions.getOrElse(current, Map.empty)
+      // put/delete reset the collection at topTs (putState gives a put's
+      // elements the put ts and a delete an empty bag at the delete ts);
+      // element adds/removes touch only their element's max ts
+      def putTags(c: ACol, tag: String, ts: Long): ACol =
+        ACol(math.max(c.topTs, ts),
+          c.add + (tag -> math.max(c.add.getOrElse(tag, Bottom), ts)), c.rem)
       ops.foreach {
         case APut(k, n, s, ts) =>
           val r = state.getOrElse(k, blank)
@@ -329,7 +352,8 @@ class EngineFuzzSpec extends AnyFunSuite {
             recTs = math.max(r.recTs, ts),
             rec = if (ts > r.recTs) true else r.rec,
             name = if (ts > r.name.ts) AField(ts, Some(n)) else r.name,
-            score = if (ts > r.score.ts) AField(ts, Some(s)) else r.score)
+            score = if (ts > r.score.ts) AField(ts, Some(s)) else r.score,
+            tags = putTags(r.tags, n, ts))
         case APutNew(k, n, s, x, ts) =>
           val r = state.getOrElse(k, blank)
           state(k) = r.copy(
@@ -337,7 +361,8 @@ class EngineFuzzSpec extends AnyFunSuite {
             rec = if (ts > r.recTs) true else r.rec,
             name = if (ts > r.name.ts) AField(ts, Some(n)) else r.name,
             score = if (ts > r.score.ts) AField(ts, Some(s)) else r.score,
-            extra = if (ts > r.extra.ts) AField(ts, Some(x)) else r.extra)
+            extra = if (ts > r.extra.ts) AField(ts, Some(x)) else r.extra,
+            tags = putTags(r.tags, n, ts))
         case ADel(k, ts) =>
           val r = state.getOrElse(k, blank)
           state(k) = r.copy(
@@ -345,7 +370,16 @@ class EngineFuzzSpec extends AnyFunSuite {
             rec = if (ts > r.recTs) false else r.rec,
             name = if (ts > r.name.ts) AField(ts, None) else r.name,
             score = if (ts > r.score.ts) AField(ts, None) else r.score,
-            extra = if (ts > r.extra.ts) AField(ts, None) else r.extra)
+            extra = if (ts > r.extra.ts) AField(ts, None) else r.extra,
+            tags = r.tags.copy(topTs = math.max(r.tags.topTs, ts)))
+        case ATagAdd(k, tag, ts) =>
+          val r = state.getOrElse(k, blank)
+          state(k) = r.copy(tags = r.tags.copy(add = r.tags.add +
+            (tag -> math.max(r.tags.add.getOrElse(tag, Bottom), ts))))
+        case ATagRem(k, tag, ts) =>
+          val r = state.getOrElse(k, blank)
+          state(k) = r.copy(tags = r.tags.copy(rem = r.tags.rem +
+            (tag -> math.max(r.tags.rem.getOrElse(tag, Bottom), ts))))
         case ASet(k, f, sv, lv, ts) =>
           val r = state.getOrElse(k, blank)
           state(k) =
@@ -360,13 +394,21 @@ class EngineFuzzSpec extends AnyFunSuite {
       state.toMap
     }
 
-    def visible(): Map[Long, (Option[String], Option[Long], Option[Long])] =
+    def liveTags(c: ACol): List[String] =
+      c.add.collect {
+        case (e, t) if t >= c.topTs &&
+            t > c.rem.getOrElse(e, Bottom) => e
+      }.toList.sorted
+
+    def visible(): Map[Long,
+        (Option[String], Option[Long], Option[Long], List[String])] =
       resolve().collect {
         case (k, r) if r.rec || r.name.v.nonEmpty || r.score.v.nonEmpty ||
-            r.extra.v.nonEmpty =>
+            r.extra.v.nonEmpty || liveTags(r.tags).nonEmpty =>
           k -> (r.name.v.map(_.toString),
             r.score.v.map(_.asInstanceOf[Long]),
-            r.extra.v.map(_.asInstanceOf[Long]))
+            r.extra.v.map(_.asInstanceOf[Long]),
+            liveTags(r.tags))
       }
 
     def hasBackup: Boolean = versions.keys.exists(_ < current)
@@ -396,11 +438,22 @@ class EngineFuzzSpec extends AnyFunSuite {
     val putNew = for {
       k <- Gen.oneOf(Keys); tag <- Gen.choose(0, 9)
     } yield APutNew(k, s"e$tag-$k", tag * 10L + k, tag * 7L + k, 0L)
+    // tag pool collides with init tags (t$k) and put tags (the put name)
+    // so add/remove races the collection resets, not just itself
+    def tagPool(k: Long): Gen[String] =
+      Gen.oneOf("x", "y", s"t$k", s"a3-$k", s"init$k")
+    val tagAdd = for {
+      k <- Gen.oneOf(Keys); t <- tagPool(k)
+    } yield ATagAdd(k, t, 0L)
+    val tagRem = for {
+      k <- Gen.oneOf(Keys); t <- tagPool(k)
+    } yield ATagRem(k, t, 0L)
     Gen.frequency(4 -> put, 3 -> del, 3 -> set,
       1 -> Gen.const(AAdmin("repush", 0, 0L)),
       1 -> Gen.const(AAdmin("rollback", 0, 0L)),
       1 -> Gen.choose(2, 8).map(n => AAdmin("rebucket", n, 0L)),
-      1 -> Gen.const(AEvolve(0L)), 2 -> putNew)
+      1 -> Gen.const(AEvolve(0L)), 2 -> putNew,
+      2 -> tagAdd, 2 -> tagRem)
   }
 
   /** Distinct, SHUFFLED timestamps: ops arrive out of ts order — the A/A
@@ -415,6 +468,8 @@ class EngineFuzzSpec extends AnyFunSuite {
     case (o: ADel, t) => o.copy(ts = t)
     case (o: ASet, t) => o.copy(ts = t)
     case (o: APutNew, t) => o.copy(ts = t)
+    case (o: ATagAdd, t) => o.copy(ts = t)
+    case (o: ATagRem, t) => o.copy(ts = t)
     case (o: AEvolve, _) => o
     case (o: AAdmin, _) => o
   }
@@ -438,10 +493,15 @@ class EngineFuzzSpec extends AnyFunSuite {
     val model = new AaModel
     val initRows = Keys.take(3).map(k => (k, s"init$k", k * 100L))
     val schema = StructType(Seq(StructField("k", LongType),
-      StructField("name", StringType), StructField("score", LongType)))
+      StructField("name", StringType), StructField("score", LongType),
+      StructField("tags", ArrayType(StringType))))
+    // every put carries tags = [name] so the collection sees full-put
+    // resets (topTs) interleaved with the element ops
     def df(rows: Seq[(Long, String, Long)]) = spark.createDataFrame(
-      rows.map(r => Row(r._1, r._2, r._3)).asJava, schema)
-    e.push("s", df(initRows), numBuckets = 4)
+      rows.map(r => Row(r._1, r._2, r._3, Seq(r._2))).asJava, schema)
+    e.push("s", spark.createDataFrame(
+      initRows.map(r => Row(r._1, r._2, r._3, Seq(s"t${r._1}"))).asJava,
+      schema), numBuckets = 4)
     model.init(initRows.map(r => r._1 -> (r._2, r._3)).toMap)
     val kdf = (k: Long) => spark.createDataFrame(List(Row(k)).asJava,
       StructType(Seq(StructField("k", LongType))))
@@ -474,10 +534,20 @@ class EngineFuzzSpec extends AnyFunSuite {
       case op @ AEvolve(_) =>
         e.registerValueSchema("s", evolvedSchema); model(op)
       case op @ APutNew(k, n, s, x, ts) =>
-        val d = spark.createDataFrame(List(Row(k, n, s, x)).asJava,
+        val d = spark.createDataFrame(List(Row(k, n, s, Seq(n), x)).asJava,
           evolvedSchema)
         if (viaSink) sinkBatch(d.withColumn("dead", lit(false)), ts)
         else e.putAA("s", d, ts)
+        model(op)
+      case op @ ATagAdd(k, tag, ts) =>
+        e.addToSetAA("s", spark.createDataFrame(List(Row(k, tag)).asJava,
+          StructType(Seq(StructField("k", LongType),
+            StructField("tag", StringType)))), "tags", "tag", ts)
+        model(op)
+      case op @ ATagRem(k, tag, ts) =>
+        e.removeFromSetAA("s", spark.createDataFrame(List(Row(k, tag)).asJava,
+          StructType(Seq(StructField("k", LongType),
+            StructField("tag", StringType)))), "tags", "tag", ts)
         model(op)
       case op @ ADel(k, ts) =>
         if (viaSink) sinkBatch(kdf(k).withColumn("dead", lit(true)), ts)
@@ -508,12 +578,14 @@ class EngineFuzzSpec extends AnyFunSuite {
     if (hasExtra != model.evolved)
       return Some(s"schema: engine extra=$hasExtra model=${model.evolved}")
     val got = view
-      .select(Seq(col("k"), col("name"), col("score")) ++
+      .select(Seq(col("k"), col("name"), col("score"), col("tags")) ++
         (if (hasExtra) Seq(col("extra")) else Nil): _*)
       .collect()
       .map(r => r.getLong(0) -> (Option(r.get(1)).map(_.toString),
         Option(r.get(2)).map(_.asInstanceOf[Long]),
-        if (hasExtra) Option(r.get(3)).map(_.asInstanceOf[Long]) else None))
+        if (hasExtra) Option(r.get(4)).map(_.asInstanceOf[Long]) else None,
+        Option(r.get(3)).map(_ => r.getSeq[String](3).toList.sorted)
+          .getOrElse(Nil)))
       .toMap
     val want = model.visible()
     if (got == want) None

@@ -129,4 +129,52 @@ class SchemaSpec extends AnyFunSuite {
     assert(out.count() == 2) // no AnalysisException, sums still correct
     assert(out.filter(col("k") === 1L).head.getAs[Double]("sum") == 3.0)
   }
+
+  test("nullable widens nested containers; A/A folds a collect_set store") {
+    import org.apache.spark.sql.types._
+    val tight = StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("ids", ArrayType(LongType, containsNull = false),
+        nullable = false),
+      StructField("m",
+        MapType(StringType, ArrayType(LongType, containsNull = false),
+          valueContainsNull = false), nullable = false),
+      StructField("s", StructType(Seq(
+        StructField("inner", ArrayType(StringType, containsNull = false),
+          nullable = false))), nullable = false)))
+    val wide = graft.core.SchemaEvolution.nullable(tight)
+    def allNullable(dt: DataType): Boolean = dt match {
+      case s: StructType =>
+        s.fields.forall(f => f.nullable && allNullable(f.dataType))
+      case ArrayType(e, cn) => cn && allNullable(e)
+      case MapType(k, v, vcn) => vcn && allNullable(k) && allNullable(v)
+      case _ => true
+    }
+    assert(allNullable(wide) && wide.fieldNames.sameElements(tight.fieldNames))
+
+    // the regression the LSH index store exposed: a store pushed from a
+    // collect_set array (containsNull=false) must register a nullable
+    // value schema, or the A/A element-state rebuild cast is illegal
+    import spark.implicits._
+    val e = new graft.core.GraftEngine(spark,
+      java.nio.file.Files.createTempDirectory("nullable-aa").toString)
+    e.createStore("idx", Seq("k"))
+    val pushed = Seq((1L, Seq(10L)), (2L, Seq(20L, 21L)))
+      .toDF("k", "members")
+      .groupBy(col("k"))
+      .agg(org.apache.spark.sql.functions.sort_array(
+        org.apache.spark.sql.functions.flatten(
+          org.apache.spark.sql.functions.collect_set(col("members"))))
+        .as("ids"))
+    assert(!pushed.schema("ids").dataType
+      .asInstanceOf[ArrayType].containsNull)
+    e.push("idx", pushed, numBuckets = 2)
+    e.enableActiveActive("idx")
+    e.addToSetAA("idx", Seq((1L, 11L), (3L, 30L)).toDF("k", "id"),
+      "ids", "id", tsMs = 5L)
+    val got = e.servingView("idx").orderBy(col("k"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toSet))
+    assert(got.toSeq == Seq((1L, Set(10L, 11L)), (2L, Set(20L, 21L)),
+      (3L, Set(30L))), s"got ${got.toSeq}")
+  }
 }
