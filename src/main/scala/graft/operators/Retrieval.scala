@@ -98,6 +98,60 @@ object Retrieval {
       .agg(lit(1).as("stats_id"), count(lit(1)).as("n"),
         sum(col("dl")).as("t"))
 
+  /** Incremental BM25 index maintenance for NEW documents: the affected
+    * tokens are exactly the delta's distinct tokens, so read their
+    * current postings (batchGet point reads), merge in the new (doc_id,
+    * tf, dl) entries, put the rebuilt postings through the RT log, and
+    * bump the 1-row stats store — cost O(delta tokens + affected
+    * postings). Everything the scorer reads (df from the posting row,
+    * n/t from stats, tf/dl from members) is updated, so probes after an
+    * upsert rank exactly as a full rebuild (PipelineSpec differential).
+    * Document UPDATES/DELETES change old postings and are the repush
+    * path's job, same as the reference's batch-push refresh. */
+  def bm25IndexUpsert(engine: graft.core.GraftEngine, store: String,
+      statsStore: String, delta: DataFrame, idCol: String, textCol: String,
+      tsMs: Long): Unit = {
+    val toks = delta.select(col(idCol).as("doc_id"),
+      explode(graft.functions.TextOps.tokens(col(textCol))).as("token"))
+    val tf = toks.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val fresh = tf.join(dl, "doc_id")
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("new_df"),
+        collect_list(struct(col("doc_id"), col("tf"), col("dl")))
+          .as("new_members"))
+      .persist()
+    val existing = engine.batchGet(store,
+      fresh.select(col("token")).distinct())
+    val rebuilt = fresh.join(existing, Seq("token"), "left")
+      .select(col("token"),
+        (coalesce(col("df"), lit(0L)) + col("new_df")).as("df"),
+        array_sort(concat(
+          coalesce(col("members"),
+            array().cast(existing.schema("members").dataType)),
+          col("new_members"))).as("members"))
+    engine.put(store, rebuilt, tsMs)
+    val prev = engine.servingView(statsStore)
+      .select(col("stats_id"), col("n"), col("t")).collect()(0)
+    val deltaStats = dl.agg(count(lit(1)).as("dn"), sum(col("dl")).as("dt"))
+      .collect()(0)
+    engine.put(statsStore,
+      delta.sparkSession.createDataFrame(
+        java.util.Arrays.asList(org.apache.spark.sql.Row(
+          prev.getAs[Any]("stats_id"),
+          prev.getLong(1) + deltaStats.getLong(0),
+          prev.getLong(2) + deltaStats.getLong(1))),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("stats_id",
+            engine.servingView(statsStore).schema("stats_id").dataType),
+          org.apache.spark.sql.types.StructField("n",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("t",
+            org.apache.spark.sql.types.LongType)))), tsMs)
+    fresh.unpersist()
+  }
+
   /** Serve BM25 top-`k` from the store-backed index: tokenize the query
     * batch, fetch its distinct tokens' postings in ONE batchGet round
     * (bucket-set-pruned point reads — the corpus is never scanned), pick

@@ -264,6 +264,37 @@ object Similarity {
       .agg(array_sort(collect_list(struct(col("id"), col("vec"))))
         .as("members"))
 
+  /** Incremental IVF index maintenance: assign the DELTA vectors against
+    * the SAME served codebook, read only the affected cells' current
+    * posting lists (batchGet point reads), union in the new members, and
+    * put the rebuilt cells through the RT log — cost O(delta + affected
+    * cells), never a corpus re-assignment. The read-modify-write is sound
+    * because cell membership is append-only under a FIXED codebook (a
+    * vector's nearest centroid never changes until re-training, which is
+    * a new codebook version + full repush by design).
+    *
+    * Pinned by the PipelineSpec differential: probe(after upsert) ≡
+    * probe(store rebuilt from the full corpus with the same codebook). */
+  def ivfIndexUpsert(engine: graft.core.GraftEngine, store: String,
+      centroidStore: String, delta: DataFrame, tsMs: Long): Unit = {
+    val cents = engine.servingView(centroidStore)
+      .select(col("cid").as("id"), col("cvec").as("vec"))
+    val assigned = ivfAssign(delta, cents).filter(col("rn") === 1)
+      .select(col("cid"), col("id"), col("vec"))
+    val fresh = assigned.groupBy(col("cid"))
+      .agg(collect_list(struct(col("id"), col("vec"))).as("new_members"))
+      .persist()
+    val existing = engine.batchGet(store,
+      fresh.select(col("cid")).distinct())
+    val rebuilt = fresh.join(existing, Seq("cid"), "left")
+      .select(col("cid"), array_sort(concat(
+        coalesce(col("members"),
+          array().cast(existing.schema("members").dataType)),
+        col("new_members"))).as("members"))
+    engine.put(store, rebuilt, tsMs)
+    fresh.unpersist()
+  }
+
   /** Probe a store-backed IVF index: queries are assigned to their
     * `nProbe` nearest cells AGAINST THE SERVED CODEBOOK (the centroid
     * store — numCells rows, one tiny scan), the probed cells are fetched

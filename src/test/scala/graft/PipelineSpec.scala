@@ -1166,6 +1166,73 @@ class PipelineSpec extends AnyFunSuite {
     full.unpersist()
   }
 
+  test("IVF index upsert: probe after delta ≡ probe of full rebuild") {
+    val emb = Tables.embeddings(spark, sf)
+    val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val seed = corpus.filter(pmod(col("id"), lit(10)) =!= 3)
+    val delta = corpus.filter(pmod(col("id"), lit(10)) === 3)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val e = new graft.core.GraftEngine(spark,
+      java.nio.file.Files.createTempDirectory("ivfup-spec").toString)
+    // codebook trained ONCE on the seed corpus; both stores share it
+    val trained = Similarity.kmeansCentroids(seed, k = 8, iters = 2)
+    e.createStore("cent", Seq("cid"))
+    e.push("cent", trained.select(col("id").as("cid"), col("vec").as("cvec")),
+      numBuckets = 2)
+    val cents = e.servingView("cent")
+      .select(col("cid").as("id"), col("cvec").as("vec"))
+    e.createStore("ivf", Seq("cid"))
+    e.push("ivf", Similarity.ivfIndexFrame(seed, cents), numBuckets = 4)
+    Similarity.ivfIndexUpsert(e, "ivf", "cent", delta, tsMs = 100L)
+    val probed = Similarity.probeIvfIndex(e, "ivf", "cent", queries,
+        k = 5, nProbe = 3)
+      .orderBy(col("qid"), col("rank")).collect().toSeq
+    // rebuild from the FULL corpus with the same codebook
+    e.createStore("ivf2", Seq("cid"))
+    e.push("ivf2", Similarity.ivfIndexFrame(corpus, cents), numBuckets = 4)
+    val rebuilt = Similarity.probeIvfIndex(e, "ivf2", "cent", queries,
+        k = 5, nProbe = 3)
+      .orderBy(col("qid"), col("rank")).collect().toSeq
+    assert(probed == rebuilt, "upsert diverged from full rebuild")
+    // the delta actually shows up in results somewhere
+    assert(probed.exists(_.getLong(2) % 10 == 3),
+      "no delta vector ranked — upsert not exercised")
+  }
+
+  test("BM25 index upsert: probe after delta ≡ probe of full rebuild") {
+    import graft.operators.Retrieval
+    val docs = Tables.documents(spark, sf)
+    val seed = docs.filter(pmod(col("doc_id"), lit(10)) =!= 3)
+    val delta = docs.filter(pmod(col("doc_id"), lit(10)) === 3)
+    val queries = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+      .select(col("doc_id"), col("text"))
+    val e = new graft.core.GraftEngine(spark,
+      java.nio.file.Files.createTempDirectory("bm25up-spec").toString)
+    e.createStore("post", Seq("token"))
+    e.push("post", Retrieval.bm25IndexFrame(seed, "doc_id", "text"),
+      numBuckets = 4)
+    e.createStore("stats", Seq("stats_id"))
+    e.push("stats", Retrieval.bm25StatsFrame(seed, "doc_id", "text"),
+      numBuckets = 1)
+    Retrieval.bm25IndexUpsert(e, "post", "stats", delta, "doc_id", "text",
+      tsMs = 100L)
+    val probed = Retrieval.probeBm25Index(e, "post", "stats", queries,
+        "doc_id", "text")
+      .orderBy(col("query_id"), col("rank")).collect().toSeq
+    e.createStore("post2", Seq("token"))
+    e.push("post2", Retrieval.bm25IndexFrame(docs, "doc_id", "text"),
+      numBuckets = 4)
+    e.createStore("stats2", Seq("stats_id"))
+    e.push("stats2", Retrieval.bm25StatsFrame(docs, "doc_id", "text"),
+      numBuckets = 1)
+    val rebuilt = Retrieval.probeBm25Index(e, "post2", "stats2", queries,
+        "doc_id", "text")
+      .orderBy(col("query_id"), col("rank")).collect().toSeq
+    assert(probed == rebuilt, "upsert diverged from full rebuild")
+    assert(probed.nonEmpty)
+  }
+
   test("lshIndexFrame drops hot bands past maxPostings") {
     val docs = Tables.documents(spark, sf)
     val sh = Dedup.shingleSets(docs, "doc_id", "text", 3)
