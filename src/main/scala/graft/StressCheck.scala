@@ -719,6 +719,22 @@ object StressCheck {
       println(s"[stress] layout: box z=$zBox/1D=$pBox files; " +
         s"suppkey-only z=$zS/1D=$pS of $nFiles — curve holds at 10x")
     }
+    // ---- sharded BM25 index BUILD at scale: the salted collect must not
+    // OOM where the unsharded build (and a window-over-token df) did
+    if (on("bm25shard")) {
+      val docs = Tables.documents(spark, sfDir)
+      val idx = graft.operators.Retrieval.bm25IndexFrameSharded(
+        docs, "doc_id", "text", nShards = 64).persist()
+      timed("bm25 sharded build") {
+        idx.count()
+      }
+      val stats = idx.agg(max(size(col("members"))).as("mx"),
+        count(lit(1)).as("rows")).head()
+      println(s"[stress] bm25shard: ${stats.getLong(1)} (token,shard) " +
+        s"values, largest ${stats.getInt(0)} postings — value size " +
+        "bounded by df/nShards, build salted across shards")
+      idx.unpersist()
+    }
     // ---- store-backed LSH index: probe cost must be O(batch), not O(corpus)
     if (on("lshindex")) {
       import graft.operators.Dedup

@@ -98,6 +98,134 @@ object Retrieval {
       .agg(lit(1).as("stats_id"), count(lit(1)).as("n"),
         sum(col("dl")).as("t"))
 
+  /** SHARDED posting lists — the production layout for corpora whose
+    * vocabulary is small relative to corpus size (this synthetic corpus is
+    * the extreme: 31 tokens, so every posting list is ~6.5% of the corpus
+    * and grows without bound; measured: the unsharded build OOMs its
+    * aggregation buffers at sf10 while this layout builds fine). Key =
+    * (token, shard) with shard = doc_id mod nShards: the hot token's
+    * collect spreads over nShards reducers (the salting pattern) and every
+    * store value is bounded by df/nShards. df is stored per shard row
+    * (the token-level count) so the prober needs no extra round. A df CAP
+    * (`bm25IndexFrame.maxDf`) is NOT the answer here: on a closed
+    * vocabulary any binding cap drops the entire vocabulary — caps are for
+    * open-vocab stop words (df ≈ n), sharding is for value size. */
+  def bm25IndexFrameSharded(docs: DataFrame, idCol: String, textCol: String,
+      nShards: Int): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(graft.functions.TextOps.tokens(col(textCol))).as("token"))
+    val tf = toks.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    // df via a PARTIAL-AGGREGATED token count, joined back — never a
+    // window over token: a window partition holds the hot token's entire
+    // posting and must SORT it (measured: that sort, not the sharded
+    // collect, is what OOM'd a 16-shard build at sf10 — 6M rows in one
+    // window partition), while the agg combines map-side to |vocab| rows
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    tf.join(dl, "doc_id")
+      // shuffle-HASH, not sort-merge: the build side is ≤1 row per token
+      // per partition while the probe side streams the hot posting — a
+      // sort-merge join would re-buffer exactly the rows the window did
+      .join(dfreq.hint("shuffle_hash"), "token")
+      .groupBy(col("token"), pmod(col("doc_id"), lit(nShards)).as("shard"))
+      .agg(max(col("df")).as("df"),
+        sort_array(collect_list(struct(col("doc_id"), col("tf"), col("dl"))))
+          .as("members"))
+  }
+
+  /** Probe the sharded index: the key set is tokens × all nShards shard
+    * ids (a constant fan-out of point reads per token), members union
+    * across shards, df read from any shard row. With the default
+    * `maxFetch` the numbers equal the unsharded probe and the stateless
+    * scorer by construction — the `bm25_index_sharded` oracle is
+    * `bm25_retrieval`'s SQL verbatim.
+    *
+    * `maxFetch` is IMPACT-ORDERED EARLY TERMINATION (the WAND-family
+    * idea, public knowledge): each fetched token's posting list is
+    * truncated to its `maxFetch` highest-impact entries (tf desc, doc_id
+    * tie-break) ONCE PER TOKEN before the query join, so scoring work is
+    * O(query terms × maxFetch) instead of O(query terms × df). On a
+    * closed-vocabulary corpus that bound is what keeps the probe alive:
+    * every doc shares every term, so the exact join is quadratic in the
+    * corpus (measured: the sf10 exact probe explodes ~7·10¹⁰ candidate
+    * rows and dies; truncated, it's linear). The recall tradeoff is the
+    * standard one — a doc ranked only by low-tf tails can be missed —
+    * and the truncation is replayed exactly by the `bm25_index_topfetch`
+    * oracle. */
+  def probeBm25IndexSharded(engine: graft.core.GraftEngine, store: String,
+      statsStore: String, queries: DataFrame, idCol: String,
+      textCol: String, nShards: Int, topTerms: Int = 3,
+      k: Int = 5, maxFetch: Int = Int.MaxValue): DataFrame = {
+    val st = engine.servingView(statsStore).select(col("n"), col("t"))
+      .collect()(0)
+    val n = st.getLong(0)
+    val t = st.getLong(1)
+    val qtf = queries.select(col(idCol).as("query_id"),
+        explode(graft.functions.TextOps.tokens(col(textCol))).as("token"))
+      .groupBy(col("query_id"), col("token"))
+      .agg(count(lit(1)).as("qtf"))
+    val keySet = qtf.select(col("token")).distinct()
+      .select(col("token"), explode(sequence(lit(0), lit(nShards - 1)))
+        .as("shard"))
+    val hits = engine.batchGet(store, keySet)
+    // per-token view: df from any shard row, members = union across shards
+    val byToken = hits.groupBy(col("token"))
+      .agg(max(col("df")).as("df"),
+        flatten(collect_list(col("members"))).as("members"))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("tscore").desc, col("token"))
+    val qterms = qtf.join(byToken, "token")
+      .withColumn("tscore", col("qtf") * expr(s"${n}L div df"))
+      .withColumn("rk", row_number().over(wq))
+      .filter(col("rk") <= topTerms)
+    // two candidate shapes, each right for its regime:
+    //  - EXACT (maxFetch = ∞): explode members per (query, token) — the
+    //    quadratic output is inherent, and the per-qterm explode
+    //    distributes it across qterm rows; a token-keyed join would
+    //    funnel everything through |vocab| skewed join keys (measured
+    //    4× slower at sf1 on the 31-token corpus).
+    //  - TRUNCATED: explode ONCE per token, keep each token's maxFetch
+    //    highest-impact entries, then join — the truncation must happen
+    //    before the query join to bound the output at all.
+    val cand =
+      if (maxFetch == Int.MaxValue)
+        qterms
+          .select(col("query_id"), col("df"), explode(col("members")).as("m"))
+          .select(col("query_id"), col("df"),
+            col("m").getField("doc_id").as("doc_id"),
+            col("m").getField("tf").as("tf"),
+            col("m").getField("dl").as("dl"))
+          .filter(col("doc_id") =!= col("query_id"))
+      else {
+        val postings = byToken
+          .select(col("token"), explode(col("members")).as("m"))
+          .select(col("token"), col("m").getField("doc_id").as("doc_id"),
+            col("m").getField("tf").as("tf"), col("m").getField("dl").as("dl"))
+          .withColumn("__imp", row_number().over(
+            Window.partitionBy(col("token"))
+              .orderBy(col("tf").desc, col("doc_id"))))
+          .filter(col("__imp") <= maxFetch)
+          .drop("__imp")
+        qterms.select(col("query_id"), col("token"), col("df"))
+          .join(postings, "token")
+          .filter(col("doc_id") =!= col("query_id"))
+      }
+    val wr = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    cand
+      .withColumn("term_score",
+        expr(s"((1000000L * (2L*${n}L - 2L*df + 1L)) div (2L*df + 1L)) * " +
+          s"((44L * tf * ${t}L * 1000L) div " +
+          s"(20L * tf * ${t}L + 6L * ${t}L + 18L * dl * ${n}L))"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("term_score")).as("score"))
+      .withColumn("rank", row_number().over(wr))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("score"))
+  }
+
   /** Incremental BM25 index maintenance for NEW documents: the affected
     * tokens are exactly the delta's distinct tokens, so read their
     * current postings (batchGet point reads), merge in the new (doc_id,
