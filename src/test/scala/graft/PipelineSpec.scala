@@ -1200,6 +1200,38 @@ class PipelineSpec extends AnyFunSuite {
       "no delta vector ranked — upsert not exercised")
   }
 
+  test("BM25 sharded layout ≡ unsharded: same ranks at off-default params") {
+    import graft.operators.Retrieval
+    val docs = Tables.documents(spark, sf)
+    val queries = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+      .select(col("doc_id"), col("text"))
+    val e = new graft.core.GraftEngine(spark,
+      java.nio.file.Files.createTempDirectory("bm25sh-spec").toString)
+    e.createStore("flat", Seq("token"))
+    e.push("flat", Retrieval.bm25IndexFrame(docs, "doc_id", "text"),
+      numBuckets = 4)
+    e.createStore("sh", Seq("token", "shard"))
+    e.push("sh", Retrieval.bm25IndexFrameSharded(docs, "doc_id", "text",
+      nShards = 7), numBuckets = 4)
+    e.createStore("stats", Seq("stats_id"))
+    e.push("stats", Retrieval.bm25StatsFrame(docs, "doc_id", "text"),
+      numBuckets = 1)
+    val flat = Retrieval.probeBm25Index(e, "flat", "stats", queries,
+        "doc_id", "text", topTerms = 4, k = 8)
+      .orderBy(col("query_id"), col("rank")).collect().toSeq
+    val sharded = Retrieval.probeBm25IndexSharded(e, "sh", "stats", queries,
+        "doc_id", "text", nShards = 7, topTerms = 4, k = 8)
+      .orderBy(col("query_id"), col("rank")).collect().toSeq
+    assert(flat == sharded, "sharding moved a rank or score")
+    assert(flat.nonEmpty)
+    // truncated probe: a binding maxFetch is a SUBSET regime — its
+    // per-query doc set must come from the top-impact postings only
+    val trunc = Retrieval.probeBm25IndexSharded(e, "sh", "stats", queries,
+        "doc_id", "text", nShards = 7, topTerms = 4, k = 8, maxFetch = 3)
+      .collect()
+    assert(trunc.nonEmpty, "maxFetch=3 must still rank top-impact docs")
+  }
+
   test("BM25 index upsert: probe after delta ≡ probe of full rebuild") {
     import graft.operators.Retrieval
     val docs = Tables.documents(spark, sf)
