@@ -198,6 +198,38 @@ object Queries {
                 AND l_shipdate > TIMESTAMP '2000-06-01')
             ORDER BY o_orderkey"""))
 
+  /** TPC-H Q4 (order-priority checking), adapted to this schema: the
+    * reference predicate l_commitdate &lt; l_receiptdate has no columns
+    * here, so "late" = shipped &gt;30 days after the order date — same
+    * correlated-EXISTS shape, same plan (date-windowed scan, left-semi
+    * equi-join with the extra non-equi conjunct pushed into the join,
+    * tiny-cardinality groupBy). This closes the Q-coverage audit: every
+    * TPC-H query expressible over the shipped columns is registered
+    * (Q2/Q16/Q20 need partsupp, Q12 needs shipmode/commit/receipt dates —
+    * documented out of scope, not skipped silently). */
+  val q4Priority = QueryDef(
+    "q4_priority",
+    (s, dir) => {
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-10-01").cast("timestamp"))
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_shipdate"))
+      ord.join(li,
+          col("o_orderkey") === col("l_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS"),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some("""SELECT o_orderpriority, count(*) AS order_count FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1996-10-01'
+              AND EXISTS (SELECT 1 FROM lineitem
+                WHERE l_orderkey = o_orderkey
+                  AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+            GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
   /** Anti-join: customers with no orders (NOT EXISTS). */
   val qAnti = QueryDef(
     "q_not_exists_anti",
@@ -2271,6 +2303,43 @@ object Queries {
                 FROM c, q WHERE id <> qid))
             WHERE rank <= 10 ORDER BY qid, rank"""),
     headline = true)
+
+  /** SQ8 ANN (compression rung #1, below PQ's): candidates ranked by the
+    * EXACT integer dot product of 8-bit unit-scaled codes — 4× less scan
+    * IO than float32 with no codebook to train, the drop-in quantization a
+    * 100 TB embedding store applies before anything else. Codes here are
+    * RANK-comparable across vectors (fixed 127/‖x‖ scale — contrast
+    * `embed_quantize`'s per-vector max-abs STORAGE codes); scores are
+    * integer-valued, so the ranking is bit-exact in any engine and the
+    * oracle replays quantization + scoring verbatim. Exhaustive over the
+    * corpus by design (the oracleable baseline; compose with IVF cells for
+    * the pruned scan, and the two-stage exact rerank is pinned against
+    * brute force in PipelineSpec). */
+  val annSq8 = QueryDef(
+    "ann_sq8",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      graft.operators.Similarity.sq8TopK(corpus, queries, k = 10)
+        .orderBy(col("qid"), col("rank"))
+    },
+    Some("""WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec,
+              sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                AS n
+              FROM embeddings),
+            c AS (SELECT id, CASE WHEN n > 0 THEN
+                list_transform(vec, x -> floor(x * 127.0 / n + 0.5))
+              ELSE list_transform(vec, x -> 0.0) END AS q FROM v),
+            qs AS (SELECT id AS qid, q AS qq FROM c WHERE id < 5),
+            sc AS (SELECT qs.qid, c.id,
+                CAST(list_dot_product(c.q, qs.qq) AS BIGINT) AS qdot
+              FROM c, qs WHERE c.id <> qs.qid)
+            SELECT qid, rank, id, qdot FROM (
+              SELECT qid, id, qdot, row_number() OVER (
+                PARTITION BY qid ORDER BY qdot DESC, id) AS rank FROM sc)
+            WHERE rank <= 10 ORDER BY qid, rank"""))
 
   /** IVF ANN (scale path #2): k-means-trained coarse quantizer (2 Lloyd
     * steps from the deterministic ids&lt;8 seed, scaled-integer recentring so
@@ -8431,7 +8500,8 @@ object Queries {
     q1Agg, q3JoinTopk,
     r1Get, r2BatchGet, r3Project,
     r4Dot, r5Cosine, r6Hadamard, r7Count, r7CountMap, r8ComputeErrors, r9Prefix,
-    r10Predicates, r11Stream, qWindow, qRollup, qSemi, qAnti, qSessionize,
+    r10Predicates, r11Stream, qWindow, qRollup, qSemi, q4Priority, qAnti,
+    qSessionize,
     b3Ttl, b4Compaction, b4DupAudit, b7Quota, b8Partition,
     w3WriteCompute, w5Lww, w6DeleteWins, w7Crdt, w7CrdtMap, w8Squash, w11Div, w12Hll, w13HotKeys,
     w15ApplyCdc,
@@ -8445,7 +8515,7 @@ object Queries {
     dedupExact, dedupMinhash, dedupSimhash, dedupSimhash64, dedupNgram,
     dedupIndexProbe,
     dedupNgramCapped, dedupContainment, sampleClusterBalanced, dedupEmbedding,
-    dedupClusters, annTopk, annLsh, annIvf, annIndexProbe,
+    dedupClusters, annTopk, annSq8, annLsh, annIvf, annIndexProbe,
     textStats, textTokenCounts,
     mmDecode, mmFrames, textPiiRedact, splitAssignQ,
     decontaminate, sampleStratified, mixTokenBudget, textWinnow,

@@ -20,7 +20,7 @@ object StressCheck {
     val only = args.toSet
     def on(tag: String): Boolean = only.isEmpty || only(tag)
     // (new tags round 5: salted, aggview; round 7: joinview, bpe100,
-    // pagerank, davinci, sink, layout, lshindex)
+    // pagerank, davinci, sink, layout, lshindex, bm25shard, sq8)
 
     val base = Tables.events(spark, sfDir)
       .crossJoin(spark.range(120).select(col("id").as("rep")))
@@ -125,6 +125,25 @@ object StressCheck {
       top.unpersist()
       require(total == 100 * 10, s"expected 1000 rows, got $total")
       require(planted >= 90, s"planted-duplicate recall $planted/100")
+      total
+    }
+    spark.catalog.clearCache()
+
+    // SQ8 integer-ADC over the same 200k vectors: quantize-then-scan, no
+    // training, no shuffle beyond the per-query rank. A planted exact
+    // duplicate quantizes to the query's own codes, so its integer dot is
+    // the global maximum — it MUST rank (recall pin, not just runtime).
+    if (on("sq8"))
+    timed(s"SQ8 int-ADC top-10 ${nVec / 1000}k vecs") {
+      val queries = corpus.filter(col("id") < 100)
+        .select(col("id").as("qid"), col("vec").as("qvec"))
+      val top = graft.operators.Similarity.sq8TopK(corpus, queries, k = 10)
+        .persist()
+      val planted = top.filter(col("id") - col("qid") === nBase).count()
+      val total = top.count()
+      top.unpersist()
+      require(total == 100 * 10, s"expected 1000 rows, got $total")
+      require(planted == 100, s"planted-duplicate recall $planted/100")
       total
     }
     spark.catalog.clearCache()

@@ -669,6 +669,30 @@ class GraftEngine(val spark: SparkSession, val root: String) {
   def compactUpdates(name: String): Unit = {
     import org.apache.spark.sql.types.StructType
     import graft.operators.WriteCompute
+    val meta = storeMeta(name)
+    val valueSchema = StructType(
+      supersetSchema(name).fields.filterNot(f => meta.keyCols.contains(f.name)))
+    // chunked hierarchical squash — bounded per-task memory even for a
+    // hot key with millions of pending ops (see WriteCompute.squashUpdates)
+    rewriteUpdates(name)(
+      WriteCompute.squashUpdates(_, meta.keyCols, valueSchema))
+  }
+
+  private def rmTree(p: java.nio.file.Path): Unit = {
+    val walk = Files.walk(p)
+    try walk.sorted(java.util.Comparator.reverseOrder())
+      .forEach(f => Files.delete(f))
+    finally walk.close()
+  }
+
+  /** Physically rewrite the pending-updates log through `f`, crash-safe:
+    * write the result to a tmp dir, then two renames (updates → .old,
+    * tmp → updates) with the recovery preamble undoing a crash between
+    * them. An EMPTY result removes the log entirely — readers must never
+    * face a schema-less parquet dir. Shared by [[compactUpdates]] (squash)
+    * and [[purge]] (drop purged keys' pending ops). */
+  private def rewriteUpdates(name: String)(
+      f: DataFrame => DataFrame): Unit = {
     // recover from a previous crash mid-swap: a leftover .updates.old with
     // no live updates dir means the first move landed but the second never
     // did — restore it; a stale .updates.squashing is a dead tmp, drop it
@@ -676,33 +700,17 @@ class GraftEngine(val spark: SparkSession, val root: String) {
     val oldP = Paths.get(dir(name, ".updates.old"))
     val tmpP = Paths.get(dir(name, ".updates.squashing"))
     if (Files.exists(oldP) && !Files.exists(targetP)) Files.move(oldP, targetP)
-    Seq(oldP, tmpP).filter(Files.exists(_)).foreach { p =>
-      val walk = Files.walk(p)
-      try walk.sorted(java.util.Comparator.reverseOrder())
-        .forEach(f => Files.delete(f))
-      finally walk.close()
-    }
+    Seq(oldP, tmpP).filter(Files.exists(_)).foreach(rmTree)
     if (!hasUpdates(name)) return
-    val meta = storeMeta(name)
-    val valueSchema = StructType(
-      supersetSchema(name).fields.filterNot(f => meta.keyCols.contains(f.name)))
-    val updates = readUpdates(name)
-    // chunked hierarchical squash — bounded per-task memory even for a
-    // hot key with millions of pending ops (see WriteCompute.squashUpdates)
-    val out = WriteCompute.squashUpdates(updates, meta.keyCols, valueSchema)
     // materialize before replacing the directory the plan reads from
-    val rows = out.cache(); rows.count()
-    val tmp = dir(name, ".updates.squashing")
-    rows.write.mode("overwrite").parquet(tmp)
+    val rows = f(readUpdates(name)).cache()
+    val n = rows.count()
+    if (n == 0) { rows.unpersist(); rmTree(targetP); return }
+    rows.write.mode("overwrite").parquet(tmpP.toString)
     rows.unpersist()
-    val target = Paths.get(dir(name, "updates"))
-    val old = Paths.get(dir(name, ".updates.old"))
-    Files.move(target, old)
-    Files.move(Paths.get(tmp), target)
-    val walk = Files.walk(old)
-    try walk.sorted(java.util.Comparator.reverseOrder())
-      .forEach(f => Files.delete(f))
-    finally walk.close()
+    Files.move(targetP, oldP)
+    Files.move(tmpP, targetP)
+    rmTree(oldP)
   }
 
   // ---- active-active (W7: field-level RMD CRDT) ----------------------------
@@ -1868,12 +1876,7 @@ class GraftEngine(val spark: SparkSession, val root: String) {
       }
       b.result()
     } finally entries.close()
-    doomed.foreach { d =>
-      val walk = Files.walk(d)
-      try walk.sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => Files.delete(p))
-      finally walk.close()
-    }
+    doomed.foreach(rmTree)
   }
 
   /** Compliance purge — the right-to-erasure flow: tombstone `keys` (at
@@ -1888,12 +1891,27 @@ class GraftEngine(val spark: SparkSession, val root: String) {
     * A/A stores purge through the CRDT op log; the repush TTL-collects the
     * purge tombstones themselves. */
   def purge(name: String, keys: DataFrame, tsMs: Long): Int = {
-    val k = keys.select(storeMeta(name).keyCols.map(col): _*)
+    val meta = storeMeta(name)
+    val k = keys.select(meta.keyCols.map(col): _*)
     if (isActiveActive(name)) {
       deleteAA(name, k, tsMs)
       repush(name, ttlStartMs = Some(tsMs + 1))
     } else {
       delete(name, k, tsMs)
+      // PENDING WRITE-COMPUTE UPDATES bypass LWW (they fold onto the
+      // post-merge state at their own ts, recreating absent records from a
+      // null base — the documented W3 semantic), so the purge tombstone
+      // alone would NOT stop a pending update from resurrecting the key
+      // into the freshly purged version. Right-to-erasure means the
+      // pending ops about the key are themselves data to erase: drop them
+      // physically before the repush folds. Purge keys are a broadcast-
+      // sized set by nature (an erasure request, not a corpus).
+      if (hasUpdates(name)) {
+        val kLocal = spark.createDataFrame(
+          java.util.Arrays.asList(k.distinct().collect(): _*), k.schema)
+        rewriteUpdates(name)(
+          _.join(broadcast(kLocal), meta.keyCols, "left_anti"))
+      }
       repush(name)
     }
     vacuum(name)

@@ -87,6 +87,13 @@ object SqlFunctions {
         VenicePartitionExpr.venicePartitionIdAvro(a,
           litInt(n, "graft_partition"))
     },
+    fn("graft_sq8", 1,
+      "graft_sq8(v) - rank-comparable SQ8 codes of a vector column: the " +
+        "unit vector scaled by 127, floor(+0.5)-rounded (integer-valued " +
+        "doubles; graft_dot of two code vectors is the exact integer " +
+        "ADC score)") { case Seq(a) =>
+      graft.operators.Similarity.sq8UnitCodes(asDouble(a))
+    },
     fn("graft_shingles", 2,
       "graft_shingles(text, n) - distinct n-token shingles of a text " +
         "column (n must be a literal)") { case Seq(a, n) =>

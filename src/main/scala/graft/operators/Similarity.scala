@@ -205,22 +205,25 @@ object Similarity {
     cent
   }
 
+  /** The IVF coarse codebook as a driver-local relation (numCells rows —
+    * driver-sized by design). Materializing it once replaces a persist
+    * that a lazy return value could never unpersist (dead cached blocks
+    * in a long-lived session) and hands every consumer (corpus assign +
+    * query probes) a local relation Spark broadcasts for free. */
+  private def cellCentroids(corpus: DataFrame, numCells: Int,
+      trainIters: Int, trainFraction: Double): DataFrame =
+    if (trainIters <= 0) corpus.filter(col("id") < numCells)
+    else {
+      val trained = kmeansCentroids(corpus, numCells, trainIters,
+        trainFraction)
+      corpus.sparkSession.createDataFrame(
+        java.util.Arrays.asList(trained.collect(): _*), trained.schema)
+    }
+
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, numCells: Int,
       nProbe: Int, trainIters: Int = 2,
       trainFraction: Double = 1.0): DataFrame = {
-    val centroids =
-      if (trainIters <= 0) corpus.filter(col("id") < numCells)
-      else {
-        // the codebook is numCells rows — driver-sized by design.
-        // Materializing it once replaces a persist that the lazy return
-        // value could never unpersist (dead cached blocks in a long-lived
-        // session) and hands both consumers (corpus assign + query probes)
-        // a local relation Spark broadcasts for free.
-        val trained = kmeansCentroids(corpus, numCells, trainIters,
-          trainFraction)
-        corpus.sparkSession.createDataFrame(
-          java.util.Arrays.asList(trained.collect(): _*), trained.schema)
-      }
+    val centroids = cellCentroids(corpus, numCells, trainIters, trainFraction)
     val assigned = ivfAssign(corpus, centroids)
       .filter(col("rn") === 1)
       .select(col("id"), col("vec"), col("__n"), col("cid"))
@@ -674,6 +677,93 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("id"), col("sim"))
+  }
+
+  /** SQ8 code vector for ANN ranking: the UNIT vector (x/‖x‖) scaled by
+    * 127 and floor(+0.5)-rounded — so every code is an integer in
+    * [-127, 127] and, unlike the per-vector max-abs codes of
+    * `embed_quantize` (a storage layout), two vectors' code dot products
+    * are mutually comparable: both sides carry the SAME fixed scale, so
+    * ⟨qa,qb⟩ ≈ 127²·cosine and ranking by the integer dot ranks by
+    * approximate cosine directly. Zero vectors code to all-zero. Codes are
+    * integer-valued doubles: every product ≤ 127²+ε and a 4096-dim sum
+    * stays < 2³⁰ — exact in IEEE doubles in ANY summation order, which is
+    * what makes the score engine-exact with no float-rounding escrow. */
+  def sq8UnitCodes(vec: Column): Column = {
+    val n = norm(vec)
+    when(n > 0, transform(vec,
+        x => floor(x.cast("double") * lit(127.0) / n + lit(0.5))))
+      .otherwise(transform(vec, _ => lit(0.0)))
+  }
+
+  /** SQ8 ANN: score candidates by the EXACT integer dot product of their
+    * [[sq8UnitCodes]] (asymmetric-distance-style, both sides quantized),
+    * rank per query, optionally rerank the top-`rerank` survivors with
+    * true float cosine ([[rerankExact]] — the standard two-stage shape,
+    * same as `ann_pq_rerank`).
+    *
+    * Where this sits in the ANN family: the codes are 8 bits/dim — 4× less
+    * scan IO than float32 with NO codebook to train or ship (vs PQ's 16×
+    * compression + trained codebooks), so SQ8 is the drop-in first rung of
+    * the compression ladder. This form is exhaustive over `corpus` (the
+    * exactness-oracleable baseline); at 100 TB store the codes as a column
+    * (the `embed_quantize` pattern), compose with [[ivfTopK]]'s cell
+    * pruning so only probed cells' CODES are scanned, and let the integer
+    * dot — codegen'd through [[graft.functions.VecDot]] — replace the
+    * float one. Queries broadcast; corpus crosses the network never. */
+  def sq8TopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      rerank: Int = 0): DataFrame = {
+    val c = corpus.withColumn("__q", sq8UnitCodes(col("vec")))
+    val q = queries.withColumn("__qq", sq8UnitCodes(col("qvec")))
+    val scored = c
+      .crossJoin(broadcast(q.select(col("qid"), col("__qq"))))
+      .filter(col("id") =!= col("qid"))
+      .withColumn("qdot", vecDot(col("__q"), col("__qq")).cast("long"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("qdot").desc, col("id"))
+    val ranked = scored.withColumn("rank", row_number().over(w))
+    if (rerank <= 0)
+      ranked.filter(col("rank") <= k)
+        .select(col("qid"), col("rank"), col("id"), col("qdot"))
+    else
+      rerankExact(corpus, queries,
+        ranked.filter(col("rank") <= rerank).select(col("qid"), col("id")), k)
+  }
+
+  /** The compression ladder composed with cell pruning: IVF probe →
+    * SQ8 integer-ADC shortlist → exact rerank. The 100-TB serving shape:
+    * only the probed cells' CODES (8 bits/dim) are scanned, the integer
+    * shortlist bounds exact-cosine work to `shortlist` true dot products
+    * per query, and nothing corpus-sized crosses a shuffle (probes
+    * broadcast, cells equi-joined). With `shortlist` ≥ the probed
+    * candidate count this is EXACTLY [[ivfTopK]] (the integer stage
+    * reorders but drops nothing — the PipelineSpec differential); smaller
+    * shortlists trade the standard quantization recall for 4× less
+    * rerank IO. Codes are computed inline here; a store-backed deployment
+    * persists them as a column ([[sq8UnitCodes]] is deterministic, so
+    * inline and stored codes agree). */
+  def ivfSq8TopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      numCells: Int, nProbe: Int, shortlist: Int,
+      trainIters: Int = 2): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist < k $k")
+    val centroids = cellCentroids(corpus, numCells, trainIters, 1.0)
+    val assigned = ivfAssign(corpus, centroids)
+      .filter(col("rn") === 1)
+      .select(col("id"), col("cid"), sq8UnitCodes(col("vec")).as("__q"))
+    val probes = ivfAssign(
+        queries.select(col("qid").as("id"), col("qvec").as("vec")), centroids)
+      .filter(col("rn") <= nProbe)
+      .select(col("id").as("qid"), col("cid"),
+        sq8UnitCodes(col("vec")).as("__qq"))
+    val cand = assigned
+      .join(broadcast(probes), Seq("cid"))
+      .filter(col("id") =!= col("qid"))
+      .withColumn("qdot", vecDot(col("__q"), col("__qq")).cast("long"))
+      .select(col("qid"), col("id"), col("qdot")).distinct()
+    val short = cand.withColumn("rk", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("qdot").desc, col("id"))))
+      .filter(col("rk") <= shortlist)
+    rerankExact(corpus, queries, short.select(col("qid"), col("id")), k)
   }
 
   /** Each vector's cosine to its OWN label's centroid — the label-noise /

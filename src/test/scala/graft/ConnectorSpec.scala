@@ -431,6 +431,20 @@ class ConnectorSpec extends AnyFunSuite {
         VectorOps.l2Norm(col("embedding")).as("nrm"))
       .orderBy("vec_id").collect()
     assert(viaSql.toSeq == viaApi.toSeq) // bit-exact: same expressions
+    // SQ8 codes: SQL ≡ operator, and graft_dot over two code vectors is
+    // the exact integer ADC score (integer-valued doubles)
+    val sq1 = spark.sql(
+      """SELECT vec_id, graft_sq8(embedding) AS q,
+           CAST(graft_dot(graft_sq8(embedding), graft_sq8(embedding))
+             AS BIGINT) AS qd
+         FROM emb_fn ORDER BY vec_id""").collect()
+    val sq2 = emb.select(col("vec_id"),
+        graft.operators.Similarity.sq8UnitCodes(
+          col("embedding").cast("array<double>")).as("q"))
+      .withColumn("qd",
+        VecDotExpr.vecDot(col("q"), col("q")).cast("long"))
+      .orderBy("vec_id").collect()
+    assert(sq1.toSeq == sq2.toSeq)
     // simhash64 over a token array, SQL vs expression API
     val docs = Tables.documents(spark, sf).limit(20)
       .select(col("doc_id"), split(col("text"), " ").as("tk"))

@@ -13,7 +13,8 @@ import graft.core.{GraftEngine, GraftSession}
 import graft.operators.{UpdateBuilder, WriteCompute}
 
 /** Engine-level differential fuzzing: random op interleavings
-  * (put/delete/update/repush/rollback/rebucket, LWW and A/A stores)
+  * (put/delete/update/repush/rollback/rebucket — plus compliance purge on
+  * the LWW alphabet — over LWW and A/A stores)
   * executed against a real [[GraftEngine]] and replayed on a sequential
   * in-memory model of the documented semantics — the engine-boundary
   * analog of the reference's TLA+ intent (specs/TLA+/CRDT: convergence of
@@ -64,6 +65,10 @@ class EngineFuzzSpec extends AnyFunSuite {
   case object LRepush extends LOp
   case object LRollback extends LOp
   case class LRebucket(n: Int) extends LOp
+  /** Compliance purge: tombstone + drop the keys' pending updates + repush
+    * + vacuum. `ts` must beat every prior write (assigned 5000+i per
+    * script index, above the TsPool/update ranges by construction). */
+  case class LPurge(ks: Seq[Long], ts: Long) extends LOp
   /** Register the evolved schema (adds `extra: Long`). */
   case object LEvolve extends LOp
   /** Put under the EVOLVED writer schema (carries `extra`). Before the
@@ -132,6 +137,16 @@ class EngineFuzzSpec extends AnyFunSuite {
         val state = resolve(); val v = current + 1
         versions(v) = state; current = v
         log = Vector.empty; updates = Vector.empty
+      case LPurge(ks, ts) =>
+        // tombstone at a ts beating every prior write, drop the keys'
+        // PENDING updates (they would null-base-resurrect otherwise),
+        // fold into a fresh version; vacuum retires every older version,
+        // so rollback below this point must be refused by the engine
+        log ++= ks.map(k => (ts, k, true, MVal(None, None)))
+        updates = updates.filterNot(u => ks.contains(u._2))
+        val state = resolve(); val v = current + 1
+        versions.clear(); versions(v) = state; current = v
+        log = Vector.empty; updates = Vector.empty
       case LRollback =>
         current = versions.keys.filter(_ < current).max
     }
@@ -158,9 +173,11 @@ class EngineFuzzSpec extends AnyFunSuite {
       tag <- Gen.choose(0, 9)
     } yield LPutNew(ks.toSeq.sorted.map(k =>
       (k, s"n$tag-$k", tag * 100L + k, tag * 7L + k)), ts)
+    val purge = Gen.nonEmptyContainerOf[Set, Long](Gen.oneOf(Keys))
+      .map(ks => LPurge(ks.toSeq.sorted, 0L)) // ts assigned per-index below
     Gen.frequency(4 -> put, 3 -> del, 2 -> upd, 1 -> Gen.const(LRepush),
       1 -> Gen.const(LRollback), 1 -> Gen.choose(2, 8).map(LRebucket),
-      1 -> Gen.const(LEvolve), 2 -> putNew)
+      1 -> Gen.const(LEvolve), 2 -> putNew, 1 -> purge)
   }
 
   private val lwwScriptGen: Gen[List[LOp]] = for {
@@ -168,6 +185,7 @@ class EngineFuzzSpec extends AnyFunSuite {
     ops <- Gen.listOfN(n, lwwOpGen)
   } yield ops.zipWithIndex.map { // unique ts per update: squash order defined
     case (u: LUpd, i) => u.copy(ts = 200L + i)
+    case (p: LPurge, i) => p.copy(ts = 5000L + i) // beats every prior write
     case (op, _) => op
   }
 
@@ -248,6 +266,11 @@ class EngineFuzzSpec extends AnyFunSuite {
           List(Row.fromSeq(k +: u.toSeq)).asJava, updSchema), ts)
         model(op)
       case LRepush => e.repush("s"); model(LRepush)
+      case op @ LPurge(ks, ts) =>
+        e.purge("s", spark.createDataFrame(
+          ks.map(k => Row(k)).asJava,
+          StructType(Seq(StructField("k", LongType)))), ts)
+        model(op)
       case op @ LRebucket(n) => e.rebucket("s", n); model(op)
       case LRollback =>
         if (model.hasBackup) { e.rollback("s"); model(LRollback) }

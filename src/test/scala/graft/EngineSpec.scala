@@ -599,6 +599,48 @@ class EngineSpec extends AnyFunSuite {
     assert(leaked == 0L, s"$leaked physical rows for the purged key")
   }
 
+  test("purge beats PENDING write-compute updates (no null-base resurrect)") {
+    // updates fold onto the post-LWW state at their own ts (the W3
+    // null-base-create semantic), so a purge tombstone alone cannot stop a
+    // pending update from resurrecting the purged key into the new version
+    // — purge must physically drop the key's pending ops too (regression:
+    // it used to repush first, and k=2 came back as a one-field record)
+    import spark.implicits._
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import graft.operators.{UpdateBuilder, WriteCompute}
+    val e = new GraftEngine(spark,
+      java.nio.file.Files.createTempDirectory("graft-purge-upd").toString)
+    e.createStore("s", Seq("k"))
+    e.push("s", Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("k", "v"),
+      numBuckets = 2)
+    val valueSchema = StructType(Seq(StructField("v", StringType)))
+    val updSchema = StructType(StructField("k", LongType) +:
+      WriteCompute.deriveUpdateSchema(valueSchema).fields)
+    def upd(k: Long, v: String, ts: Long): Unit = {
+      val u = new UpdateBuilder(valueSchema).setField("v", v).buildRow()
+      e.update("s", spark.createDataFrame(
+        java.util.Arrays.asList(Row.fromSeq(k +: u.toSeq)), updSchema), ts)
+    }
+    upd(2L, "resurrect-me", 100L) // pending op on the key being purged
+    upd(3L, "z2", 101L)           // pending op on a surviving key
+    e.purge("s", Seq(Tuple1(2L)).toDF("k"), tsMs = 1000L)
+    val serving = e.servingView("s")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(serving == Map(1L -> "x", 3L -> "z2"),
+      s"purged key resurrected or survivor's update lost: $serving")
+    // physical audit: zero rows for k=2 in ANY surviving file (version,
+    // log, updates) — the pending-update row itself is erased data
+    val dirs = new java.io.File(s"${e.root}/s").listFiles()
+      .filter(f => f.isDirectory && f.getName != "schemas")
+    val leaked = dirs.map(d => spark.read.option("mergeSchema", "true")
+      .parquet(d.toString).filter(col("k") === 2L).count()).sum
+    assert(leaked == 0L, s"$leaked physical rows for the purged key")
+    // a LATER update (after the erasure request) may legitimately recreate
+    upd(2L, "fresh", 2000L)
+    assert(e.servingView("s").filter(col("k") === 2L).count() == 1L)
+  }
+
   test("rollback / rollForward flip the serving pointer; vacuum ends both") {
     import spark.implicits._
     val e = new GraftEngine(spark,

@@ -54,6 +54,56 @@ class PipelineSpec extends AnyFunSuite {
       s"PQ overlap $overlap vs random $randomBaseline")
   }
 
+  test("SQ8 ANN: high recall vs brute force; rerank recovers exact top-k") {
+    val emb = Tables.embeddings(spark, sf)
+    val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val queries = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val exact = Similarity.bruteForceTopK(corpus, queries, 10)
+      .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sq8 = Similarity.sq8TopK(corpus, queries, 10)
+      .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 8-bit unit-scaled codes barely perturb cosine order: recall must be
+    // near-perfect (deterministic corpus — a drop means the quantizer
+    // changed, not the data)
+    val recall = (exact intersect sq8).size.toDouble / exact.size
+    assert(recall > 0.9, s"SQ8 recall $recall")
+    // two-stage: integer-ADC shortlist of 30, exact rerank to 10 — on this
+    // corpus the shortlist contains every true top-10, so the reranked
+    // result IS brute force, row for row (ranks, ids, sims)
+    val reranked = Similarity.sq8TopK(corpus, queries, 10, rerank = 30)
+      .orderBy(col("qid"), col("rank")).collect().toSeq
+    val brute = Similarity.bruteForceTopK(corpus, queries, 10)
+      .orderBy(col("qid"), col("rank")).collect().toSeq
+    assert(reranked == brute, "rerank(30)→10 diverged from brute force")
+  }
+
+  test("IVF×SQ8 composition: wide shortlist ≡ ivfTopK; narrow stays close") {
+    val emb = Tables.embeddings(spark, sf)
+    val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val queries = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val n = corpus.count().toInt
+    // shortlist ≥ every probed candidate ⇒ the integer stage reorders but
+    // drops nothing, so rerank(all) IS exact scoring of the probed cells:
+    // row-for-row equal to ivfTopK (same cells, same ties, same sims)
+    val composed = Similarity.ivfSq8TopK(corpus, queries, k = 10,
+        numCells = 8, nProbe = 2, shortlist = n)
+      .orderBy(col("qid"), col("rank")).collect().toSeq
+    val ivf = Similarity.ivfTopK(corpus, queries, k = 10,
+        numCells = 8, nProbe = 2)
+      .orderBy(col("qid"), col("rank")).collect().toSeq
+    assert(composed == ivf, "wide-shortlist composition diverged from IVF")
+    // the production shortlist (50) must recover nearly all of the
+    // wide-shortlist result — SQ8 barely perturbs cosine order
+    val narrow = Similarity.ivfSq8TopK(corpus, queries, k = 10,
+        numCells = 8, nProbe = 2, shortlist = 50)
+      .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val wide = composed.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (wide intersect narrow).size.toDouble / wide.size
+    assert(recall > 0.9, s"narrow-shortlist recall $recall")
+  }
+
   test("LSH ANN recall vs brute force is substantial at 4 bits") {
     val emb = Tables.embeddings(spark, sf)
     val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
@@ -1230,6 +1280,56 @@ class PipelineSpec extends AnyFunSuite {
         "doc_id", "text", nShards = 7, topTerms = 4, k = 8, maxFetch = 3)
       .collect()
     assert(trunc.nonEmpty, "maxFetch=3 must still rank top-impact docs")
+  }
+
+  test("index maintenance fuzz: random delta schedules, upsert ≡ rebuild " +
+      "(BM25, with interleaved repush)") {
+    import graft.operators.Retrieval
+    val docs = Tables.documents(spark, sf)
+    val queries = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+      .select(col("doc_id"), col("text"))
+    // 6 random schedules: split the corpus into 1 base + nDelta batches by
+    // md5(doc_id|seed), upsert the batches in order, repush mid-stream when
+    // the seed says so — the index must end rank-identical to a one-shot
+    // build no matter how it was grown. Deterministic seeds: a failure
+    // reproduces by its printed seed alone.
+    for (seed <- 1 to 6) {
+      val rnd = new scala.util.Random(seed)
+      val nDelta = 1 + rnd.nextInt(3)
+      val repushAfter = rnd.nextInt(nDelta + 1) // 0 = never
+      val batch = pmod(conv(substring(md5(
+        concat_ws("|", col("doc_id"), lit(seed))), 1, 6), 16, 10)
+        .cast("long"), lit(nDelta + 1))
+      val e = new graft.core.GraftEngine(spark,
+        java.nio.file.Files.createTempDirectory(s"bm25fz$seed-").toString)
+      e.createStore("post", Seq("token"))
+      e.push("post", Retrieval.bm25IndexFrame(
+        docs.filter(batch === 0), "doc_id", "text"), numBuckets = 4)
+      e.createStore("stats", Seq("stats_id"))
+      e.push("stats", Retrieval.bm25StatsFrame(
+        docs.filter(batch === 0), "doc_id", "text"), numBuckets = 1)
+      for (b <- 1 to nDelta) {
+        Retrieval.bm25IndexUpsert(e, "post", "stats",
+          docs.filter(batch === b), "doc_id", "text", tsMs = 100L * b)
+        if (b == repushAfter) { e.repush("post"); e.repush("stats") }
+      }
+      val probed = Retrieval.probeBm25Index(e, "post", "stats", queries,
+          "doc_id", "text")
+        .orderBy(col("query_id"), col("rank")).collect().toSeq
+      e.createStore("post2", Seq("token"))
+      e.push("post2", Retrieval.bm25IndexFrame(docs, "doc_id", "text"),
+        numBuckets = 4)
+      e.createStore("stats2", Seq("stats_id"))
+      e.push("stats2", Retrieval.bm25StatsFrame(docs, "doc_id", "text"),
+        numBuckets = 1)
+      val rebuilt = Retrieval.probeBm25Index(e, "post2", "stats2", queries,
+          "doc_id", "text")
+        .orderBy(col("query_id"), col("rank")).collect().toSeq
+      assert(probed == rebuilt,
+        s"seed=$seed nDelta=$nDelta repushAfter=$repushAfter: " +
+          "grown index diverged from one-shot build")
+      assert(probed.nonEmpty, s"seed=$seed produced no rankings")
+    }
   }
 
   test("BM25 index upsert: probe after delta ≡ probe of full rebuild") {
