@@ -1010,6 +1010,81 @@ object Queries {
             WHERE c_custkey <= 2000 AND c_custkey NOT BETWEEN 6 AND 10
             ORDER BY c_custkey"""))
 
+  /** W16: write-compute updates in the CHANGELOG — Venice's leader
+    * resolves an UPDATE into the full post-merge PUT on the version topic,
+    * so a changelog consumer sees a RESOLVED AFTER-IMAGE, never a partial
+    * record. Pins the whole contract: put-only keys stream raw records;
+    * update-touched keys emit one after-image (raw rows suppressed) at
+    * the key's latest contributing ts (log ∪ pending updates — so an
+    * updated-then-deleted key surfaces as ONE event at the delete ts,
+    * and it is LIVE: the W3 fold-on-top semantic recreates it from a
+    * null base, exactly what the serving view answers);
+    * an update to an absent key surfaces its null-base-created record.
+    * The regression behind it: update() moved the change coordinate but
+    * emitted nothing, so views saved the coordinate and skipped the
+    * update forever. */
+  val w16UpdateCdc = QueryDef(
+    "w16_update_cdc",
+    (s, dir) => {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      import graft.operators.{UpdateBuilder, WriteCompute}
+      val e = tempEngine(s, "graft-w16")
+      e.createStore("c", Seq("c_custkey"))
+      val cust = t(s, dir, "customer").filter(col("c_custkey") <= 2000)
+      e.push("c", cust, numBuckets = 4)
+      e.put("c", cust.filter(col("c_custkey") <= 10)
+        .withColumn("c_name",
+          concat(lit("P-"), col("c_custkey").cast("string"))), tsMs = 1000L)
+      val valueSchema = StructType(
+        e.snapshot("c").schema.fields.filterNot(_.name == "c_custkey"))
+      val u = new UpdateBuilder(valueSchema)
+        .setField("c_mktsegment", "UPD").buildRow()
+      val updSchema = StructType(StructField("c_custkey", LongType) +:
+        WriteCompute.deriveUpdateSchema(valueSchema).fields)
+      val updKeys = (6L to 15L) :+ 9999L // 6-10 overlap puts; 9999 absent
+      e.update("c", s.createDataFrame(
+        java.util.Arrays.asList(updKeys.map(k => Row.fromSeq(k +: u.toSeq)): _*),
+        updSchema), tsMs = 2000L)
+      e.delete("c", s.createDataFrame(
+        java.util.Arrays.asList(Row(14L), Row(15L), Row(20L)),
+        StructType(Seq(StructField("c_custkey", LongType)))), tsMs = 3000L)
+      e.changelog("c", sinceTsMs = 0L)
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+          col(graft.core.GraftEngine.TsCol).as("ts"),
+          col(graft.core.GraftEngine.DeletedCol).as("deleted"))
+        .orderBy(col("c_custkey"), col("ts"))
+    },
+    Some("""WITH base AS (SELECT c_custkey, c_name, c_mktsegment
+              FROM customer WHERE c_custkey <= 2000)
+            SELECT c_custkey, 'P-' || c_custkey AS c_name, c_mktsegment,
+              CAST(1000 AS BIGINT) AS ts, false AS deleted
+            FROM base WHERE c_custkey BETWEEN 0 AND 5
+            UNION ALL
+            SELECT c_custkey,
+              CASE WHEN c_custkey <= 10 THEN 'P-' || c_custkey
+                   ELSE c_name END AS c_name,
+              'UPD' AS c_mktsegment, CAST(2000 AS BIGINT) AS ts,
+              false AS deleted
+            FROM base WHERE c_custkey BETWEEN 6 AND 13
+            UNION ALL
+            -- deleted-then-still-updated keys resolve LIVE (the W3
+            -- fold-on-top semantic: pending updates apply onto the
+            -- post-LWW state whatever the delete's ts — the fuzz-model
+            -- pin), so their after-image is a null-base record carrying
+            -- only the updated field, at the delete's (max) ts
+            SELECT c_custkey, CAST(NULL AS VARCHAR) AS c_name,
+              'UPD' AS c_mktsegment,
+              CAST(3000 AS BIGINT) AS ts, false AS deleted
+            FROM base WHERE c_custkey IN (14, 15)
+            UNION ALL
+            SELECT CAST(20 AS BIGINT), CAST(NULL AS VARCHAR),
+              CAST(NULL AS VARCHAR), CAST(3000 AS BIGINT), true
+            UNION ALL
+            SELECT CAST(9999 AS BIGINT), CAST(NULL AS VARCHAR),
+              'UPD', CAST(2000 AS BIGINT), false
+            ORDER BY c_custkey, ts"""))
+
   /** DSv2 connector read: the same hybrid store as w1 (push + RT puts +
     * tombstones), but read back through VANILLA
     * `spark.read.format("graft")` — no engine API on the read path. The
@@ -8504,7 +8579,7 @@ object Queries {
     qSessionize,
     b3Ttl, b4Compaction, b4DupAudit, b7Quota, b8Partition,
     w3WriteCompute, w5Lww, w6DeleteWins, w7Crdt, w7CrdtMap, w8Squash, w11Div, w12Hll, w13HotKeys,
-    w15ApplyCdc,
+    w15ApplyCdc, w16UpdateCdc,
     r12Meta, r13SchemaEvolution, b13IncrementalView, b14AaView, b19JoinView,
     r14AaEvolution, s3LagGate, w1PutDelete, dsv2StoreRead, dsv2StoreWrite,
     dsv2ChangelogRead, dsv2StreamWrite, dsv2AsofRead, dsv2Replication,

@@ -648,13 +648,18 @@ class GraftEngine(val spark: SparkSession, val root: String) {
     * in timestamp order at read time. */
   def update(name: String, updateRows: DataFrame, tsMs: Long): Unit = {
     requireNotAa(name, "setFieldAA/addToSetAA/removeFromSetAA/putMapEntryAA")
-    updateRows
-      .withColumn(graft.operators.WriteCompute.TsCol, lit(tsMs))
-      .write.mode("append").parquet(dir(name, "updates"))
     // write-compute rides the same change coordinate as puts (in Venice
     // UPDATE shares the RT topic): freshness checks — [[cachedServingView]],
-    // view refresh — must see it move
-    nextLogSeq(name)
+    // view refresh — must see it move. The batch carries its seq so
+    // [[changelogSince]] can tell WHICH pending updates a coordinate has
+    // already seen (the fold paths select their own columns and ignore it;
+    // a squash/compact rewrite may drop it — absent seq reads as
+    // always-new, which only over-emits an idempotent after-image).
+    val seq = nextLogSeq(name)
+    updateRows
+      .withColumn(graft.operators.WriteCompute.TsCol, lit(tsMs))
+      .withColumn(LogSeqCol, lit(seq))
+      .write.mode("append").parquet(dir(name, "updates"))
   }
 
   private def hasUpdates(name: String): Boolean =
@@ -1472,7 +1477,16 @@ class GraftEngine(val spark: SparkSession, val root: String) {
           concat_ws("|", snap.columns.filterNot(Set(TsCol, DeletedCol))
             .map(c => col(c).cast("string")): _*), col(DeletedCol))
       }
-    Merge.dropTombstones(merged, col(DeletedCol)).drop(TsCol, DeletedCol)
+    val base = Merge.dropTombstones(merged, col(DeletedCol))
+      .drop(TsCol, DeletedCol)
+    // pending write-compute updates are part of history too: fold the ones
+    // at or before the instant, exactly like [[servingView]] does with all
+    // of them (an as-of read at ts ≥ every write must equal the live view)
+    if (!hasUpdates(name)) base
+    else graft.operators.WriteCompute.applyUpdates(base,
+      readUpdates(name)
+        .filter(col(graft.operators.WriteCompute.TsCol) <= tsMs),
+      meta.keyCols)
   }
 
   // ---- CDC (S4) ------------------------------------------------------------
@@ -1487,8 +1501,23 @@ class GraftEngine(val spark: SparkSession, val root: String) {
       require(hasAaLog(name), s"store $name has no A/A op log")
       return aaAfterImages(name, col(TsCol) >= sinceTsMs)
     }
-    require(hasLog(name), s"store $name has no RT log")
-    readLog(name).filter(col(TsCol) >= sinceTsMs)
+    require(hasLog(name) || hasUpdates(name), s"store $name has no RT log")
+    val raw =
+      if (!hasLog(name))
+        resolvedSnapshot(name).limit(0)
+          .withColumn(TsCol, lit(0L)).withColumn(DeletedCol, lit(false))
+      else readLog(name).filter(col(TsCol) >= sinceTsMs)
+    if (!hasUpdates(name)) raw
+    else {
+      // write-compute updates surface as resolved after-images (the
+      // leader's UPDATE→PUT), same contract as [[changelogSince]]
+      val meta = storeMeta(name)
+      val ai = lwwUpdateAfterImages(name,
+        col(graft.operators.WriteCompute.TsCol) >= sinceTsMs,
+        Some(raw.select(meta.keyCols.map(col): _*)))
+      raw.join(ai.select(meta.keyCols.map(col): _*), meta.keyCols, "left_anti")
+        .unionByName(ai)
+    }
   }
 
   /** Resolved after-images for the keys touched by op-log rows matching
@@ -1565,20 +1594,106 @@ class GraftEngine(val spark: SparkSession, val root: String) {
       return aaAfterImages(name, col(LogSeqCol) > coord.seq)
     }
     val logExists = hasLog(name)
+    val hasUpd = hasUpdates(name)
     if (coord.version != currentVersion(name) ||
           coord.epoch != currentEpoch(name)) {
       val snap = resolvedSnapshot(name)
         .withColumn(TsCol, lit(0L)).withColumn(DeletedCol, lit(false))
-      if (logExists) snap.unionByName(readLog(name)) else snap
-    } else if (!logExists) {
-      // caught up on the current version with nothing appended since
-      resolvedSnapshot(name).limit(0)
-        .withColumn(TsCol, lit(0L)).withColumn(DeletedCol, lit(false))
+      val base = if (logExists) snap.unionByName(readLog(name)) else snap
+      if (!hasUpd) base
+      else {
+        // full-state read: keys with pending write-compute updates emit
+        // their RESOLVED after-image (the fold is not ts-LWW-expressible,
+        // so their raw rows are replaced, not merely joined)
+        val ai = lwwUpdateAfterImages(name, lit(true), None)
+        base.join(ai.select(storeMeta(name).keyCols.map(col): _*),
+            storeMeta(name).keyCols, "left_anti")
+          .unionByName(ai)
+      }
     } else {
-      conformLog(name, spark.read.option("mergeSchema", "true")
-        .parquet(dir(name, "log"))
-        .filter(col(LogSeqCol) > coord.seq).drop(LogSeqCol, SchemaIdCol))
+      val logDelta =
+        if (!logExists)
+          // caught up on the current version with nothing appended since
+          resolvedSnapshot(name).limit(0)
+            .withColumn(TsCol, lit(0L)).withColumn(DeletedCol, lit(false))
+        else conformLog(name, spark.read.option("mergeSchema", "true")
+          .parquet(dir(name, "log"))
+          .filter(col(LogSeqCol) > coord.seq).drop(LogSeqCol, SchemaIdCol))
+      if (!hasUpd) logDelta
+      else {
+        // write-compute deltas (the bug this closes: update() moves the
+        // coordinate but its rows live in updates/, not log/ — a raw-log
+        // delta was EMPTY and the refresh saved the coordinate, silently
+        // skipping the update forever): emit resolved after-images for
+        // keys with new pending updates, AND for log-delta keys that have
+        // any pending update (their raw row alone under-represents the
+        // folded state). Raw rows for after-imaged keys are suppressed —
+        // within a batch the after-image IS that key's state.
+        val meta = storeMeta(name)
+        val ai = lwwUpdateAfterImages(name,
+          coalesce(col(LogSeqCol), lit(Long.MaxValue)) > coord.seq,
+          Some(logDelta.select(meta.keyCols.map(col): _*)))
+        logDelta.join(ai.select(meta.keyCols.map(col): _*),
+            meta.keyCols, "left_anti")
+          .unionByName(ai)
+      }
     }
+  }
+
+  /** Resolved after-images for keys with pending write-compute updates —
+    * the LWW analog of [[aaAfterImages]], and the Venice leader's
+    * UPDATE→full-PUT resolution (a changelog consumer never sees a partial
+    * update, it sees the record the update produced; semantics, not code).
+    * Emits one row per touched key: the post-fold serving state (or a
+    * tombstone if the key resolves dead), stamped with the key's LATEST
+    * contributing ts across the full log and every pending update — the
+    * pending set only grows between repushes, so re-emissions are
+    * ts-monotone and idempotent under the consumer's LWW fold. (A
+    * same-ts re-emission after a lower-ts late write falls to the
+    * deterministic tie-break — documented, the fold-on-top semantic is
+    * not exactly expressible in ts-LWW; view refresh is immune, it
+    * applies deltas at its own ticks.)
+    *
+    * `updFilter` selects which pending updates count as "touched";
+    * `alsoKeys` adds delta keys that must be after-imaged because they
+    * also carry pending updates. Cost: the touched-key set is delta-sized
+    * and broadcasts; the serving view is scanned ONCE, linearly, to slice
+    * those keys' resolved rows (same shape as [[aaAfterImages]]) — no
+    * quadratic term, and stores without pending updates skip all of it
+    * behind one directory probe. */
+  private def lwwUpdateAfterImages(name: String, updFilter: Column,
+      alsoKeys: Option[DataFrame]): DataFrame = {
+    val meta = storeMeta(name)
+    val keyCols = meta.keyCols.map(col)
+    val upd = readUpdates(name)
+    val updKeys = upd.select(keyCols: _*).distinct()
+    val touched0 = upd.filter(updFilter).select(keyCols: _*).distinct()
+    val touched = (alsoKeys match {
+      case Some(k) => touched0.unionByName(
+        k.join(updKeys, meta.keyCols, "left_semi")).distinct()
+      case None => touched0
+    })
+    val updTs = upd.groupBy(keyCols: _*)
+      .agg(max(col(graft.operators.WriteCompute.TsCol)).as("__uts"))
+    val logTs =
+      if (!hasLog(name)) touched.withColumn("__lts", lit(0L))
+      else readLog(name).groupBy(keyCols: _*).agg(max(col(TsCol)).as("__lts"))
+    val ts = touched
+      .join(updTs, meta.keyCols, "left")
+      .join(logTs, meta.keyCols, "left")
+      .select(keyCols :+ greatest(coalesce(col("__uts"), lit(0L)),
+        coalesce(col("__lts"), lit(0L))).as(TsCol): _*)
+    val sv = servingView(name)
+    val live = sv.join(ts, meta.keyCols)
+      .withColumn(DeletedCol, lit(false))
+    val valueFields = sv.schema.fields.filterNot(f => meta.keyCols.contains(f.name))
+    val dead = ts.join(sv.select(keyCols: _*), meta.keyCols, "left_anti")
+      .select(keyCols ++ valueFields.map(f =>
+        lit(null).cast(f.dataType).as(f.name)) ++
+        Seq(col(TsCol), lit(true).as(DeletedCol)): _*)
+    live.select(live.columns.filterNot(c => c == TsCol || c == DeletedCol)
+        .map(col) ++ Seq(col(TsCol), col(DeletedCol)): _*)
+      .unionByName(dead)
   }
 
   // ---- repush (B3/B4: TTL + compaction into a new version) -----------------
@@ -1650,8 +1765,19 @@ class GraftEngine(val spark: SparkSession, val root: String) {
       .drop(TsCol, DeletedCol)
     val compacted =
       if (!hasUpdates(name)) base
-      else graft.operators.WriteCompute.applyUpdates(base,
-        readUpdates(name), meta.keyCols)
+      else {
+        // the TTL ages out pending UPDATE records exactly like puts
+        // (Venice's TTL repush filters the RT replay per-record by its
+        // write timestamp, whatever the record type — semantics, not
+        // code); without this an aged-out put's companion update would
+        // survive the fold and resurrect stale state into the new version
+        val upd = ttlStartMs match {
+          case Some(t0) => readUpdates(name)
+            .filter(col(graft.operators.WriteCompute.TsCol) >= t0)
+          case None => readUpdates(name)
+        }
+        graft.operators.WriteCompute.applyUpdates(base, upd, meta.keyCols)
+      }
     // materialize BEFORE archiving the logs the plan reads from
     val rows = compacted.cache()
     rows.count()

@@ -727,6 +727,10 @@ class EngineFuzzSpec extends AnyFunSuite {
   sealed trait VOp
   case class VLPut(ks: Seq[Long], tag: Int, ts: Long) extends VOp
   case class VLDel(ks: Seq[Long], ts: Long) extends VOp
+  /** Write-compute partial update of L's `lv` field (LWW source) /
+    * setFieldAA (A/A source) — the delta shape changelogSince must
+    * surface as a resolved after-image, not an empty raw-log delta. */
+  case class VLUpd(k: Long, lv: Long, ts: Long) extends VOp
   case class VRPut(ks: Seq[Long], tag: Int, ts: Long) extends VOp
   case class VRDel(ks: Seq[Long], ts: Long) extends VOp
   case object VRepushL extends VOp
@@ -740,6 +744,8 @@ class EngineFuzzSpec extends AnyFunSuite {
     Gen.frequency(
       4 -> Gen.zip(ks, Gen.choose(0, 9)).map { case (k, t) => VLPut(k, t, 0L) },
       3 -> ks.map(VLDel(_, 0L)),
+      2 -> Gen.zip(Gen.choose(1L, 12L), Gen.choose(0L, 9L))
+        .map { case (k, t) => VLUpd(k, 5000L + t, 0L) },
       3 -> Gen.zip(ks, Gen.choose(0, 9)).map { case (k, t) => VRPut(k, t, 0L) },
       2 -> ks.map(VRDel(_, 0L)),
       1 -> Gen.const(VRepushL), 1 -> Gen.const(VRollbackL),
@@ -753,6 +759,7 @@ class EngineFuzzSpec extends AnyFunSuite {
   } yield ops.zipWithIndex.map { // monotone ts per op keeps intent obvious;
     case (o: VLPut, i) => o.copy(ts = 100L + i) // refresh ≡ recompute must
     case (o: VLDel, i) => o.copy(ts = 100L + i) // hold under ANY ts anyway
+    case (o: VLUpd, i) => o.copy(ts = 100L + i)
     case (o: VRPut, i) => o.copy(ts = 100L + i)
     case (o: VRDel, i) => o.copy(ts = 100L + i)
     case (o, _) => o
@@ -797,6 +804,20 @@ class EngineFuzzSpec extends AnyFunSuite {
       case VLDel(ks, ts) =>
         if (aaLeft) e.deleteAA("L", kdf(ks), ts)
         else e.delete("L", kdf(ks), ts)
+      case VLUpd(k, lv, ts) =>
+        if (aaLeft) e.setFieldAA("L",
+          spark.createDataFrame(Seq(Row(k, lv)).asJava, StructType(Seq(
+            StructField("k", LongType), StructField("lv", LongType)))),
+          "lv", ts)
+        else {
+          val vs = StructType(Seq(StructField("g", LongType),
+            StructField("lv", LongType)))
+          val us = StructType(StructField("k", LongType) +:
+            WriteCompute.deriveUpdateSchema(vs).fields)
+          e.update("L", spark.createDataFrame(Seq(Row.fromSeq(
+            k +: new UpdateBuilder(vs).setField("lv", lv).buildRow().toSeq))
+            .asJava, us), ts)
+        }
       case VRPut(ks, tag, ts) => e.put("R", rdf(ks, tag), ts)
       case VRDel(ks, ts) => e.delete("R", kdf(ks), ts)
       case VRepushL => e.repush("L"); lCurrent += 1

@@ -377,6 +377,69 @@ class EngineSpec extends AnyFunSuite {
     assert(view2.count() == 999)
   }
 
+  test("write-compute updates reach views, the changelog and as-of reads") {
+    // regression: update() moves the change coordinate but its rows live
+    // in updates/, not log/ — changelogSince returned an EMPTY delta, the
+    // refresh saved the new coordinate, and every view silently skipped
+    // the update forever (until a version bump forced a resync). Updates
+    // now surface as resolved after-images (the Venice leader's
+    // UPDATE→full-PUT), as-of reads fold time-filtered pending updates.
+    import spark.implicits._
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import graft.operators.{UpdateBuilder, WriteCompute}
+    val e = new GraftEngine(spark,
+      java.nio.file.Files.createTempDirectory("graft-upd-views").toString)
+    e.createStore("u", Seq("k"))
+    e.push("u", (1L to 100L).map(k => (k, k % 5, k)).toDF("k", "g", "lv"),
+      numBuckets = 4)
+    e.createStore("r", Seq("k"))
+    e.push("r", (1L to 50L).map(k => (k, k * 10)).toDF("k", "rv"),
+      numBuckets = 4)
+    e.materializedView("u", "mv", Seq("g", "k"), numBuckets = 4)
+    e.aggregateView("u", "av", Seq("g"), Seq("slv" -> "lv"), numBuckets = 4)
+    e.joinView("u", "r", "jv", numBuckets = 4)
+    val valueSchema = StructType(Seq(StructField("g", LongType),
+      StructField("lv", LongType)))
+    val updSchema = StructType(StructField("k", LongType) +:
+      WriteCompute.deriveUpdateSchema(valueSchema).fields)
+    def upd(k: Long, fields: Seq[(String, Long)], ts: Long): Unit = {
+      val b = fields.foldLeft(new UpdateBuilder(valueSchema)) {
+        case (acc, (f, v)) => acc.setField(f, v) }
+      e.update("u", spark.createDataFrame(
+        java.util.Arrays.asList(Row.fromSeq(k +: b.buildRow().toSeq)),
+        updSchema), ts)
+    }
+    upd(3L, Seq("lv" -> 1000L), ts = 100L)           // mutate an existing key
+    upd(999L, Seq("g" -> 2L, "lv" -> 7L), ts = 110L) // null-base CREATE
+    e.refreshView("mv"); e.refreshAggView("av"); e.refreshJoinView("jv")
+    def canon(df: org.apache.spark.sql.DataFrame, cols: String*) =
+      df.select(cols.map(col): _*).collect().map(_.toSeq).toSet
+    val src = e.servingView("u")
+    assert(src.filter($"k" === 3L).head().getLong(2) == 1000L)
+    assert(canon(e.servingView("mv"), "g", "k", "lv") ==
+      canon(src, "g", "k", "lv"), "materialized view missed the update")
+    assert(canon(e.servingView("av"), "g", "n", "slv") ==
+      canon(src.groupBy($"g").agg(count(lit(1)).as("n"),
+        sum($"lv").as("slv")), "g", "n", "slv"),
+      "aggregate view missed the update")
+    assert(canon(e.servingView("jv"), "k", "lv", "rv") ==
+      canon(src.join(e.servingView("r"), Seq("k")), "k", "lv", "rv"),
+      "join view missed the update")
+    // ts-based changelog: both touched keys surface as after-images
+    val cl = e.changelog("u", sinceTsMs = 0L)
+    val byKey = cl.collect().map(r => r.getLong(0) ->
+      (r.getAs[Long]("lv"), r.getAs[Boolean]("__deleted"))).toMap
+    assert(byKey(3L) == (1000L, false) && byKey(999L) == (7L, false),
+      s"changelog after-images wrong: $byKey")
+    // as-of: before the update ts → pre-update value; at ∞ ≡ live view
+    assert(e.servingViewAsOf("u", 50L).filter($"k" === 3L)
+      .head().getLong(2) == 3L)
+    assert(e.servingViewAsOf("u", 50L).filter($"k" === 999L).count() == 0)
+    assert(canon(e.servingViewAsOf("u", Long.MaxValue), "k", "g", "lv") ==
+      canon(src, "k", "g", "lv"), "as-of(∞) diverged from the live view")
+  }
+
   test("A/A changelog + incremental view refresh touch only changed keys") {
     import spark.implicits._
     engine.createStore("aasrc", Seq("k"))
@@ -639,6 +702,34 @@ class EngineSpec extends AnyFunSuite {
     // a LATER update (after the erasure request) may legitimately recreate
     upd(2L, "fresh", 2000L)
     assert(e.servingView("s").filter(col("k") === 2L).count() == 1L)
+  }
+
+  test("TTL repush ages out pending write-compute updates like puts") {
+    // the TTL contract is per-record by write ts, whatever the record
+    // type (Venice filters the RT replay uniformly): an update older than
+    // ttlStart must NOT survive the fold while a fresher one must
+    import spark.implicits._
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import graft.operators.{UpdateBuilder, WriteCompute}
+    val e = new GraftEngine(spark,
+      java.nio.file.Files.createTempDirectory("graft-ttl-upd").toString)
+    e.createStore("s", Seq("k"))
+    e.push("s", Seq((1L, "x"), (2L, "y")).toDF("k", "v"), numBuckets = 2)
+    val valueSchema = StructType(Seq(StructField("v", StringType)))
+    val updSchema = StructType(StructField("k", LongType) +:
+      WriteCompute.deriveUpdateSchema(valueSchema).fields)
+    def upd(k: Long, v: String, ts: Long): Unit =
+      e.update("s", spark.createDataFrame(java.util.Arrays.asList(
+        Row.fromSeq(k +: new UpdateBuilder(valueSchema).setField("v", v)
+          .buildRow().toSeq)), updSchema), ts)
+    upd(1L, "aged-out", ts = 200L)
+    upd(2L, "fresh", ts = 900L)
+    e.repush("s", ttlStartMs = Some(500L))
+    val got = e.servingView("s")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "x", 2L -> "fresh"),
+      s"TTL treated updates differently from puts: $got")
   }
 
   test("rollback / rollForward flip the serving pointer; vacuum ends both") {
