@@ -312,6 +312,35 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p.take(1200))
   }
 
+  test("changelog after-images: touched keys broadcast, no cartesian, and " +
+      "a store without updates skips the after-image subtree") {
+    import spark.implicits._
+    val e = new GraftEngine(spark,
+      Files.createTempDirectory("plan-cdc-upd").toString)
+    e.createStore("s", Seq("k"))
+    e.push("s", (1L to 1000L).map(k => (k, s"v$k")).toDF("k", "v"),
+      numBuckets = 4)
+    e.put("s", Seq((1L, "p1")).toDF("k", "v"), tsMs = 100L)
+    // no pending updates → the changelog plan must not touch updates/ at
+    // all (the probe short-circuits before any plan is built)
+    val p0 = plan(e.changelog("s", 0L))
+    assert(!p0.contains("updates"), p0.take(800))
+    // with pending updates: the touched-key set is tiny and must ride
+    // broadcast joins against the store-sized sides; nothing cartesian
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import graft.operators.{UpdateBuilder, WriteCompute}
+    val vs = StructType(Seq(StructField("v", StringType)))
+    val us = StructType(StructField("k", LongType) +:
+      WriteCompute.deriveUpdateSchema(vs).fields)
+    e.update("s", spark.createDataFrame(java.util.Arrays.asList(
+      Row.fromSeq(2L +: new UpdateBuilder(vs).setField("v", "u2")
+        .buildRow().toSeq)), us), tsMs = 200L)
+    val p1 = plan(e.changelog("s", 0L))
+    assert(!p1.contains("CartesianProduct"), p1.take(1500))
+    assert(p1.contains("BroadcastHashJoin"), p1.take(1500))
+  }
+
   test("NB filter: 1-row totals/prior broadcast, corpus side never cartesian") {
     val p = plan(Queries.byName("nb_classifier_filter").fn(spark, sf))
     // the two 1-row frames (class totals, prior) must ride broadcast nested
