@@ -314,6 +314,13 @@ class EngineFuzzSpec extends AnyFunSuite {
   case class ATagAdd(k: Long, tag: String, ts: Long) extends AOp
   case class ATagRem(k: Long, tag: String, ts: Long) extends AOp
   case class AAdmin(kind: String, n: Int, ts: Long) extends AOp // repush etc
+  /** A/A compliance purge: deleteAA at a ts beating every prior write,
+    * TTL repush at ts+1 (GCs ALL tombstones — their max contributing ts
+    * is ≤ ts), vacuum (backups gone → rollback must refuse). Later
+    * lower-ts writes RESURRECT from a blank base: the RMD that would
+    * have killed them was garbage-collected — the documented TTL
+    * tradeoff, now fuzzed against the model. */
+  case class APurge(ks: Seq[Long], ts: Long) extends AOp
   /** Register the evolved A/A schema (adds `extra: Long`). */
   case class AEvolve(ts: Long) extends AOp
   /** Put under the EVOLVED writer schema. Pre-evolution the engine
@@ -442,6 +449,19 @@ class EngineFuzzSpec extends AnyFunSuite {
         versions(v) = resolve(); current = v; ops = Vector.empty
       case AAdmin("rollback", _, _) =>
         current = versions.keys.filter(_ < current).max
+      case APurge(ks, ts) =>
+        // tombstone the keys at the all-beating ts, then fold with the
+        // TTL at ts+1: every tombstone's max contributing ts is ≤ ts, so
+        // ALL tombstoned records (purged keys AND earlier plain deletes)
+        // are physically dropped; vacuum retires the older versions
+        ks.foreach(k => ops :+= ADel(k, ts))
+        val kept = resolve().filter { case (_, r) =>
+          r.rec || r.name.v.nonEmpty || r.score.v.nonEmpty ||
+            r.extra.v.nonEmpty || liveTags(r.tags).nonEmpty
+        }
+        val v = current + 1
+        versions.clear(); versions(v) = kept; current = v
+        ops = Vector.empty
       case AEvolve(_) => evolved = true
       case APutNew(k, n, s, _, ts) if !evolved =>
         ops :+= APut(k, n, s, ts) // conform dropped the unknown column
@@ -471,12 +491,14 @@ class EngineFuzzSpec extends AnyFunSuite {
     val tagRem = for {
       k <- Gen.oneOf(Keys); t <- tagPool(k)
     } yield ATagRem(k, t, 0L)
+    val purge = Gen.nonEmptyContainerOf[Set, Long](Gen.oneOf(Keys))
+      .map(ks => APurge(ks.toSeq.sorted, 0L))
     Gen.frequency(4 -> put, 3 -> del, 3 -> set,
       1 -> Gen.const(AAdmin("repush", 0, 0L)),
       1 -> Gen.const(AAdmin("rollback", 0, 0L)),
       1 -> Gen.choose(2, 8).map(n => AAdmin("rebucket", n, 0L)),
       1 -> Gen.const(AEvolve(0L)), 2 -> putNew,
-      2 -> tagAdd, 2 -> tagRem)
+      2 -> tagAdd, 2 -> tagRem, 1 -> purge)
   }
 
   /** Distinct, SHUFFLED timestamps: ops arrive out of ts order — the A/A
@@ -493,6 +515,9 @@ class EngineFuzzSpec extends AnyFunSuite {
     case (o: APutNew, t) => o.copy(ts = t)
     case (o: ATagAdd, t) => o.copy(ts = t)
     case (o: ATagRem, t) => o.copy(ts = t)
+    // the purge ts must beat every write ts in the script (the erasure
+    // contract); the +t keeps two purges' ts distinct and ordered
+    case (o: APurge, t) => o.copy(ts = 100000L + t)
     case (o: AEvolve, _) => o
     case (o: AAdmin, _) => o
   }
@@ -587,6 +612,10 @@ class EngineFuzzSpec extends AnyFunSuite {
               StructField("score", LongType)))), "score", ts)
         model(op)
       case op @ AAdmin("repush", _, _) => e.repush("s"); model(op)
+      case op @ APurge(ks, ts) =>
+        e.purge("s", spark.createDataFrame(ks.map(Row(_)).asJava,
+          StructType(Seq(StructField("k", LongType)))), ts)
+        model(op)
       case op @ AAdmin("rebucket", n, _) => e.rebucket("s", n); model(op)
       case op @ AAdmin("rollback", _, _) =>
         if (model.hasBackup) { e.rollback("s"); model(op) }
