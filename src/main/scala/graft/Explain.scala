@@ -10,7 +10,8 @@ object Explain {
       else Set("q1_agg", "q3_join_topk", "r2_batchget", "r4_dotproduct",
         "b4_compaction", "dedup_minhash_lsh", "ann_topk",
         "q9_profit", "q21_waiting_supplier", "dedup_ngram_capped",
-        "dedup_simhash64", "dsv2_store_read", "b19_join_view")
+        "dedup_simhash64", "dsv2_store_read", "b19_join_view",
+        "ann_sq8", "w16_update_cdc")
     val spark = graft.core.GraftSession.build(cpus = 4, appName = "explain")
     Queries.all.filter(q => names(q.name)).foreach { q =>
       println(s"\n========== ${q.name} ==========")

@@ -13,8 +13,8 @@ import graft.core.{GraftEngine, GraftSession}
 import graft.operators.{UpdateBuilder, WriteCompute}
 
 /** Engine-level differential fuzzing: random op interleavings
-  * (put/delete/update/repush/rollback/rebucket — plus compliance purge on
-  * the LWW alphabet — over LWW and A/A stores)
+  * (put/delete/update/repush/rollback/rebucket/compliance-purge over LWW
+  * and A/A stores)
   * executed against a real [[GraftEngine]] and replayed on a sequential
   * in-memory model of the documented semantics — the engine-boundary
   * analog of the reference's TLA+ intent (specs/TLA+/CRDT: convergence of
