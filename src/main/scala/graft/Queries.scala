@@ -2511,6 +2511,41 @@ object Queries {
     },
     annIvf.oracle)
 
+  /** The SQ8-COMPRESSED servable index, probed end-to-end: cell posting
+    * lists store TINYINT code vectors (1 byte/dim — the 4× shrink applied
+    * to the serving layout), the probe batchGets only the probed cells,
+    * shortlists by the exact integer code dot, and fetches just the
+    * shortlist ids' float vectors from the separate id→vec value store
+    * for the exact rerank — candidate generation never touches the float
+    * corpus. Wide shortlist ⇒ result ≡ ivfTopK with the same parameters,
+    * so the oracle is `ann_ivf`'s SQL verbatim; the narrow production
+    * shortlist is PipelineSpec-pinned. */
+  val annIndexSq8 = QueryDef(
+    "ann_index_sq8",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val e = tempEngine(s, "graft-annsq8")
+      val trained = graft.operators.Similarity.kmeansCentroids(
+        corpus, k = 8, iters = 2)
+      e.createStore("cent", Seq("cid"))
+      e.push("cent", trained.select(col("id").as("cid"), col("vec").as("cvec")),
+        numBuckets = 2)
+      val cents = e.servingView("cent")
+        .select(col("cid").as("id"), col("cvec").as("vec"))
+      e.createStore("ivf8", Seq("cid"))
+      e.push("ivf8", graft.operators.Similarity.ivfSq8IndexFrame(corpus, cents),
+        numBuckets = 4)
+      e.createStore("vecs", Seq("id"))
+      e.push("vecs", corpus, numBuckets = 4)
+      graft.operators.Similarity.probeIvfSq8Index(e, "ivf8", "cent", "vecs",
+          queries, k = 10, nProbe = 2)
+        .orderBy(col("qid"), col("rank"))
+    },
+    annIvf.oracle)
+
   /** LSH-bucketed ANN (scale path): the hyperplanes are deterministic md5
     * literals (Similarity.planeSignVal), so the oracle replays the whole
     * pipeline — plane construction, sign-bit code, radius-1 multi-probe,
@@ -8591,6 +8626,7 @@ object Queries {
     dedupIndexProbe,
     dedupNgramCapped, dedupContainment, sampleClusterBalanced, dedupEmbedding,
     dedupClusters, annTopk, annSq8, annLsh, annIvf, annIndexProbe,
+    annIndexSq8,
     textStats, textTokenCounts,
     mmDecode, mmFrames, textPiiRedact, splitAssignQ,
     decontaminate, sampleStratified, mixTokenBudget, textWinnow,

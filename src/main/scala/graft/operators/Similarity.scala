@@ -339,6 +339,57 @@ object Similarity {
       .select(col("qid"), col("rank"), col("id"), col("sim"))
   }
 
+  /** The SQ8-COMPRESSED IVF index as a servable store: cell posting lists
+    * carry (id, q) structs with q = [[sq8UnitCodes]] cast to TINYINT — one
+    * byte per dimension, the 4× store shrink of the compression ladder
+    * applied to the serving layout itself (the float corpus lives only in
+    * the separate id→vec value store the final rerank points at). */
+  def ivfSq8IndexFrame(corpus: DataFrame, centroids: DataFrame): DataFrame =
+    ivfAssign(corpus, centroids).filter(col("rn") === 1)
+      .groupBy(col("cid"))
+      .agg(array_sort(collect_list(struct(col("id"),
+        sq8UnitCodes(col("vec")).cast("array<tinyint>").as("q"))))
+        .as("members"))
+
+  /** Probe the SQ8 store-backed index — the full two-stage serving shape:
+    * assign queries against the served codebook, batchGet ONLY the probed
+    * cells' code postings (bucket-set-pruned point reads, 1 byte/dim on
+    * the wire), shortlist by the EXACT integer code dot, then fetch just
+    * the shortlist ids' true vectors from the value store (more point
+    * reads — the corpus is never scanned) for the exact cosine rerank.
+    * With `shortlist` ≥ every probed candidate the integer stage reorders
+    * but drops nothing, so the result is EXACTLY [[ivfTopK]] with the
+    * same parameters (the `ann_index_sq8` oracle is `ann_ivf`'s SQL
+    * verbatim); production shortlists trade the standard quantization
+    * recall for k/shortlist × less value-store traffic. */
+  def probeIvfSq8Index(engine: graft.core.GraftEngine, store: String,
+      centroidStore: String, vecStore: String, queries: DataFrame,
+      k: Int, nProbe: Int, shortlist: Int = Int.MaxValue): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist < k $k")
+    val cents = engine.servingView(centroidStore)
+      .select(col("cid").as("id"), col("cvec").as("vec"))
+    val probes = ivfAssign(
+        queries.select(col("qid").as("id"), col("qvec").as("vec")), cents)
+      .filter(col("rn") <= nProbe)
+      .select(col("id").as("qid"), sq8UnitCodes(col("vec")).as("__qq"),
+        col("cid"))
+    val hits = engine.batchGet(store, probes.select(col("cid")).distinct())
+    val cand = probes.join(hits, "cid")
+      .select(col("qid"), col("__qq"), explode(col("members")).as("m"))
+      .select(col("qid"), col("__qq"), col("m").getField("id").as("id"),
+        col("m").getField("q").cast("array<double>").as("__q"))
+      .filter(col("id") =!= col("qid"))
+      .withColumn("qdot", vecDot(col("__q"), col("__qq")).cast("long"))
+      .select(col("qid"), col("id"), col("qdot")).distinct()
+    val short = cand.withColumn("rk", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("qdot").desc, col("id"))))
+      .filter(col("rk") <= shortlist)
+    val vecs = engine.batchGet(vecStore, short.select(col("id")).distinct())
+      .select(col("id"), col("vec"))
+    rerankExact(vecs, queries, short.select(col("qid"), col("id")), k)
+  }
+
   /** All pairs with cosine ≥ threshold (embedding near-dup), EXACT, with no
     * CartesianProduct node in the plan.
     *

@@ -104,6 +104,41 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall > 0.9, s"narrow-shortlist recall $recall")
   }
 
+  test("SQ8 store-backed index: narrow shortlist recovers the wide result") {
+    val emb = Tables.embeddings(spark, sf)
+    val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val queries = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val e = new graft.core.GraftEngine(spark,
+      java.nio.file.Files.createTempDirectory("annsq8-spec").toString)
+    val trained = Similarity.kmeansCentroids(corpus, k = 8, iters = 2)
+    e.createStore("cent", Seq("cid"))
+    e.push("cent", trained.select(col("id").as("cid"), col("vec").as("cvec")),
+      numBuckets = 2)
+    val cents = e.servingView("cent")
+      .select(col("cid").as("id"), col("cvec").as("vec"))
+    e.createStore("ivf8", Seq("cid"))
+    e.push("ivf8", Similarity.ivfSq8IndexFrame(corpus, cents), numBuckets = 4)
+    e.createStore("vecs", Seq("id"))
+    e.push("vecs", corpus, numBuckets = 4)
+    // wide shortlist ≡ the in-memory composition ≡ ivfTopK (plumbing pin)
+    val wide = Similarity.probeIvfSq8Index(e, "ivf8", "cent", "vecs",
+        queries, k = 10, nProbe = 2)
+      .orderBy(col("qid"), col("rank")).collect().toSeq
+    val ivf = Similarity.ivfTopK(corpus, queries, k = 10, numCells = 8,
+        nProbe = 2)
+      .orderBy(col("qid"), col("rank")).collect().toSeq
+    assert(wide == ivf, "SQ8 store probe diverged from ivfTopK")
+    // narrow production shortlist: near-total agreement, 5× fewer
+    // value-store fetches per query
+    val narrow = Similarity.probeIvfSq8Index(e, "ivf8", "cent", "vecs",
+        queries, k = 10, nProbe = 2, shortlist = 50)
+      .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val wideSet = wide.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (wideSet intersect narrow).size.toDouble / wideSet.size
+    assert(recall > 0.9, s"narrow-shortlist recall $recall")
+  }
+
   test("LSH ANN recall vs brute force is substantial at 4 bits") {
     val emb = Tables.embeddings(spark, sf)
     val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
