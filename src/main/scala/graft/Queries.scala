@@ -1581,6 +1581,52 @@ object Queries {
             CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_cents, c_mktsegment
             FROM customer ORDER BY c_custkey"""))
 
+  /** B1 general Avro unions (SURVEY §1.2): a multi-branch union field
+    * `[null, long, string]` round-trips through the container-file writer
+    * and the avro-mapred scan as a tagged struct-of-optionals —
+    * write-compute's union-typed value fields are first-class, where the
+    * reference's SQL projection skips them (AvroToSQL.java:43-49). Evens
+    * carry the long branch, odds the string branch, every 10th key the
+    * null branch; the oracle replays the branch routing in SQL. */
+  val b20AvroUnion = QueryDef(
+    "b20_avro_union",
+    (s, dir) => {
+      import org.apache.avro.Schema
+      val root = java.nio.file.Files.createTempDirectory("graft-b20").toString
+      val unionS = Schema.createUnion(java.util.List.of(
+        Schema.create(Schema.Type.NULL), Schema.create(Schema.Type.LONG),
+        Schema.create(Schema.Type.STRING)))
+      val rec = Schema.createRecord("cust_u", null, "graft", false,
+        java.util.List.of(
+          new Schema.Field("c_custkey", Schema.create(Schema.Type.LONG)),
+          new Schema.Field("u", unionS, null,
+            Schema.Field.NULL_DEFAULT_VALUE)))
+      val tagged = t(s, dir, "customer").select(col("c_custkey"),
+        when(col("c_custkey") % 10 === 0,
+          lit(null).cast("struct<tag:string,m_long:bigint,m_string:string>"))
+          .when(col("c_custkey") % 2 === 0,
+            struct(lit("long").as("tag"),
+              col("c_nationkey").cast("long").as("m_long"),
+              lit(null).cast("string").as("m_string")))
+          .otherwise(struct(lit("string").as("tag"),
+            lit(null).cast("bigint").as("m_long"),
+            col("c_mktsegment").as("m_string"))).as("u"))
+      graft.sources.AvroInput.write(tagged, root, rec)
+      graft.sources.AvroInput.read(s, root)
+        .select(col("c_custkey"), col("u").getField("tag").as("tag"),
+          col("u").getField("m_long").as("m_long"),
+          col("u").getField("m_string").as("m_string"))
+        .orderBy(col("c_custkey"))
+    },
+    Some("""SELECT c_custkey,
+            CASE WHEN c_custkey % 10 = 0 THEN NULL
+                 WHEN c_custkey % 2 = 0 THEN 'long'
+                 ELSE 'string' END AS tag,
+            CASE WHEN c_custkey % 10 <> 0 AND c_custkey % 2 = 0
+                 THEN CAST(c_nationkey AS BIGINT) END AS m_long,
+            CASE WHEN c_custkey % 2 <> 0 THEN c_mktsegment END AS m_string
+            FROM customer ORDER BY c_custkey"""))
+
   /** W10 compression strategy → codec mapping, proven by writing + re-reading
     * parquet under each codec. */
   val w10Compression = QueryDef(
@@ -1729,6 +1775,68 @@ object Queries {
               false AS deleted
             FROM customer WHERE c_custkey BETWEEN 6 AND 8
             ORDER BY c_custkey"""))
+
+  /** Per-store persisted config driving engine behavior end-to-end
+    * (Store.java / HybridStoreConfig.java semantics: rewind window, quota,
+    * compression and merge flags live on the store record, not the job):
+    * a 1-byte-quota store REFUSES its push before any swap; a GZIP-strategy
+    * store writes .gz.parquet files; `lwwByteTieBreak` resolves an
+    * equal-timestamp put pair by serialized-Avro unsigned bytes (10 beats 9
+    * — string order would pick 9); the config-default rewind window (1 s)
+    * admits only the late put wave. All four behaviors read the SAME
+    * persisted CONFIG through a fresh engine instance. */
+  val storeConfigQ = QueryDef(
+    "store_config",
+    (s, dir) => {
+      import s.implicits._
+      import graft.core.{GraftEngine, StoreConfig}
+      val e = tempEngine(s, "graft-cfgq")
+      val cust = t(s, dir, "customer").filter(col("c_custkey") <= 2000)
+      // quota refusal: 1 byte admits nothing, serving version stays at 0
+      e.createStore("q0", Seq("c_custkey"), StoreConfig(quotaBytes = 1L))
+      val refused =
+        try { e.push("q0", cust, numBuckets = 2); 0L }
+        catch { case ex: IllegalStateException =>
+          if (ex.getMessage.contains("quota") &&
+            e.currentVersion("q0") == 0) 1L else 0L }
+      // the configured store, read back through a SECOND engine instance
+      e.createStore("c", Seq("c_custkey"), StoreConfig(
+        rewindSeconds = 1L, compressionStrategy = "GZIP",
+        quotaBytes = 4L << 30, lwwByteTieBreak = true))
+      val e2 = new GraftEngine(s, e.root)
+      e2.push("c", cust, numBuckets = 4)
+      val gz = {
+        val w = java.nio.file.Files.walk(
+          java.nio.file.Paths.get(s"${e.root}/c/v=1"))
+        try { if (w.anyMatch(p =>
+          p.getFileName.toString.endsWith(".gz.parquet"))) 1L else 0L }
+        finally w.close()
+      }
+      val tied = cust.filter(col("c_custkey") <= 5)
+      e2.put("c", tied.withColumn("c_nationkey", lit(9)), tsMs = 1000L)
+      e2.put("c", tied.withColumn("c_nationkey", lit(10)), tsMs = 1000L)
+      e2.put("c", cust.filter(col("c_custkey").between(6, 8)), tsMs = 2500L)
+      val evidence = Seq(("quota_refused", 0L, refused),
+        ("gzip_files", 0L, gz)).toDF("chk", "k", "v")
+      val tieRows = e2.servingView("c").filter(col("c_custkey") <= 5)
+        .select(lit("tie").as("chk"), col("c_custkey").as("k"),
+          col("c_nationkey").cast("long").as("v"))
+      val rewindRows = graft.streaming.StreamIngest
+        .rewind(e2, "c", nowMs = 3000L) // window from the persisted config
+        .select(lit("rewind").as("chk"), col("c_custkey").as("k"),
+          col(GraftEngine.TsCol).as("v"))
+      evidence.unionByName(tieRows).unionByName(rewindRows)
+        .orderBy(col("chk"), col("k"))
+    },
+    Some("""SELECT chk, k, v FROM (
+              SELECT 'quota_refused' AS chk, CAST(0 AS BIGINT) AS k,
+                     CAST(1 AS BIGINT) AS v
+              UNION ALL SELECT 'gzip_files', 0, 1
+              UNION ALL SELECT 'tie', c_custkey, 10 FROM customer
+                WHERE c_custkey <= 5
+              UNION ALL SELECT 'rewind', c_custkey, 2500 FROM customer
+                WHERE c_custkey BETWEEN 6 AND 8)
+            ORDER BY chk, k"""))
 
   /** S4 CDC seek: changelog entries at/after the checkpoint timestamp —
     * the tombstones and the second put wave, not the first. */
@@ -5133,6 +5241,18 @@ object Queries {
       .withColumn("rk", row_number().over(wq))
       .filter(col("rk") <= 3)
       .select(col("query_id"), col("token"))
+    // accident guard (same contract as Retrieval.probeBm25Index): the
+    // exact scorer explodes Σ df posting rows over the selected query
+    // terms — workload-quadratic on a closed vocabulary (measured ~7·10¹⁰
+    // rows at sf10). The count is knowable from dfreq before the join;
+    // refuse past budget with a pointer to the top-fetch production path.
+    val fetched = qterms.join(dfreq, "token")
+      .agg(coalesce(sum(col("df")), lit(0L))).collect()(0).getLong(0)
+    require(fetched <= 2000000000L,
+      s"bm25 exact scorer would join $fetched posting rows for this " +
+        "query batch (budget 2e9) — use bm25_index_topfetch " +
+        "(Retrieval.probeBm25IndexSharded, impact-ordered truncation) " +
+        "at corpus scale.")
     val cand = tf
       .join(broadcast(qterms.join(dfreq, "token")), "token")
       .filter(col("doc_id") =!= col("query_id"))
@@ -8663,7 +8783,7 @@ object Queries {
     qSaltedJoin, s9Bootstrap, qPivot, w14HllUnion, bpeTrainMerges,
     b16AggView, bpeEncode, dedupClusterKeeper, cohortRetention,
     eventsDebounce, centroidClassify, q7Volume, qScdJoin, qualityCi,
-    zorderLayout, profileColumns)
+    zorderLayout, profileColumns, b20AvroUnion, storeConfigQ)
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }

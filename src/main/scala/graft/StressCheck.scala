@@ -20,7 +20,8 @@ object StressCheck {
     val only = args.toSet
     def on(tag: String): Boolean = only.isEmpty || only(tag)
     // (new tags round 5: salted, aggview; round 7: joinview, bpe100,
-    // pagerank, davinci, sink, layout, lshindex, bm25shard, sq8)
+    // pagerank, davinci, sink, layout, lshindex, bm25shard, sq8;
+    // round 8: guards, davincidist)
 
     val base = Tables.events(spark, sfDir)
       .crossJoin(spark.range(120).select(col("id").as("rep")))
@@ -662,6 +663,44 @@ object StressCheck {
       println(f"[stress] davinci 1M gets        $sec%7.2f s  " +
         f"${1000000 / sec / 1e6}%6.2f M ops/s  (hits=$acc, jobs=0)")
     }
+    // ---- distributed DaVinci: a store PAST the embedded budget served from
+    // cluster memory — the 100× continuation of the embedded client
+    if (on("davincidist")) {
+      val root = java.nio.file.Files.createTempDirectory("stress-dvd").toString
+      val e = new graft.core.GraftEngine(spark, root)
+      e.createStore("dvd", Seq("k"))
+      val n = 2000000L
+      e.push("dvd", spark.range(n).select(col("id").as("k"),
+        md5(col("id").cast("string")).as("v"),
+        (col("id") % 97).as("grp")), numBuckets = 32)
+      // the embedded client REFUSES this store at a laptop-sized budget…
+      val refused =
+        try { e.daVinci("dvd", maxRows = 500000); false }
+        catch { case ex: IllegalArgumentException =>
+          ex.getMessage.contains("daVinciDistributed") }
+      require(refused, "embedded client must refuse past maxRows")
+      // …and the distributed client serves it from cluster memory
+      var dist: graft.core.DistributedDaVinci = null
+      timed("davinci-dist materialize (2M rows)") {
+        dist = e.daVinciDistributed("dvd")
+        dist.size
+      }
+      require(dist.size == n, s"resident rows ${dist.size} != $n")
+      val probes = (0 until 64).map(i => Seq(((i * 2654435761L) % n): Any))
+      timed("davinci-dist 10 batchGets x64") {
+        var hits = 0L
+        (0 until 10).foreach { _ =>
+          hits += dist.batchGet(probes).values.count(_.isDefined)
+        }
+        require(hits == 640, s"hits $hits != 640")
+        hits
+      }
+      // point-read correctness spot check against the engine's get
+      val k = Seq(123457L: Any)
+      require(dist.get(k).map(_.getAs[String]("v")) ==
+        e.get("dvd", k).map(_.getAs[String]("v")), "distributed get diverged")
+      dist.close()
+    }
     if (on("sink")) {
       // streaming-sink delivery overhead: 50 microbatches × 20k rows
       // through GraftStreamSink.addBatch, then all 50 crash-REPLAYED.
@@ -754,6 +793,48 @@ object StressCheck {
         "bounded by df/nShards, build salted across shards")
       idx.unpersist()
     }
+    // ---- round-8 accident guards: the two remaining exactness baselines
+    // must REFUSE oversized input (pointing to their production twins)
+    // instead of running quadratic work — budgets shrunk below the corpus
+    if (on("guards")) {
+      val docs = Tables.documents(spark, sfDir)
+      timed("simhash16 guard fires") {
+        val refused =
+          try { graft.operators.Dedup.simhashPairs(docs, "doc_id", "text",
+            maxCandidatePairs = 100L).count(); false }
+          catch { case e: IllegalArgumentException =>
+            e.getMessage.contains("simhashPairs64") }
+        require(refused, "simhash 16-bit guard did not fire")
+        1L
+      }
+      locally {
+        val e = new graft.core.GraftEngine(spark,
+          java.nio.file.Files.createTempDirectory("stress-bm25g").toString)
+        val small = docs.limit(200).persist(); small.count()
+        e.createStore("post", Seq("token"))
+        e.push("post", graft.operators.Retrieval.bm25IndexFrame(
+          small, "doc_id", "text"), numBuckets = 4)
+        e.createStore("stats", Seq("stats_id"))
+        e.push("stats", graft.operators.Retrieval.bm25StatsFrame(
+          small, "doc_id", "text"), numBuckets = 1)
+        timed("bm25 probe guard fires") {
+          val refused =
+            try { graft.operators.Retrieval.probeBm25Index(e, "post",
+              "stats", small.limit(5), "doc_id", "text",
+              maxFetchedPostings = 1L).count(); false }
+            catch { case ex: IllegalArgumentException =>
+              ex.getMessage.contains("bm25_index_topfetch") }
+          require(refused, "bm25 exact-probe guard did not fire")
+          1L
+        }
+        timed("bm25 probe in-budget ok") {
+          graft.operators.Retrieval.probeBm25Index(e, "post", "stats",
+            small.limit(5), "doc_id", "text").count()
+        }
+        small.unpersist()
+      }
+    }
+    spark.catalog.clearCache()
     // ---- store-backed LSH index: probe cost must be O(batch), not O(corpus)
     if (on("lshindex")) {
       import graft.operators.Dedup

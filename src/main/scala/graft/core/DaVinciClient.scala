@@ -216,7 +216,9 @@ final class DaVinciClient private[core] (engine: GraftEngine, name: String,
     val rows = sliced.limit(maxRows + 1).collect()
     if (rows.length > maxRows) throw new IllegalArgumentException(
       s"store $name's subscribed slice exceeds maxRows=$maxRows — " +
-        "subscribe to fewer buckets (Venice partition subscription) or " +
+        "subscribe to fewer buckets (Venice partition subscription), use " +
+        "GraftEngine.daVinciDistributed (cluster-memory residency, " +
+        "bucket-pruned reads) for stores past one host's budget, or " +
         "raise maxRows explicitly for a deliberately large local replica")
     val idx = rows.headOption.map(r => keyCols.map(r.fieldIndex))
       .getOrElse(Nil)
@@ -234,6 +236,88 @@ object DaVinciClient {
 
   /** Driver-side key rendering — the same `String.valueOf` join
     * [[GraftEngine.bucketHashOf]] uses, so lookup and routing agree. */
-  private def render(key: Seq[Any]): String =
+  private[core] def render(key: Seq[Any]): String =
     key.map(String.valueOf).mkString("|")
+}
+
+/** The 100×-scale DaVinci mode: the serving view resident in CLUSTER memory
+  * (executor storage via `persist()`), not a driver-local hash map — the
+  * path for stores past any single host's subscription budget.
+  *
+  * The embedded [[DaVinciClient]] is the reference's sub-millisecond
+  * in-process contract and is bounded by subscription (`maxRows`); this
+  * sibling trades per-read latency (one Spark job per batchGet, ~ms on a
+  * warm cluster) for UNBOUNDED store size: memory is the cluster's, each
+  * executor holds its partitions' slice, and reads prune to the probed
+  * buckets.
+  *
+  * Pruning mechanics (why a read is O(corpus/buckets), not O(corpus)): the
+  * materialized frame is repartitioned ON the bucket id, so every cached
+  * partition holds exactly one bucket and its in-memory batch stats carry a
+  * single-valued min=max bucket range — the `__bucket IN (...)` filter of a
+  * probe skips every other partition's batches at the InMemoryTableScan
+  * level before any key comparison runs. The fold (snapshot ∪ log merge) is
+  * paid ONCE at materialization, like the embedded client.
+  *
+  * Freshness is the same eventual contract: [[refresh]] re-materializes iff
+  * the store's change coordinate moved. */
+final class DistributedDaVinci private[core] (engine: GraftEngine,
+    name: String) {
+  import org.apache.spark.sql.DataFrame
+  import org.apache.spark.sql.functions._
+
+  private val keyCols: Seq[String] = engine.storeMeta(name).keyCols
+  private val probeBucket = "__probe_bucket"
+  @volatile private var state: (ChangeCoordinate, Int, DataFrame) = _
+
+  materialize()
+
+  private def materialize(): Unit = {
+    val coord = engine.latestCoordinate(name)
+    val nb = engine.numBuckets(name)
+    val keyExpr = concat_ws("|", keyCols.map(c => col(c).cast("string")): _*)
+    val frame = engine.servingView(name)
+      .withColumn(probeBucket, graft.functions.HashOps.partitionId(keyExpr, nb))
+      .repartition(nb, col(probeBucket))
+      .persist()
+    frame.count() // pay the fold once, eagerly, like the embedded client
+    val prev = state
+    state = (coord, nb, frame)
+    if (prev != null) prev._3.unpersist()
+  }
+
+  /** Rows resident in cluster memory. */
+  def size: Long = state._3.count()
+
+  def isFresh: Boolean = state._1 == engine.latestCoordinate(name)
+
+  /** Re-materialize iff the change coordinate moved. */
+  def refresh(): Boolean = synchronized {
+    if (isFresh) false else { materialize(); true }
+  }
+
+  /** Point read: ONE Spark job over the probed bucket's cached batches. */
+  def get(key: Seq[Any]): Option[Row] = batchGet(Seq(key))(key)
+
+  /** Batch point reads: one job, pruned to the probed buckets' partitions
+    * (batch-stats skip), result O(batch) on the driver. */
+  def batchGet(keys: Seq[Seq[Any]]): Map[Seq[Any], Option[Row]] = {
+    val (_, nb, frame) = state
+    val buckets = keys.map(GraftEngine.bucketHashOf(_, nb)).distinct
+    val wanted = keys.map(DaVinciClient.render).toSet
+    val keyExpr = concat_ws("|", keyCols.map(c => col(c).cast("string")): _*)
+    val hits = frame
+      .filter(col(probeBucket).isin(buckets.map(Integer.valueOf): _*))
+      .filter(keyExpr.isin(wanted.toSeq: _*))
+      .drop(probeBucket)
+      .collect()
+    val idx = hits.headOption.map(r => keyCols.map(r.fieldIndex))
+      .getOrElse(Nil)
+    val found = hits.map(r =>
+      DaVinciClient.render(idx.map(r.get)) -> r).toMap
+    keys.map(k => k -> found.get(DaVinciClient.render(k))).toMap
+  }
+
+  /** Release the cluster-memory residency. */
+  def close(): Unit = state._3.unpersist()
 }

@@ -27,6 +27,35 @@ import graft.operators.{Compaction, Merge}
   */
 final case class StoreMeta(name: String, keyCols: Seq[String])
 
+/** Per-store persisted configuration — the Spark re-expression of Venice's
+  * store record (reference semantics, not code: meta/Store.java carries the
+  * hybrid config, compression strategy and storage quota;
+  * HybridStoreConfig.java:17-19 — rewindTimeInSeconds,
+  * offsetLagThresholdToGoOnline, producerTimestampLagThresholdToGoOnline).
+  * Persisting these on the STORE (not per call) is what makes two ingest
+  * jobs against the same store agree on rewind windows and lag gates.
+  *
+  *  - `rewindSeconds`: hybrid rewind window replayed onto a fresh version.
+  *  - `lagThresholdMs`: producer-timestamp lag under which a replica may
+  *    serve (the time-lag go-online strategy).
+  *  - `compressionStrategy`: Venice strategy name (`NO_OP`/`GZIP`/`ZSTD`),
+  *    mapped to the parquet codec of every version write; empty = engine
+  *    default codec.
+  *  - `quotaBytes`: storage quota enforced at push time (< 0 = unlimited) —
+  *    an over-quota push is aborted before the version swap, the serving
+  *    version untouched.
+  *  - `activeActive`: route writes through the field-level CRDT op log.
+  *  - `lwwByteTieBreak`: break LWW timestamp ties by the unsigned bytes of
+  *    the Avro-serialized value (the reference's MergeByteBuffer order)
+  *    instead of the string rendering. */
+final case class StoreConfig(
+    rewindSeconds: Long = 86400L,
+    lagThresholdMs: Long = 0L,
+    compressionStrategy: String = "",
+    quotaBytes: Long = -1L,
+    activeActive: Boolean = false,
+    lwwByteTieBreak: Boolean = false)
+
 /** CDC checkpoint: a (version, log-append-seq) coordinate — exact resume
   * position, unlike a timestamp seek (S4). `epoch` is the store's lineage
   * counter, bumped by every event that invalidates (version, seq) as a
@@ -51,6 +80,57 @@ class GraftEngine(val spark: SparkSession, val root: String) {
     Files.createDirectories(Paths.get(dir(name)))
     Files.writeString(Paths.get(dir(name, "KEYS")), keyCols.mkString(","))
     StoreMeta(name, keyCols)
+  }
+
+  /** Create a store with a persisted [[StoreConfig]]: every session reading
+    * the store sees the SAME rewind window, lag gate, codec, quota and merge
+    * flags (Venice keeps these on the store record, not on each job). */
+  def createStore(name: String, keyCols: Seq[String],
+      config: StoreConfig): StoreMeta = {
+    val meta = createStore(name, keyCols)
+    setStoreConfig(name, config)
+    meta
+  }
+
+  /** Persist (or update) the store's config. Key=value lines — readable,
+    * diff-able, and parseable without a JSON library on the classpath. */
+  def setStoreConfig(name: String, config: StoreConfig): Unit = {
+    val body = Seq(
+      s"rewindSeconds=${config.rewindSeconds}",
+      s"lagThresholdMs=${config.lagThresholdMs}",
+      s"compressionStrategy=${config.compressionStrategy}",
+      s"quotaBytes=${config.quotaBytes}",
+      s"lwwByteTieBreak=${config.lwwByteTieBreak}").mkString("\n")
+    val tmp = Paths.get(dir(name, ".CONFIG.tmp"))
+    Files.writeString(tmp, body)
+    Files.move(tmp, Paths.get(dir(name, "CONFIG")),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    // A/A mode rides the same flag file the rest of the engine checks
+    if (config.activeActive) enableActiveActive(name)
+  }
+
+  /** The store's persisted config; all defaults when none was ever set
+    * (stores created before configs existed keep their behavior). */
+  def storeConfig(name: String): StoreConfig = {
+    val p = Paths.get(dir(name, "CONFIG"))
+    val base = StoreConfig(activeActive = isActiveActive(name))
+    if (!Files.exists(p)) base
+    else {
+      val kv = Files.readString(p).linesIterator
+        .map(_.split("=", 2)).collect { case Array(k, v) => k -> v }.toMap
+      StoreConfig(
+        rewindSeconds = kv.get("rewindSeconds").map(_.toLong)
+          .getOrElse(base.rewindSeconds),
+        lagThresholdMs = kv.get("lagThresholdMs").map(_.toLong)
+          .getOrElse(base.lagThresholdMs),
+        compressionStrategy = kv.getOrElse("compressionStrategy",
+          base.compressionStrategy),
+        quotaBytes = kv.get("quotaBytes").map(_.toLong)
+          .getOrElse(base.quotaBytes),
+        activeActive = base.activeActive,
+        lwwByteTieBreak = kv.get("lwwByteTieBreak").map(_.toBoolean)
+          .getOrElse(base.lwwByteTieBreak))
+    }
   }
 
   def storeMeta(name: String): StoreMeta =
@@ -174,9 +254,20 @@ class GraftEngine(val spark: SparkSession, val root: String) {
     * callers pushing shuffled data with duplicate keys should pass an
     * explicit ordering). The Spark analog of Venice's max-offset-wins
     * compaction (AbstractDataWriterSparkJob.applyCompaction). Partitions by
-    * the Venice-style md5-mod bucket so point lookups prune files. */
+    * the Venice-style md5-mod bucket so point lookups prune files.
+    *
+    * `clusterBy` makes z-order layout a STORE property rather than a query
+    * trick: within the bucket partitioning (which point reads prune on),
+    * rows are range-split and sorted along the Morton curve of the given
+    * dimensions ([[graft.operators.Layout]]), so every file owns a tight
+    * hyper-rectangle of the clustered key space and a range predicate on
+    * ANY clustered dimension prunes to a small file subset via parquet
+    * min/max stats — 100-TB scans stay bounded for the dimensional
+    * accesses the store was declared for. `clusterFiles` caps total output
+    * files (default 4 z-ranges per bucket). */
   def push(name: String, df: DataFrame, numBuckets: Int = 16,
-      orderCol: Option[Column] = None): Int = {
+      orderCol: Option[Column] = None,
+      clusterBy: Seq[String] = Nil, clusterFiles: Int = 0): Int = {
     val meta = storeMeta(name)
     Files.writeString(Paths.get(dir(name, "BUCKETS")), numBuckets.toString)
     // first push registers the row schema as id 1 (evolutions come through
@@ -195,12 +286,33 @@ class GraftEngine(val spark: SparkSession, val root: String) {
     val bucketed = keyed.withColumn(BucketCol,
       graft.functions.HashOps.partitionId(
         concat_ws("|", meta.keyCols.map(col): _*), numBuckets))
-    bucketed
-      .repartition(numBuckets, col(BucketCol))
-      .sortWithinPartitions(meta.keyCols.map(col): _*)
+    val cfg = storeConfig(name)
+    val laidOut =
+      if (clusterBy.isEmpty)
+        bucketed.repartition(numBuckets, col(BucketCol))
+          .sortWithinPartitions(meta.keyCols.map(col): _*)
+      else {
+        // z-order WITHIN the bucket partitioning: range-partition on
+        // (bucket, z) keeps the curve contiguous per output file, so each
+        // bucket dir holds a few files with tight min/max on every
+        // clustered dimension — bucket pruning for point reads AND
+        // stats pruning for dimensional ranges, from one write
+        val nf = if (clusterFiles > 0) clusterFiles else numBuckets * 4
+        graft.operators.Layout.withBounds(bucketed, clusterBy)
+          .withColumn("__z", graft.operators.Layout.zvalue(clusterBy, 10))
+          .repartitionByRange(nf, col(BucketCol), col("__z"))
+          .sortWithinPartitions(col(BucketCol), col("__z"))
+          .select(bucketed.columns.map(col): _*)
+      }
+    val writer = laidOut
       .write.mode("overwrite")
       .partitionBy(BucketCol)
-      .parquet(dir(name, s"v=$v"))
+    // per-store compression strategy (Store.java semantics: the strategy is
+    // a store property, applied by every push) → parquet codec per write
+    (if (cfg.compressionStrategy.nonEmpty)
+      writer.option("compression",
+        graft.operators.WireFormat.codecFor(cfg.compressionStrategy))
+    else writer).parquet(dir(name, s"v=$v"))
     // zero-row version (every key tombstoned before a repush): the
     // partitionBy write above emits no data files, so the snapshot read
     // would fail schema inference — append ONE empty schema-carrying file
@@ -216,8 +328,44 @@ class GraftEngine(val spark: SparkSession, val root: String) {
     // pruning rule must never prune an old version with the new modulus
     Files.writeString(Paths.get(dir(name, s"v=$v", "_NBUCKETS")),
       numBuckets.toString)
+    // layout marker (underscore file — ignored by the file index): which
+    // dimensions this version is z-clustered on, for operators/inspection
+    if (clusterBy.nonEmpty)
+      Files.writeString(Paths.get(dir(name, s"v=$v", "_CLUSTER_BY")),
+        clusterBy.mkString(","))
+    // B7 storage quota as a store property: an over-quota push aborts BEFORE
+    // the swap — the serving version is untouched, the oversized candidate
+    // is removed (Venice kills the push job and never swaps). Physical
+    // parquet bytes are the enforced unit (what the store actually holds);
+    // the size check is one driver-side directory walk, no Spark job.
+    val cfgQuota = storeConfig(name).quotaBytes
+    if (cfgQuota >= 0L) {
+      val vp = Paths.get(dir(name, s"v=$v"))
+      val bytes = {
+        val s = Files.walk(vp)
+        try s.filter(p => Files.isRegularFile(p) &&
+            p.getFileName.toString.endsWith(".parquet"))
+          .mapToLong(Files.size).sum()
+        finally s.close()
+      }
+      if (bytes > cfgQuota) {
+        rmTree(vp)
+        throw new IllegalStateException(
+          s"push to $name exceeds the store's storage quota: $bytes bytes " +
+            s"written > quotaBytes=$cfgQuota — the serving version is " +
+            "unchanged (raise the quota via setStoreConfig for a " +
+            "deliberately larger store)")
+      }
+    }
     setCurrentVersion(name, v)
     v
+  }
+
+  /** Dimensions version `v` is z-clustered on (empty = unclustered) —
+    * from the `_CLUSTER_BY` marker [[push]] writes. */
+  def clusterByOf(name: String, version: Int): Seq[String] = {
+    val p = Paths.get(dir(name, s"v=$version", "_CLUSTER_BY"))
+    if (Files.exists(p)) Files.readString(p).trim.split(",").toSeq else Nil
   }
 
   def snapshot(name: String, version: Option[Int] = None): DataFrame = {
@@ -349,8 +497,8 @@ class GraftEngine(val spark: SparkSession, val root: String) {
       else {
         val log = readLog(name).filter(pred)
         Merge.lww(snap, log, meta.keyCols, col(TsCol),
-          concat_ws("|", snap.columns.filterNot(Set(TsCol, DeletedCol))
-            .map(c => col(c).cast("string")): _*), col(DeletedCol))
+          lwwTieBreak(name,
+            snap.columns.filterNot(Set(TsCol, DeletedCol))), col(DeletedCol))
       }
     val base = Merge.dropTombstones(merged, col(DeletedCol))
       .drop(TsCol, DeletedCol)
@@ -401,8 +549,8 @@ class GraftEngine(val spark: SparkSession, val root: String) {
     val merged =
       if (!hasLog(name)) snap
       else Merge.lww(snap, restrict(readLog(name)), meta.keyCols, col(TsCol),
-        concat_ws("|", snap.columns.filterNot(Set(TsCol, DeletedCol))
-          .map(c => col(c).cast("string")): _*), col(DeletedCol))
+        lwwTieBreak(name,
+          snap.columns.filterNot(Set(TsCol, DeletedCol))), col(DeletedCol))
     val base = Merge.dropTombstones(merged, col(DeletedCol))
       .drop(TsCol, DeletedCol)
     if (!hasUpdates(name)) base
@@ -608,6 +756,19 @@ class GraftEngine(val spark: SparkSession, val root: String) {
 
   private def hasLog(name: String): Boolean = nonEmptyDir(Paths.get(dir(name, "log")))
 
+  /** LWW tie-break column over the value columns (everything but the
+    * ts/deleted plumbing). Default: a deterministic string rendering —
+    * same total order every run, codegen'd. With
+    * `StoreConfig.lwwByteTieBreak`: the unsigned bytes of the
+    * Avro-serialized value struct — the reference's MergeByteBuffer order
+    * (AbstractMerge.java:17-46; semantics, not code), byte-parity where the
+    * two orders disagree (e.g. numeric fields: "10" < "9" as strings but
+    * 10 > 9 as zigzag varints). */
+  private def lwwTieBreak(name: String, cols: Seq[String]): Column =
+    if (storeConfig(name).lwwByteTieBreak)
+      graft.functions.AvroBinaryExpr.avroBinary(struct(cols.map(col): _*))
+    else concat_ws("|", cols.map(c => col(c).cast("string")): _*)
+
   /** The hybrid-store read view: snapshot outer-merged with the RT log,
     * LWW per key with delete-wins tie-break (W5/W6). */
   def servingView(name: String): DataFrame = {
@@ -620,8 +781,8 @@ class GraftEngine(val spark: SparkSession, val root: String) {
         val meta = storeMeta(name)
         val log = readLog(name)
         Merge.lww(snap, log, meta.keyCols, col(TsCol),
-          concat_ws("|", snap.columns.filterNot(Set(TsCol, DeletedCol))
-            .map(c => col(c).cast("string")): _*), col(DeletedCol))
+          lwwTieBreak(name,
+            snap.columns.filterNot(Set(TsCol, DeletedCol))), col(DeletedCol))
       }
     val base = Merge.dropTombstones(merged, col(DeletedCol))
       .drop(TsCol, DeletedCol)
@@ -679,8 +840,18 @@ class GraftEngine(val spark: SparkSession, val root: String) {
       supersetSchema(name).fields.filterNot(f => meta.keyCols.contains(f.name)))
     // chunked hierarchical squash — bounded per-task memory even for a
     // hot key with millions of pending ops (see WriteCompute.squashUpdates)
-    rewriteUpdates(name)(
-      WriteCompute.squashUpdates(_, meta.keyCols, valueSchema))
+    rewriteUpdates(name) { u =>
+      val squashed = WriteCompute.squashUpdates(u, meta.keyCols, valueSchema)
+      // re-attach the per-key max change-coordinate: squashUpdates conforms
+      // to keys+ops+ts only, and a changelog consumer whose coordinate has
+      // already seen these updates must not re-see them after a compaction
+      // (and changelogSince's seq filter must still resolve at all)
+      if (!u.columns.contains(LogSeqCol)) squashed
+      else squashed.join(
+        u.groupBy(meta.keyCols.map(col): _*)
+          .agg(max(col(LogSeqCol)).as(LogSeqCol)),
+        meta.keyCols, "left")
+    }
   }
 
   private def rmTree(p: java.nio.file.Path): Unit = {
@@ -710,7 +881,12 @@ class GraftEngine(val spark: SparkSession, val root: String) {
     // materialize before replacing the directory the plan reads from
     val rows = f(readUpdates(name)).cache()
     val n = rows.count()
-    if (n == 0) { rows.unpersist(); rmTree(targetP); return }
+    if (n == 0) {
+      // crash-safe removal: move the live dir to the dead-tmp name first
+      // (the recovery preamble drops a stale tmp), so a crash mid-delete
+      // leaves either the full old log or no log — never a partial one
+      rows.unpersist(); Files.move(targetP, tmpP); rmTree(tmpP); return
+    }
     rows.write.mode("overwrite").parquet(tmpP.toString)
     rows.unpersist()
     Files.move(targetP, oldP)
@@ -1474,8 +1650,8 @@ class GraftEngine(val spark: SparkSession, val root: String) {
       else {
         val log = readLog(name).filter(col(TsCol) <= tsMs)
         Merge.lww(snap, log, meta.keyCols, col(TsCol),
-          concat_ws("|", snap.columns.filterNot(Set(TsCol, DeletedCol))
-            .map(c => col(c).cast("string")): _*), col(DeletedCol))
+          lwwTieBreak(name,
+            snap.columns.filterNot(Set(TsCol, DeletedCol))), col(DeletedCol))
       }
     val base = Merge.dropTombstones(merged, col(DeletedCol))
       .drop(TsCol, DeletedCol)
@@ -1630,8 +1806,16 @@ class GraftEngine(val spark: SparkSession, val root: String) {
         // folded state). Raw rows for after-imaged keys are suppressed —
         // within a batch the after-image IS that key's state.
         val meta = storeMeta(name)
-        val ai = lwwUpdateAfterImages(name,
-          coalesce(col(LogSeqCol), lit(Long.MaxValue)) > coord.seq,
+        // seq guard: a compaction rewrite predating the seq-preserving
+        // squash may have dropped __log_seq from EVERY updates file —
+        // then the column is unresolvable, not merely null. Fall back to
+        // always-new (over-emits an idempotent after-image) instead of
+        // AnalysisException-ing every changelogSince/refreshView.
+        val updSeq =
+          if (readUpdates(name).columns.contains(LogSeqCol))
+            coalesce(col(LogSeqCol), lit(Long.MaxValue)) > coord.seq
+          else lit(true)
+        val ai = lwwUpdateAfterImages(name, updSeq,
           Some(logDelta.select(meta.keyCols.map(col): _*)))
         logDelta.join(ai.select(meta.keyCols.map(col): _*),
             meta.keyCols, "left_anti")
@@ -1708,6 +1892,10 @@ class GraftEngine(val spark: SparkSession, val root: String) {
     // repush inherits it; changing it REQUIRES a full push — semantics,
     // not code: VeniceHelixAdmin partition-count handling)
     val nb = newBuckets.getOrElse(numBuckets(name))
+    // z-order clustering is a layout property too: the compacted version
+    // inherits the serving version's clustered dimensions, so dimensional
+    // file pruning survives compaction without the caller re-declaring it
+    val cluster = clusterByOf(name, currentVersion(name))
     // A/A stores take this branch even with NO pending op log (e.g. a
     // rebucket right after a repush): the LWW branch below would conform
     // the snapshot to the value superset, STRIPPING the persisted RMD
@@ -1740,7 +1928,7 @@ class GraftEngine(val spark: SparkSession, val root: String) {
       }
       val rows = rows0.cache()
       rows.count()
-      val v = push(name, rows, nb)
+      val v = push(name, rows, nb, clusterBy = cluster)
       rows.unpersist()
       if (hasAaLog(name)) archiveLog(name, "aa_log", v)
       // the archived log's bucket layout dies with it — the next append
@@ -1758,8 +1946,8 @@ class GraftEngine(val spark: SparkSession, val root: String) {
         case None => log0
       }
       Merge.lww(snap, log, meta.keyCols, col(TsCol),
-        concat_ws("|", snap.columns.filterNot(Set(TsCol, DeletedCol))
-          .map(c => col(c).cast("string")): _*), col(DeletedCol))
+        lwwTieBreak(name,
+          snap.columns.filterNot(Set(TsCol, DeletedCol))), col(DeletedCol))
     }
     val base = Merge.dropTombstones(merged, col(DeletedCol))
       .drop(TsCol, DeletedCol)
@@ -1781,7 +1969,7 @@ class GraftEngine(val spark: SparkSession, val root: String) {
     // materialize BEFORE archiving the logs the plan reads from
     val rows = compacted.cache()
     rows.count()
-    val v = push(name, rows, nb)
+    val v = push(name, rows, nb, clusterBy = cluster)
     rows.unpersist()
     // the new version now carries the folded state — archive consumed logs
     Seq("log", "updates").foreach(archiveLog(name, _, v))
@@ -1936,6 +2124,15 @@ class GraftEngine(val spark: SparkSession, val root: String) {
     new DaVinciClient(this, name, buckets, maxRows, autoRefreshMs,
       transform = transform)
 
+  /** Open a [[DistributedDaVinci]] on this store: the serving view resident
+    * in CLUSTER memory (each executor holds its bucket partitions), reads
+    * pruned to the probed buckets — the path for stores past any single
+    * host's subscription budget, where the embedded [[daVinci]] client
+    * refuses. Driver memory per read is O(batch), store size is bounded by
+    * cluster storage memory only. */
+  def daVinciDistributed(name: String): DistributedDaVinci =
+    new DistributedDaVinci(this, name)
+
   /** Seekable DaVinci client pinned at a past instant (reference intent:
     * AvroGenericSeekableDaVinciClient — subscribe the local replica as of
     * a point in the change stream; semantics, not code): materializes
@@ -2030,13 +2227,19 @@ class GraftEngine(val spark: SparkSession, val root: String) {
       // alone would NOT stop a pending update from resurrecting the key
       // into the freshly purged version. Right-to-erasure means the
       // pending ops about the key are themselves data to erase: drop them
-      // physically before the repush folds. Purge keys are a broadcast-
-      // sized set by nature (an erasure request, not a corpus).
+      // physically before the repush folds. The anti-join needs plan
+      // independence from the directory being rewritten, not a driver-local
+      // relation — materialize the key set to a tmp parquet instead of
+      // collect()ing it (a large erasure batch must not OOM the driver).
       if (hasUpdates(name)) {
-        val kLocal = spark.createDataFrame(
-          java.util.Arrays.asList(k.distinct().collect(): _*), k.schema)
-        rewriteUpdates(name)(
-          _.join(broadcast(kLocal), meta.keyCols, "left_anti"))
+        val kTmp = Paths.get(dir(name, ".purge.keys"))
+        if (Files.exists(kTmp)) rmTree(kTmp)
+        k.distinct().write.parquet(kTmp.toString)
+        try {
+          val kFrame = spark.read.parquet(kTmp.toString)
+          rewriteUpdates(name)(
+            _.join(kFrame, meta.keyCols, "left_anti"))
+        } finally rmTree(kTmp)
       }
       repush(name)
     }

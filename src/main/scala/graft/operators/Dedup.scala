@@ -211,8 +211,27 @@ object Dedup {
     * candidates — measured 1.67 s @ sf0.1 → 9.82 s @ sf1. This stays as
     * the compact verification baseline; corpus-scale signature dedup goes
     * through [[simhashPairs64]] (65536 values/band, near-flat across the
-    * same decade, wider hamming budget). */
-  def simhashPairs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    * same decade, wider hamming budget).
+    *
+    * Accident guard (same contract as [[ngramJaccardPairs]]): a degenerate
+    * corpus (boilerplate-dominated — everything in one band bucket) joins
+    * up to n²/2 pairs per band, so the budget is enforced against the
+    * worst case n². Inputs past √maxCandidatePairs docs are REFUSED with a
+    * pointer to the scale path; raise the budget explicitly only for a
+    * deliberate exactness study. */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxCandidatePairs: Long = 100000000000L): DataFrame = {
+    val rowCap = math.sqrt(maxCandidatePairs.toDouble).toLong
+    val probeLimit = math.min(rowCap, (Int.MaxValue - 1).toLong).toInt
+    val probed = df.select(lit(1).as("__c")).limit(probeLimit + 1).count()
+    require(probed <= rowCap,
+      s"simhashPairs (16-bit, 2×8-bit bands) admits up to n² candidate " +
+        s"pairs on a bucket-degenerate corpus and its input has at least " +
+        s"$probed docs (cap $rowCap rows for the $maxCandidatePairs-pair " +
+        "budget). Use simhashPairs64 (4×16-bit bands, bucket-capped, " +
+        "hamming ≤ 3 — the dedup_simhash64 production path) for " +
+        "corpus-scale signature dedup, or raise maxCandidatePairs " +
+        "explicitly for a deliberate exactness study.")
     val sh = df.select(col(idCol).as("id"),
       graft.functions.SimHashExpr.simhash16(
         TextOps.tokens(col(textCol))).as("simhash"))

@@ -292,10 +292,20 @@ object Retrieval {
     * `bm25_retrieval`'s SQL verbatim). Per-query-batch cost is
     * O(query tokens + fetched postings) — independent of corpus size for
     * fixed vocabulary overlap; index maintenance = incremental push /
-    * repush of changed tokens' postings. */
+    * repush of changed tokens' postings.
+    *
+    * Accident guard: on a closed-vocabulary corpus the selected query
+    * terms' df values each grow with n, so the exploded posting count is
+    * workload-quadratic (measured ~7·10¹⁰ candidate rows at sf10 — the
+    * query dies). The exact fetched-posting count Σ df over the selected
+    * (query, term) pairs is known from the already-fetched df column
+    * BEFORE any explode; inputs past `maxFetchedPostings` are REFUSED
+    * with a pointer to [[probeBm25IndexSharded]]'s impact-ordered
+    * top-fetch (the bm25_index_topfetch production path). */
   def probeBm25Index(engine: graft.core.GraftEngine, store: String,
       statsStore: String, queries: DataFrame, idCol: String,
-      textCol: String, topTerms: Int = 3, k: Int = 5): DataFrame = {
+      textCol: String, topTerms: Int = 3, k: Int = 5,
+      maxFetchedPostings: Long = 2000000000L): DataFrame = {
     val st = engine.servingView(statsStore).select(col("n"), col("t"))
       .collect()(0)
     val n = st.getLong(0)
@@ -311,6 +321,19 @@ object Retrieval {
       .withColumn("tscore", col("qtf") * expr(s"${n}L div df"))
       .withColumn("rk", row_number().over(wq))
       .filter(col("rk") <= topTerms)
+    // budget check is one scalar agg over scalar columns (column pruning
+    // keeps the members arrays out of the scan) — the explode below is
+    // the quadratic-capable step, so it never runs on refused input
+    val fetched = qterms.agg(coalesce(sum(col("df")), lit(0L)))
+      .collect()(0).getLong(0)
+    require(fetched <= maxFetchedPostings,
+      s"probeBm25Index would explode $fetched posting rows for this " +
+        s"query batch (budget $maxFetchedPostings) — the exact probe is " +
+        "workload-quadratic on closed-vocabulary corpora. Use " +
+        "probeBm25IndexSharded's impact-ordered top-fetch (the " +
+        "bm25_index_topfetch production path) for corpus-scale serving, " +
+        "or raise maxFetchedPostings explicitly for a deliberate " +
+        "exactness study.")
     val cand = qterms
       .select(col("query_id"), col("df"), explode(col("members")).as("m"))
       .select(col("query_id"), col("df"), col("m").getField("doc_id").as("doc_id"),

@@ -23,10 +23,13 @@ import org.apache.spark.sql.types._
   * input like any other file scan.
   *
   * Type mapping: primitives, bytes/fixed, enum→string, arrays, string-keyed
-  * maps, nested records, and nullable `[null, T]` unions — the subset the
-  * reference's ETL actually emits. Timestamps should be normalized to
-  * epoch longs upstream (Venice values are plain Avro records, no logical
-  * types on the wire).
+  * maps, nested records, nullable `[null, T]` unions, and GENERAL
+  * multi-branch unions as tagged structs-of-optionals (SURVEY §1.2:
+  * `union[null, A, B]` ↔ `struct<tag, m_A, m_B>` — see [[branchName]]);
+  * the reference's own SQL projection skips multi-branch unions
+  * (AvroToSQL.java:43-49), this mapping carries them losslessly.
+  * Timestamps should be normalized to epoch longs upstream (Venice values
+  * are plain Avro records, no logical types on the wire).
   *
   * [[write]] is the inverse (one container file per partition, written
   * executor-side) — used by ingest prep and the round-trip tests.
@@ -49,9 +52,37 @@ object AvroInput {
     case Schema.Type.MAP => MapType(StringType, sparkType(s.getValueType))
     case Schema.Type.RECORD => StructType(s.getFields.asScala.map(f =>
       StructField(f.name, sparkType(f.schema))).toSeq)
-    case Schema.Type.UNION => sparkType(nonNullBranch(s))
+    case Schema.Type.UNION =>
+      val branches = s.getTypes.asScala.filter(_.getType != Schema.Type.NULL)
+      if (branches.size == 1) sparkType(branches.head) // nullable [null, T]
+      else unionStruct(s) // general union → tagged struct-of-optionals
     case other =>
       throw new IllegalArgumentException(s"unsupported avro type $other")
+  }
+
+  // ---- general (multi-branch) unions ----------------------------------------
+  // SURVEY §1.2's struct-of-optionals: a union [null, A, B, ...] maps to
+  //   struct<tag: string, m_<A>: A', m_<B>: B', ...>
+  // where exactly the member named by `tag` is non-null (a null union value
+  // is a null struct). The reference's own SQL projection skips these
+  // (AvroToSQL.java:43-49); this mapping makes them first-class instead —
+  // write-compute's union-typed value fields round-trip losslessly.
+
+  /** Stable name of a union branch: the declared name for named types
+    * (record/enum/fixed), the type name for primitives/containers. */
+  def branchName(s: Schema): String = s.getType match {
+    case Schema.Type.RECORD | Schema.Type.ENUM | Schema.Type.FIXED => s.getName
+    case t => t.getName.toLowerCase
+  }
+
+  /** Union-tag column name inside the mapped struct. */
+  val UnionTagField = "tag"
+
+  private def unionStruct(s: Schema): StructType = {
+    val branches = s.getTypes.asScala.filter(_.getType != Schema.Type.NULL)
+    StructType(StructField(UnionTagField, StringType) +:
+      branches.map(b =>
+        StructField(s"m_${branchName(b)}", sparkType(b))).toSeq)
   }
 
   /** Spark → Avro type (nullable fields become `[null, T]` unions). */
@@ -83,18 +114,22 @@ object AvroInput {
     if (s.getType == Schema.Type.UNION) s
     else Schema.createUnion(Schema.create(Schema.Type.NULL), s)
 
-  private def nonNullBranch(s: Schema): Schema = {
-    val branches = s.getTypes.asScala.filter(_.getType != Schema.Type.NULL)
-    require(branches.size == 1, s"unsupported non-nullable union $s")
-    branches.head
-  }
-
   // ---- value conversion ----------------------------------------------------
 
   private def fromAvro(v: Any, s: Schema): Any =
     if (v == null) null
     else s.getType match {
-      case Schema.Type.UNION => fromAvro(v, nonNullBranch(s))
+      case Schema.Type.UNION =>
+        val branches = s.getTypes.asScala
+          .filter(_.getType != Schema.Type.NULL)
+        if (branches.size == 1) fromAvro(v, branches.head)
+        else {
+          // tagged struct: resolve the live branch, set its member slot
+          val live = s.getTypes.get(
+            org.apache.avro.generic.GenericData.get().resolveUnion(s, v))
+          Row.fromSeq(branchName(live) +: branches.toSeq.map(b =>
+            if (b eq live) fromAvro(v, b) else null))
+        }
       case Schema.Type.STRING | Schema.Type.ENUM => v.toString
       case Schema.Type.BYTES =>
         val bb = v.asInstanceOf[ByteBuffer]
@@ -114,12 +149,28 @@ object AvroInput {
       case _ => v
     }
 
-  private def toAvro(v: Any, s: Schema): AnyRef =
+  private[graft] def toAvro(v: Any, s: Schema): AnyRef =
     if (v == null) null
     else s.getType match {
-      case Schema.Type.UNION => toAvro(v, nonNullBranch(s))
+      case Schema.Type.UNION =>
+        val branches = s.getTypes.asScala
+          .filter(_.getType != Schema.Type.NULL)
+        if (branches.size == 1) toAvro(v, branches.head)
+        else {
+          // tagged struct back to the union: the tag picks the branch,
+          // that branch's member slot carries the value
+          val row = v.asInstanceOf[Row]
+          val tag = row.getString(0)
+          val idx = branches.indexWhere(b => branchName(b) == tag)
+          require(idx >= 0, s"union tag '$tag' matches no branch of $s")
+          toAvro(row.get(1 + idx), branches(idx))
+        }
       case Schema.Type.STRING => v.toString
+      case Schema.Type.ENUM =>
+        new GenericData.EnumSymbol(s, v.toString)
       case Schema.Type.BYTES => ByteBuffer.wrap(v.asInstanceOf[Array[Byte]])
+      case Schema.Type.FIXED =>
+        new GenericData.Fixed(s, v.asInstanceOf[Array[Byte]])
       case Schema.Type.ARRAY =>
         v.asInstanceOf[scala.collection.Seq[Any]]
           .map(toAvro(_, s.getElementType)).asJava
@@ -170,10 +221,20 @@ object AvroInput {
   }
 
   /** Write a DataFrame as Avro container files, one per partition, written
-    * executor-side (local-filesystem paths in this build). */
-  def write(df: DataFrame, path: String): Unit = {
+    * executor-side (local-filesystem paths in this build). The Avro schema
+    * is derived from the frame ([[avroRecord]] — all-nullable fields, no
+    * multi-branch unions). */
+  def write(df: DataFrame, path: String): Unit =
+    write(df, path, avroRecord(df.schema, "graft_record"))
+
+  /** Write under an EXPLICIT writer schema — the lossless path for schemas
+    * the derived mapping can't reconstruct (multi-branch unions, enums,
+    * fixed). `df`'s shape must be [[sparkType]] of `schema` (union fields
+    * as tagged structs); a read→write round-trip satisfies this by
+    * construction. */
+  def write(df: DataFrame, path: String, writerSchema: Schema): Unit = {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
-    val schemaJson = avroRecord(df.schema, "graft_record").toString
+    val schemaJson = writerSchema.toString
     val sparkSchema = df.schema
     df.rdd.foreachPartition { it =>
       val schema = new Schema.Parser().parse(schemaJson)

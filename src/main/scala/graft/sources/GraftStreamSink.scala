@@ -22,7 +22,9 @@ import graft.core.GraftEngine
   * }}}
   *
   * Options: `tsColumn` (per-row event-time column, the streaming-ingest
-  * shape) or `tsMs` (a fixed stamp); neither → wall-clock per microbatch.
+  * shape) or `tsMs` (a fixed stamp); neither → a wall-clock stamp chosen
+  * once per batch id and PERSISTED before the append, so a crash-window
+  * replay re-applies the identical timestamp (see below).
   * `deleteColumn` names a boolean column routing rows to tombstones —
   * puts and deletes of one microbatch commit atomically on LWW stores
   * (`GraftEngine.applyCdc`), and route through the CRDT op log on
@@ -32,9 +34,11 @@ import graft.core.GraftEngine
   * batch id per streaming query (`_stream_commits/<queryId>`, atomic
   * rename), so a microbatch replayed after a crash-before-checkpoint is
   * skipped rather than re-appended. The window between a durable append and
-  * the commit-file rename re-applies at most one batch — with a
-  * deterministic `tsColumn` that replay is value-identical (same keys, same
-  * timestamps, same LWW outcome), which is strictly stronger than the
+  * the commit-file rename re-applies at most one batch — and that replay is
+  * value-identical in EVERY timestamp mode (same keys, same timestamps,
+  * same LWW outcome): `tsColumn`/`tsMs` are deterministic by construction,
+  * and the wall-clock default records its per-batch stamp durably before
+  * the append and reuses it on replay. Strictly stronger than the
   * reference's at-least-once nearline contract.
   *
   * Scale: the sink body is two metadata file reads plus the engine's
@@ -66,7 +70,30 @@ final case class GraftStreamSink(root: String, store: String,
     val batch = GraftColumnBridge.rebatch(data)
     val tsCol: Column = options.get("tscolumn").map(col)
       .orElse(options.get("tsms").map(t => lit(t.toLong)))
-      .getOrElse(lit(System.currentTimeMillis()))
+      .getOrElse {
+        // wall-clock default, made replay-deterministic: the stamp chosen
+        // for a batch id is persisted (atomic rename) BEFORE the append, so
+        // the at-most-one-replayed-batch crash window re-applies the SAME
+        // timestamp — value-identical rows, an idempotent LWW outcome —
+        // instead of a fresh now() that silently re-orders ties
+        val stampFile = commitDir.resolve(s"$qid.ts")
+        val recorded = if (Files.exists(stampFile))
+          Files.readString(stampFile).trim.split(":", 2) match {
+            case Array(b, t) if b.toLong == batchId => Some(t.toLong)
+            case _ => None
+          }
+        else None
+        val stamp = recorded.getOrElse {
+          val now = System.currentTimeMillis()
+          Files.createDirectories(commitDir)
+          val tmp = commitDir.resolve(s"$qid.ts.tmp")
+          Files.writeString(tmp, s"$batchId:$now")
+          Files.move(tmp, stampFile, StandardCopyOption.REPLACE_EXISTING,
+            StandardCopyOption.ATOMIC_MOVE)
+          now
+        }
+        lit(stamp)
+      }
     options.get("deletecolumn") match {
       case None =>
         if (engine.isActiveActive(store)) engine.putAA(store, batch, tsCol)

@@ -51,11 +51,31 @@ object StreamIngest {
       .start()
   }
 
+  /** [[ingest]] from an external topic through the [[TopicSource]] seam
+    * (B2): the topic presents its records as a streaming DataFrame and the
+    * ingest path is IDENTICAL from there — one log append per microbatch,
+    * A/A auto-routing, transformer hook. A real deployment passes
+    * [[KafkaTopicSource]]; in-env and replication flows pass
+    * [[FileTopicSource]]. */
+  def ingestFrom(engine: GraftEngine, store: String, source: TopicSource,
+      checkpoint: String,
+      transformer: DataFrame => DataFrame = identity): StreamingQuery =
+    ingest(engine, store, source.stream(engine.spark), transformer,
+      checkpoint)
+
   /** S2: hybrid rewind — on version swap, re-feed the last `rewindMs` of the
     * log onto the (new) current version. Venice's TopicSwitch replay. */
   def rewind(engine: GraftEngine, store: String, nowMs: Long,
       rewindMs: Long): DataFrame =
     engine.changelog(store, nowMs - rewindMs)
+
+  /** S2 with the STORE's persisted rewind window
+    * (StoreConfig.rewindSeconds — HybridStoreConfig.java:17's
+    * rewindTimeInSeconds lives on the store record, so every ingest job
+    * replays the same window). */
+  def rewind(engine: GraftEngine, store: String, nowMs: Long): DataFrame =
+    rewind(engine, store, nowMs,
+      engine.storeConfig(store).rewindSeconds * 1000L)
 
   /** S4: the CDC stream — a streaming read of the store's upsert log.
     * Seek-to-timestamp = a filter on the log's ts column (checkpointing is
@@ -120,4 +140,13 @@ object StreamIngest {
     if (isCaughtUpByTime(engine, store, maxTimeLagMs, nowMs))
       Some(engine.repush(store))
     else None
+
+  /** Gated swap with the STORE's persisted lag threshold
+    * (StoreConfig.lagThresholdMs — the producer-timestamp go-online
+    * strategy read from the store record, so two operators gating the same
+    * store apply the same bar). */
+  def swapIfCaughtUp(engine: GraftEngine, store: String,
+      nowMs: Long): Option[Int] =
+    swapIfCaughtUp(engine, store,
+      engine.storeConfig(store).lagThresholdMs, nowMs)
 }

@@ -275,6 +275,91 @@ class ConnectorSpec extends AnyFunSuite {
       == "never")
   }
 
+  test("push(clusterBy): a 2-D box read through format(\"graft\") touches " +
+      "a bounded file subset — z-order layout as a store property") {
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey"), col("l_quantity"))
+    // same data, same file count: one store clustered on (partkey,
+    // suppkey), one plain — only the layout differs
+    engine.createStore("zs", Seq("l_orderkey", "l_linenumber"))
+    engine.push("zs", li, numBuckets = 4,
+      clusterBy = Seq("l_partkey", "l_suppkey"), clusterFiles = 32)
+    engine.createStore("ps", Seq("l_orderkey", "l_linenumber"))
+    engine.push("ps", li, numBuckets = 4)
+    def files(store: String, pred: org.apache.spark.sql.Column): Long =
+      readStore(store).filter(pred).select(input_file_name())
+        .distinct().count()
+    def totalFiles(store: String): Long =
+      readStore(store).select(input_file_name()).distinct().count()
+    val (zTotal, pTotal) = (totalFiles("zs"), totalFiles("ps"))
+    assert(zTotal >= 16, s"clustered store should split files, got $zTotal")
+    // sf0.001 domains are tiny (partkey 0..199, suppkey 0..9), so use a
+    // low-corner box (a z-curve prefix): ~12.5% × 20% of the plane
+    val box = col("l_partkey").between(0, 24) &&
+      col("l_suppkey").between(0, 1)
+    val zBox = files("zs", box)
+    val pBox = files("ps", box)
+    assert(zBox.toDouble / zTotal <= 0.34,
+      s"2-D box must prune the clustered store: $zBox of $zTotal files")
+    assert(pBox.toDouble == pTotal.toDouble,
+      s"the unclustered store has no 2-D stats to prune with: $pBox/$pTotal")
+    // point reads still bucket-prune: key equality reads ≤ the files of
+    // one bucket dir (clustering never broke the bucket partitioning)
+    val key = col("l_orderkey") === 1L && col("l_linenumber") === 1
+    assert(files("zs", key) <= zTotal / 4 + 1)
+    // layout marker persisted on the version
+    assert(java.nio.file.Files.readString(java.nio.file.Paths.get(
+      s"$root/zs/v=1/_CLUSTER_BY")) == "l_partkey,l_suppkey")
+    // identical contents either way
+    assert(readStore("zs").orderBy("l_orderkey", "l_linenumber").collect()
+      .toSeq == readStore("ps").orderBy("l_orderkey", "l_linenumber")
+      .collect().toSeq)
+    // compaction INHERITS the layout: the repushed version is clustered on
+    // the same dims without the caller re-declaring them
+    engine.put("zs", li.filter(col("l_orderkey") === 1L)
+      .withColumn("l_quantity", lit(999.0)), tsMs = 10L)
+    val v2 = engine.repush("zs")
+    assert(engine.clusterByOf("zs", v2) == Seq("l_partkey", "l_suppkey"))
+    assert(files("zs", box).toDouble / totalFiles("zs") <= 0.5,
+      "pruning must survive the repush")
+  }
+
+  test("streaming sink: wall-clock default is replay-deterministic — the " +
+      "crash-window re-append carries the identical recorded stamp") {
+    import spark.implicits._
+    engine.createStore("wt", Seq("k"))
+    engine.push("wt", Seq((1L, "base")).toDF("k", "v"), numBuckets = 1)
+    // NO tsColumn/tsMs: the sink must record its per-batch stamp durably
+    // BEFORE the append and reuse it on replay
+    val sink = sources.GraftStreamSink(root, "wt", Map.empty)
+    val batch = Seq((1L, "b0"), (2L, "b0")).toDF("k", "v")
+    sink.addBatch(0L, batch)
+    def logTs() = spark.read.parquet(s"$root/wt/log")
+      .select(col(GraftEngine.TsCol)).as[Long].collect().toSeq
+    val first = logTs()
+    assert(first.distinct.size == 1, "one stamp per microbatch")
+    // simulate the crash window: append landed, commit record didn't —
+    // delete the commit file and replay the same batch id
+    Files.delete(java.nio.file.Paths.get(root, "wt", "_stream_commits",
+      "adhoc"))
+    Thread.sleep(5) // a fresh now() would differ; the recorded stamp must not
+    sink.addBatch(0L, batch)
+    val replayed = logTs()
+    assert(replayed.size == first.size * 2, "replay re-appends once")
+    assert(replayed.distinct == first.distinct,
+      s"replayed stamp must equal the recorded one: $replayed vs $first")
+    // value-identical replay → LWW state unchanged, still exactly-once after
+    assert(engine.servingView("wt").orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "b0"), (2L, "b0")))
+    sink.addBatch(0L, batch.withColumn("v", lit("never"))) // committed: skip
+    assert(logTs().size == replayed.size)
+    // a NEW batch id gets a FRESH stamp (monotone wall clock)
+    sink.addBatch(1L, Seq((3L, "b1")).toDF("k", "v"))
+    assert(logTs().distinct.size == 2)
+  }
+
   test("streaming sink: deleteColumn tombstones, LWW-atomic and A/A routed") {
     import spark.implicits._
     // LWW: one microbatch carries puts AND deletes in ONE log append

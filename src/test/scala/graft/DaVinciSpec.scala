@@ -219,6 +219,41 @@ class DaVinciSpec extends AnyFunSuite {
     }.getMessage.contains("active-active"))
   }
 
+  test("distributed client: cluster-memory residency serves past the " +
+      "embedded budget; gets ≡ embedded; refresh tracks the coordinate") {
+    engine.createStore("dd", Seq("c_custkey"))
+    engine.push("dd", Tables.customer(spark, sf))
+    // the embedded client refuses this store at a tiny budget, pointing at
+    // the distributed path — the documented 100× boundary
+    val ex = intercept[IllegalArgumentException] {
+      engine.daVinci("dd", maxRows = 10)
+    }
+    assert(ex.getMessage.contains("daVinciDistributed"))
+    val dist = engine.daVinciDistributed("dd")
+    val local = engine.daVinci("dd") // default budget fits sf0.001 fine
+    assert(dist.size == 150)
+    // point reads and misses agree with the embedded client
+    for (k <- Seq(1L, 42L, 150L, 99999L)) {
+      val d = dist.get(Seq(k)); val l = local.get(Seq(k))
+      assert(d.map(_.getAs[String]("c_name")) ==
+        l.map(_.getAs[String]("c_name")), s"key $k diverged")
+    }
+    // batch get: one job, all keys answered, absent key → None
+    val got = dist.batchGet(Seq(Seq(7L), Seq(123456L)))
+    assert(got(Seq(7L)).isDefined && got(Seq(123456L)).isEmpty)
+    // eventual consistency: stale until refresh, fresh after — same
+    // contract as the embedded client
+    import spark.implicits._
+    engine.put("dd", Seq((7L, "DIST-NEW")).toDF("c_custkey", "c_name"),
+      tsMs = 100L)
+    assert(!dist.isFresh)
+    assert(dist.get(Seq(7L)).get.getAs[String]("c_name") != "DIST-NEW")
+    assert(dist.refresh())
+    assert(dist.get(Seq(7L)).get.getAs[String]("c_name") == "DIST-NEW")
+    assert(!dist.refresh(), "no coordinate movement → no re-materialization")
+    dist.close()
+  }
+
   test("read path is job-free and fast: 200k gets off one materialization") {
     engine.createStore("c5", Seq("c_custkey"))
     engine.push("c5", Tables.customer(spark, sf))

@@ -163,6 +163,146 @@ class EngineSpec extends AnyFunSuite {
       .getAs[String]("c_mktsegment") == "PARTIAL2")
   }
 
+  test("compaction keeps the change coordinate: update → compactUpdates → " +
+      "changelog and refreshView survive, consumed updates not re-seen") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    import graft.operators.{UpdateBuilder, WriteCompute}
+    engine.createStore("cust9", Seq("c_custkey"))
+    engine.push("cust9", Tables.customer(spark, sf))
+    engine.materializedView("cust9", "cust9_by_nation", Seq("c_nationkey"))
+    val valueSchema = StructType(engine.snapshot("cust9").schema.fields
+      .filterNot(_.name == "c_custkey"))
+    val updSchema = StructType(
+      StructField("c_custkey", LongType) +:
+        WriteCompute.deriveUpdateSchema(valueSchema).fields)
+    def updDf(k: Long, seg: String) = spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row.fromSeq(
+        k +: new UpdateBuilder(valueSchema).setField("c_mktsegment", seg)
+          .buildRow().toSeq)), updSchema)
+    engine.update("cust9", updDf(10L, "SEEN"), tsMs = 500L)
+    engine.refreshView("cust9_by_nation") // consumes the update
+    val cp = engine.latestCoordinate("cust9")
+    // the ADVICE crash: squashUpdates' rewrite used to drop __log_seq from
+    // every updates file → changelogSince threw AnalysisException forever
+    engine.compactUpdates("cust9")
+    val after = engine.changelogSince("cust9", cp)
+    assert(after.count() == 0,
+      "compaction must not re-emit updates the coordinate already saw")
+    engine.refreshView("cust9_by_nation") // must not throw either
+    // a NEW update after the compaction is still seen exactly once
+    engine.update("cust9", updDf(11L, "FRESH"), tsMs = 600L)
+    val delta = engine.changelogSince("cust9", cp)
+    assert(delta.filter($"c_custkey" === 11L).count() == 1)
+    assert(delta.count() == 1)
+    engine.refreshView("cust9_by_nation")
+    assert(engine.servingView("cust9_by_nation")
+      .filter($"c_custkey" === 11L).head()
+      .getAs[String]("c_mktsegment") == "FRESH")
+    // legacy squashed logs (pre-fix: no __log_seq column anywhere) must
+    // fall back to always-new instead of AnalysisException-ing
+    val updDir = s"$root/cust9/updates"
+    val readBack = spark.read.option("mergeSchema", "true").parquet(updDir)
+      .drop(graft.core.GraftEngine.LogSeqCol)
+    val legacySchema = readBack.schema
+    val legacyRows = java.util.Arrays.asList(readBack.collect(): _*)
+    spark.createDataFrame(legacyRows, legacySchema)
+      .write.mode("overwrite").parquet(updDir)
+    val replay = engine.changelogSince("cust9", cp)
+    assert(replay.count() >= 1, "legacy log must read as always-new")
+  }
+
+  test("per-store persisted config: two engine instances see the same " +
+      "values; rewind/swap read them as defaults") {
+    import spark.implicits._
+    import graft.core.StoreConfig
+    engine.createStore("cfg1", Seq("k"), StoreConfig(
+      rewindSeconds = 2L, lagThresholdMs = 250L, quotaBytes = 1L << 30))
+    engine.push("cfg1", Seq((1L, "a")).toDF("k", "v"), numBuckets = 2)
+    // a SECOND session/engine over the same root reads the same config —
+    // the Venice property: config lives on the store record, not the job
+    val e2 = new graft.core.GraftEngine(spark, root)
+    val cfg = e2.storeConfig("cfg1")
+    assert(cfg.rewindSeconds == 2L && cfg.lagThresholdMs == 250L &&
+      cfg.quotaBytes == (1L << 30) && !cfg.activeActive)
+    // rewind default = the store's window: events at ts 500 and 2500 with
+    // now=3000 → only the one inside the last 2 s comes back
+    engine.put("cfg1", Seq((2L, "old")).toDF("k", "v"), tsMs = 500L)
+    engine.put("cfg1", Seq((3L, "new")).toDF("k", "v"), tsMs = 2500L)
+    val win = graft.streaming.StreamIngest.rewind(e2, "cfg1", nowMs = 3000L)
+    assert(win.select("k").as[Long].collect().toSet == Set(3L))
+    // swap gate default = the store's lag threshold: newest ingested ts is
+    // 2500, so at now=2700 lag 200 ≤ 250 → swap; at a 100ms-threshold
+    // store it would refuse (checked via the explicit overload)
+    assert(graft.streaming.StreamIngest
+      .swapIfCaughtUp(e2, "cfg1", nowMs = 2700L).isDefined)
+    assert(graft.streaming.StreamIngest
+      .swapIfCaughtUp(e2, "cfg1", maxTimeLagMs = 100L, nowMs = 2700L).isEmpty)
+  }
+
+  test("store config: storage quota aborts an over-quota push before the " +
+      "swap; compression strategy reaches the parquet files") {
+    import spark.implicits._
+    import graft.core.StoreConfig
+    engine.createStore("cfg2", Seq("k"), StoreConfig(quotaBytes = 200L))
+    val big = spark.range(5000).select(col("id").as("k"),
+      md5(col("id").cast("string")).as("v"))
+    val ex = intercept[IllegalStateException] {
+      engine.push("cfg2", big, numBuckets = 2)
+    }
+    assert(ex.getMessage.contains("quota"))
+    assert(engine.currentVersion("cfg2") == 0, "no swap on an aborted push")
+    assert(engine.listVersions("cfg2").isEmpty, "candidate version removed")
+    // raise the quota → the same push lands
+    engine.setStoreConfig("cfg2", StoreConfig(quotaBytes = 10L << 20))
+    assert(engine.push("cfg2", big, numBuckets = 2) == 1)
+    assert(engine.servingView("cfg2").count() == 5000)
+    // compression strategy is a store property applied by every push
+    engine.createStore("cfg3", Seq("k"),
+      StoreConfig(compressionStrategy = "GZIP"))
+    engine.push("cfg3", Seq((1L, "a")).toDF("k", "v"), numBuckets = 1)
+    val files = java.nio.file.Files.walk(
+      java.nio.file.Paths.get(s"$root/cfg3/v=1"))
+    val names = try {
+      val b = Seq.newBuilder[String]
+      files.forEach(p => b += p.getFileName.toString)
+      b.result()
+    } finally files.close()
+    assert(names.exists(_.endsWith(".gz.parquet")),
+      s"expected gzip parquet files, got $names")
+  }
+
+  test("LWW byte-parity tie-break: the store flag flips the winner where " +
+      "string order and serialized-Avro unsigned byte order disagree") {
+    import spark.implicits._
+    import graft.core.StoreConfig
+    // int values 9 vs 10: strings "9" > "10" (lexicographic), but Avro
+    // zigzag varints 0x12 < 0x14 → bytes say 10 wins (MergeByteBuffer
+    // order, AbstractMerge.java:17-46 semantics)
+    def runWith(flag: Boolean): Int = {
+      val store = s"tie_$flag"
+      engine.createStore(store, Seq("k"),
+        StoreConfig(lwwByteTieBreak = flag))
+      engine.push(store, Seq((1L, 0)).toDF("k", "v"), numBuckets = 1)
+      engine.put(store, Seq((1L, 9)).toDF("k", "v"), tsMs = 100L)
+      engine.put(store, Seq((1L, 10)).toDF("k", "v"), tsMs = 100L)
+      engine.servingView(store).head().getAs[Int]("v")
+    }
+    assert(runWith(false) == 9, "string order: \"9\" > \"10\"")
+    assert(runWith(true) == 10, "byte order: zigzag(10) > zigzag(9)")
+    // parity beyond ints: equal-ts string values compare as UTF-8 bytes
+    // behind an Avro length prefix — same winner as unsigned byte compare
+    engine.createStore("tie_s", Seq("k"),
+      StoreConfig(lwwByteTieBreak = true))
+    engine.push("tie_s", Seq((1L, "mm")).toDF("k", "v"), numBuckets = 1)
+    engine.put("tie_s", Seq((1L, "z")).toDF("k", "v"), tsMs = 100L)
+    engine.put("tie_s", Seq((1L, "mz")).toDF("k", "v"), tsMs = 100L)
+    // "z" (len 1: 0x02 0x7A) vs "mz" (len 2: 0x04 0x6D 0x7A): byte order
+    // compares the length varint first → "mz" wins under Avro bytes even
+    // though "z" > "mz" as strings — a real divergence the flag controls
+    assert(engine.servingView("tie_s").head().getAs[String]("v") == "mz")
+  }
+
   test("materialized view, incremental push, SQL registration") {
     import spark.implicits._
     engine.createStore("cust6", Seq("c_custkey"))

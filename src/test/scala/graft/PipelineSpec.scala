@@ -430,6 +430,20 @@ class PipelineSpec extends AnyFunSuite {
       maxCandidatePairs = 100L).count() >= 0)
   }
 
+  test("simhashPairs (16-bit) refuses oversized input for its pair budget") {
+    import spark.implicits._
+    val docs = (0 until 20).map(i => (i.toLong, s"doc number $i words here"))
+      .toDF("doc_id", "text")
+    // rowCap = √100 = 10 < 20 docs → refuse, pointing at the scale path
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.simhashPairs(docs, "doc_id", "text", maxCandidatePairs = 100L)
+    }
+    assert(ex.getMessage.contains("simhashPairs64"),
+      s"guard message must point at the production path: ${ex.getMessage}")
+    // in-budget input still runs under the default budget
+    assert(Dedup.simhashPairs(docs, "doc_id", "text").count() >= 0)
+  }
+
   test("SimHash16 expression ≡ higher-order-function formulation") {
     import graft.functions.{SimHashExpr, TextOps}
     val docs = Tables.documents(spark, sf)
@@ -1315,6 +1329,14 @@ class PipelineSpec extends AnyFunSuite {
         "doc_id", "text", nShards = 7, topTerms = 4, k = 8, maxFetch = 3)
       .collect()
     assert(trunc.nonEmpty, "maxFetch=3 must still rank top-impact docs")
+    // the exact probe is workload-quadratic and must REFUSE past its
+    // fetched-postings budget, pointing at the top-fetch production path
+    val exG = intercept[IllegalArgumentException] {
+      Retrieval.probeBm25Index(e, "flat", "stats", queries,
+        "doc_id", "text", maxFetchedPostings = 1L)
+    }
+    assert(exG.getMessage.contains("bm25_index_topfetch"),
+      s"guard message must point at the production path: ${exG.getMessage}")
   }
 
   test("index maintenance fuzz: random delta schedules, upsert ≡ rebuild " +

@@ -114,6 +114,65 @@ class PlumbingSpec extends AnyFunSuite {
       InputSource.read(spark, "avro", s"$dir/json"))
   }
 
+  test("B1 avro: general multi-branch unions round-trip as tagged " +
+      "structs-of-optionals (record branch, enum, null branch)") {
+    import org.apache.avro.Schema
+    import org.apache.avro.file.DataFileWriter
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    import graft.sources.AvroInput
+    val root = java.nio.file.Files.createTempDirectory("graft-union").toString
+    // union [null, int, string, Inner{a: long}] + an enum field — the
+    // schema shapes the derived writer cannot produce, written by hand
+    val inner = Schema.createRecord("Inner", null, "t", false,
+      java.util.List.of(
+        new Schema.Field("a", Schema.create(Schema.Type.LONG))))
+    val u = Schema.createUnion(java.util.List.of(
+      Schema.create(Schema.Type.NULL), Schema.create(Schema.Type.INT),
+      Schema.create(Schema.Type.STRING), inner))
+    val color = Schema.createEnum("Color", null, "t",
+      java.util.List.of("RED", "BLUE"))
+    val rec = Schema.createRecord("Outer", null, "t", false,
+      java.util.List.of(
+        new Schema.Field("id", Schema.create(Schema.Type.LONG)),
+        new Schema.Field("u", u, null, Schema.Field.NULL_DEFAULT_VALUE),
+        new Schema.Field("c", color)))
+    val w = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](rec))
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$root/in"))
+    w.create(rec, new java.io.File(s"$root/in/part-0.avro"))
+    def r(id: Long, uv: AnyRef, c: String): GenericRecord = {
+      val g = new GenericData.Record(rec)
+      g.put("id", id); g.put("u", uv)
+      g.put("c", new GenericData.EnumSymbol(color, c)); g
+    }
+    val innerRec = new GenericData.Record(inner); innerRec.put("a", 77L)
+    w.append(r(1L, Integer.valueOf(5), "RED"))
+    w.append(r(2L, "hello", "BLUE"))
+    w.append(r(3L, innerRec, "RED"))
+    w.append(r(4L, null, "BLUE"))
+    w.close()
+    val df = AvroInput.read(spark, s"$root/in")
+    // mapped shape: struct<tag, m_int, m_string, m_Inner>
+    assert(df.select("u").schema.fields(0).dataType.asInstanceOf[
+      org.apache.spark.sql.types.StructType].fieldNames.toSeq ==
+      Seq("tag", "m_int", "m_string", "m_Inner"))
+    val byId = df.collect().map(x => x.getAs[Long]("id") -> x).toMap
+    assert(byId(1L).getStruct(1).getString(0) == "int")
+    assert(byId(1L).getStruct(1).getInt(1) == 5)
+    assert(byId(2L).getStruct(1).getString(0) == "string")
+    assert(byId(2L).getStruct(1).getString(2) == "hello")
+    assert(byId(3L).getStruct(1).getString(0) == "Inner")
+    assert(byId(3L).getStruct(1).getStruct(3).getLong(0) == 77L)
+    assert(byId(4L).isNullAt(1), "null branch = null struct")
+    assert(byId(1L).getString(2) == "RED") // enum → string
+    // LOSSLESS: write back under the ORIGINAL schema, read again, identical
+    AvroInput.write(df, s"$root/out", rec)
+    val again = AvroInput.read(spark, s"$root/out")
+    assert(again.collect().sortBy(_.getAs[Long]("id")).toSeq ==
+      df.collect().sortBy(_.getAs[Long]("id")).toSeq)
+  }
+
   test("B1 avro: container files written by the engine read back identically") {
     import graft.sources.AvroInput
     val root = java.nio.file.Files.createTempDirectory("graft-avro").toString

@@ -6,7 +6,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.Trigger
 import org.scalatest.funsuite.AnyFunSuite
 import graft.core.{GraftEngine, GraftSession, Tables}
-import graft.streaming.StreamIngest
+import graft.streaming.{FileTopicSource, KafkaTopicSource, StreamIngest}
 
 case class Upd(c_custkey: Long, c_name: String, c_nationkey: Int,
     c_acctbal: Double, c_mktsegment: String, __event_ts_ms: Long)
@@ -38,6 +38,43 @@ class StreamingSpec extends AnyFunSuite {
       == "STREAMED")
     assert(view.filter($"c_custkey" === 7777L).count() == 1)
     assert(view.count() == 151)
+  }
+
+  test("B2: the TopicSource seam — ingest driven through a topic adapter; " +
+      "the Kafka binding constructs without a broker or connector jar") {
+    import spark.implicits._
+    engine.createStore("tsrc", Seq("c_custkey"))
+    engine.push("tsrc", Tables.customer(spark, sf))
+    // a parquet dir stands in for the external topic (the in-env adapter);
+    // producers append files, the consumer checkpoints via the file source
+    val topicDir = Files.createTempDirectory("graft-topic").toString
+    Seq((1L, "VIA-TOPIC", 5000L), (8888L, "TOPIC-NEW", 5000L))
+      .toDF("c_custkey", "c_name", StreamIngest.EventTsCol)
+      .write.mode("append").parquet(topicDir)
+    val q = StreamIngest.ingestFrom(engine, "tsrc",
+      FileTopicSource(topicDir), checkpoint = s"$root/cpT")
+    q.awaitTermination(60000)
+    val view = engine.servingView("tsrc")
+    assert(view.filter($"c_custkey" === 1L).head.getAs[String]("c_name")
+      == "VIA-TOPIC")
+    assert(view.count() == 151)
+    // a SECOND producer append resumes from the checkpoint — only the new
+    // file is consumed (topic semantics, not a rescan)
+    Seq((8888L, "TOPIC-NEWER", 6000L))
+      .toDF("c_custkey", "c_name", StreamIngest.EventTsCol)
+      .write.mode("append").parquet(topicDir)
+    val q2 = StreamIngest.ingestFrom(engine, "tsrc",
+      FileTopicSource(topicDir), checkpoint = s"$root/cpT")
+    q2.awaitTermination(60000)
+    assert(engine.servingView("tsrc").filter($"c_custkey" === 8888L)
+      .head.getAs[String]("c_name") == "TOPIC-NEWER")
+    // the Kafka binding is pure data until stream() — audit its options
+    val k = KafkaTopicSource("broker1:9092,broker2:9092", "store_rt",
+      startingOffsets = "latest")
+    assert(k.sourceOptions == Map(
+      "kafka.bootstrap.servers" -> "broker1:9092,broker2:9092",
+      "subscribe" -> "store_rt",
+      "startingOffsets" -> "latest"))
   }
 
   test("S1: per-row-unique event times ingest as ONE append per batch") {
