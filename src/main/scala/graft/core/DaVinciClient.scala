@@ -268,6 +268,7 @@ final class DistributedDaVinci private[core] (engine: GraftEngine,
 
   private val keyCols: Seq[String] = engine.storeMeta(name).keyCols
   private val probeBucket = "__probe_bucket"
+  private val probeKey = "__probe_key"
   @volatile private var state: (ChangeCoordinate, Int, DataFrame) = _
 
   materialize()
@@ -276,9 +277,17 @@ final class DistributedDaVinci private[core] (engine: GraftEngine,
     val coord = engine.latestCoordinate(name)
     val nb = engine.numBuckets(name)
     val keyExpr = concat_ws("|", keyCols.map(c => col(c).cast("string")): _*)
+    // the rendered key is MATERIALIZED (not recomputed per probe) and each
+    // partition is sorted on it, so every cached batch carries a tight
+    // min/max key range — a probe's equality filter skips non-matching
+    // batches on stats alone, the in-memory analog of key-sorted parquet
+    // row groups
     val frame = engine.servingView(name)
-      .withColumn(probeBucket, graft.functions.HashOps.partitionId(keyExpr, nb))
+      .withColumn(probeKey, keyExpr)
+      .withColumn(probeBucket,
+        graft.functions.HashOps.partitionId(col(probeKey), nb))
       .repartition(nb, col(probeBucket))
+      .sortWithinPartitions(col(probeBucket), col(probeKey))
       .persist()
     frame.count() // pay the fold once, eagerly, like the embedded client
     val prev = state
@@ -305,11 +314,10 @@ final class DistributedDaVinci private[core] (engine: GraftEngine,
     val (_, nb, frame) = state
     val buckets = keys.map(GraftEngine.bucketHashOf(_, nb)).distinct
     val wanted = keys.map(DaVinciClient.render).toSet
-    val keyExpr = concat_ws("|", keyCols.map(c => col(c).cast("string")): _*)
     val hits = frame
       .filter(col(probeBucket).isin(buckets.map(Integer.valueOf): _*))
-      .filter(keyExpr.isin(wanted.toSeq: _*))
-      .drop(probeBucket)
+      .filter(col(probeKey).isin(wanted.toSeq: _*))
+      .drop(probeBucket, probeKey)
       .collect()
     val idx = hits.headOption.map(r => keyCols.map(r.fieldIndex))
       .getOrElse(Nil)
