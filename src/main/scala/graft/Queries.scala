@@ -6244,6 +6244,73 @@ object Queries {
              FROM sig JOIN b ON sig.lang = b.lang
              ORDER BY doc_id"""))
 
+  /** Preference-pair construction for reward-model / DPO training data:
+    * within each language, pair the i-th best-quality document with the
+    * i-th worst (k ≤ 10 pairs per group) and carry the quality margin.
+    *
+    * Scale shape: candidates are PRE-FILTERED to the extreme deciles by a
+    * broadcast quantile-bounds join (the quality_deciles mechanics), so
+    * the per-group rank windows sort ~20% of each group, never the full
+    * corpus partition — the mitigation for the one-giant-lang skew a
+    * 100 TB corpus has. Margins are integer micro-units (cross-engine
+    * exact); ties break on doc_id so both engines rank identically. */
+  val preferencePairs = QueryDef(
+    "preference_pairs",
+    (s, dir) => {
+      import graft.operators.Percentiles
+      val sig = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          round(TextOps.qualityScore(col("text")) * 1e6).cast("long").as("qm"))
+      val bounds = Percentiles.disc(sig, Seq("lang"), col("qm"),
+        Seq(10, 90)).drop("n_rows")
+      val cand = sig.join(broadcast(bounds), "lang")
+        .filter(col("qm") >= col("p90") || col("qm") <= col("p10"))
+      val wUp = Window.partitionBy(col("lang"))
+        .orderBy(col("qm").desc, col("doc_id").asc)
+      val wDn = Window.partitionBy(col("lang"))
+        .orderBy(col("qm").asc, col("doc_id").desc)
+      val best = cand.filter(col("qm") >= col("p90"))
+        .select(col("lang"), col("doc_id").as("chosen_id"),
+          col("qm").as("chosen_qm"), row_number().over(wUp).as("i"))
+      val worst = cand.filter(col("qm") <= col("p10"))
+        .select(col("lang"), col("doc_id").as("rejected_id"),
+          col("qm").as("rejected_qm"), row_number().over(wDn).as("i"))
+      best.join(worst, Seq("lang", "i"))
+        .filter(col("i") <= 10 && col("chosen_qm") > col("rejected_qm"))
+        .select(col("lang"), col("i"), col("chosen_id"), col("rejected_id"),
+          (col("chosen_qm") - col("rejected_qm")).as("margin"))
+        .orderBy(col("lang"), col("i"))
+    },
+    Some(s"""WITH base AS (SELECT doc_id, lang, text, $tokensSql AS toks
+               FROM documents),
+             sig AS (SELECT doc_id, lang,
+                 round(round((least(length(text), 500)::DOUBLE / 500.0
+                   + least(len(list_filter(toks, t -> list_contains(
+                       ['the','and','of','to','is','in','that','it','for','with'],
+                       t)))::DOUBLE * 5.0 / greatest(len(toks), 1), 1.0)
+                   + len(list_filter(toks, t -> length(t) >= 4))::DOUBLE
+                     / greatest(len(toks), 1)) / 3.0, 6) * 1000000)::BIGINT
+                   AS qm
+               FROM base),
+             b AS (SELECT lang, quantile_disc(qm, 0.1) AS p10,
+                 quantile_disc(qm, 0.9) AS p90
+               FROM sig GROUP BY lang),
+             cand AS (SELECT sig.*, p10, p90 FROM sig JOIN b USING (lang)
+               WHERE qm >= p90 OR qm <= p10),
+             best AS (SELECT lang, doc_id AS chosen_id, qm AS chosen_qm,
+                 row_number() OVER (PARTITION BY lang
+                   ORDER BY qm DESC, doc_id ASC) AS i
+               FROM cand WHERE qm >= p90),
+             worst AS (SELECT lang, doc_id AS rejected_id, qm AS rejected_qm,
+                 row_number() OVER (PARTITION BY lang
+                   ORDER BY qm ASC, doc_id DESC) AS i
+               FROM cand WHERE qm <= p10)
+             SELECT lang, i, chosen_id, rejected_id,
+               chosen_qm - rejected_qm AS margin
+             FROM best JOIN worst USING (lang, i)
+             WHERE i <= 10 AND chosen_qm > rejected_qm
+             ORDER BY lang, i"""))
+
   /** B15 compliance purge, audited PHYSICALLY: tombstone a key set, fold
     * it through a repush, vacuum retired versions + applied logs, and
     * rebuild+vacuum the store's views — then walk every parquet file left
@@ -8783,7 +8850,8 @@ object Queries {
     qSaltedJoin, s9Bootstrap, qPivot, w14HllUnion, bpeTrainMerges,
     b16AggView, bpeEncode, dedupClusterKeeper, cohortRetention,
     eventsDebounce, centroidClassify, q7Volume, qScdJoin, qualityCi,
-    zorderLayout, profileColumns, b20AvroUnion, storeConfigQ)
+    zorderLayout, profileColumns, b20AvroUnion, storeConfigQ,
+    preferencePairs)
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }

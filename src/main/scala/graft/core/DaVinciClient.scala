@@ -308,17 +308,22 @@ final class DistributedDaVinci private[core] (engine: GraftEngine,
   /** Point read: ONE Spark job over the probed bucket's cached batches. */
   def get(key: Seq[Any]): Option[Row] = batchGet(Seq(key))(key)
 
-  /** Batch point reads: one job, pruned to the probed buckets' partitions
-    * (batch-stats skip), result O(batch) on the driver. */
-  def batchGet(keys: Seq[Seq[Any]]): Map[Seq[Any], Option[Row]] = {
+  /** The probe plan pre-collect — exposed for plan pins: it must read the
+    * CACHED frame (InMemoryTableScan), never re-touch parquet. */
+  private[graft] def probeFrame(keys: Seq[Seq[Any]]): DataFrame = {
     val (_, nb, frame) = state
     val buckets = keys.map(GraftEngine.bucketHashOf(_, nb)).distinct
     val wanted = keys.map(DaVinciClient.render).toSet
-    val hits = frame
+    frame
       .filter(col(probeBucket).isin(buckets.map(Integer.valueOf): _*))
       .filter(col(probeKey).isin(wanted.toSeq: _*))
       .drop(probeBucket, probeKey)
-      .collect()
+  }
+
+  /** Batch point reads: one job, pruned to the probed buckets' partitions
+    * (batch-stats skip), result O(batch) on the driver. */
+  def batchGet(keys: Seq[Seq[Any]]): Map[Seq[Any], Option[Row]] = {
+    val hits = probeFrame(keys).collect()
     val idx = hits.headOption.map(r => keyCols.map(r.fieldIndex))
       .getOrElse(Nil)
     val found = hits.map(r =>

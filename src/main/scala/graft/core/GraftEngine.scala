@@ -835,6 +835,7 @@ class GraftEngine(val spark: SparkSession, val root: String) {
   def compactUpdates(name: String): Unit = {
     import org.apache.spark.sql.types.StructType
     import graft.operators.WriteCompute
+    if (!hasUpdates(name)) return // nothing pending — compaction is a no-op
     val meta = storeMeta(name)
     val valueSchema = StructType(
       supersetSchema(name).fields.filterNot(f => meta.keyCols.contains(f.name)))
@@ -2232,11 +2233,17 @@ class GraftEngine(val spark: SparkSession, val root: String) {
       // relation — materialize the key set to a tmp parquet instead of
       // collect()ing it (a large erasure batch must not OOM the driver).
       if (hasUpdates(name)) {
-        val kTmp = Paths.get(dir(name, ".purge.keys"))
+        // NOT dot/underscore-prefixed: Spark's file index silently ignores
+        // hidden paths even when given explicitly — a `.purge.keys` dir
+        // reads back as an EMPTY frame and the anti-join would remove
+        // nothing (caught by the fuzz suite's ignored-path warnings)
+        val kTmp = Paths.get(dir(name, "tmp_purge_keys"))
         if (Files.exists(kTmp)) rmTree(kTmp)
         k.distinct().write.parquet(kTmp.toString)
         try {
           val kFrame = spark.read.parquet(kTmp.toString)
+          require(!kFrame.isEmpty || k.isEmpty,
+            "purge key set failed to round-trip through the tmp parquet")
           rewriteUpdates(name)(
             _.join(kFrame, meta.keyCols, "left_anti"))
         } finally rmTree(kTmp)

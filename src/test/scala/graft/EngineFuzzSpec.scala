@@ -65,6 +65,12 @@ class EngineFuzzSpec extends AnyFunSuite {
   case object LRepush extends LOp
   case object LRollback extends LOp
   case class LRebucket(n: Int) extends LOp
+  /** Squash the pending-update log in place (the round-8 ADVICE crash:
+    * update → compactUpdates dropped __log_seq from every file and
+    * changelogSince/refreshView threw forever). Semantically a NO-OP on
+    * the serving view AND on change coordinates — the model ignores it,
+    * which is exactly the property the differential pins. */
+  case object LCompact extends LOp
   /** Compliance purge: tombstone + drop the keys' pending updates + repush
     * + vacuum. `ts` must beat every prior write (assigned 5000+i per
     * script index, above the TsPool/update ranges by construction). */
@@ -149,6 +155,7 @@ class EngineFuzzSpec extends AnyFunSuite {
         log = Vector.empty; updates = Vector.empty
       case LRollback =>
         current = versions.keys.filter(_ < current).max
+      case LCompact => () // squash preserves the fold outcome by contract
     }
   }
 
@@ -177,7 +184,8 @@ class EngineFuzzSpec extends AnyFunSuite {
       .map(ks => LPurge(ks.toSeq.sorted, 0L)) // ts assigned per-index below
     Gen.frequency(4 -> put, 3 -> del, 2 -> upd, 1 -> Gen.const(LRepush),
       1 -> Gen.const(LRollback), 1 -> Gen.choose(2, 8).map(LRebucket),
-      1 -> Gen.const(LEvolve), 2 -> putNew, 1 -> purge)
+      1 -> Gen.const(LEvolve), 2 -> putNew, 1 -> purge,
+      1 -> Gen.const(LCompact))
   }
 
   private val lwwScriptGen: Gen[List[LOp]] = for {
@@ -266,6 +274,7 @@ class EngineFuzzSpec extends AnyFunSuite {
           List(Row.fromSeq(k +: u.toSeq)).asJava, updSchema), ts)
         model(op)
       case LRepush => e.repush("s"); model(LRepush)
+      case LCompact => e.compactUpdates("s"); model(LCompact)
       case op @ LPurge(ks, ts) =>
         e.purge("s", spark.createDataFrame(
           ks.map(k => Row(k)).asJava,
@@ -766,6 +775,10 @@ class EngineFuzzSpec extends AnyFunSuite {
   case object VRollbackL extends VOp
   case class VRebucketL(n: Int) extends VOp
   case object VRefresh extends VOp
+  /** Squash L's pending-update log mid-script: view refresh AFTER a
+    * compaction must still see exactly the deltas it hasn't consumed
+    * (the coordinate-preservation property the round-8 fix added). */
+  case object VCompactL extends VOp
 
   private val vOpGen: Gen[VOp] = {
     val ks = Gen.nonEmptyContainerOf[Set, Long](Gen.choose(1L, 12L))
@@ -779,7 +792,7 @@ class EngineFuzzSpec extends AnyFunSuite {
       2 -> ks.map(VRDel(_, 0L)),
       1 -> Gen.const(VRepushL), 1 -> Gen.const(VRollbackL),
       1 -> Gen.choose(2, 8).map(VRebucketL),
-      2 -> Gen.const(VRefresh))
+      2 -> Gen.const(VRefresh), 1 -> Gen.const(VCompactL))
   }
 
   private val vScriptGen: Gen[List[VOp]] = for {
@@ -850,6 +863,10 @@ class EngineFuzzSpec extends AnyFunSuite {
       case VRPut(ks, tag, ts) => e.put("R", rdf(ks, tag), ts)
       case VRDel(ks, ts) => e.delete("R", kdf(ks), ts)
       case VRepushL => e.repush("L"); lCurrent += 1
+      case VCompactL =>
+        // write-compute updates exist on the LWW source only; on the A/A
+        // variant there is never a pending-update log and this is a no-op
+        e.compactUpdates("L")
       case VRebucketL(n) => e.rebucket("L", n); lCurrent += 1
       case VRollbackL =>
         // versions 1..max are all retained (no vacuum in the script), so

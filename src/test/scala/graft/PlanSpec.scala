@@ -179,6 +179,32 @@ class PlanSpec extends AnyFunSuite {
       && rows(1).getDouble(1) == 2.0)
   }
 
+  test("distributed DaVinci probe reads cluster memory, never parquet") {
+    val root = Files.createTempDirectory("plan-dvd").toString
+    val e = new GraftEngine(spark, root)
+    import spark.implicits._
+    e.createStore("d", Seq("k"))
+    e.push("d", spark.range(1000).select(col("id").as("k"),
+      md5(col("id").cast("string")).as("v")), numBuckets = 8)
+    val dist = e.daVinciDistributed("d")
+    val full = plan(dist.probeFrame(Seq(Seq(5L), Seq(17L))))
+    // everything under InMemoryRelation is the ALREADY-MATERIALIZED build
+    // plan (printed for provenance, not executed per probe) — the probe's
+    // own execution is the part above it
+    val p = full.split("InMemoryRelation")(0)
+    assert(p.contains("InMemoryTableScan"),
+      s"probe does not read the cached frame:\n${p.take(600)}")
+    assert(!p.contains("FileSourceScan") && !p.contains("Scan parquet"),
+      s"probe re-touches parquet:\n${p.take(600)}")
+    assert(!p.contains("Exchange"),
+      s"a point probe must not shuffle:\n${p.take(600)}")
+    // and the probe filter is pushed into the in-memory scan (batch-stat
+    // pruning on the sorted key): the scan node carries both predicates
+    assert(p.contains("InMemoryTableScan [") && p.contains("__probe_key"),
+      s"probe predicates not pushed to the cached scan:\n${p.take(600)}")
+    dist.close()
+  }
+
   test("global prefix sum never collapses to a single partition") {
     // the scale property of pack_sequences: offsets come from a range
     // shuffle + per-partition sums, NOT a global Window.orderBy (which
