@@ -10,6 +10,18 @@ import org.apache.spark.sql.SparkSession
   * action in a fresh JVM pays ~5s of one-time cost).
   */
 object Bench {
+  // per-query status: Ok | Refused(guard msg) | Err(msg). Refused is a
+  // DISTINCT machine-checkable status (graft.core.GuardRefusedException
+  // anywhere in the cause chain): a scale sweep over guarded decades is
+  // green iff the only non-ok rows are by-design guard refusals, and
+  // that must be verifiable without parsing error prose. (Object-level,
+  // not main-local: scalac emits broken LazyRef duplicate fields for
+  // sealed hierarchies local to a method body.)
+  private sealed trait Status { def isOk: Boolean = this == Ok }
+  private case object Ok extends Status
+  private final case class Refused(msg: String) extends Status
+  private final case class Err(msg: String) extends Status
+
   def main(args: Array[String]): Unit = {
     // arg overrides env: the sbt server freezes fork env at boot, so ad-hoc
     // sweeps (e.g. the sf1 scale point) pass the dir explicitly
@@ -34,7 +46,9 @@ object Bench {
     queries.foreach { q =>
       try q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
-        System.err.println(s"[bench] warmup ${q.name} failed: ${e.getMessage}")
+        val kind = if (graft.core.Guard.refusal(e).isDefined) "refused (guard)"
+          else "failed"
+        System.err.println(s"[bench] warmup ${q.name} $kind: ${e.getMessage}")
       }
     }
     spark.catalog.clearCache()
@@ -47,11 +61,16 @@ object Bench {
     // passes is robust to transient contention while still measuring
     // steady-state plan execution.
     val results = queries.map { q =>
-      def onePass(): (Double, Option[String]) = {
+      def onePass(): (Double, Status) = {
         val t0 = System.nanoTime()
-        val err =
-          try { q.fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
-          catch { case e: Throwable => Some(Option(e.getMessage).getOrElse(e.getClass.getName)) }
+        val st =
+          try { q.fn(spark, sfDir).write.format("noop").mode("overwrite").save(); Ok: Status }
+          catch { case e: Throwable =>
+            graft.core.Guard.refusal(e) match {
+              case Some(m) => Refused(m)
+              case None => Err(Option(e.getMessage).getOrElse(e.getClass.getName))
+            }
+          }
         val sec = (System.nanoTime() - t0) / 1e9
         // harness hygiene OUTSIDE the clock: drop this query's cached
         // blocks and collect its garbage now, so accumulated heap debt
@@ -59,20 +78,23 @@ object Bench {
         // a full-GC stall mid-measurement
         spark.catalog.clearCache()
         System.gc()
-        (sec, err)
+        (sec, st)
       }
-      val (t1, e1) = onePass()
-      val (t2, e2) = if (e1.isEmpty) onePass() else (t1, e1)
-      (q.name, math.min(t1, t2), e1.orElse(e2))
+      val (t1, s1) = onePass()
+      val (t2, s2) = if (s1.isOk) onePass() else (t1, s1)
+      (q.name, math.min(t1, t2), if (s1.isOk) s2 else s1)
     }
     def esc(s: String): String =
       s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString }
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(e)) =>
+    val errs = results.collect { case (k, _, Err(e)) =>
       "\"" + k + "\":\"" + esc(e.take(300)) + "\"" }.mkString("{", ",", "}")
-    val ok = results.count(_._3.isEmpty)
+    val refused = results.collect { case (k, _, Refused(m)) =>
+      "\"" + k + "\":\"" + esc(m.take(300)) + "\"" }.mkString("{", ",", "}")
+    val ok = results.count(_._3.isOk)
+    val nRefused = results.count(_._3.isInstanceOf[Refused])
     val total = results.map(_._2).sum
     // "core38" is the subtotal over the round-1 registry so round-over-round
     // comparisons stay apples-to-apples; "total" covers everything.
@@ -121,9 +143,12 @@ object Bench {
       "w5_lww_merge",
       "w8_squash_sets")
     val core = results.filter(r => core38(r._1)).map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","core38":$core,"queries":$qs,"ok":$ok,"n":${results.size},"errors":$errs,"sf":"$sfDir"}""")
-    if (results.exists(_._3.nonEmpty)) System.err.println(
-      s"[bench] ${results.count(_._3.nonEmpty)} queries FAILED")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","core38":$core,"queries":$qs,"ok":$ok,"refused_n":$nRefused,"n":${results.size},"errors":$errs,"refused":$refused,"sf":"$sfDir"}""")
+    if (nRefused > 0) System.err.println(
+      s"[bench] $nRefused queries REFUSED by scale guard (by design at " +
+        "oversized decades — see the refused map)")
+    if (results.exists(_._3.isInstanceOf[Err])) System.err.println(
+      s"[bench] ${results.count(_._3.isInstanceOf[Err])} queries FAILED")
     spark.stop()
   }
 }

@@ -11,7 +11,7 @@ object MicroBench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.build(appName = "microbench")
     import spark.implicits._
-    val root = Files.createTempDirectory("graft-mb").toString
+    val root = graft.core.TmpStores.dir("graft-mb").toString
     val engine = new GraftEngine(spark, root)
 
     def timed[A](f: => A): Double = {

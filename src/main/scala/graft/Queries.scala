@@ -780,7 +780,7 @@ object Queries {
 
   private def tempEngine(s: SparkSession, prefix: String): graft.core.GraftEngine =
     new graft.core.GraftEngine(s,
-      java.nio.file.Files.createTempDirectory(prefix).toString)
+      graft.core.TmpStores.dir(prefix).toString)
 
   /** Content-keyed staged "topic" for the streaming oracles: writes `ev`
     * once per JVM per source content (the bench's min-of-2 would otherwise
@@ -794,14 +794,13 @@ object Queries {
       .map(_.toSeq).getOrElse(Seq(new java.io.File(s"$dir/$srcTable.parquet")))
       .sortBy(_.getName)
       .map(f => s"${f.getName}:${f.length}:${f.lastModified}").mkString(",")
-    val stage = new java.io.File(
-      s"${sys.props("java.io.tmpdir")}/$prefix-${
+    val stage = graft.core.TmpStores.fixed(s"$prefix-${
         java.security.MessageDigest.getInstance("MD5")
           .digest(s"$dir|$srcSig".getBytes("UTF-8"))
-          .map(b => f"$b%02x").mkString}")
+          .map(b => f"$b%02x").mkString}").toFile
     if (!new java.io.File(stage, "_SUCCESS").exists())
       ev.write.mode("overwrite").parquet(stage.toString)
-    val root = java.nio.file.Files.createTempDirectory(prefix).toString
+    val root = graft.core.TmpStores.dir(prefix).toString
     val in = s"$root/in"
     new java.io.File(in).mkdirs()
     stage.listFiles().foreach { f =>
@@ -1094,7 +1093,7 @@ object Queries {
   val dsv2StoreRead = QueryDef(
     "dsv2_store_read",
     (s, dir) => {
-      val root = java.nio.file.Files.createTempDirectory("graft-dsv2q").toString
+      val root = graft.core.TmpStores.dir("graft-dsv2q").toString
       val e = new graft.core.GraftEngine(s, root)
       e.createStore("c", Seq("c_custkey"))
       val cust = t(s, dir, "customer").filter(col("c_custkey") <= 2000)
@@ -1129,7 +1128,7 @@ object Queries {
   val dsv2StoreWrite = QueryDef(
     "dsv2_store_write",
     (s, dir) => {
-      val root = java.nio.file.Files.createTempDirectory("graft-dsv2w").toString
+      val root = graft.core.TmpStores.dir("graft-dsv2w").toString
       val e = new graft.core.GraftEngine(s, root)
       e.createStore("c", Seq("c_custkey"))
       val cust = t(s, dir, "customer").filter(col("c_custkey") <= 2000)
@@ -1200,7 +1199,7 @@ object Queries {
   val dsv2ChangelogRead = QueryDef(
     "dsv2_changelog_read",
     (s, dir) => {
-      val root = java.nio.file.Files.createTempDirectory("graft-dsv2cl").toString
+      val root = graft.core.TmpStores.dir("graft-dsv2cl").toString
       val e = new graft.core.GraftEngine(s, root)
       e.createStore("c", Seq("c_custkey"))
       val cust = t(s, dir, "customer").filter(col("c_custkey") <= 2000)
@@ -1430,7 +1429,7 @@ object Queries {
   val sqlComputeClient = QueryDef(
     "sql_compute_client",
     (s, dir) => {
-      val root = java.nio.file.Files.createTempDirectory("graft-sqlfn").toString
+      val root = graft.core.TmpStores.dir("graft-sqlfn").toString
       val e = new graft.core.GraftEngine(s, root)
       e.createStore("emb", Seq("vec_id"))
       e.push("emb", t(s, dir, "embeddings"), numBuckets = 4)
@@ -1569,7 +1568,7 @@ object Queries {
   val b1Avro = QueryDef(
     "b1_avro_roundtrip",
     (s, dir) => {
-      val root = java.nio.file.Files.createTempDirectory("graft-b1").toString
+      val root = graft.core.TmpStores.dir("graft-b1").toString
       graft.sources.AvroInput.write(t(s, dir, "customer"), root)
       graft.sources.InputSource.read(s, "avro", root)
         .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
@@ -1592,7 +1591,7 @@ object Queries {
     "b20_avro_union",
     (s, dir) => {
       import org.apache.avro.Schema
-      val root = java.nio.file.Files.createTempDirectory("graft-b20").toString
+      val root = graft.core.TmpStores.dir("graft-b20").toString
       val unionS = Schema.createUnion(java.util.List.of(
         Schema.create(Schema.Type.NULL), Schema.create(Schema.Type.LONG),
         Schema.create(Schema.Type.STRING)))
@@ -1633,7 +1632,7 @@ object Queries {
     "w10_compression",
     (s, dir) => {
       import s.implicits._
-      val root = java.nio.file.Files.createTempDirectory("graft-w10").toString
+      val root = graft.core.TmpStores.dir("graft-w10").toString
       Seq("GZIP", "NO_OP", "ZSTD").map { st =>
         val codec = graft.operators.WireFormat.codecFor(st)
         t(s, dir, "region").write.mode("overwrite")
@@ -3796,7 +3795,7 @@ object Queries {
     (s, dir) => {
       import graft.streaming.StreamWindow
       import org.apache.spark.sql.streaming.Trigger
-      val root = java.nio.file.Files.createTempDirectory("graft-swin").toString
+      val root = graft.core.TmpStores.dir("graft-swin").toString
       val ev = Tables.events(s, dir)
         .select(col("ts"), col("event_type"), col("value"))
       // the staged "topic" is deterministic per source CONTENT — reuse it
@@ -3809,11 +3808,10 @@ object Queries {
         .map(_.toSeq).getOrElse(Seq(new java.io.File(s"$dir/events.parquet")))
         .sortBy(_.getName)
         .map(f => s"${f.getName}:${f.length}:${f.lastModified}").mkString(",")
-      val stage = new java.io.File(
-        s"${sys.props("java.io.tmpdir")}/graft-swin-in-${
+      val stage = graft.core.TmpStores.fixed(s"graft-swin-in-${
           java.security.MessageDigest.getInstance("MD5")
             .digest(s"$dir|$srcSig".getBytes("UTF-8"))
-            .map(b => f"$b%02x").mkString}")
+            .map(b => f"$b%02x").mkString}").toFile
       if (!new java.io.File(stage, "_SUCCESS").exists())
         ev.write.mode("overwrite").parquet(stage.toString)
       val in = s"$root/in"
@@ -5136,7 +5134,7 @@ object Queries {
     "stream_enrich_join",
     (s, dir) => {
       import graft.streaming.EnrichJoin
-      val root = java.nio.file.Files.createTempDirectory("graft-enr").toString
+      val root = graft.core.TmpStores.dir("graft-enr").toString
       val e = new graft.core.GraftEngine(s, s"$root/stores")
       e.createStore("cust", Seq("c_custkey"))
       e.push("cust", t(s, dir, "customer")
@@ -7497,6 +7495,66 @@ object Queries {
             FROM events WHERE user_id < 200 AND event_id % 10 >= 5
             GROUP BY 1 ORDER BY event_type"""))
 
+  /** B2 oracled END-TO-END: an external topic (a parquet directory through
+    * the [[graft.streaming.FileTopicSource]] seam) ingested via
+    * StreamIngest.ingestFrom — segment 1 drained, segment 2 landed and
+    * drained by a SECOND query resuming the SAME checkpoint (the consumer
+    * restart shape) — then the serving view compared to a full DuckDB
+    * replay. Flips the B2 coverage row from spec-verified to oracle-pass:
+    * the seam, the checkpoint resume, the transformer hook and the LWW
+    * fold are all on the driver-checked path. A Kafka deployment swaps
+    * FileTopicSource for KafkaTopicSource and nothing else changes. */
+  val b21TopicIngest = QueryDef(
+    "b21_topic_ingest",
+    (s, dir) => {
+      import graft.streaming.{StreamIngest, FileTopicSource}
+      val e = tempEngine(s, "graft-b21")
+      e.createStore("ev", Seq("user_id"))
+      val evAll = Tables.events(s, dir).filter(col("user_id") < 300)
+        .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
+      e.push("ev", graft.operators.Compaction.latestPerKey(
+        evAll.filter(col("event_id") % 10 < 5), Seq("user_id"),
+        Seq(col("event_id"))), numBuckets = 4)
+      val topicDir = s"${e.root}/topic"
+      // the event-time stamp rides the transformer hook (S5) — the topic's
+      // raw records carry no engine column
+      def drain(): Unit = {
+        val q = StreamIngest.ingestFrom(e, "ev", FileTopicSource(topicDir),
+          checkpoint = s"${e.root}/cp",
+          transformer = df =>
+            df.withColumn(StreamIngest.EventTsCol, col("event_id")))
+        require(q.awaitTermination(180000),
+          "b21_topic_ingest: topic did not drain within 180s — refusing " +
+            "to read a partially-ingested view")
+      }
+      evAll.filter(col("event_id") % 10 >= 5 && col("event_id") % 10 <= 7)
+        .write.parquet(topicDir)
+      drain()
+      evAll.filter(col("event_id") % 10 >= 8)
+        .write.mode("append").parquet(topicDir)
+      drain()
+      e.servingView("ev")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          round(col("value") * 100).cast("long").as("value_cents"))
+        .orderBy(col("user_id"))
+    },
+    Some("""SELECT user_id, event_id, event_type,
+              CAST(round(value * 100) AS BIGINT) AS value_cents
+            FROM (
+              SELECT user_id, event_id, event_type, value,
+                row_number() OVER (PARTITION BY user_id
+                  ORDER BY src DESC, event_id DESC) AS rn
+              FROM (
+                SELECT user_id, event_id, event_type, value, 1 AS src
+                FROM events
+                WHERE user_id < 300 AND event_id % 10 >= 5
+                UNION ALL
+                SELECT user_id, event_id, event_type, value, 0 AS src
+                FROM events WHERE user_id < 300 AND event_id % 10 < 5
+                QUALIFY row_number() OVER (PARTITION BY user_id
+                  ORDER BY event_id DESC) = 1))
+            WHERE rn = 1 ORDER BY user_id"""))
+
   /** TPC-H Q13 shape: customer order-count distribution — LEFT join (so
     * zero-order customers keep their bucket) followed by a two-level
     * aggregation: per-customer counts, then the histogram over counts.
@@ -7764,8 +7822,7 @@ object Queries {
   val exportJsonlQ = QueryDef(
     "export_jsonl",
     (s, dir) => {
-      val out = java.nio.file.Files
-        .createTempDirectory("graft-export").toString
+      val out = graft.core.TmpStores.dir("graft-export").toString
       graft.operators.Packing.exportJsonl(
         t(s, dir, "documents")
           .select(col("doc_id"), col("lang"), col("source"), col("n_chars")),
@@ -8471,7 +8528,7 @@ object Queries {
     (s, dir) => {
       import graft.streaming.Sessionize
       import org.apache.spark.sql.streaming.Trigger
-      val root = java.nio.file.Files.createTempDirectory("graft-ssess").toString
+      val root = graft.core.TmpStores.dir("graft-ssess").toString
       val ev = Tables.events(s, dir)
         .select(col("user_id"), unix_millis(col("ts")).as("ts_ms"),
           round(col("value") * 100).as("value"))
@@ -8479,11 +8536,10 @@ object Queries {
         .map(_.toSeq).getOrElse(Seq(new java.io.File(s"$dir/events.parquet")))
         .sortBy(_.getName)
         .map(f => s"${f.getName}:${f.length}:${f.lastModified}").mkString(",")
-      val stage = new java.io.File(
-        s"${sys.props("java.io.tmpdir")}/graft-ssess-in-${
+      val stage = graft.core.TmpStores.fixed(s"graft-ssess-in-${
           java.security.MessageDigest.getInstance("MD5")
             .digest(s"$dir|$srcSig".getBytes("UTF-8"))
-            .map(b => f"$b%02x").mkString}")
+            .map(b => f"$b%02x").mkString}").toFile
       if (!new java.io.File(stage, "_SUCCESS").exists())
         ev.write.mode("overwrite").parquet(stage.toString)
       val in = s"$root/in"
@@ -8851,7 +8907,7 @@ object Queries {
     b16AggView, bpeEncode, dedupClusterKeeper, cohortRetention,
     eventsDebounce, centroidClassify, q7Volume, qScdJoin, qualityCi,
     zorderLayout, profileColumns, b20AvroUnion, storeConfigQ,
-    preferencePairs)
+    preferencePairs, b21TopicIngest)
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }

@@ -19,6 +19,19 @@ object StressCheck {
     // aaview bloom) — no args runs everything
     val only = args.toSet
     def on(tag: String): Boolean = only.isEmpty || only(tag)
+
+    // bounded temp policy pin: every scratch dir this run creates must
+    // live under the ONE per-process session root (graft.core.TmpStores)
+    // — asserted at exit by diffing the flat tmpdir listing. 851 flat
+    // /tmp/graft-* leftovers once filled the host disk mid-sweep; this
+    // keeps that class of regression from ever passing a stress run.
+    def flatTmpDirs(): Set[String] = {
+      val tmp = new java.io.File(sys.props("java.io.tmpdir"))
+      val prefixes = Seq("graft-", "stress-", "fuzz-", "plan-", "snd-")
+      Option(tmp.list()).map(_.toSet).getOrElse(Set.empty)
+        .filter(n => prefixes.exists(n.startsWith) && !n.startsWith("graft-run-"))
+    }
+    val tmpBaseline = flatTmpDirs()
     // (new tags round 5: salted, aggview; round 7: joinview, bpe100,
     // pagerank, davinci, sink, layout, lshindex, bm25shard, sq8;
     // round 8: guards, davincidist)
@@ -336,7 +349,7 @@ object StressCheck {
     // count (the repush fold); content must survive the move bit-for-bit.
     if (on("rebucket")) {
       val e = new graft.core.GraftEngine(spark,
-        java.nio.file.Files.createTempDirectory("stress-rebucket").toString)
+        graft.core.TmpStores.dir("stress-rebucket").toString)
       e.createStore("ev", Seq("user_id"))
       e.push("ev", base.select(col("user_id"), col("event_type"),
         col("value"), col("event_id")), numBuckets = 16,
@@ -442,7 +455,7 @@ object StressCheck {
 
     if (on("aggview")) {
       val eng = new graft.core.GraftEngine(spark,
-        java.nio.file.Files.createTempDirectory("graft-stress-agv").toString)
+        graft.core.TmpStores.dir("graft-stress-agv").toString)
       val nKeys = 1500000L
       val rows = spark.range(nKeys).select(
         col("id").as("k"),
@@ -505,7 +518,7 @@ object StressCheck {
       // delta-sized-cost claim as a measured scaling curve, not one point
       Seq(1500000L -> "1.5M", 6000000L -> "6M").foreach { case (nKeys, tag) =>
         val eng = new graft.core.GraftEngine(spark,
-          java.nio.file.Files.createTempDirectory("graft-stress-jv").toString)
+          graft.core.TmpStores.dir("graft-stress-jv").toString)
         eng.createStore("jl", Seq("k"))
         eng.createStore("jr", Seq("k"))
         eng.push("jl", spark.range(nKeys).select(col("id").as("k"),
@@ -539,7 +552,7 @@ object StressCheck {
 
     if (on("aaview")) {
       val eng = new graft.core.GraftEngine(spark,
-        java.nio.file.Files.createTempDirectory("graft-stress-aav").toString)
+        graft.core.TmpStores.dir("graft-stress-aav").toString)
       val nKeys = 1500000L
       val rows = spark.range(nKeys).select(
         col("id").as("k"),
@@ -634,7 +647,7 @@ object StressCheck {
       // hold against the reference's ~1M ops/sec/node local-read claim
       // (BASELINE.md). Also proves 0 Spark jobs on the read path: the job
       // counter must not move between the clock marks.
-      val root = java.nio.file.Files.createTempDirectory("stress-dv").toString
+      val root = graft.core.TmpStores.dir("stress-dv").toString
       val e = new graft.core.GraftEngine(spark, root)
       e.createStore("dv", Seq("user_id"))
       val users = Tables.events(spark, sfDir)
@@ -666,7 +679,7 @@ object StressCheck {
     // ---- distributed DaVinci: a store PAST the embedded budget served from
     // cluster memory — the 100× continuation of the embedded client
     if (on("davincidist")) {
-      val root = java.nio.file.Files.createTempDirectory("stress-dvd").toString
+      val root = graft.core.TmpStores.dir("stress-dvd").toString
       val e = new graft.core.GraftEngine(spark, root)
       e.createStore("dvd", Seq("k"))
       val n = 2000000L
@@ -708,7 +721,7 @@ object StressCheck {
       // file regardless of batch count), replays are skipped in
       // metadata-only time (no Spark jobs), and the drained view is
       // exactly the last batch per key.
-      val root = java.nio.file.Files.createTempDirectory("stress-sink").toString
+      val root = graft.core.TmpStores.dir("stress-sink").toString
       val e = new graft.core.GraftEngine(spark, root)
       e.createStore("sk", Seq("k"))
       e.push("sk", spark.range(20000).select(col("id").as("k"),
@@ -750,7 +763,7 @@ object StressCheck {
         .select(col("l_partkey"), col("l_suppkey"),
           (col("l_orderkey") * 10 + col("rep")).as("l_orderkey"))
       val nFiles = 64
-      val root = java.nio.file.Files.createTempDirectory("stress-layout")
+      val root = graft.core.TmpStores.dir("stress-layout")
         .toString
       timed(s"zorder write 10x -> $nFiles files") {
         graft.operators.Layout.zorderFrame(li,
@@ -802,14 +815,16 @@ object StressCheck {
         val refused =
           try { graft.operators.Dedup.simhashPairs(docs, "doc_id", "text",
             maxCandidatePairs = 100L).count(); false }
-          catch { case e: IllegalArgumentException =>
+          // the TYPED refusal, not a bare require — Bench/Verify map this
+          // class to the structured `refused` status
+          catch { case e: graft.core.GuardRefusedException =>
             e.getMessage.contains("simhashPairs64") }
         require(refused, "simhash 16-bit guard did not fire")
         1L
       }
       locally {
         val e = new graft.core.GraftEngine(spark,
-          java.nio.file.Files.createTempDirectory("stress-bm25g").toString)
+          graft.core.TmpStores.dir("stress-bm25g").toString)
         val small = docs.limit(200).persist(); small.count()
         e.createStore("post", Seq("token"))
         e.push("post", graft.operators.Retrieval.bm25IndexFrame(
@@ -822,7 +837,7 @@ object StressCheck {
             try { graft.operators.Retrieval.probeBm25Index(e, "post",
               "stats", small.limit(5), "doc_id", "text",
               maxFetchedPostings = 1L).count(); false }
-            catch { case ex: IllegalArgumentException =>
+            catch { case ex: graft.core.GuardRefusedException =>
               ex.getMessage.contains("bm25_index_topfetch") }
           require(refused, "bm25 exact-probe guard did not fire")
           1L
@@ -843,7 +858,7 @@ object StressCheck {
       val shB = Dedup.shingleSets(docs.filter(isBatch), "doc_id", "text", 3)
       val shC = Dedup.shingleSets(docs.filter(!isBatch), "doc_id", "text", 3)
       val e = new graft.core.GraftEngine(spark,
-        java.nio.file.Files.createTempDirectory("stress-lshidx").toString)
+        graft.core.TmpStores.dir("stress-lshidx").toString)
       e.createStore("lsh", Seq("bandkey"))
       timed("lsh index build (once)") {
         e.push("lsh", Dedup.lshIndexFrame(shC, k = 8, bands = 4),
@@ -868,6 +883,12 @@ object StressCheck {
       Seq(shB, shC).foreach(_.unpersist())
     }
     spark.catalog.clearCache()
+    val tmpLeaked = flatTmpDirs() -- tmpBaseline
+    require(tmpLeaked.isEmpty,
+      s"temp-store policy violated: flat tmp dirs created outside the " +
+        s"session root: ${tmpLeaked.take(10).mkString(", ")}")
+    println("[stress] tmp policy ok: 0 flat temp dirs created " +
+      s"(session root: ${graft.core.TmpStores.sessionRoot})")
     spark.stop()
   }
 }

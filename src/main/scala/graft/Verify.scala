@@ -20,16 +20,30 @@ object Verify {
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
+    // per-query status, machine-checkable: ok | refused (a scale guard
+    // declined oversized input BY DESIGN — GuardRefusedException in the
+    // cause chain) | error. Written as status.json beside the parquet
+    // dumps so a sweep over guarded decades can verify "only the expected
+    // refusals" without parsing stderr prose.
+    val statuses = SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
-      .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
+      .map { case (name, fn) =>
+      val st =
+        try { fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name"); "ok" }
+        catch { case e: Throwable =>
+          graft.core.Guard.refusal(e) match {
+            case Some(m) =>
+              System.err.println(s"[verify] $name refused (guard): $m")
+              "refused"
+            case None =>
+              System.err.println(s"[verify] $name failed: ${e.getMessage}")
+              "error"
+          }
+        }
       // dedup/LSH operators persist() intermediates; drop them per query
       spark.catalog.clearCache()
+      name -> st
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
@@ -46,6 +60,9 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    Files.writeString(Paths.get(s"$outDir/status.json"),
+      statuses.map { case (k, v) => s"${q(k)}: ${q(v)}" }
+        .mkString("{", ",", "}"))
     spark.stop()
   }
 }

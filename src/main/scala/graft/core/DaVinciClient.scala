@@ -127,57 +127,26 @@ final class DaVinciClient private[core] (engine: GraftEngine, name: String,
   // engine's ComputeBuilder/VectorOps, checked differentially in
   // DaVinciSpec) -------------------------------------------------------------
 
-  private def vec(key: Seq[Any], field: String): Option[Option[Seq[Double]]] =
-    get(key).map { r =>
-      val i = r.fieldIndex(field)
-      if (r.isNullAt(i)) None
-      else {
-        val xs = r.getSeq[Any](i).map {
-          case n: java.lang.Number => n.doubleValue()
-          case other => other.toString.toDouble
-        }
-        if (xs.isEmpty) None else Some(xs)
-      }
-    }
-
   /** Venice dotProduct: None = key absent OR null/empty vector (the SQL
     * null); Some(0.0) on length mismatch — VectorOps.dotProduct exactly. */
   def dotProduct(key: Seq[Any], field: String,
       param: Seq[Double]): Option[Double] =
-    vec(key, field).flatMap {
-      case None => None
-      case Some(v) if v.length != param.length => Some(0.0)
-      case Some(v) => Some(v.lazyZip(param).map(_ * _).sum)
-    }
+    DaVinciClient.dotProductOf(get(key), field, param)
 
   /** Venice cosineSimilarity — same null/mismatch contract as dotProduct. */
   def cosineSimilarity(key: Seq[Any], field: String,
       param: Seq[Double]): Option[Double] =
-    vec(key, field).flatMap {
-      case None => None
-      case Some(v) if v.length != param.length => Some(0.0)
-      case Some(v) =>
-        val dot = v.lazyZip(param).map(_ * _).sum
-        val n2 = v.map(x => x * x).sum * param.map(x => x * x).sum
-        Some(dot / math.sqrt(n2))
-    }
+    DaVinciClient.cosineSimilarityOf(get(key), field, param)
 
   /** Venice hadamardProduct: None on key-absent / null / mismatch. */
   def hadamardProduct(key: Seq[Any], field: String,
       param: Seq[Double]): Option[Seq[Double]] =
-    vec(key, field).flatMap {
-      case Some(v) if v.length == param.length =>
-        Some(v.lazyZip(param).map(_ * _))
-      case _ => None
-    }
+    DaVinciClient.hadamardProductOf(get(key), field, param)
 
   /** Venice count: collection size, null field → −1 (CountOperator's error
     * default); None only when the key is absent. */
   def countElements(key: Seq[Any], field: String): Option[Long] =
-    get(key).map { r =>
-      val i = r.fieldIndex(field)
-      if (r.isNullAt(i)) -1L else r.getSeq[Any](i).length.toLong
-    }
+    DaVinciClient.countElementsOf(get(key), field)
 
   private def maybeAutoRefresh(): Unit = {
     if (autoRefreshMs < 0 || state == null) return
@@ -205,8 +174,9 @@ final class DaVinciClient private[core] (engine: GraftEngine, name: String,
       s"transform dropped key column $k — the local replica cannot route"))
     val sliced = subscribed match {
       case Some(bs) =>
-        val keyExpr = concat_ws("|",
-          keyCols.map(c => col(c).cast("string")): _*)
+        // shared null-safe rendering: must agree with bucketHashOf, or a
+        // null-component key lands in a bucket its reads never probe
+        val keyExpr = graft.functions.HashOps.renderKey(keyCols)
         view.filter(graft.functions.HashOps.partitionId(keyExpr, nb)
           .isin(bs.toSeq: _*))
       case None => view
@@ -238,6 +208,59 @@ object DaVinciClient {
     * [[GraftEngine.bucketHashOf]] uses, so lookup and routing agree. */
   private[core] def render(key: Seq[Any]): String =
     key.map(String.valueOf).mkString("|")
+
+  // ---- the local read-compute math, SHARED by the embedded and
+  // distributed clients so "same compute through both" is true by
+  // construction (same null/mismatch semantics as ComputeBuilder/
+  // VectorOps, checked differentially in DaVinciSpec) ------------------------
+
+  private def vecOf(row: Option[Row], field: String)
+      : Option[Option[Seq[Double]]] =
+    row.map { r =>
+      val i = r.fieldIndex(field)
+      if (r.isNullAt(i)) None
+      else {
+        val xs = r.getSeq[Any](i).map {
+          case n: java.lang.Number => n.doubleValue()
+          case other => other.toString.toDouble
+        }
+        if (xs.isEmpty) None else Some(xs)
+      }
+    }
+
+  private[core] def dotProductOf(row: Option[Row], field: String,
+      param: Seq[Double]): Option[Double] =
+    vecOf(row, field).flatMap {
+      case None => None
+      case Some(v) if v.length != param.length => Some(0.0)
+      case Some(v) => Some(v.lazyZip(param).map(_ * _).sum)
+    }
+
+  private[core] def cosineSimilarityOf(row: Option[Row], field: String,
+      param: Seq[Double]): Option[Double] =
+    vecOf(row, field).flatMap {
+      case None => None
+      case Some(v) if v.length != param.length => Some(0.0)
+      case Some(v) =>
+        val dot = v.lazyZip(param).map(_ * _).sum
+        val n2 = v.map(x => x * x).sum * param.map(x => x * x).sum
+        Some(dot / math.sqrt(n2))
+    }
+
+  private[core] def hadamardProductOf(row: Option[Row], field: String,
+      param: Seq[Double]): Option[Seq[Double]] =
+    vecOf(row, field).flatMap {
+      case Some(v) if v.length == param.length =>
+        Some(v.lazyZip(param).map(_ * _))
+      case _ => None
+    }
+
+  private[core] def countElementsOf(row: Option[Row],
+      field: String): Option[Long] =
+    row.map { r =>
+      val i = r.fieldIndex(field)
+      if (r.isNullAt(i)) -1L else r.getSeq[Any](i).length.toLong
+    }
 }
 
 /** The 100×-scale DaVinci mode: the serving view resident in CLUSTER memory
@@ -252,10 +275,13 @@ object DaVinciClient {
   * buckets.
   *
   * Pruning mechanics (why a read is O(corpus/buckets), not O(corpus)): the
-  * materialized frame is repartitioned ON the bucket id, so every cached
-  * partition holds exactly one bucket and its in-memory batch stats carry a
-  * single-valued min=max bucket range — the `__bucket IN (...)` filter of a
-  * probe skips every other partition's batches at the InMemoryTableScan
+  * materialized frame is RANGE-repartitioned on (bucket id, rendered key) —
+  * bucket ids are dense ints, so the sampled ranges align ~1:1 with bucket
+  * values and every cached partition holds a tight contiguous bucket range
+  * (hash-repartitioning would collide arbitrary buckets per partition and
+  * widen the stats) — then sorted within partitions, so each in-memory
+  * batch carries tight min/max (bucket, key) stats. The `__bucket IN (...)`
+  * filter of a probe skips non-matching batches at the InMemoryTableScan
   * level before any key comparison runs. The fold (snapshot ∪ log merge) is
   * paid ONCE at materialization, like the embedded client.
   *
@@ -276,17 +302,24 @@ final class DistributedDaVinci private[core] (engine: GraftEngine,
   private def materialize(): Unit = {
     val coord = engine.latestCoordinate(name)
     val nb = engine.numBuckets(name)
-    val keyExpr = concat_ws("|", keyCols.map(c => col(c).cast("string")): _*)
+    // null-safe rendering shared with the driver-side bucketHashOf twin —
+    // a bare concat_ws would drop null key components and the probe's
+    // wanted-set (String.valueOf → "null") could never match such a row
+    val keyExpr = graft.functions.HashOps.renderKey(keyCols)
     // the rendered key is MATERIALIZED (not recomputed per probe) and each
     // partition is sorted on it, so every cached batch carries a tight
     // min/max key range — a probe's equality filter skips non-matching
     // batches on stats alone, the in-memory analog of key-sorted parquet
-    // row groups
+    // row groups. repartitionByRange (bucket ids are dense ints, so the
+    // sampled ranges align ~1:1 with bucket values) keeps each cached
+    // partition's bucket range tight — hash-repartitioning on the bucket
+    // id would collide several buckets per partition (Murmur3(b) % nb is
+    // not identity) and widen every partition's min/max
     val frame = engine.servingView(name)
       .withColumn(probeKey, keyExpr)
       .withColumn(probeBucket,
         graft.functions.HashOps.partitionId(col(probeKey), nb))
-      .repartition(nb, col(probeBucket))
+      .repartitionByRange(nb, col(probeBucket), col(probeKey))
       .sortWithinPartitions(col(probeBucket), col(probeKey))
       .persist()
     frame.count() // pay the fold once, eagerly, like the embedded client
@@ -329,6 +362,43 @@ final class DistributedDaVinci private[core] (engine: GraftEngine,
     val found = hits.map(r =>
       DaVinciClient.render(idx.map(r.get)) -> r).toMap
     keys.map(k => k -> found.get(DaVinciClient.render(k))).toMap
+  }
+
+  // ---- embedded-client parity: the distributed path is a drop-in past the
+  // memory budget, so it serves the same local compute and partial-key
+  // surface — same math ([[DaVinciClient]] shares it), cached-frame reads
+  // (no parquet re-scan) ------------------------------------------------------
+
+  /** Venice dotProduct over the cached state — contract identical to
+    * [[DaVinciClient.dotProduct]] (the math is shared). */
+  def dotProduct(key: Seq[Any], field: String,
+      param: Seq[Double]): Option[Double] =
+    DaVinciClient.dotProductOf(get(key), field, param)
+
+  def cosineSimilarity(key: Seq[Any], field: String,
+      param: Seq[Double]): Option[Double] =
+    DaVinciClient.cosineSimilarityOf(get(key), field, param)
+
+  def hadamardProduct(key: Seq[Any], field: String,
+      param: Seq[Double]): Option[Seq[Double]] =
+    DaVinciClient.hadamardProductOf(get(key), field, param)
+
+  def countElements(key: Seq[Any], field: String): Option[Long] =
+    DaVinciClient.countElementsOf(get(key), field)
+
+  /** Partial-key lookup over the CACHED frame — [[GraftEngine.partialKeyGet]]
+    * contract (prefix must be the leading key components), served from
+    * cluster memory: no single-bucket routing exists (buckets hash the FULL
+    * key), but the per-partition sort on the rendered key gives the scan
+    * tight batch stats on the leading component, so non-matching batches
+    * skip on min/max — and the plan stays InMemoryTableScan-only. */
+  def partialKeyGet(prefix: Map[String, Any]): DataFrame = {
+    val lead = keyCols.take(prefix.size)
+    require(lead.toSet == prefix.keySet,
+      s"partial key ${prefix.keySet} must be the leading prefix of $keyCols")
+    prefix.foldLeft(state._3) { case (df, (k, v)) =>
+      df.filter(col(k) === lit(v))
+    }.drop(probeBucket, probeKey)
   }
 
   /** Release the cluster-memory residency. */

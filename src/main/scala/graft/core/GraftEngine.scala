@@ -45,16 +45,29 @@ final case class StoreMeta(name: String, keyCols: Seq[String])
   *    an over-quota push is aborted before the version swap, the serving
   *    version untouched.
   *  - `activeActive`: route writes through the field-level CRDT op log.
+  *    WRITE-ONCE: once a store is A/A its op log holds per-field RMD
+  *    state that record-level LWW cannot interpret, so
+  *    [[GraftEngine.setStoreConfig]] REJECTS `activeActive = false` on an
+  *    already-A/A store (disable = repush into a fresh non-A/A store).
   *  - `lwwByteTieBreak`: break LWW timestamp ties by the unsigned bytes of
   *    the Avro-serialized value (the reference's MergeByteBuffer order)
-  *    instead of the string rendering. */
+  *    instead of the string rendering — at record, field AND element level.
+  *  - `compactLogRows`: size-tiered compaction trigger —
+  *    [[GraftEngine.compactIfNeeded]] repushes once the RT overlay exceeds
+  *    this many pending rows (the read-amplification budget).
+  *  - `daVinciMaxRows` / `daVinciAutoRefreshMs`: defaults for
+  *    [[GraftEngine.daVinci]]'s subscription budget and staleness-check
+  *    cadence, so every embedded client of a store shares one policy. */
 final case class StoreConfig(
     rewindSeconds: Long = 86400L,
     lagThresholdMs: Long = 0L,
     compressionStrategy: String = "",
     quotaBytes: Long = -1L,
     activeActive: Boolean = false,
-    lwwByteTieBreak: Boolean = false)
+    lwwByteTieBreak: Boolean = false,
+    compactLogRows: Long = 1000000L,
+    daVinciMaxRows: Int = 5000000,
+    daVinciAutoRefreshMs: Long = -1L)
 
 /** CDC checkpoint: a (version, log-append-seq) coordinate — exact resume
   * position, unlike a timestamp seek (S4). `epoch` is the store's lineage
@@ -100,13 +113,23 @@ class GraftEngine(val spark: SparkSession, val root: String) {
       s"lagThresholdMs=${config.lagThresholdMs}",
       s"compressionStrategy=${config.compressionStrategy}",
       s"quotaBytes=${config.quotaBytes}",
-      s"lwwByteTieBreak=${config.lwwByteTieBreak}").mkString("\n")
+      s"lwwByteTieBreak=${config.lwwByteTieBreak}",
+      s"compactLogRows=${config.compactLogRows}",
+      s"daVinciMaxRows=${config.daVinciMaxRows}",
+      s"daVinciAutoRefreshMs=${config.daVinciAutoRefreshMs}").mkString("\n")
     val tmp = Paths.get(dir(name, ".CONFIG.tmp"))
     Files.writeString(tmp, body)
     Files.move(tmp, Paths.get(dir(name, "CONFIG")),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-    // A/A mode rides the same flag file the rest of the engine checks
+    // A/A mode rides the same flag file the rest of the engine checks.
+    // One-way: the A/A op log carries per-field RMD that the LWW read
+    // path cannot resolve, so flipping an A/A store back is refused
+    // loudly rather than silently ignored (StoreConfig doc: write-once)
     if (config.activeActive) enableActiveActive(name)
+    else if (isActiveActive(name)) throw new IllegalStateException(
+      s"store $name is active-active; activeActive is write-once " +
+        "(its op log holds field-level CRDT state the LWW path cannot " +
+        "read) — to disable, repush the serving view into a new store")
   }
 
   /** The store's persisted config; all defaults when none was ever set
@@ -129,7 +152,13 @@ class GraftEngine(val spark: SparkSession, val root: String) {
           .getOrElse(base.quotaBytes),
         activeActive = base.activeActive,
         lwwByteTieBreak = kv.get("lwwByteTieBreak").map(_.toBoolean)
-          .getOrElse(base.lwwByteTieBreak))
+          .getOrElse(base.lwwByteTieBreak),
+        compactLogRows = kv.get("compactLogRows").map(_.toLong)
+          .getOrElse(base.compactLogRows),
+        daVinciMaxRows = kv.get("daVinciMaxRows").map(_.toInt)
+          .getOrElse(base.daVinciMaxRows),
+        daVinciAutoRefreshMs = kv.get("daVinciAutoRefreshMs").map(_.toLong)
+          .getOrElse(base.daVinciAutoRefreshMs))
     }
   }
 
@@ -269,13 +298,6 @@ class GraftEngine(val spark: SparkSession, val root: String) {
       orderCol: Option[Column] = None,
       clusterBy: Seq[String] = Nil, clusterFiles: Int = 0): Int = {
     val meta = storeMeta(name)
-    Files.writeString(Paths.get(dir(name, "BUCKETS")), numBuckets.toString)
-    // first push registers the row schema as id 1 (evolutions come through
-    // registerValueSchema); RMD/bucket plumbing never enters the registry
-    if (registeredSchemaIds(name).isEmpty)
-      registerValueSchema(name, org.apache.spark.sql.types.StructType(
-        df.schema.fields.filterNot(f =>
-          f.name == BucketCol || isRmdCol(f.name) || f.name == RecCol)))
     val v = currentVersion(name) + 1
     val seq = "__push_seq"
     require(!df.columns.contains(seq),
@@ -285,7 +307,7 @@ class GraftEngine(val spark: SparkSession, val root: String) {
       meta.keyCols, Seq(col(seq))).drop(seq)
     val bucketed = keyed.withColumn(BucketCol,
       graft.functions.HashOps.partitionId(
-        concat_ws("|", meta.keyCols.map(col): _*), numBuckets))
+        graft.functions.HashOps.renderKey(meta.keyCols), numBuckets))
     val cfg = storeConfig(name)
     val laidOut =
       if (clusterBy.isEmpty)
@@ -357,6 +379,19 @@ class GraftEngine(val spark: SparkSession, val root: String) {
             "deliberately larger store)")
       }
     }
+    // store-level mutations only AFTER the quota gate passes: a refused
+    // push must leave the serving store byte-identical — BUCKETS written
+    // earlier would repoint the read path's modulus at a candidate that
+    // never swapped, silently pruning existing keys to the wrong files
+    // (the serving version's own _NBUCKETS marker is authoritative for
+    // reads either way, but BUCKETS is the repush/append default)
+    Files.writeString(Paths.get(dir(name, "BUCKETS")), numBuckets.toString)
+    // first push registers the row schema as id 1 (evolutions come through
+    // registerValueSchema); RMD/bucket plumbing never enters the registry
+    if (registeredSchemaIds(name).isEmpty)
+      registerValueSchema(name, org.apache.spark.sql.types.StructType(
+        df.schema.fields.filterNot(f =>
+          f.name == BucketCol || isRmdCol(f.name) || f.name == RecCol)))
     setCurrentVersion(name, v)
     v
   }
@@ -431,7 +466,7 @@ class GraftEngine(val spark: SparkSession, val root: String) {
     require(lead.toSet == prefix.keySet,
       s"partial key ${prefix.keySet} must be the leading prefix of ${meta.keyCols}")
     prefix.foldLeft(servingView(name)) { case (df, (k, v)) =>
-      df.filter(col(k) === lit(v))
+      df.filter(col(k) <=> lit(v))
     }
   }
 
@@ -451,9 +486,19 @@ class GraftEngine(val spark: SparkSession, val root: String) {
 
   // ---- read path (R1/R2/R3) ------------------------------------------------
 
+  /** The SERVING version's bucket modulus. The per-version `_NBUCKETS`
+    * marker is authoritative — store-level BUCKETS only tracks the latest
+    * successful push (the repush default), and the two can diverge when
+    * the pointer moves backward ([[rollback]] across a [[rebucket]]) —
+    * so point-read pruning always uses the modulus the serving files
+    * were actually laid out with. */
   private[core] def numBuckets(name: String): Int = {
-    val p = Paths.get(dir(name, "BUCKETS"))
-    if (Files.exists(p)) Files.readString(p).trim.toInt else 16
+    val marker = Paths.get(dir(name, s"v=${currentVersion(name)}", "_NBUCKETS"))
+    if (Files.exists(marker)) Files.readString(marker).trim.toInt
+    else {
+      val p = Paths.get(dir(name, "BUCKETS"))
+      if (Files.exists(p)) Files.readString(p).trim.toInt else 16
+    }
   }
 
   /** Driver-side twin of HashOps.partitionId (md5 of the rendered key,
@@ -472,7 +517,9 @@ class GraftEngine(val spark: SparkSession, val root: String) {
   def get(name: String, key: Seq[Any]): Option[org.apache.spark.sql.Row] = {
     val meta = storeMeta(name)
     val pred = meta.keyCols.zip(key)
-      .map { case (c, k) => col(c) === lit(k) }.reduce(_ && _)
+      // null-SAFE equality: a null key component must match its row (the
+      // bucket rendering routes null as "null"), not vacuously filter all
+      .map { case (c, k) => col(c) <=> lit(k) }.reduce(_ && _)
     // A/A stores resolve through the CRDT fold, pruned like the LWW path:
     // the snapshot scan reads ONE bucket directory, the op log (bucketed
     // on append) reads one too, and the key predicate prunes the fold to
@@ -541,7 +588,7 @@ class GraftEngine(val spark: SparkSession, val root: String) {
     val nb = numBuckets(name)
     val hitBuckets = keySet
       .select(graft.functions.HashOps.partitionId(
-        concat_ws("|", meta.keyCols.map(col): _*), nb).as("__b"))
+        graft.functions.HashOps.renderKey(meta.keyCols), nb).as("__b"))
       .distinct().collect().map(_.getInt(0)).toSeq.sorted
     val buckets = if (hitBuckets.length >= nb) None else Some(hitBuckets)
     val snap = restrict(resolvedSnapshot(name, buckets = buckets))
@@ -995,7 +1042,7 @@ class GraftEngine(val spark: SparkSession, val root: String) {
       // bucketed like the snapshot so point reads prune BOTH sides of the
       // fold to one partition directory each
       .withColumn(BucketCol, graft.functions.HashOps.partitionId(
-        concat_ws("|", meta.keyCols.map(col): _*), nb))
+        graft.functions.HashOps.renderKey(meta.keyCols), nb))
       .write.mode("append").partitionBy(BucketCol).parquet(dir(name, "aa_log"))
   }
 
@@ -1129,6 +1176,9 @@ class GraftEngine(val spark: SparkSession, val root: String) {
     import graft.operators.CrdtMerge
     val meta = storeMeta(name)
     val valSchema = aaValueSchema(name)
+    // per-store byte-parity tie-break applies at FIELD and ELEMENT level
+    // (scalar LWW, map-entry LWW) — same flag the record-level LWW uses
+    val btb = storeConfig(name).lwwByteTieBreak
     // the CRDT folds over the value fields PLUS a record-existence marker
     // (a scalar "1" that every put stamps and every delete nulls) so a
     // legitimately-all-null record is distinguishable from a tombstone
@@ -1232,21 +1282,22 @@ class GraftEngine(val spark: SparkSession, val root: String) {
     // from an O(store) keyed shuffle into O(delta) fold + a narrow
     // pass-through of the rest.
     if (!hasAaLog(name))
-      CrdtMerge.flattenStates(snapEvents, meta.keyCols, crdtSchema, keepRmd)
+      CrdtMerge.flattenStates(snapEvents, meta.keyCols, crdtSchema, keepRmd,
+        byteTieBreak = btb)
     else if (keys.isDefined)
       // caller already restricted both sides to the requested keys
       CrdtMerge.mergeEvents(
         snapEvents.unionByName(logEvents), meta.keyCols, crdtSchema,
-        keepRmd = keepRmd)
+        keepRmd = keepRmd, byteTieBreak = btb)
     else {
       val touched = logEvents.select(meta.keyCols.map(col): _*).distinct()
       val folded = CrdtMerge.mergeEvents(
         snapEvents.join(touched, meta.keyCols, "left_semi")
           .unionByName(logEvents),
-        meta.keyCols, crdtSchema, keepRmd = keepRmd)
+        meta.keyCols, crdtSchema, keepRmd = keepRmd, byteTieBreak = btb)
       val untouched = CrdtMerge.flattenStates(
         snapEvents.join(touched, meta.keyCols, "left_anti"),
-        meta.keyCols, crdtSchema, keepRmd)
+        meta.keyCols, crdtSchema, keepRmd, byteTieBreak = btb)
       folded.unionByName(untouched)
     }
   }
@@ -2023,6 +2074,9 @@ class GraftEngine(val spark: SparkSession, val root: String) {
     * knob, so the policy trigger is its row count — a parquet metadata
     * read (footer row counts), not a data scan. Returns the new version
     * when compaction fired, 0 when the overlay is still within budget. */
+  def compactIfNeeded(name: String): Int =
+    compactIfNeeded(name, storeConfig(name).compactLogRows)
+
   def compactIfNeeded(name: String, maxLogRows: Long): Int = {
     val logRows =
       if (isActiveActive(name))
@@ -2118,12 +2172,22 @@ class GraftEngine(val spark: SparkSession, val root: String) {
     * DaVinci embedded-client contract; [[cachedServingView]] is the
     * DataFrame-shaped sibling for callers that want plans, not lookups).
     * `buckets` = Venice partition subscription — the memory bound for
-    * corpus-scale stores. */
+    * corpus-scale stores.
+    *
+    * `maxRows`/`autoRefreshMs` left at their sentinels read the STORE's
+    * persisted defaults (StoreConfig.daVinciMaxRows/daVinciAutoRefreshMs)
+    * — every embedded client of a store shares one subscription budget
+    * and staleness cadence unless a caller overrides explicitly. */
   def daVinci(name: String, buckets: Option[Seq[Int]] = None,
-      maxRows: Int = 5000000, autoRefreshMs: Long = -1L,
-      transform: DataFrame => DataFrame = identity): DaVinciClient =
-    new DaVinciClient(this, name, buckets, maxRows, autoRefreshMs,
+      maxRows: Int = -1, autoRefreshMs: Long = Long.MinValue,
+      transform: DataFrame => DataFrame = identity): DaVinciClient = {
+    val cfg = storeConfig(name)
+    new DaVinciClient(this, name, buckets,
+      if (maxRows >= 0) maxRows else cfg.daVinciMaxRows,
+      if (autoRefreshMs != Long.MinValue) autoRefreshMs
+      else cfg.daVinciAutoRefreshMs,
       transform = transform)
+  }
 
   /** Open a [[DistributedDaVinci]] on this store: the serving view resident
     * in CLUSTER memory (each executor holds its bucket partitions), reads
@@ -2141,12 +2205,13 @@ class GraftEngine(val spark: SparkSession, val root: String) {
     * immutable. LWW stores only (the A/A op log resolves through the CRDT
     * fold, which has no ts-prefix cut). */
   def daVinciAsOf(name: String, tsMs: Long,
-      buckets: Option[Seq[Int]] = None, maxRows: Int = 5000000,
+      buckets: Option[Seq[Int]] = None, maxRows: Int = -1,
       transform: DataFrame => DataFrame = identity): DaVinciClient = {
     require(!isActiveActive(name),
       s"store $name is active-active — daVinciAsOf pins the LWW log prefix")
-    new DaVinciClient(this, name, buckets, maxRows, autoRefreshMs = -1L,
-      asOfTs = Some(tsMs), transform = transform)
+    new DaVinciClient(this, name, buckets,
+      if (maxRows >= 0) maxRows else storeConfig(name).daVinciMaxRows,
+      autoRefreshMs = -1L, asOfTs = Some(tsMs), transform = transform)
   }
 
   /** Drop `name`'s local cache (all stores when `name` is null). */

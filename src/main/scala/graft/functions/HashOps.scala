@@ -31,4 +31,14 @@ object HashOps {
     * DuckDB: `(('0x'||substr(md5(x),1,15))::BIGINT) % N`. */
   def partitionId(key: Column, numPartitions: Int): Column =
     (h64(key) % numPartitions).cast("int")
+
+  /** THE key rendering every routing site must share: "|"-joined string
+    * casts with null components rendered as the literal "null" — exactly
+    * `String.valueOf`, which the driver-side twin
+    * (GraftEngine.bucketHashOf) uses. A bare `concat_ws` DROPS nulls, so
+    * a null key component would route/compare differently on the two
+    * sides and a point read for that key could never match. */
+  def renderKey(keyCols: Seq[String]): Column =
+    concat_ws("|",
+      keyCols.map(c => coalesce(col(c).cast("string"), lit("null"))): _*)
 }

@@ -16,8 +16,11 @@ import org.apache.spark.sql.types._
   *
   * Model here: a key's state is a struct of value fields plus an RMD
   * sibling:
-  *  - scalar field f  → rmd ts long; LWW on (ts, value-string) — the string
-  *    compare stands in for Venice's unsigned serialized-byte compare.
+  *  - scalar field f  → rmd ts long; LWW on (ts, tie-key). The tie-key is
+  *    the value string by default; with `byteTieBreak` (per-store
+  *    StoreConfig.lwwByteTieBreak) it is the Avro-serialized bytes — the
+  *    reference's unsigned MergeByteBuffer order — at field AND element
+  *    level ([[tieKey]]).
   *  - array field f   → {topTs, active:[(elem,ts)], deleted:[(elem,ts)]};
   *    an element is live iff its ts ≥ topTs (newer than the last full put)
   *    and ts > its delete ts (delete wins ties). Tombstones older than
@@ -61,6 +64,21 @@ object CrdtMerge {
     StructField("key", StringType), StructField("ts", LongType),
     StructField("value", StringType)))
 
+  /** Equal-timestamp tie-break ordering key for a value. Default: the
+    * string rendering (deterministic, codegen'd). `byteTieBreak = true`
+    * (per-store: StoreConfig.lwwByteTieBreak) ranks by the Avro-serialized
+    * bytes instead — Spark's BinaryType compare is the same UNSIGNED
+    * lexicographic order as the reference's MergeByteBuffer
+    * (AbstractMerge.java:17-46; semantics, not code), so equal-ts winners
+    * match the reference bit-for-bit where string and byte order disagree
+    * (e.g. numerics: "10" < "9" as strings, 10 > 9 as zigzag varints).
+    * Null stays "loses to any non-null" in both orders (Avro's null union
+    * branch serializes below any value branch). */
+  private def tieKey(v: Column, byteTieBreak: Boolean): Column =
+    if (byteTieBreak)
+      graft.functions.AvroBinaryExpr.avroBinary(struct(v.as("v")))
+    else v.cast("string")
+
   /** Array-field lattice merge over a BAG of add/remove entries (any number
     * of states' entries concatenated) — the single source of truth for
     * element-level semantics, shared by the pairwise [[joinStates]] and the
@@ -96,14 +114,27 @@ object CrdtMerge {
         .as(s"${f.name}__rmd"))
   }
 
-  /** Map-field twin of [[mergedArray]] (per-entry LWW with value-string
-    * tie-break). */
+  /** Map-field twin of [[mergedArray]] (per-entry LWW; equal-ts entries
+    * tie-break on [[tieKey]] — value string by default, Avro bytes of the
+    * TYPED value under byteTieBreak). */
   private def mergedMap(f: StructField, mt: MapType, topTs: Column,
-      actRaw: Column, delRaw: Column): Seq[Column] = {
-    val actEntries = array_sort(actRaw)
+      actRaw: Column, delRaw: Column, byteTieBreak: Boolean): Seq[Column] = {
+    // byte-parity ties: sort by (key, ts, bytes(value:valueType)) via a
+    // widened temp struct, then strip back to the entryTs shape — the
+    // LAST_WIN dedup below then keeps the byte-order winner per key
+    val actEntries =
+      if (!byteTieBreak) array_sort(actRaw)
+      else transform(
+        array_sort(transform(actRaw, e => struct(
+          e.getField("key").as("key"), e.getField("ts").as("ts"),
+          tieKey(e.getField("value").cast(mt.valueType), byteTieBreak = true)
+            .as("bin"),
+          e.getField("value").as("value")))),
+        e => struct(e.getField("key").as("key"), e.getField("ts").as("ts"),
+          e.getField("value").as("value")))
     val delEntries = array_sort(delRaw)
-    // entries sorted by (key, ts, value) + LAST_WIN ⇒ per key the
-    // max-(ts, value-string) entry survives (LWW, deterministic ties)
+    // entries sorted by (key, ts, tie-key) + LAST_WIN ⇒ per key the
+    // max-(ts, tie-key) entry survives (LWW, deterministic ties)
     val actMap = map_from_entries(
       transform(actEntries, e => struct(e.getField("key").as("key"),
         struct(e.getField("ts").as("ts"), e.getField("value").as("value"))
@@ -135,7 +166,8 @@ object CrdtMerge {
   }
 
   /** Join two per-key states (value+rmd structs side by side). */
-  def joinStates(a: Column, b: Column, value: StructType): Column = {
+  def joinStates(a: Column, b: Column, value: StructType,
+      byteTieBreak: Boolean = false): Column = {
     val outFields: Seq[Column] = value.fields.flatMap { f =>
       f.dataType match {
         case _: ArrayType =>
@@ -157,7 +189,8 @@ object CrdtMerge {
               coalesce(rb.getField("active"), array().cast(ArrayType(entryTs)))),
             concat(
               coalesce(ra.getField("deleted"), array().cast(ArrayType(elemTs))),
-              coalesce(rb.getField("deleted"), array().cast(ArrayType(elemTs)))))
+              coalesce(rb.getField("deleted"), array().cast(ArrayType(elemTs)))),
+            byteTieBreak)
         case _ =>
           // null-safe ts: a null timestamp (e.g. outer-join-produced state)
           // coalesces to MinValue so bWins stays boolean and the join stays
@@ -174,7 +207,8 @@ object CrdtMerge {
           // join(a,b) and join(b,a) disagree on equal-ts ties).
           val bWins = (tb > ta) ||
             (tb === ta && vb.isNotNull &&
-              (va.isNull || vb.cast("string") > va.cast("string")))
+              (va.isNull ||
+                tieKey(vb, byteTieBreak) > tieKey(va, byteTieBreak)))
           Seq(when(bWins, vb).otherwise(va).as(f.name),
             when(bWins, tb).otherwise(ta).as(s"${f.name}__ts"))
       }
@@ -349,7 +383,8 @@ object CrdtMerge {
     * out-of-order events (Venice stores RMD next to the value for exactly
     * this reason). */
   def mergeEvents(events: DataFrame, keys: Seq[String],
-      value: StructType, keepRmd: Boolean = false): DataFrame = {
+      value: StructType, keepRmd: Boolean = false,
+      byteTieBreak: Boolean = false): DataFrame = {
     val keyCols = keys.map(col)
     val st = col("state")
     val outNames =
@@ -366,7 +401,7 @@ object CrdtMerge {
         case _ =>
           max(struct(
             coalesce(st.getField(s"${f.name}__ts"), lit(Long.MinValue)).as("ts"),
-            st.getField(f.name).cast("string").as("vs"),
+            tieKey(st.getField(f.name), byteTieBreak).as("vs"),
             st.getField(f.name).as("v"))).as(s"__m_${f.name}")
       }
     }
@@ -387,11 +422,17 @@ object CrdtMerge {
           col("__ts").as("ts"))).as(out))
 
     // map-entry twin {key, ts, value}: per-entry LWW = max(struct(ts,
-    // value-string)) — the same deterministic tie-break as scalars
-    def entryBag(entries: Column, out: String): DataFrame =
+    // tie-key)) — the same deterministic tie-break as scalars (value
+    // string by default, Avro bytes of the typed value under byteTieBreak)
+    def entryBag(entries: Column, valueType: DataType,
+        out: String): DataFrame =
       events.select(keyCols :+ explode(entries).as("__e"): _*)
         .select(keyCols ++ Seq(col("__e").getField("key").as("__el"),
           struct(col("__e").getField("ts").as("ts"),
+            (if (byteTieBreak)
+              tieKey(col("__e").getField("value").cast(valueType),
+                byteTieBreak = true)
+            else col("__e").getField("value")).as("tk"),
             col("__e").getField("value").as("value")).as("__tv")): _*)
         .groupBy(keyCols :+ col("__el"): _*)
         .agg(max(col("__tv")).as("__tv"))
@@ -409,10 +450,10 @@ object CrdtMerge {
               keys, "left")
             .join(elemBag(rmd.getField("deleted"), s"__del_${f.name}"),
               keys, "left")
-        case _: MapType =>
+        case mt: MapType =>
           merged = merged
-            .join(entryBag(rmd.getField("active"), s"__act_${f.name}"),
-              keys, "left")
+            .join(entryBag(rmd.getField("active"), mt.valueType,
+              s"__act_${f.name}"), keys, "left")
             .join(elemBag(rmd.getField("deleted"), s"__del_${f.name}"),
               keys, "left")
         case _ => ()
@@ -428,7 +469,8 @@ object CrdtMerge {
         case mt: MapType =>
           mergedMap(f, mt, col(s"__top_${f.name}"),
             coalesce(col(s"__act_${f.name}"), array().cast(ArrayType(entryTs))),
-            coalesce(col(s"__del_${f.name}"), array().cast(ArrayType(elemTs))))
+            coalesce(col(s"__del_${f.name}"), array().cast(ArrayType(elemTs))),
+            byteTieBreak)
         case _ => Seq(
           col(s"__m_${f.name}").getField("v").as(f.name),
           col(s"__m_${f.name}").getField("ts").as(s"${f.name}__ts"))
@@ -449,7 +491,7 @@ object CrdtMerge {
     * not pay a fold that is the identity on them. Fold-of-one equivalence
     * is pinned by EngineSpec. */
   def flattenStates(events: DataFrame, keys: Seq[String], value: StructType,
-      keepRmd: Boolean = false): DataFrame = {
+      keepRmd: Boolean = false, byteTieBreak: Boolean = false): DataFrame = {
     val st = col("state")
     val stateFields: Seq[Column] = value.fields.toSeq.flatMap { f =>
       val rmd = st.getField(s"${f.name}__rmd")
@@ -461,7 +503,8 @@ object CrdtMerge {
         case mt: MapType =>
           mergedMap(f, mt, rmd.getField("topTs"),
             coalesce(rmd.getField("active"), array().cast(ArrayType(entryTs))),
-            coalesce(rmd.getField("deleted"), array().cast(ArrayType(elemTs))))
+            coalesce(rmd.getField("deleted"), array().cast(ArrayType(elemTs))),
+            byteTieBreak)
         case _ => Seq(
           st.getField(f.name).as(f.name),
           coalesce(st.getField(s"${f.name}__ts"), lit(Long.MinValue))

@@ -224,7 +224,7 @@ object Dedup {
     val rowCap = math.sqrt(maxCandidatePairs.toDouble).toLong
     val probeLimit = math.min(rowCap, (Int.MaxValue - 1).toLong).toInt
     val probed = df.select(lit(1).as("__c")).limit(probeLimit + 1).count()
-    require(probed <= rowCap,
+    graft.core.Guard.admit(probed <= rowCap,
       s"simhashPairs (16-bit, 2×8-bit bands) admits up to n² candidate " +
         s"pairs on a bucket-degenerate corpus and its input has at least " +
         s"$probed docs (cap $rowCap rows for the $maxCandidatePairs-pair " +
@@ -341,7 +341,7 @@ object Dedup {
       else budget2 / maxPostings
     val probeLimit = math.min(rowCap, (Int.MaxValue - 1).toLong).toInt
     val probed = shingled.select(lit(1).as("__c")).limit(probeLimit + 1).count()
-    require(probed <= rowCap,
+    graft.core.Guard.admit(probed <= rowCap,
       s"ngramJaccardPairs with maxPostings=$maxPostings admits up to " +
         s"n*min(n,maxPostings)/2 candidate pairs and its input has at " +
         s"least $probed docs (cap $rowCap rows for the " +
@@ -413,7 +413,7 @@ object Dedup {
       else budget2 / maxPostings
     val probeLimit = math.min(rowCap, (Int.MaxValue - 1).toLong).toInt
     val probed = shingled.select(lit(1).as("__c")).limit(probeLimit + 1).count()
-    require(probed <= rowCap,
+    graft.core.Guard.admit(probed <= rowCap,
       s"containmentPairs with maxPostings=$maxPostings admits up to " +
         s"n*min(n,maxPostings)/2 candidate pairs and its input has at " +
         s"least $probed docs (cap $rowCap rows). Use the " +

@@ -326,7 +326,7 @@ object Retrieval {
     // the quadratic-capable step, so it never runs on refused input
     val fetched = qterms.agg(coalesce(sum(col("df")), lit(0L)))
       .collect()(0).getLong(0)
-    require(fetched <= maxFetchedPostings,
+    graft.core.Guard.admit(fetched <= maxFetchedPostings,
       s"probeBm25Index would explode $fetched posting rows for this " +
         s"query batch (budget $maxFetchedPostings) — the exact probe is " +
         "workload-quadratic on closed-vocabulary corpora. Use " +

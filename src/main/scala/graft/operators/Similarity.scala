@@ -427,7 +427,7 @@ object Similarity {
       blocks: Int = 0, maxExactRows: Long = 1000000L): DataFrame = {
     val probeLimit = math.min(maxExactRows, (Int.MaxValue - 1).toLong).toInt
     val probed = corpus.select(lit(1).as("__c")).limit(probeLimit + 1).count()
-    require(probed <= maxExactRows,
+    graft.core.Guard.admit(probed <= maxExactRows,
       s"cosinePairs is the exact O(n²) all-pairs baseline and its input " +
         s"has at least $probed rows (cap $maxExactRows). Use " +
         "lshCosinePairs or semDedup for corpus-scale near-dup detection, " +

@@ -12,7 +12,7 @@ import graft.core.{GraftEngine, GraftSession, Tables}
 class ConnectorSpec extends AnyFunSuite {
   lazy val spark = GraftSession.build(cpus = 4, appName = "connector-spec")
   lazy val sf = "/root/testdata/sf0.001"
-  lazy val root = Files.createTempDirectory("graft-dsv2").toString
+  lazy val root = graft.core.TmpStores.dir("graft-dsv2").toString
   lazy val engine = new GraftEngine(spark, root)
 
   private def readStore(store: String) =
@@ -132,8 +132,8 @@ class ConnectorSpec extends AnyFunSuite {
       .option("root", root).option("store", "cs")
       .option("changelog", "true").load()
     assert(stream.isStreaming)
-    val cp = Files.createTempDirectory("graft-cs-cp").toString
-    val out = Files.createTempDirectory("graft-cs-out").toString
+    val cp = graft.core.TmpStores.dir("graft-cs-cp").toString
+    val out = graft.core.TmpStores.dir("graft-cs-out").toString
     def drain(): Unit = {
       val q = stream.writeStream.format("parquet")
         .option("checkpointLocation", cp).option("path", out)
@@ -219,7 +219,7 @@ class ConnectorSpec extends AnyFunSuite {
     // the vanilla streaming-write recipe: each microbatch appended as a
     // nearline put through df.write.format("graft") — no graft API in the
     // stream body
-    val src = Files.createTempDirectory("graft-si-src").toString
+    val src = graft.core.TmpStores.dir("graft-si-src").toString
     Seq((1L, "s1"), (4L, "s4")).toDF("k", "v")
       .write.mode("overwrite").parquet(src)
     val stream = spark.readStream
@@ -241,8 +241,8 @@ class ConnectorSpec extends AnyFunSuite {
     engine.createStore("ws", Seq("k"))
     import spark.implicits._
     engine.push("ws", Seq((1L, "base", 0L)).toDF("k", "v", "ts"), numBuckets = 2)
-    val src = Files.createTempDirectory("graft-ws-src").toString
-    val cp = Files.createTempDirectory("graft-ws-cp").toString
+    val src = graft.core.TmpStores.dir("graft-ws-src").toString
+    val cp = graft.core.TmpStores.dir("graft-ws-cp").toString
     Seq((1L, "s1", 100L), (4L, "s4", 100L)).toDF("k", "v", "ts")
       .write.mode("append").parquet(src)
     def drain(): Unit = {
@@ -389,7 +389,7 @@ class ConnectorSpec extends AnyFunSuite {
     assert(gotAa == engine.servingView("wa").orderBy("k").collect()
       .map(r => (r.getLong(0), r.getString(1))).toSeq)
     // Complete output mode is refused with the remedy at analysis time
-    val aggSrc = Files.createTempDirectory("graft-wd-src").toString
+    val aggSrc = graft.core.TmpStores.dir("graft-wd-src").toString
     Seq((1L, "x")).toDF("k", "v").write.mode("overwrite").parquet(aggSrc)
     val err = intercept[Exception] {
       spark.readStream.schema("k LONG, v STRING").parquet(aggSrc)
@@ -397,7 +397,7 @@ class ConnectorSpec extends AnyFunSuite {
         .writeStream.format("graft").option("root", root).option("store", "wd")
         .outputMode("complete")
         .option("checkpointLocation",
-          Files.createTempDirectory("graft-wd-cp").toString)
+          graft.core.TmpStores.dir("graft-wd-cp").toString)
         .start()
     }
     assert(err.getMessage.contains("Complete mode"))
@@ -442,7 +442,7 @@ class ConnectorSpec extends AnyFunSuite {
     engine.push("follow", Seq((1L, "stale")).toDF("k", "v"), numBuckets = 2)
     engine.put("lead", Seq((1L, "a2"), (3L, "c")).toDF("k", "v"), tsMs = 100L)
     engine.delete("lead", Seq(Tuple1(2L)).toDF("k"), tsMs = 200L)
-    val cp = Files.createTempDirectory("graft-rep-cp").toString
+    val cp = graft.core.TmpStores.dir("graft-rep-cp").toString
     def replicate(): Unit = {
       val q = spark.readStream.format("graft")
         .option("root", root).option("store", "lead")

@@ -127,7 +127,7 @@ class CrdtMergeSpec extends AnyFunSuite {
     val stream = MemoryStream[(String, String, String, Long)]
     stream.addData(regionA)
     stream.addData(regionB)
-    val outDir = java.nio.file.Files.createTempDirectory("aa-states").toString
+    val outDir = graft.core.TmpStores.dir("aa-states").toString
     val q = stream.toDF().toDF("kind", "field", "payload", "ts")
       .writeStream
       .option("checkpointLocation", s"$outDir/cp")
@@ -382,5 +382,51 @@ class CrdtMergeSpec extends AnyFunSuite {
           folded.zip(flat).find(p => p._1 != p._2))
     }
     arrStates.unpersist(); mapStates.unpersist()
+  }
+
+  test("byte-parity tie-break applies at FIELD and ELEMENT level: the flag " +
+      "flips equal-ts winners where string and Avro byte order disagree") {
+    // int-valued schema: "10" < "9" as strings, but zigzag(10)=0x14 >
+    // zigzag(9)=0x12 as unsigned Avro bytes (MergeByteBuffer order)
+    val intSchema = StructType(Seq(
+      StructField("score", IntegerType),
+      StructField("attrs", MapType(StringType, IntegerType))))
+    def events(): DataFrame = {
+      import spark.implicits._
+      val rows = Seq(("a", 10), ("a", 9)).toDF("key", "value")
+      rows.select(lit(1L).as("k"),
+        CrdtMerge.mapEntryState("attrs", col("key"), col("value"), lit(100L),
+          intSchema).as("state"))
+        .unionByName(rows.select(lit(1L).as("k"),
+          CrdtMerge.setFieldState("score", col("value"), lit(100L), intSchema)
+            .as("state")))
+    }
+    def winners(byteTie: Boolean): (Int, Map[String, Int]) = {
+      val out = CrdtMerge.mergeEvents(events(), Seq("k"), intSchema,
+        byteTieBreak = byteTie).head()
+      (out.getAs[Int]("score"), out.getAs[Map[String, Int]]("attrs"))
+    }
+    val (sStr, mStr) = winners(byteTie = false)
+    assert(sStr == 9 && mStr == Map("a" -> 9),
+      "string order: \"9\" beats \"10\" at both levels")
+    val (sByt, mByt) = winners(byteTie = true)
+    assert(sByt == 10 && mByt == Map("a" -> 10),
+      "byte order: zigzag(10) beats zigzag(9) at both levels")
+    // convergence survives the flipped order: permuted folds still agree
+    val fwd = CrdtMerge.mergeEvents(events(), Seq("k"), intSchema,
+      byteTieBreak = true).head().toString
+    val rev = CrdtMerge.mergeEvents(
+      events().orderBy(col("state").cast("string").desc), Seq("k"),
+      intSchema, byteTieBreak = true).head().toString
+    assert(fwd == rev, "byte tie-break must stay order-independent")
+    // pairwise reference semantics agree with the fold under the flag
+    import org.apache.spark.sql.functions.{lit => l}
+    val joined = spark.range(1)
+      .select(CrdtMerge.joinStates(
+        CrdtMerge.setFieldState("score", l(10), l(100L), intSchema),
+        CrdtMerge.setFieldState("score", l(9), l(100L), intSchema),
+        intSchema, byteTieBreak = true).as("j"))
+      .select(col("j.score")).head().getInt(0)
+    assert(joined == 10, "joinStates byte tie-break: 10 beats 9")
   }
 }

@@ -14,7 +14,7 @@ import graft.core.{GraftEngine, GraftSession, Tables}
 class DaVinciSpec extends AnyFunSuite {
   lazy val spark = GraftSession.build(cpus = 4, appName = "davinci-spec")
   lazy val sf = "/root/testdata/sf0.001"
-  lazy val root = Files.createTempDirectory("graft-davinci").toString
+  lazy val root = graft.core.TmpStores.dir("graft-davinci").toString
   lazy val engine = new GraftEngine(spark, root)
 
   private def kdf(ks: Seq[Long]) = spark.createDataFrame(
@@ -252,6 +252,71 @@ class DaVinciSpec extends AnyFunSuite {
     assert(dist.get(Seq(7L)).get.getAs[String]("c_name") == "DIST-NEW")
     assert(!dist.refresh(), "no coordinate movement → no re-materialization")
     dist.close()
+  }
+
+  test("distributed client is a drop-in past the memory budget: the SAME " +
+      "compute (dot/cos/hadamard/count) and partialKeyGet through both " +
+      "clients, identical results, probe plan cache-only") {
+    engine.createStore("ddc", Seq("vec_id"))
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val rows = emb.limit(24)
+      .withColumn("embedding",
+        when(col("vec_id") % 5 === 0,
+          lit(null).cast(emb.schema("embedding").dataType))
+          .otherwise(col("embedding")))
+    engine.push("ddc", rows)
+    val dim = emb.filter(col("embedding").isNotNull)
+      .select(size(col("embedding"))).head().getInt(0)
+    val q = (1 to dim).map(i => (i % 7 - 3).toDouble)
+    val local = engine.daVinci("ddc")
+    val dist = engine.daVinciDistributed("ddc")
+    try {
+      val ids = rows.select("vec_id").collect().map(_.getLong(0))
+      ids.foreach { id =>
+        val k = Seq(id)
+        assert(dist.dotProduct(k, "embedding", q) ==
+          local.dotProduct(k, "embedding", q), s"dot $id")
+        assert(dist.cosineSimilarity(k, "embedding", q) ==
+          local.cosineSimilarity(k, "embedding", q), s"cos $id")
+        assert(dist.hadamardProduct(k, "embedding", q) ==
+          local.hadamardProduct(k, "embedding", q), s"had $id")
+        assert(dist.countElements(k, "embedding") ==
+          local.countElements(k, "embedding"), s"cnt $id")
+      }
+      assert(dist.dotProduct(Seq(99999999L), "embedding", q).isEmpty,
+        "absent key → None through the distributed path too")
+    } finally dist.close()
+
+    // partialKeyGet over the cached state ≡ the engine's scan-side answer,
+    // and the probe plan never re-touches parquet
+    engine.createStore("ddp", Seq("grp", "vec_id"))
+    import spark.implicits._
+    engine.push("ddp", spark.range(40).select(
+      (col("id") % 4).as("grp"), col("id").as("vec_id"),
+      (col("id") * 3L).as("v")))
+    val dist2 = engine.daVinciDistributed("ddp")
+    try {
+      val got = dist2.partialKeyGet(Map("grp" -> 2L))
+        .select("grp", "vec_id", "v").orderBy("vec_id")
+        .collect().map(_.toSeq).toSeq
+      val want = engine.partialKeyGet("ddp", Map("grp" -> 2L))
+        .select("grp", "vec_id", "v").orderBy("vec_id")
+        .collect().map(_.toSeq).toSeq
+      assert(got == want && got.size == 10,
+        "distributed partialKeyGet must equal the engine's")
+      // everything under InMemoryRelation is the already-materialized
+      // build plan (printed for provenance, not executed per probe)
+      val p = dist2.partialKeyGet(Map("grp" -> 2L))
+        .queryExecution.executedPlan.toString.split("InMemoryRelation")(0)
+      assert(p.contains("InMemoryTableScan"),
+        s"partial-key probe must read the cached frame:\n${p.take(600)}")
+      assert(!p.contains("FileSourceScan") && !p.contains("Scan parquet"),
+        s"partial-key probe must be cache-only:\n${p.take(600)}")
+      intercept[IllegalArgumentException] {
+        dist2.partialKeyGet(Map("vec_id" -> 1L)) // not the leading prefix
+      }
+    } finally dist2.close()
   }
 
   test("read path is job-free and fast: 200k gets off one materialization") {

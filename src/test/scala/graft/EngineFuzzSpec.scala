@@ -201,7 +201,7 @@ class EngineFuzzSpec extends AnyFunSuite {
       viaConnector: Boolean = false,
       viaWriter: Boolean = false,
       viaSink: Boolean = false): Option[String] = {
-    val root = Files.createTempDirectory("fuzz-lww").toString
+    val root = graft.core.TmpStores.dir("fuzz-lww").toString
     val e = new GraftEngine(spark, root)
     e.createStore("s", Seq("k"))
     val model = new LwwModel
@@ -543,7 +543,7 @@ class EngineFuzzSpec extends AnyFunSuite {
   private def runAa(script: List[AOp],
       viaConnector: Boolean = false,
       viaSink: Boolean = false): Option[String] = {
-    val root = Files.createTempDirectory("fuzz-aa").toString
+    val root = graft.core.TmpStores.dir("fuzz-aa").toString
     val e = new GraftEngine(spark, root)
     e.createStore("s", Seq("k"))
     e.enableActiveActive("s")
@@ -814,7 +814,7 @@ class EngineFuzzSpec extends AnyFunSuite {
     * delta-path tombstone/re-insert logic under randomized schedules. */
   private def runViews(script: List[VOp],
       aaLeft: Boolean = false): Option[String] = {
-    val root = Files.createTempDirectory("fuzz-view").toString
+    val root = graft.core.TmpStores.dir("fuzz-view").toString
     val e = new GraftEngine(spark, root)
     import org.apache.spark.sql.DataFrame
     val schema = StructType(Seq(StructField("k", LongType),

@@ -8,7 +8,7 @@ import graft.core.{GraftEngine, GraftSession, Tables}
 class EngineSpec extends AnyFunSuite {
   lazy val spark = GraftSession.build(cpus = 4, appName = "engine-spec")
   lazy val sf = "/root/testdata/sf0.001"
-  lazy val root = Files.createTempDirectory("graft-engine").toString
+  lazy val root = graft.core.TmpStores.dir("graft-engine").toString
   lazy val engine = new GraftEngine(spark, root)
 
   test("push + snapshot + version swap") {
@@ -529,7 +529,7 @@ class EngineSpec extends AnyFunSuite {
     import org.apache.spark.sql.types._
     import graft.operators.{UpdateBuilder, WriteCompute}
     val e = new GraftEngine(spark,
-      java.nio.file.Files.createTempDirectory("graft-upd-views").toString)
+      graft.core.TmpStores.dir("graft-upd-views").toString)
     e.createStore("u", Seq("k"))
     e.push("u", (1L to 100L).map(k => (k, k % 5, k)).toDF("k", "g", "lv"),
       numBuckets = 4)
@@ -745,7 +745,7 @@ class EngineSpec extends AnyFunSuite {
   test("DaVinci-style cached serving view: memory hits, coordinate-keyed refresh") {
     import spark.implicits._
     val e = new GraftEngine(spark,
-      java.nio.file.Files.createTempDirectory("graft-davinci").toString)
+      graft.core.TmpStores.dir("graft-davinci").toString)
     e.createStore("d", Seq("k"))
     e.push("d", Seq((1L, "a"), (2L, "b")).toDF("k", "v"), numBuckets = 2)
     val first = e.cachedServingView("d")
@@ -780,7 +780,7 @@ class EngineSpec extends AnyFunSuite {
   test("compliance purge erases keys physically — including A/A stores") {
     import spark.implicits._
     val e = new GraftEngine(spark,
-      java.nio.file.Files.createTempDirectory("graft-purge-aa").toString)
+      graft.core.TmpStores.dir("graft-purge-aa").toString)
     e.createStore("a", Seq("k"))
     e.push("a", Seq((1L, "x", 1.0), (2L, "y", 2.0), (3L, "z", 3.0))
       .toDF("k", "name", "score"), numBuckets = 2)
@@ -813,7 +813,7 @@ class EngineSpec extends AnyFunSuite {
     import org.apache.spark.sql.types._
     import graft.operators.{UpdateBuilder, WriteCompute}
     val e = new GraftEngine(spark,
-      java.nio.file.Files.createTempDirectory("graft-purge-upd").toString)
+      graft.core.TmpStores.dir("graft-purge-upd").toString)
     e.createStore("s", Seq("k"))
     e.push("s", Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("k", "v"),
       numBuckets = 2)
@@ -853,7 +853,7 @@ class EngineSpec extends AnyFunSuite {
     import org.apache.spark.sql.types._
     import graft.operators.{UpdateBuilder, WriteCompute}
     val e = new GraftEngine(spark,
-      java.nio.file.Files.createTempDirectory("graft-ttl-upd").toString)
+      graft.core.TmpStores.dir("graft-ttl-upd").toString)
     e.createStore("s", Seq("k"))
     e.push("s", Seq((1L, "x"), (2L, "y")).toDF("k", "v"), numBuckets = 2)
     val valueSchema = StructType(Seq(StructField("v", StringType)))
@@ -875,7 +875,7 @@ class EngineSpec extends AnyFunSuite {
   test("rollback / rollForward flip the serving pointer; vacuum ends both") {
     import spark.implicits._
     val e = new GraftEngine(spark,
-      java.nio.file.Files.createTempDirectory("graft-rollback").toString)
+      graft.core.TmpStores.dir("graft-rollback").toString)
     e.createStore("s", Seq("k"))
     intercept[IllegalStateException](e.rollback("s")) // no versions at all
     e.push("s", Seq((1L, "a1"), (2L, "b1")).toDF("k", "v"), numBuckets = 2)
@@ -903,7 +903,7 @@ class EngineSpec extends AnyFunSuite {
       "an emptied group is tombstoned, and a caught-up refresh is a no-op") {
     import spark.implicits._
     val e = new GraftEngine(spark,
-      Files.createTempDirectory("graft-aggv").toString)
+      graft.core.TmpStores.dir("graft-aggv").toString)
     e.createStore("src", Seq("k"))
     e.push("src", Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 30L),
       (4L, "c", 40L)).toDF("k", "g", "x"))
@@ -939,7 +939,7 @@ class EngineSpec extends AnyFunSuite {
       "reconstructs the conflict-resolved serving view") {
     import spark.implicits._
     val e = new GraftEngine(spark,
-      Files.createTempDirectory("graft-boot").toString)
+      graft.core.TmpStores.dir("graft-boot").toString)
     e.createStore("aab", Seq("id"))
     e.push("aab", Seq((1L, 10.0, Seq("a")), (2L, 20.0, Seq("x")),
       (3L, 30.0, Seq("m"))).toDF("id", "score", "tags"))
@@ -972,7 +972,7 @@ class EngineSpec extends AnyFunSuite {
 
   test("repush preserves the store's bucket count; rebucket migrates it") {
     import spark.implicits._
-    val e = new GraftEngine(spark, Files.createTempDirectory("graft-rb").toString)
+    val e = new GraftEngine(spark, graft.core.TmpStores.dir("graft-rb").toString)
     def bucketDirs(store: String, v: Int): Set[String] =
       Option(new java.io.File(s"${e.root}/$store/v=$v").listFiles())
         .map(_.toSeq.map(_.getName).filter(_.startsWith("__bucket")).toSet)
@@ -1001,7 +1001,7 @@ class EngineSpec extends AnyFunSuite {
 
   test("compactIfNeeded: A/A op-log size triggers the repush; fresh store no-ops") {
     import spark.implicits._
-    val e = new GraftEngine(spark, Files.createTempDirectory("graft-cip").toString)
+    val e = new GraftEngine(spark, graft.core.TmpStores.dir("graft-cip").toString)
     e.createStore("aa", Seq("id"))
     e.push("aa", Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)).toDF("id", "score"))
     e.enableActiveActive("aa")
@@ -1019,7 +1019,7 @@ class EngineSpec extends AnyFunSuite {
 
   test("rebucket on an A/A store: layout moves, CRDT state and late events survive") {
     import spark.implicits._
-    val e = new GraftEngine(spark, Files.createTempDirectory("graft-rbaa").toString)
+    val e = new GraftEngine(spark, graft.core.TmpStores.dir("graft-rbaa").toString)
     e.createStore("aa", Seq("id"))
     e.push("aa", (1L to 50L).map(i => (i, i * 1.0)).toDF("id", "score"),
       numBuckets = 4)
@@ -1040,8 +1040,8 @@ class EngineSpec extends AnyFunSuite {
 
   test("data recovery clones an A/A store; late events keep resolving") {
     import spark.implicits._
-    val a = new GraftEngine(spark, Files.createTempDirectory("graft-reca").toString)
-    val b = new GraftEngine(spark, Files.createTempDirectory("graft-recb").toString)
+    val a = new GraftEngine(spark, graft.core.TmpStores.dir("graft-reca").toString)
+    val b = new GraftEngine(spark, graft.core.TmpStores.dir("graft-recb").toString)
     a.createStore("aa", Seq("id"))
     a.push("aa", Seq((1L, 10.0), (2L, 20.0)).toDF("id", "score"))
     a.enableActiveActive("aa")
@@ -1111,5 +1111,107 @@ class EngineSpec extends AnyFunSuite {
     engine.refreshJoinView("jv")
     assert(engine.servingView("jv").select("k", "lv", "rv").collect().toSet
       == recompute())
+  }
+
+  test("quota refusal leaves a SERVING store fully readable — BUCKETS and " +
+      "first-push schema registration never precede the quota gate") {
+    import spark.implicits._
+    import graft.core.StoreConfig
+    engine.createStore("cfg4", Seq("k"))
+    val small = spark.range(50).select(col("id").as("k"),
+      md5(col("id").cast("string")).as("v"))
+    assert(engine.push("cfg4", small, numBuckets = 4) == 1)
+    engine.setStoreConfig("cfg4", StoreConfig(quotaBytes = 200L))
+    val big = spark.range(5000).select(col("id").as("k"),
+      md5(col("id").cast("string")).as("v"))
+    // refused candidate at a DIFFERENT modulus: were BUCKETS written
+    // before the gate, point reads would prune v1's 4-bucket layout
+    // with modulus 16 and silently miss existing keys
+    intercept[IllegalStateException] {
+      engine.push("cfg4", big, numBuckets = 16)
+    }
+    assert(engine.currentVersion("cfg4") == 1)
+    (0L until 50L by 7L).foreach { k =>
+      assert(engine.get("cfg4", Seq(k)).isDefined,
+        s"key $k unreadable after a refused push")
+    }
+    assert(engine.servingView("cfg4").count() == 50)
+  }
+
+  test("rollback across a rebucket serves with the OLD version's modulus " +
+      "(per-version _NBUCKETS is authoritative, not store-level BUCKETS)") {
+    import spark.implicits._
+    engine.createStore("rbk2", Seq("k"))
+    val df = spark.range(100).select(col("id").as("k"), (col("id") * 2L).as("v"))
+    engine.push("rbk2", df, numBuckets = 4)
+    engine.rebucket("rbk2", 16)
+    engine.rollback("rbk2")
+    (0L until 100L by 13L).foreach { k =>
+      assert(engine.get("rbk2", Seq(k)).map(_.getAs[Long]("v")).contains(k * 2),
+        s"key $k misrouted after rollback across rebucket")
+    }
+  }
+
+  test("StoreConfig.activeActive is write-once: disabling on an A/A store " +
+      "is refused loudly, never a silent no-op") {
+    import graft.core.StoreConfig
+    engine.createStore("aaw", Seq("k"), StoreConfig(activeActive = true))
+    assert(engine.isActiveActive("aaw"))
+    // idempotent re-set with the flag on still works
+    engine.setStoreConfig("aaw",
+      StoreConfig(activeActive = true, rewindSeconds = 10L))
+    assert(engine.storeConfig("aaw").rewindSeconds == 10L)
+    val ex = intercept[IllegalStateException] {
+      engine.setStoreConfig("aaw", StoreConfig(activeActive = false))
+    }
+    assert(ex.getMessage.contains("write-once"))
+    assert(engine.isActiveActive("aaw"), "flag must survive the refusal")
+  }
+
+  test("persisted config defaults apply where the caller omits the " +
+      "argument: compactIfNeeded budget, daVinci subscription budget") {
+    import spark.implicits._
+    import graft.core.StoreConfig
+    engine.createStore("cfgd", Seq("k"),
+      StoreConfig(compactLogRows = 5L, daVinciMaxRows = 3))
+    engine.push("cfgd",
+      spark.range(10).select(col("id").as("k"), col("id").as("v")),
+      numBuckets = 2)
+    engine.put("cfgd",
+      spark.range(3).select(col("id").as("k"), (col("id") + 100L).as("v")),
+      tsMs = 10L)
+    assert(engine.compactIfNeeded("cfgd") == 0, "3-row overlay is in budget")
+    engine.put("cfgd",
+      spark.range(5).select((col("id") + 20L).as("k"), col("id").as("v")),
+      tsMs = 20L)
+    assert(engine.compactIfNeeded("cfgd") == 2,
+      "8-row overlay exceeds the persisted 5-row budget → repush")
+    // daVinci() with no explicit budget reads the store default (3 rows)
+    // and refuses this 15-row store; an explicit override still wins
+    val ex = intercept[IllegalArgumentException] { engine.daVinci("cfgd") }
+    assert(ex.getMessage.contains("maxRows"))
+    val dv = engine.daVinci("cfgd", maxRows = 1000)
+    assert(dv.size == 15)
+  }
+
+  test("null key components route consistently end-to-end: push bucketing, " +
+      "point reads and distributed probes agree on the rendering") {
+    import spark.implicits._
+    engine.createStore("nullk", Seq("a", "b"))
+    val rows = Seq(
+      (1L, Option("x"), 10), (2L, Option.empty[String], 20),
+      (3L, Option("y"), 30)).toDF("a", "b", "v")
+    engine.push("nullk", rows, numBuckets = 8)
+    assert(engine.get("nullk", Seq(2L, null)).map(_.getAs[Int]("v"))
+      .contains(20), "engine.get must find the null-component key")
+    assert(engine.get("nullk", Seq(1L, "x")).map(_.getAs[Int]("v"))
+      .contains(10))
+    val dvd = engine.daVinciDistributed("nullk")
+    try {
+      assert(dvd.get(Seq(2L, null)).map(_.getAs[Int]("v")).contains(20),
+        "DistributedDaVinci must find the null-component key")
+      assert(dvd.get(Seq(1L, "x")).map(_.getAs[Int]("v")).contains(10))
+      assert(dvd.get(Seq(9L, "zz")).isEmpty)
+    } finally dvd.close()
   }
 }

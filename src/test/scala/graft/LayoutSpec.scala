@@ -28,7 +28,7 @@ class LayoutSpec extends AnyFunSuite {
       .select(col("l_partkey"), col("l_suppkey"))
     val dims = Seq("l_partkey", "l_suppkey")
     val nFiles = 16
-    val tmp = java.nio.file.Files.createTempDirectory("layout").toString
+    val tmp = graft.core.TmpStores.dir("layout").toString
 
     Layout.zorderFrame(li, dims, bits = 8, numFiles = nFiles)
       .write.mode("overwrite").parquet(s"$tmp/zorder")

@@ -110,7 +110,7 @@ class PipelineSpec extends AnyFunSuite {
     val queries = emb.filter(col("vec_id") < 20)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
     val e = new graft.core.GraftEngine(spark,
-      java.nio.file.Files.createTempDirectory("annsq8-spec").toString)
+      graft.core.TmpStores.dir("annsq8-spec").toString)
     val trained = Similarity.kmeansCentroids(corpus, k = 8, iters = 2)
     e.createStore("cent", Seq("cid"))
     e.push("cent", trained.select(col("id").as("cid"), col("vec").as("cvec")),
@@ -1202,7 +1202,7 @@ class PipelineSpec extends AnyFunSuite {
     val shDelta = Dedup.shingleSets(docs.filter(isDelta), "doc_id", "text", 3)
     val shC = Dedup.shingleSets(docs.filter(!isBatch), "doc_id", "text", 3)
     val e = new graft.core.GraftEngine(spark,
-      java.nio.file.Files.createTempDirectory("lshidx-spec").toString)
+      graft.core.TmpStores.dir("lshidx-spec").toString)
     e.createStore("lsh", Seq("bandkey"))
     e.push("lsh", Dedup.lshIndexFrame(shSeed, k = 8, bands = 4),
       numBuckets = 4)
@@ -1227,7 +1227,7 @@ class PipelineSpec extends AnyFunSuite {
     val queries = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
     val e = new graft.core.GraftEngine(spark,
-      java.nio.file.Files.createTempDirectory("ivfidx-spec").toString)
+      graft.core.TmpStores.dir("ivfidx-spec").toString)
     val trained = Similarity.kmeansCentroids(corpus, k = 8, iters = 2)
     e.createStore("cent", Seq("cid"))
     e.push("cent", trained.select(col("id").as("cid"), col("vec").as("cvec")),
@@ -1273,7 +1273,7 @@ class PipelineSpec extends AnyFunSuite {
     val queries = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
     val e = new graft.core.GraftEngine(spark,
-      java.nio.file.Files.createTempDirectory("ivfup-spec").toString)
+      graft.core.TmpStores.dir("ivfup-spec").toString)
     // codebook trained ONCE on the seed corpus; both stores share it
     val trained = Similarity.kmeansCentroids(seed, k = 8, iters = 2)
     e.createStore("cent", Seq("cid"))
@@ -1305,7 +1305,7 @@ class PipelineSpec extends AnyFunSuite {
     val queries = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
       .select(col("doc_id"), col("text"))
     val e = new graft.core.GraftEngine(spark,
-      java.nio.file.Files.createTempDirectory("bm25sh-spec").toString)
+      graft.core.TmpStores.dir("bm25sh-spec").toString)
     e.createStore("flat", Seq("token"))
     e.push("flat", Retrieval.bm25IndexFrame(docs, "doc_id", "text"),
       numBuckets = 4)
@@ -1358,7 +1358,7 @@ class PipelineSpec extends AnyFunSuite {
         concat_ws("|", col("doc_id"), lit(seed))), 1, 6), 16, 10)
         .cast("long"), lit(nDelta + 1))
       val e = new graft.core.GraftEngine(spark,
-        java.nio.file.Files.createTempDirectory(s"bm25fz$seed-").toString)
+        graft.core.TmpStores.dir(s"bm25fz$seed-").toString)
       e.createStore("post", Seq("token"))
       e.push("post", Retrieval.bm25IndexFrame(
         docs.filter(batch === 0), "doc_id", "text"), numBuckets = 4)
@@ -1397,7 +1397,7 @@ class PipelineSpec extends AnyFunSuite {
     val queries = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
       .select(col("doc_id"), col("text"))
     val e = new graft.core.GraftEngine(spark,
-      java.nio.file.Files.createTempDirectory("bm25up-spec").toString)
+      graft.core.TmpStores.dir("bm25up-spec").toString)
     e.createStore("post", Seq("token"))
     e.push("post", Retrieval.bm25IndexFrame(seed, "doc_id", "text"),
       numBuckets = 4)

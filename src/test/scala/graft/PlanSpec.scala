@@ -80,7 +80,7 @@ class PlanSpec extends AnyFunSuite {
 
   test("asOf reads through the connector keep full-key bucket pruning") {
     import spark.implicits._
-    val root = Files.createTempDirectory("graft-plan-asof").toString
+    val root = graft.core.TmpStores.dir("graft-plan-asof").toString
     val e = new GraftEngine(spark, root)
     e.createStore("c", Seq("k"))
     e.push("c", spark.range(1000).select(col("id").as("k"),
@@ -117,7 +117,7 @@ class PlanSpec extends AnyFunSuite {
 
   test("batchGet is a broadcast left-semi join") {
     import spark.implicits._
-    val root = Files.createTempDirectory("graft-plan").toString
+    val root = graft.core.TmpStores.dir("graft-plan").toString
     val e = new GraftEngine(spark, root)
     e.createStore("c", Seq("c_custkey"))
     e.push("c", Tables.customer(spark, sf))
@@ -126,7 +126,7 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("bucket filter prunes the snapshot scan's partition directories") {
-    val root = Files.createTempDirectory("graft-plan2").toString
+    val root = graft.core.TmpStores.dir("graft-plan2").toString
     val e = new GraftEngine(spark, root)
     e.createStore("c", Seq("c_custkey"))
     e.push("c", Tables.customer(spark, sf))
@@ -141,7 +141,7 @@ class PlanSpec extends AnyFunSuite {
 
   test("A/A point read prunes BOTH the snapshot and the op log to one bucket") {
     import spark.implicits._
-    val root = Files.createTempDirectory("graft-plan3").toString
+    val root = graft.core.TmpStores.dir("graft-plan3").toString
     val e = new GraftEngine(spark, root)
     e.createStore("aa", Seq("id"))
     e.push("aa", Seq((1L, 1.0), (2L, 2.0)).toDF("id", "score"), numBuckets = 8)
@@ -159,7 +159,7 @@ class PlanSpec extends AnyFunSuite {
 
   test("A/A read with no pending ops is shuffle-free (fast path)") {
     import spark.implicits._
-    val root = Files.createTempDirectory("graft-plan4").toString
+    val root = graft.core.TmpStores.dir("graft-plan4").toString
     val e = new GraftEngine(spark, root)
     e.createStore("aaq", Seq("id"))
     e.push("aaq", Seq((1L, 1.0, Seq("a")), (2L, 2.0, Seq("b")))
@@ -180,7 +180,7 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("distributed DaVinci probe reads cluster memory, never parquet") {
-    val root = Files.createTempDirectory("plan-dvd").toString
+    val root = graft.core.TmpStores.dir("plan-dvd").toString
     val e = new GraftEngine(spark, root)
     import spark.implicits._
     e.createStore("d", Seq("k"))
@@ -342,7 +342,7 @@ class PlanSpec extends AnyFunSuite {
       "a store without updates skips the after-image subtree") {
     import spark.implicits._
     val e = new GraftEngine(spark,
-      Files.createTempDirectory("plan-cdc-upd").toString)
+      graft.core.TmpStores.dir("plan-cdc-upd").toString)
     e.createStore("s", Seq("k"))
     e.push("s", (1L to 1000L).map(k => (k, s"v$k")).toDF("k", "v"),
       numBuckets = 4)

@@ -99,7 +99,7 @@ class PlumbingSpec extends AnyFunSuite {
   }
 
   test("B1 input source reads csv/json with key-value extraction") {
-    val dir = java.nio.file.Files.createTempDirectory("graft-src").toString
+    val dir = graft.core.TmpStores.dir("graft-src").toString
     val cust = Tables.customer(spark, sf)
     cust.write.mode("overwrite").option("header", "true").csv(s"$dir/csv")
     cust.write.mode("overwrite").json(s"$dir/json")
@@ -120,7 +120,7 @@ class PlumbingSpec extends AnyFunSuite {
     import org.apache.avro.file.DataFileWriter
     import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
     import graft.sources.AvroInput
-    val root = java.nio.file.Files.createTempDirectory("graft-union").toString
+    val root = graft.core.TmpStores.dir("graft-union").toString
     // union [null, int, string, Inner{a: long}] + an enum field — the
     // schema shapes the derived writer cannot produce, written by hand
     val inner = Schema.createRecord("Inner", null, "t", false,
@@ -175,7 +175,7 @@ class PlumbingSpec extends AnyFunSuite {
 
   test("B1 avro: container files written by the engine read back identically") {
     import graft.sources.AvroInput
-    val root = java.nio.file.Files.createTempDirectory("graft-avro").toString
+    val root = graft.core.TmpStores.dir("graft-avro").toString
     // scalar columns (customer)
     val cust = Tables.customer(spark, sf)
     AvroInput.write(cust, s"$root/cust")

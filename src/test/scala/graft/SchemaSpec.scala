@@ -157,7 +157,7 @@ class SchemaSpec extends AnyFunSuite {
     // value schema, or the A/A element-state rebuild cast is illegal
     import spark.implicits._
     val e = new graft.core.GraftEngine(spark,
-      java.nio.file.Files.createTempDirectory("nullable-aa").toString)
+      graft.core.TmpStores.dir("nullable-aa").toString)
     e.createStore("idx", Seq("k"))
     val pushed = Seq((1L, Seq(10L)), (2L, Seq(20L, 21L)))
       .toDF("k", "members")

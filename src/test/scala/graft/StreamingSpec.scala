@@ -16,7 +16,7 @@ case class Doc(doc_id: Long, text: String, __event_ts_ms: Long)
 class StreamingSpec extends AnyFunSuite {
   lazy val spark = GraftSession.build(cpus = 4, appName = "streaming-spec")
   val sf = "/root/testdata/sf0.001"
-  lazy val root = Files.createTempDirectory("graft-stream").toString
+  lazy val root = graft.core.TmpStores.dir("graft-stream").toString
   lazy val engine = new GraftEngine(spark, root)
 
   test("S1: streaming ingest lands in the serving view") {
@@ -47,7 +47,7 @@ class StreamingSpec extends AnyFunSuite {
     engine.push("tsrc", Tables.customer(spark, sf))
     // a parquet dir stands in for the external topic (the in-env adapter);
     // producers append files, the consumer checkpoints via the file source
-    val topicDir = Files.createTempDirectory("graft-topic").toString
+    val topicDir = graft.core.TmpStores.dir("graft-topic").toString
     Seq((1L, "VIA-TOPIC", 5000L), (8888L, "TOPIC-NEW", 5000L))
       .toDF("c_custkey", "c_name", StreamIngest.EventTsCol)
       .write.mode("append").parquet(topicDir)
@@ -339,7 +339,7 @@ class StreamingSpec extends AnyFunSuite {
   test("enrichment join re-resolves the store per drain: RT write visible") {
     import spark.implicits._
     import graft.streaming.EnrichJoin
-    val root = java.nio.file.Files.createTempDirectory("graft-enrich").toString
+    val root = graft.core.TmpStores.dir("graft-enrich").toString
     val e = new GraftEngine(spark, s"$root/stores")
     e.createStore("dim", Seq("k"))
     e.push("dim", Seq((1L, "old1"), (2L, "old2")).toDF("k", "v"))
@@ -377,7 +377,7 @@ class StreamingSpec extends AnyFunSuite {
   test("stream-stream interval join pairs within window, drops late input") {
     import spark.implicits._
     import graft.streaming.StreamJoin
-    val root = Files.createTempDirectory("graft-sjoin-spec").toString
+    val root = graft.core.TmpStores.dir("graft-sjoin-spec").toString
     new java.io.File(s"$root/in").mkdirs()
     def stage(rows: Seq[(Long, String, Long, Long)]): Unit = rows
       .toDF("ts_ms", "event_type", "event_id", "user_id")
@@ -440,7 +440,7 @@ class StreamingSpec extends AnyFunSuite {
     val src = s"$root/sncdocs"
     firstHalf.repartition(2).write.mode("overwrite").parquet(src)
     val e = new GraftEngine(spark,
-      Files.createTempDirectory("snd-repush").toString)
+      graft.core.TmpStores.dir("snd-repush").toString)
     e.createStore("lsh", Seq("bandkey"))
     e.push("lsh", Seq.empty[(String, Array[Long])].toDF("bandkey", "ids"),
       numBuckets = 4)
@@ -490,7 +490,7 @@ class StreamingSpec extends AnyFunSuite {
 
     def drain(tag: String, filesPerTrigger: Option[Int]): Set[(Long, Long)] = {
       val e = new GraftEngine(spark,
-        Files.createTempDirectory(s"snd-$tag").toString)
+        graft.core.TmpStores.dir(s"snd-$tag").toString)
       e.createStore("lsh", Seq("bandkey"))
       e.push("lsh", Seq.empty[(String, Array[Long])].toDF("bandkey", "ids"),
         numBuckets = 4)
