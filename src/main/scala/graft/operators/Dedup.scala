@@ -323,17 +323,21 @@ object Dedup {
     * this is the exact Θ(n²)-capable baseline, so the call refuses inputs
     * whose worst-case candidate count — n·min(n, maxPostings)/2, since a
     * doc's posting can meet at most maxPostings−1 others per bucket —
-    * exceeds `maxCandidatePairs` (default 5·10¹¹, the same practical
-    * ceiling as cosinePairs' 1M-row cap). The bound SCALES WITH THE CAP:
-    * at maxPostings = 64 the production path admits ~1.5·10¹⁰ docs before
-    * refusing, so `dedup_ngram_capped` stays corpus-scale while the
-    * uncapped form refuses past ~1M docs. The row probe is a constant
+    * exceeds `maxCandidatePairs` (default 5·10¹⁰ = √budget ≈ 316k docs
+    * uncapped, the same default budget as simhashPairs; the earlier
+    * 5·10¹¹ admitted a 500k-doc corpus whose exact self-join SPILL
+    * exceeded a 75 GB host disk — the pair budget models compute, so its
+    * default must sit below where the shuffle spill, which grows with the
+    * same n·min(n,df) term, outruns one host). The bound SCALES WITH THE
+    * CAP: at maxPostings = 64 the production path admits ~1.5·10⁹ docs
+    * before refusing, so `dedup_ngram_capped` stays corpus-scale while
+    * the uncapped form refuses past ~316k docs. The row probe is a constant
     * projection limited to rowCap+1 — column-pruned and early-terminating,
     * never a full count of a big corpus. Raise maxCandidatePairs
     * EXPLICITLY for a deliberate exactness study. */
   def ngramJaccardPairs(shingled: DataFrame, minJaccard: Double,
       maxPostings: Int = 1 << 20,
-      maxCandidatePairs: Long = 500000000000L): DataFrame = {
+      maxCandidatePairs: Long = 50000000000L): DataFrame = {
     val budget2 = 2L * maxCandidatePairs // f(n) = n·min(n, maxPostings) ≤ 2B
     val rowCap =
       if (maxPostings.toLong * maxPostings >= budget2)
@@ -405,7 +409,7 @@ object Dedup {
     * same accident guard as the Jaccard form. */
   def containmentPairs(shingled: DataFrame, minContainment: Double,
       maxPostings: Int = 1 << 20,
-      maxCandidatePairs: Long = 500000000000L): DataFrame = {
+      maxCandidatePairs: Long = 50000000000L): DataFrame = {
     val budget2 = 2L * maxCandidatePairs
     val rowCap =
       if (maxPostings.toLong * maxPostings >= budget2)
