@@ -5246,7 +5246,7 @@ object Queries {
     // refuse past budget with a pointer to the top-fetch production path.
     val fetched = qterms.join(dfreq, "token")
       .agg(coalesce(sum(col("df")), lit(0L))).collect()(0).getLong(0)
-    require(fetched <= 2000000000L,
+    graft.core.Guard.admit(fetched <= 2000000000L,
       s"bm25 exact scorer would join $fetched posting rows for this " +
         "query batch (budget 2e9) — use bm25_index_topfetch " +
         "(Retrieval.probeBm25IndexSharded, impact-ordered truncation) " +
