@@ -411,11 +411,14 @@ object Similarity {
     *
     * THIS IS THE EXACT ALL-PAIRS BASELINE — the comparison count is
     * Θ(n²) by definition, tiling only bounds memory and shuffle width.
-    * `maxExactRows` (default 1M ⇒ ≤ 5·10¹¹ dot products, the practical
-    * ceiling for an exactness check) guards against running it on a
-    * corpus-scale input by accident: beyond the cap it refuses with a
-    * pointer to the scale paths ([[lshCosinePairs]], [[semDedup]]).
-    * Raise the cap EXPLICITLY to run bigger exactness studies.
+    * `maxExactRows` (default 100k ⇒ ≤ 5·10⁹ dot products) guards against
+    * running it on a corpus-scale input by accident: beyond the cap it
+    * refuses with a pointer to the scale paths ([[lshCosinePairs]],
+    * [[semDedup]]). Raise the cap EXPLICITLY to run bigger exactness
+    * studies. (The earlier 1M default admitted a 200k×64-dim corpus whose
+    * 2·10¹⁰ exact pairs ran ~40 wall-minutes on 32 cores — a deliberate
+    * study's budget, not an accident's; quadratic baselines refuse where
+    * they stop being practical, like the n-gram/simhash guards.)
     *
     * The guard costs one extra pass over the input plan, but a CHEAP one:
     * it counts a constant projection limited to cap+1 rows, so column
@@ -424,7 +427,7 @@ object Similarity {
     * corpus to refuse it. (Caps above Int.MaxValue probe only the first
     * Int.MaxValue rows; at that size you are past any exactness study.) */
   def cosinePairs(corpus: DataFrame, threshold: Double,
-      blocks: Int = 0, maxExactRows: Long = 1000000L): DataFrame = {
+      blocks: Int = 0, maxExactRows: Long = 100000L): DataFrame = {
     val probeLimit = math.min(maxExactRows, (Int.MaxValue - 1).toLong).toInt
     val probed = corpus.select(lit(1).as("__c")).limit(probeLimit + 1).count()
     graft.core.Guard.admit(probed <= maxExactRows,
