@@ -97,10 +97,20 @@ object Bench {
         System.gc()
         (sec, st)
       }
+      // min over `passes` timed passes (not capped at 2 — a requested
+      // PASSES=3 run must actually be 3 passes or the record is
+      // mislabeled); a non-ok first pass short-circuits, its status is
+      // the result
       val (t1, s1) = onePass()
-      val (t2, s2) =
-        if (s1.isOk && passes > 1) onePass() else (t1, s1)
-      val st = if (s1.isOk) s2 else s1
+      var best = t1
+      var st: Status = s1
+      var p = 1
+      while (st.isOk && p < passes) {
+        val (tn, sn) = onePass()
+        best = math.min(best, tn)
+        st = sn
+        p += 1
+      }
       // per-query progress on stderr: a truncated sweep still yields
       // recordable rows (the JSON line only prints at the very end)
       val tag = st match {
@@ -109,8 +119,8 @@ object Bench {
         case _: Err => "ERROR"
       }
       System.err.println(
-        f"[bench] done ${q.name}%-28s ${math.min(t1, t2)}%8.2f s  $tag")
-      (q.name, math.min(t1, t2), st)
+        f"[bench] done ${q.name}%-28s $best%8.2f s  $tag")
+      (q.name, best, st)
     }
     def esc(s: String): String =
       s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"
@@ -171,7 +181,19 @@ object Bench {
       "w5_lww_merge",
       "w8_squash_sets")
     val core = results.filter(r => core38(r._1)).map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","core38":$core,"queries":$qs,"ok":$ok,"refused_n":$nRefused,"n":${results.size},"errors":$errs,"refused":$refused,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","core38":$core,"queries":$qs,"ok":$ok,"refused_n":$nRefused,"n":${results.size},"errors":$errs,"refused":$refused,"sf":"$sfDir"}"""
+    println(json)
+    // full record to a stable committed-tree path: the driver keeps only
+    // the tail of stdout, which loses the totals and 160+ query rows —
+    // round-over-round regression checks read this file whole instead
+    try {
+      val out = java.nio.file.Paths.get("tmp/bench_last.json")
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.writeString(out, json + "\n")
+      System.err.println(s"[bench] full JSON written to $out")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write tmp/bench_last.json: $e")
+    }
     if (nRefused > 0) System.err.println(
       s"[bench] $nRefused queries REFUSED by scale guard (by design at " +
         "oversized decades — see the refused map)")

@@ -2370,6 +2370,46 @@ object Queries {
               FROM c a JOIN c b ON a.id < b.id)
             WHERE sim >= 0.4 ORDER BY id_a, id_b"""))
 
+  /** Embedding near-dup via multi-band hyperplane LSH — the PRODUCTION
+    * path `dedup_embedding`'s guard refusal points at
+    * (Similarity.lshCosinePairs): banded candidate generation (an
+    * equi-join on (band, code) — near-linear when near-dups are near) +
+    * exact cosine verify of candidates only. The hyperplanes are the
+    * deterministic md5 literals (Similarity.planeSignVal), so the oracle
+    * replays the WHOLE pipeline — plane construction, per-band sign
+    * codes, candidate join, exact verify — in SQL; planted-dup recall is
+    * additionally pinned in PipelineSpec (the dedup_minhash_lsh
+    * pattern). 12 bits × 8 bands: collision ≈ 2.4e-4 per band for
+    * orthogonal pairs, so candidates stay ~1e-3·n² while genuinely-close
+    * pairs (the ones a near-dup pass is FOR) collide with high
+    * probability. */
+  val dedupEmbeddingLsh = QueryDef(
+    "dedup_embedding_lsh",
+    (s, dir) => graft.operators.Similarity.lshCosinePairs(
+        t(s, dir, "embeddings")
+          .select(col("vec_id").as("id"), col("embedding").as("vec")),
+        threshold = 0.2, dim = 64, bitsPerBand = 12, bands = 8)
+      .orderBy(col("id_a"), col("id_b")),
+    Some("""WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec,
+              sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS n
+              FROM embeddings),
+            planes AS (SELECT j,
+                list(CASE WHEN substr(md5(j::VARCHAR || '|' || d::VARCHAR), 1, 1) >= '8'
+                  THEN 1.0 ELSE -1.0 END ORDER BY d)::DOUBLE[] AS plane
+              FROM range(96) pj(j), range(64) pd(d) GROUP BY j),
+            codes AS (SELECT v.id, p.j // 12 AS band,
+                sum(CASE WHEN list_dot_product(v.vec, p.plane) > 0
+                  THEN 1 << (p.j % 12) ELSE 0 END)::BIGINT AS code
+              FROM v, planes p GROUP BY v.id, p.j // 12),
+            cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+              FROM codes a JOIN codes b
+                ON a.band = b.band AND a.code = b.code AND a.id < b.id)
+            SELECT id_a, id_b, sim FROM (
+              SELECT c.id_a, c.id_b,
+                round(list_dot_product(a.vec, b.vec) / (a.n * b.n), 6) + 0.0 AS sim
+              FROM cand c JOIN v a ON a.id = c.id_a JOIN v b ON b.id = c.id_b)
+            WHERE sim >= 0.2 ORDER BY id_a, id_b"""))
+
   /** SemDeDup: semantic dedup via k-means cells + within-cell cosine. The
     * oracle replays the deterministic 2-step Lloyd training exactly (the
     * ann_ivf CTE chain), then the same smaller-id-wins pair rule in SQL.
@@ -2408,6 +2448,75 @@ object Queries {
                 CAST(sum(CAST(round(vec[p.p + 1] * 1000) AS BIGINT)) AS DOUBLE)
                   / (count(*) * 1000.0) AS val
               FROM a1, range(64) p(p) GROUP BY cid, p.p) GROUP BY cid),
+            assign AS (SELECT id, vec, n, cid FROM (
+              SELECT v.id, v.vec, v.n, c.cid, row_number() OVER (PARTITION BY v.id
+                ORDER BY round(list_dot_product(v.vec, c.cvec) /
+                  (v.n * sqrt(list_dot_product(c.cvec, c.cvec))), 6) + 0.0 DESC,
+                  c.cid) AS rn
+              FROM v, c2 c) WHERE rn = 1),
+            d AS (SELECT id_b AS vec_id, min(id_a) AS dup_of FROM (
+                SELECT a.id AS id_a, b.id AS id_b,
+                  round(list_dot_product(a.vec, b.vec) / (a.n * b.n), 6) + 0.0
+                    AS sim
+                FROM assign a JOIN assign b
+                  ON a.cid = b.cid AND a.id < b.id)
+              WHERE sim >= 0.4 GROUP BY 1)
+            SELECT s.id AS vec_id, s.cid AS cell, d.dup_of,
+              d.dup_of IS NOT NULL AS is_dup
+            FROM assign s LEFT JOIN d ON s.id = d.vec_id
+            ORDER BY vec_id"""))
+
+  /** SemDeDup with the CORPUS-DRIVEN cell count — the 100 TB shape. The
+    * pinned `semdedup` oracle freezes numCells = 8 for a reproducible
+    * small-SF Lloyd replay, but a fixed K makes the within-cell exact
+    * pass Θ(n²/K): measured 47× time for 10× data at sf10. Here K =
+    * max(16, ⌈n / 2000⌉) — the operator's own `numCells = 0` default —
+    * so cells hold ~2000 rows at any corpus size and the pair work grows
+    * linearly with n. The oracle derives K from the same count formula
+    * and replays the identical seeded-Lloyd chain, so the scale knob
+    * itself is hash-pinned, not just the small-SF special case. */
+  val semdedupScaled = QueryDef(
+    "semdedup_scaled",
+    (s, dir) => graft.operators.Similarity.semDedup(
+        t(s, dir, "embeddings")
+          .select(col("vec_id").as("id"), col("embedding").as("vec")),
+        threshold = 0.4, numCells = 0)
+      .orderBy(col("vec_id")),
+    Some("""WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec,
+              sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS n
+              FROM embeddings),
+            kk AS (SELECT greatest(16, CAST(ceil(count(*) / 2000.0) AS BIGINT))
+              AS k FROM v),
+            c0 AS (SELECT id AS cid, vec AS cvec FROM v
+              WHERE id < (SELECT k FROM kk)),
+            a0 AS (SELECT id, vec, cid FROM (
+              SELECT v.id, v.vec, c.cid, row_number() OVER (PARTITION BY v.id
+                ORDER BY round(list_dot_product(v.vec, c.cvec) /
+                  (v.n * sqrt(list_dot_product(c.cvec, c.cvec))), 6) + 0.0 DESC,
+                  c.cid) AS rn
+              FROM v, c0 c) WHERE rn = 1),
+            c1r AS (SELECT cid, list(val ORDER BY pos) AS cvec FROM (
+              SELECT cid, p.p AS pos,
+                CAST(sum(CAST(round(vec[p.p + 1] * 1000) AS BIGINT)) AS DOUBLE)
+                  / (count(*) * 1000.0) AS val
+              FROM a0, range(64) p(p) GROUP BY cid, p.p) GROUP BY cid),
+            c1 AS (SELECT cid, cvec FROM c1r UNION ALL
+              SELECT cid, cvec FROM c0
+              WHERE cid NOT IN (SELECT cid FROM c1r)),
+            a1 AS (SELECT id, vec, cid FROM (
+              SELECT v.id, v.vec, c.cid, row_number() OVER (PARTITION BY v.id
+                ORDER BY round(list_dot_product(v.vec, c.cvec) /
+                  (v.n * sqrt(list_dot_product(c.cvec, c.cvec))), 6) + 0.0 DESC,
+                  c.cid) AS rn
+              FROM v, c1 c) WHERE rn = 1),
+            c2r AS (SELECT cid, list(val ORDER BY pos) AS cvec FROM (
+              SELECT cid, p.p AS pos,
+                CAST(sum(CAST(round(vec[p.p + 1] * 1000) AS BIGINT)) AS DOUBLE)
+                  / (count(*) * 1000.0) AS val
+              FROM a1, range(64) p(p) GROUP BY cid, p.p) GROUP BY cid),
+            c2 AS (SELECT cid, cvec FROM c2r UNION ALL
+              SELECT cid, cvec FROM c0
+              WHERE cid NOT IN (SELECT cid FROM c2r)),
             assign AS (SELECT id, vec, n, cid FROM (
               SELECT v.id, v.vec, v.n, c.cid, row_number() OVER (PARTITION BY v.id
                 ORDER BY round(list_dot_product(v.vec, c.cvec) /
@@ -5504,6 +5613,102 @@ object Queries {
              FROM fused QUALIFY rank <= 5
              ORDER BY query_id, rank"""))
 
+  /** Hybrid retrieval with a SCALE-GREEN lexical leg: same RRF fusion as
+    * `rrf_fusion`, but the lexical leg is the impact-ordered top-fetch
+    * probe of the sharded BM25 index (probeBm25IndexSharded,
+    * maxFetch = 200 — the bm25_index_topfetch production path) instead
+    * of the exact scorer, which refuses past its Σ df budget on
+    * closed-vocabulary corpora. Reference analog: the read-path top-K
+    * compute-aggregation surface
+    * (ComputeAggregationRequestBuilder.java:16-31 — semantics, not
+    * code). The dense leg is unchanged (exact cosine top-10). This is
+    * the row that keeps hybrid retrieval green at every SF: the
+    * truncation is replayed exactly by the oracle, so the WAND-style
+    * recall tradeoff is pinned, not fuzzed. */
+  val rrfFusionTopFetch = QueryDef(
+    "rrf_fusion_topfetch",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val e = tempEngine(s, "graft-rrftf")
+      e.createStore("post", Seq("token", "shard"))
+      e.push("post",
+        graft.operators.Retrieval.bm25IndexFrameSharded(docs, "doc_id",
+          "text", nShards = 16),
+        numBuckets = 8)
+      e.createStore("stats", Seq("stats_id"))
+      e.push("stats",
+        graft.operators.Retrieval.bm25StatsFrame(docs, "doc_id", "text"),
+        numBuckets = 1)
+      val queries = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+        .select(col("doc_id"), col("text"))
+      val lex = graft.operators.Retrieval.probeBm25IndexSharded(e, "post",
+          "stats", queries, "doc_id", "text", nShards = 16, k = 10,
+          maxFetch = 200)
+        .select(col("query_id"), col("doc_id"), col("rank"))
+      val emb = t(s, dir, "embeddings")
+      val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val qs = emb.filter(pmod(col("vec_id"), lit(97)) === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val den = graft.operators.Similarity.bruteForceTopK(corpus, qs, 10)
+        .select(col("qid").as("query_id"), col("id").as("doc_id"), col("rank"))
+      graft.operators.Retrieval.rrfFuse(Seq(lex, den), k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(s"""WITH toks AS (SELECT doc_id, unnest($tokensSql) AS token
+               FROM documents),
+             tf AS (SELECT doc_id, token, count(*) AS tf
+               FROM toks GROUP BY doc_id, token),
+             dfreq AS (SELECT token, count(*) AS df
+               FROM (SELECT DISTINCT doc_id, token FROM toks) GROUP BY token),
+             dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+             stats AS (SELECT count(*) AS n, sum(dl) AS t FROM dl),
+             tft AS (SELECT doc_id, token, tf FROM (
+                 SELECT doc_id, token, tf, row_number() OVER (
+                   PARTITION BY token ORDER BY tf DESC, doc_id) AS prk
+                 FROM tf) WHERE prk <= 200),
+             qterms AS (SELECT query_id, token FROM (
+                 SELECT tf.doc_id AS query_id, tf.token,
+                   row_number() OVER (PARTITION BY tf.doc_id
+                     ORDER BY tf.tf * (stats.n // dfreq.df) DESC, tf.token) AS rk
+                 FROM tf JOIN dfreq USING (token), stats
+                 WHERE tf.doc_id % 97 = 0)
+               WHERE rk <= 3),
+             lexscored AS (
+               SELECT q.query_id, p.doc_id,
+                 CAST(sum(((1000000 * (2*stats.n - 2*dfreq.df + 1)) // (2*dfreq.df + 1))
+                   * ((44 * p.tf * stats.t * 1000) //
+                      (20 * p.tf * stats.t + 6 * stats.t + 18 * dl.dl * stats.n))) AS BIGINT) AS score
+               FROM qterms q
+               JOIN tft p ON p.token = q.token
+               JOIN dl ON dl.doc_id = p.doc_id
+               JOIN dfreq ON dfreq.token = q.token, stats
+               WHERE p.doc_id <> q.query_id
+               GROUP BY q.query_id, p.doc_id),
+             lex AS (SELECT query_id, doc_id, row_number() OVER (
+                 PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+               FROM lexscored QUALIFY rank <= 10),
+             qv AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qvec,
+                 sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS qn
+               FROM embeddings WHERE vec_id % 97 = 0),
+             cv AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec,
+                 sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS n
+               FROM embeddings),
+             den AS (SELECT qid AS query_id, id AS doc_id, rank FROM (
+                 SELECT qid, id, row_number() OVER (PARTITION BY qid
+                   ORDER BY round(list_dot_product(vec, qvec) / (n * qn), 6) + 0.0
+                     DESC, id) AS rank
+                 FROM cv, qv WHERE id <> qid) WHERE rank <= 10),
+             fused AS (SELECT query_id, doc_id,
+                 CAST(sum(1000000 // (60 + rank)) AS BIGINT) AS rrf_score,
+                 count(*) AS legs
+               FROM (SELECT * FROM lex UNION ALL SELECT * FROM den)
+               GROUP BY query_id, doc_id)
+             SELECT query_id, row_number() OVER (PARTITION BY query_id
+                 ORDER BY rrf_score DESC, doc_id) AS rank,
+               doc_id, rrf_score, legs
+             FROM fused QUALIFY rank <= 5
+             ORDER BY query_id, rank"""))
+
   /** Bigram language-model quality scoring with stupid backoff (Brants et
     * al. 2007): train bigram + unigram counts on the even-doc_id half of
     * the corpus, score the odd half — the KenLM-ish "perplexity filter"
@@ -5513,9 +5718,14 @@ object Queries {
     * seen bigram → 1e6·c(w1)/c(w1w2); unseen → 1/(0.4·c(w2)/T) =
     * 5e6·T/(2·c(w2)), add-one for OOV w2. Per doc: mean/max inverse-prob
     * and the backoff count. Shape at scale: model training is one groupBy
-    * each over the training half (map-side partial agg); scoring is three
-    * token-keyed equi-joins (Catalyst broadcasts the count tables while
-    * they fit, sort-merge beyond) and one final per-doc agg. */
+    * each over the training half (map-side partial agg); scoring
+    * pre-aggregates the held-out half to (doc, w1, w2, cnt) — map-side
+    * combine, evenly keyed — and joins the count tables against the
+    * DISTINCT-bigram table only (≤ vocab² rows; here 31² = 961), whose
+    * scored result broadcasts back. No corpus-sized row ever joins on a
+    * bare token key, so the hot-token skew that made the naive
+    * instance-level join 12.6×/decade (the vocabulary is closed — every
+    * (w1,w2) key funnels ~n/961 instances) never materializes. */
   val lmBigram = QueryDef(
     "lm_bigram",
     (s, dir) => {
@@ -5532,7 +5742,14 @@ object Queries {
         .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
       val cb = bgAll.filter(pmod(col("doc_id"), lit(2)) === 0)
         .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
-      val scored = bgAll.filter(pmod(col("doc_id"), lit(2)) === 1)
+      // held-out instances collapsed per (doc, bigram) FIRST — the only
+      // corpus-sized shuffle, on an even composite key
+      val bgc = bgAll.filter(pmod(col("doc_id"), lit(2)) === 1)
+        .groupBy(col("doc_id"), col("w1"), col("w2"))
+        .agg(count(lit(1)).as("cnt"))
+      // score each DISTINCT bigram once (≤ vocab² rows): the three
+      // token-keyed joins now move hundreds of rows, not the corpus
+      val ippmTbl = bgc.select(col("w1"), col("w2")).distinct()
         .join(cb, Seq("w1", "w2"), "left")
         .join(cu.select(col("w").as("w1"), col("c").as("cu1")), Seq("w1"), "left")
         .join(cu.select(col("w").as("w2"), col("c").as("cu2")), Seq("w2"), "left")
@@ -5546,10 +5763,16 @@ object Queries {
               " div (2L * coalesce(cu2, 1L)) AS BIGINT)")))
         .withColumn("backoff",
           when(col("cb").isNull, lit(1L)).otherwise(lit(0L)))
+        .select(col("w1"), col("w2"), col("ippm"), col("backoff"))
+      // no broadcast HINT: closed-vocab runs broadcast via AQE's runtime
+      // size stats anyway, and an open-vocab corpus (distinct bigrams ∝
+      // corpus) must be allowed to fall back to a shuffle join on the
+      // even (w1,w2) composite key rather than OOM the driver
+      val scored = bgc.join(ippmTbl, Seq("w1", "w2"))
       scored.groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_bigrams"),
-          sum(col("backoff")).as("n_backoff"),
-          expr("sum(ippm) div count(1)").as("mean_ippm"),
+        .agg(sum(col("cnt")).as("n_bigrams"),
+          sum(col("backoff") * col("cnt")).as("n_backoff"),
+          expr("sum(ippm * cnt) div sum(cnt)").as("mean_ippm"),
           max(col("ippm")).as("max_ippm"))
         .orderBy(col("doc_id"))
     },
@@ -8885,7 +9108,8 @@ object Queries {
     curriculumInterleave, urlCanonicalize, bpePairStats, sampleWeighted,
     annIvfPq, annPqRerank, streamSessionize, dedupSpans, seqLenHist,
     gopherRules, splitLeakage, r17Rollback, bm25Retrieval, bm25IndexProbe,
-    bm25IndexSharded, bm25IndexTopFetch, rrfFusion, lmBigram,
+    bm25IndexSharded, bm25IndexTopFetch, rrfFusion, rrfFusionTopFetch,
+    lmBigram, dedupEmbeddingLsh, semdedupScaled,
     crawlPagerank, spanCorrupt, fimTransform, mixRollup, q5LocalSupplier,
     streamTrending,
     q18BigOrders, dedupRateReport, streamDedupQ, streamNearDupQ,

@@ -396,8 +396,11 @@ final class DistributedDaVinci private[core] (engine: GraftEngine,
     val lead = keyCols.take(prefix.size)
     require(lead.toSet == prefix.keySet,
       s"partial key ${prefix.keySet} must be the leading prefix of $keyCols")
+    // null-safe <=> (not ===): GraftEngine.partialKeyGet matches null
+    // prefix components, and the drop-in contract must too — a bare ===
+    // would vacuously return zero rows for a null prefix value
     prefix.foldLeft(state._3) { case (df, (k, v)) =>
-      df.filter(col(k) === lit(v))
+      df.filter(col(k) <=> lit(v))
     }.drop(probeBucket, probeKey)
   }
 

@@ -50,8 +50,10 @@ final case class StoreMeta(name: String, keyCols: Seq[String])
   *    [[GraftEngine.setStoreConfig]] REJECTS `activeActive = false` on an
   *    already-A/A store (disable = repush into a fresh non-A/A store).
   *  - `lwwByteTieBreak`: break LWW timestamp ties by the unsigned bytes of
-  *    the Avro-serialized value (the reference's MergeByteBuffer order)
-  *    instead of the string rendering — at record, field AND element level.
+  *    the Avro-serialized value (the reference's tie-break DOMAIN — it
+  *    compares serialized values too, but by collision-unstable hashCode;
+  *    this order is byte-defined and stable) instead of the string
+  *    rendering — at record, field AND element level.
   *  - `compactLogRows`: size-tiered compaction trigger —
   *    [[GraftEngine.compactIfNeeded]] repushes once the RT overlay exceeds
   *    this many pending rows (the read-amplification budget).
@@ -108,6 +110,15 @@ class GraftEngine(val spark: SparkSession, val root: String) {
   /** Persist (or update) the store's config. Key=value lines — readable,
     * diff-able, and parseable without a JSON library on the classpath. */
   def setStoreConfig(name: String, config: StoreConfig): Unit = {
+    // refusal check FIRST: a refused A/A downgrade must leave the store's
+    // config byte-identical (the refused-mutation-leaves-state-unchanged
+    // principle the push/quota gate follows) — persisting the other
+    // settings before throwing would silently mutate them
+    if (!config.activeActive && isActiveActive(name))
+      throw new IllegalStateException(
+        s"store $name is active-active; activeActive is write-once " +
+          "(its op log holds field-level CRDT state the LWW path cannot " +
+          "read) — to disable, repush the serving view into a new store")
     val body = Seq(
       s"rewindSeconds=${config.rewindSeconds}",
       s"lagThresholdMs=${config.lagThresholdMs}",
@@ -124,12 +135,9 @@ class GraftEngine(val spark: SparkSession, val root: String) {
     // A/A mode rides the same flag file the rest of the engine checks.
     // One-way: the A/A op log carries per-field RMD that the LWW read
     // path cannot resolve, so flipping an A/A store back is refused
-    // loudly rather than silently ignored (StoreConfig doc: write-once)
+    // loudly (ABOVE, before any byte is written) rather than silently
+    // ignored (StoreConfig doc: write-once)
     if (config.activeActive) enableActiveActive(name)
-    else if (isActiveActive(name)) throw new IllegalStateException(
-      s"store $name is active-active; activeActive is write-once " +
-        "(its op log holds field-level CRDT state the LWW path cannot " +
-        "read) — to disable, repush the serving view into a new store")
   }
 
   /** The store's persisted config; all defaults when none was ever set
@@ -807,10 +815,12 @@ class GraftEngine(val spark: SparkSession, val root: String) {
     * ts/deleted plumbing). Default: a deterministic string rendering —
     * same total order every run, codegen'd. With
     * `StoreConfig.lwwByteTieBreak`: the unsigned bytes of the
-    * Avro-serialized value struct — the reference's MergeByteBuffer order
-    * (AbstractMerge.java:17-46; semantics, not code), byte-parity where the
-    * two orders disagree (e.g. numeric fields: "10" < "9" as strings but
-    * 10 > 9 as zigzag varints). */
+    * Avro-serialized value struct — the reference's tie-break domain
+    * (MergeByteBuffer compares serialized values, but by hashCode —
+    * AbstractMerge.java/MergeUtils.java; semantics, not code) under a
+    * stable byte-defined order instead of its collision-unstable one
+    * (e.g. numeric fields: "10" < "9" as strings but 10 > 9 as small
+    * zigzag varints). */
   private def lwwTieBreak(name: String, cols: Seq[String]): Column =
     if (storeConfig(name).lwwByteTieBreak)
       graft.functions.AvroBinaryExpr.avroBinary(struct(cols.map(col): _*))

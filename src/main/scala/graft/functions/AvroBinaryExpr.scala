@@ -9,16 +9,20 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.types.{BinaryType, DataType, StructType}
 
-/** Avro binary serialization of a struct — the LWW byte-parity tie-break.
+/** Avro binary serialization of a struct — the LWW serialized-byte
+  * tie-break.
   *
-  * Venice breaks equal-timestamp PUT/PUT conflicts by comparing the two
-  * serialized Avro values as UNSIGNED bytes (reference semantics, not code:
-  * AbstractMerge.java:17-46 `compareAndReturn`, MergeByteBuffer). Spark's
-  * BinaryType ordering is the same unsigned lexicographic compare, so the
-  * serialized bytes themselves are a drop-in tie-break column: ranking by
-  * this expression reproduces the reference's total order bit-for-bit for
-  * any value the Avro writer twin ([[graft.sources.AvroInput.avroRecord]])
-  * can encode.
+  * Venice breaks equal-timestamp PUT/PUT conflicts over the SERIALIZED
+  * value, but by hashCode comparison with nulls winning
+  * (MergeUtils.compareAndReturn via MergeByteBuffer.compareAndReturn;
+  * reference semantics, not code) — an order the reference's own TODO
+  * flags as non-deterministic under hash collision. This engine keeps the
+  * reference's tie-break DOMAIN (the Avro-serialized value bytes) but
+  * ranks them with Spark's BinaryType unsigned lexicographic compare — a
+  * stable, byte-defined total order. Any total order gives the CRDT
+  * convergence the merge needs; this one is additionally reproducible
+  * cross-engine for any value the Avro writer twin
+  * ([[graft.sources.AvroInput.avroRecord]]) can encode.
   *
   * CodegenFallback by design: the expression only evaluates on TIMESTAMP
   * TIES — with real event-time stamps that is a vanishing fraction of rows,

@@ -18,9 +18,11 @@ import org.apache.spark.sql.types._
   * sibling:
   *  - scalar field f  → rmd ts long; LWW on (ts, tie-key). The tie-key is
   *    the value string by default; with `byteTieBreak` (per-store
-  *    StoreConfig.lwwByteTieBreak) it is the Avro-serialized bytes — the
-  *    reference's unsigned MergeByteBuffer order — at field AND element
-  *    level ([[tieKey]]).
+  *    StoreConfig.lwwByteTieBreak) it is the Avro-serialized bytes — a
+  *    deterministic byte-defined total order (NOT the reference's
+  *    hashCode-based tie order, which its own TODO flags as
+  *    collision-non-deterministic; see [[tieKey]]) — at field AND
+  *    element level.
   *  - array field f   → {topTs, active:[(elem,ts)], deleted:[(elem,ts)]};
   *    an element is live iff its ts ≥ topTs (newer than the last full put)
   *    and ts > its delete ts (delete wins ties). Tombstones older than
@@ -67,13 +69,27 @@ object CrdtMerge {
   /** Equal-timestamp tie-break ordering key for a value. Default: the
     * string rendering (deterministic, codegen'd). `byteTieBreak = true`
     * (per-store: StoreConfig.lwwByteTieBreak) ranks by the Avro-serialized
-    * bytes instead — Spark's BinaryType compare is the same UNSIGNED
-    * lexicographic order as the reference's MergeByteBuffer
-    * (AbstractMerge.java:17-46; semantics, not code), so equal-ts winners
-    * match the reference bit-for-bit where string and byte order disagree
-    * (e.g. numerics: "10" < "9" as strings, 10 > 9 as zigzag varints).
-    * Null stays "loses to any non-null" in both orders (Avro's null union
-    * branch serializes below any value branch). */
+    * bytes instead: Spark's BinaryType compare is unsigned lexicographic
+    * over the serialized record, giving a DETERMINISTIC, byte-defined
+    * total order where string and byte order disagree (e.g. numerics:
+    * "10" < "9" as strings but 10 > 9 as zigzag varints... for SMALL
+    * values — zigzag length-prefix effects can invert large ones, e.g.
+    * 127 → 0xFE 0x01 sorts above 128 → 0x80 0x02).
+    *
+    * This is NOT the reference's tie-break, which is itself not a byte
+    * order: record-level equal-ts ties go through hashCode comparison
+    * with nulls WINNING so deletes prevail (MergeUtils/
+    * MergeConflictResolver; JVM-run-dependent, i.e. not reproducible
+    * cross-engine), and collection-element ties through Avro's logical
+    * GenericData.compare order. Neither is replayable bit-for-bit in a
+    * SQL oracle, so this engine trades fidelity-to-an-unstable-order for
+    * a stable serialized-byte order; convergence (all replicas agree) is
+    * what CRDT correctness needs and is preserved under any total order.
+    * A null FIELD VALUE loses to any non-null in both of our orders
+    * (Avro's null union branch serializes below any value branch);
+    * delete-wins-on-tie is handled structurally by the deleted/tombstone
+    * rank, not by this key — so the reference's "nulls win because
+    * deletes win" intent is preserved where null means delete. */
   private def tieKey(v: Column, byteTieBreak: Boolean): Column =
     if (byteTieBreak)
       graft.functions.AvroBinaryExpr.avroBinary(struct(v.as("v")))

@@ -22,8 +22,9 @@ object Merge {
     *
     * Both inputs must share the schema: key cols ++ value cols ++
     * (tsCol: long, deleted: boolean). The tie-break column stands in for
-    * Venice's serialized-value unsigned byte compare (MergeByteBuffer):
-    * pass a deterministic rendering of the value columns.
+    * Venice's equal-ts value compare (MergeByteBuffer →
+    * MergeUtils.compareAndReturn — hashCode order, collision-unstable by
+    * its own TODO): pass a deterministic rendering of the value columns.
     */
   def lww(snapshot: DataFrame, log: DataFrame, keys: Seq[String],
       tsCol: Column, tieBreak: Column,

@@ -153,11 +153,21 @@ object Retrieval {
     * rows and dies; truncated, it's linear). The recall tradeoff is the
     * standard one — a doc ranked only by low-tf tails can be missed —
     * and the truncation is replayed exactly by the `bm25_index_topfetch`
-    * oracle. */
+    * oracle.
+    *
+    * Accident guard (exact path only): same Σ df budget as
+    * [[probeBm25Index]] — the per-token df is already on every fetched
+    * shard row, so the exact posting-explosion size is known BEFORE any
+    * explode; inputs past `maxFetchedPostings` REFUSE with a pointer to
+    * the bounded `maxFetch` mode instead of running a workload-quadratic
+    * explode to OOM (measured at sf10: SPILL_OUT_OF_MEMORY without this
+    * check). The truncated path is bounded by construction
+    * (≤ tokens × maxFetch rows) and never consults the budget. */
   def probeBm25IndexSharded(engine: graft.core.GraftEngine, store: String,
       statsStore: String, queries: DataFrame, idCol: String,
       textCol: String, nShards: Int, topTerms: Int = 3,
-      k: Int = 5, maxFetch: Int = Int.MaxValue): DataFrame = {
+      k: Int = 5, maxFetch: Int = Int.MaxValue,
+      maxFetchedPostings: Long = 2000000000L): DataFrame = {
     val st = engine.servingView(statsStore).select(col("n"), col("t"))
       .collect()(0)
     val n = st.getLong(0)
@@ -190,7 +200,19 @@ object Retrieval {
     //    highest-impact entries, then join — the truncation must happen
     //    before the query join to bound the output at all.
     val cand =
-      if (maxFetch == Int.MaxValue)
+      if (maxFetch == Int.MaxValue) {
+        // budget check before the quadratic-capable explode — one scalar
+        // agg over scalar columns (pruning keeps members out of the scan)
+        val fetched = qterms.agg(coalesce(sum(col("df")), lit(0L)))
+          .collect()(0).getLong(0)
+        graft.core.Guard.admit(fetched <= maxFetchedPostings,
+          s"probeBm25IndexSharded would explode $fetched posting rows for " +
+            s"this query batch (budget $maxFetchedPostings) — the exact " +
+            "probe is workload-quadratic on closed-vocabulary corpora. " +
+            "Pass maxFetch (impact-ordered top-fetch, the " +
+            "bm25_index_topfetch production path) for corpus-scale " +
+            "serving, or raise maxFetchedPostings explicitly for a " +
+            "deliberate exactness study.")
         qterms
           .select(col("query_id"), col("df"), explode(col("members")).as("m"))
           .select(col("query_id"), col("df"),
@@ -198,7 +220,7 @@ object Retrieval {
             col("m").getField("tf").as("tf"),
             col("m").getField("dl").as("dl"))
           .filter(col("doc_id") =!= col("query_id"))
-      else {
+      } else {
         val postings = byToken
           .select(col("token"), explode(col("members")).as("m"))
           .select(col("token"), col("m").getField("doc_id").as("doc_id"),

@@ -522,16 +522,22 @@ object Similarity {
     * shuffle, no CartesianProduct. Output: every vector with its cell, a
     * nullable `dup_of` (the keeper) and an `is_dup` flag.
     *
-    * `numCells = 0` auto-scales the codebook to 2·defaultParallelism
-    * (min 16) so cell size — and with it the per-cell quadratic term —
-    * tracks the cluster without a hand-tuned parameter; pass an explicit
-    * K to pin reproducible cells (the oracle query does).
+    * `numCells = 0` auto-scales the codebook with the CORPUS:
+    * K = max(16, ⌈n / targetCellRows⌉), one cheap count up front. This is
+    * the load-bearing scale knob — within-cell exact cosine is Θ(Σ n_c²),
+    * so a K that does NOT grow with n makes 10× data 100× pair work
+    * (measured: a cores-derived fixed K posted a 47× sf1→sf10 decade;
+    * corpus-derived K holds cells at ~targetCellRows and the decade near
+    * linear). Pass an explicit K only to pin reproducible cells for an
+    * exactness oracle at small SF (the pinned `semdedup` query does;
+    * `semdedup_scaled` replays this formula instead).
     */
   def semDedup(corpus: DataFrame, threshold: Double, numCells: Int = 0,
-      trainIters: Int = 2, trainFraction: Double = 1.0): DataFrame = {
+      trainIters: Int = 2, trainFraction: Double = 1.0,
+      targetCellRows: Int = 2000): DataFrame = {
     val k = if (numCells > 0) numCells
-      else math.max(16,
-        2 * corpus.sparkSession.sparkContext.defaultParallelism)
+      else math.max(16L, math.ceil(
+        corpus.count().toDouble / targetCellRows).toLong).toInt
     // codebook is k rows — collect to a local relation once, so the
     // two assign consumers below don't re-run Lloyd training (same pattern
     // as ivfTopK)

@@ -317,6 +317,28 @@ class DaVinciSpec extends AnyFunSuite {
         dist2.partialKeyGet(Map("vec_id" -> 1L)) // not the leading prefix
       }
     } finally dist2.close()
+
+    // NULL prefix component: the engine matches null leading components
+    // (null-safe <=>), so the drop-in distributed client must too — a
+    // bare === would vacuously return zero rows here
+    engine.createStore("ddn", Seq("grp", "vec_id"))
+    engine.push("ddn", spark.range(12).select(
+      when(col("id") % 3 === 0, lit(null).cast("long"))
+        .otherwise(col("id") % 3).as("grp"),
+      col("id").as("vec_id"), (col("id") * 7L).as("v")))
+    val dist3 = engine.daVinciDistributed("ddn")
+    try {
+      val got = dist3.partialKeyGet(Map("grp" -> null))
+        .select("grp", "vec_id", "v").orderBy("vec_id")
+        .collect().map(_.toSeq).toSeq
+      val want = engine.partialKeyGet("ddn", Map("grp" -> null))
+        .select("grp", "vec_id", "v").orderBy("vec_id")
+        .collect().map(_.toSeq).toSeq
+      assert(got.size == 4,
+        s"null prefix must match the 4 null-grp rows, got ${got.size}")
+      assert(got == want,
+        "distributed partialKeyGet must equal the engine's on a null prefix")
+    } finally dist3.close()
   }
 
   test("read path is job-free and fast: 200k gets off one materialization") {

@@ -1162,10 +1162,18 @@ class EngineSpec extends AnyFunSuite {
       StoreConfig(activeActive = true, rewindSeconds = 10L))
     assert(engine.storeConfig("aaw").rewindSeconds == 10L)
     val ex = intercept[IllegalStateException] {
-      engine.setStoreConfig("aaw", StoreConfig(activeActive = false))
+      engine.setStoreConfig("aaw",
+        StoreConfig(activeActive = false, quotaBytes = 123L))
     }
     assert(ex.getMessage.contains("write-once"))
     assert(engine.isActiveActive("aaw"), "flag must survive the refusal")
+    // refused mutation leaves the WHOLE config byte-identical — the
+    // refusal must fire before any setting persists, so the downgrade
+    // attempt's other fields (quotaBytes here) never land
+    assert(engine.storeConfig("aaw").rewindSeconds == 10L,
+      "refused config write must not mutate other settings")
+    assert(engine.storeConfig("aaw").quotaBytes != 123L,
+      "refused config write must not persist the attempted quota")
   }
 
   test("persisted config defaults apply where the caller omits the " +
