@@ -135,6 +135,30 @@ object Retrieval {
           .as("members"))
   }
 
+  /** Recommended shard count for [[bm25IndexFrameSharded]]:
+    * ⌈max df / targetPostingRows⌉ — the hottest token's posting list
+    * divided by the per-store-value posting budget, so every (token,
+    * shard) value stays bounded at ~targetPostingRows entries no matter
+    * how the corpus grows (a pinned nShards re-inflates value size
+    * linearly with the corpus; this formula is what keeps it flat at
+    * 100 TB). One cheap aggregation pass — the tf/df frames it touches
+    * are the same shapes the build recomputes, and df combines map-side
+    * to |vocab| rows. targetPostingRows = 100k ⇒ a few MB per collected
+    * posting array, well inside an executor's row budget. */
+  def recommendedShards(docs: DataFrame, idCol: String, textCol: String,
+      targetPostingRows: Long = 100000L): Int = {
+    require(targetPostingRows > 0,
+      s"targetPostingRows must be positive, got $targetPostingRows")
+    val maxDf = docs.select(col(idCol).as("doc_id"),
+        explode(graft.functions.TextOps.tokens(col(textCol))).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)))
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+      .agg(coalesce(max(col("df")), lit(0L)))
+      .collect()(0).getLong(0)
+    math.max(1L, math.ceil(maxDf.toDouble / targetPostingRows).toLong)
+      .min(Int.MaxValue).toInt
+  }
+
   /** Probe the sharded index: the key set is tokens × all nShards shard
     * ids (a constant fan-out of point reads per token), members union
     * across shards, df read from any shard row. With the default

@@ -1337,6 +1337,31 @@ class PipelineSpec extends AnyFunSuite {
     }
     assert(exG.getMessage.contains("bm25_index_topfetch"),
       s"guard message must point at the production path: ${exG.getMessage}")
+    // the SHARDED exact probe carries the same sum-of-df budget (its
+    // absence is what let an oversized batch run to OOM instead of
+    // refusing) — and a binding maxFetch never consults the budget
+    val exS = intercept[IllegalArgumentException] {
+      Retrieval.probeBm25IndexSharded(e, "sh", "stats", queries,
+        "doc_id", "text", nShards = 7, maxFetchedPostings = 1L)
+    }
+    assert(graft.core.Guard.refusal(exS).isDefined &&
+      exS.getMessage.contains("maxFetch"),
+      s"sharded exact probe must refuse, pointing at maxFetch: ${exS.getMessage}")
+    assert(Retrieval.probeBm25IndexSharded(e, "sh", "stats", queries,
+        "doc_id", "text", nShards = 7, maxFetch = 3,
+        maxFetchedPostings = 1L).count() > 0,
+      "a binding maxFetch is bounded by construction — no budget check")
+    // shard-count formula: hottest posting list / per-value budget,
+    // so value size stays flat as the corpus grows
+    val maxDf = docs.select(col("doc_id"),
+        explode(graft.functions.TextOps.tokens(col("text"))).as("token"))
+      .select("doc_id", "token").distinct()
+      .groupBy(col("token")).count().agg(max("count"))
+      .collect()(0).getLong(0)
+    assert(Retrieval.recommendedShards(docs, "doc_id", "text",
+      targetPostingRows = 10L) == math.ceil(maxDf / 10.0).toInt)
+    assert(Retrieval.recommendedShards(docs, "doc_id", "text") == 1,
+      "small corpus → hottest list inside one value's budget → 1 shard")
   }
 
   test("index maintenance fuzz: random delta schedules, upsert ≡ rebuild " +
