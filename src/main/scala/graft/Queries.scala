@@ -5621,10 +5621,16 @@ object Queries {
     * closed-vocabulary corpora. Reference analog: the read-path top-K
     * compute-aggregation surface
     * (ComputeAggregationRequestBuilder.java:16-31 — semantics, not
-    * code). The dense leg is unchanged (exact cosine top-10). This is
-    * the row that keeps hybrid retrieval green at every SF: the
-    * truncation is replayed exactly by the oracle, so the WAND-style
-    * recall tradeoff is pinned, not fuzzed. */
+    * code). The dense leg is IVF top-10 with the CORPUS-DRIVEN cell
+    * count (K = max(16, ⌈n/2000⌉), the semdedup_scaled formula): the
+    * query set here grows with the corpus (every 97th doc), so a
+    * brute-force dense leg is O(q·n) = workload-quadratic (measured
+    * 20.7× for a 10× decade), while bounded cells make it
+    * O(q·nProbe·cellRows) — linear. `rrf_fusion` keeps the exact legs
+    * as the refusing exactness baseline. This is the row that keeps
+    * hybrid retrieval green at every SF: both legs' truncations are
+    * replayed exactly by the oracle, so the recall tradeoffs are
+    * pinned, not fuzzed. */
   val rrfFusionTopFetch = QueryDef(
     "rrf_fusion_topfetch",
     (s, dir) => {
@@ -5649,7 +5655,10 @@ object Queries {
       val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
       val qs = emb.filter(pmod(col("vec_id"), lit(97)) === 0)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-      val den = graft.operators.Similarity.bruteForceTopK(corpus, qs, 10)
+      val kCells = math.max(16L,
+        math.ceil(corpus.count().toDouble / 2000).toLong).toInt
+      val den = graft.operators.Similarity.ivfTopK(corpus, qs, 10,
+          numCells = kCells, nProbe = 2)
         .select(col("qid").as("query_id"), col("id").as("doc_id"), col("rank"))
       graft.operators.Retrieval.rrfFuse(Seq(lex, den), k = 5)
         .orderBy(col("query_id"), col("rank"))
@@ -5687,17 +5696,60 @@ object Queries {
              lex AS (SELECT query_id, doc_id, row_number() OVER (
                  PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
                FROM lexscored QUALIFY rank <= 10),
-             qv AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qvec,
-                 sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS qn
-               FROM embeddings WHERE vec_id % 97 = 0),
-             cv AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec,
+             vv AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec,
                  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS n
                FROM embeddings),
-             den AS (SELECT qid AS query_id, id AS doc_id, rank FROM (
-                 SELECT qid, id, row_number() OVER (PARTITION BY qid
-                   ORDER BY round(list_dot_product(vec, qvec) / (n * qn), 6) + 0.0
-                     DESC, id) AS rank
-                 FROM cv, qv WHERE id <> qid) WHERE rank <= 10),
+             kk AS (SELECT greatest(16, CAST(ceil(count(*) / 2000.0) AS BIGINT))
+               AS k FROM vv),
+             c0 AS (SELECT id AS cid, vec AS cvec FROM vv
+               WHERE id < (SELECT k FROM kk)),
+             a0 AS (SELECT id, vec, cid FROM (
+               SELECT v.id, v.vec, c.cid, row_number() OVER (PARTITION BY v.id
+                 ORDER BY round(list_dot_product(v.vec, c.cvec) /
+                   (v.n * sqrt(list_dot_product(c.cvec, c.cvec))), 6) + 0.0 DESC,
+                   c.cid) AS rn
+               FROM vv v, c0 c) WHERE rn = 1),
+             c1r AS (SELECT cid, list(val ORDER BY pos) AS cvec FROM (
+               SELECT cid, p.p AS pos,
+                 CAST(sum(CAST(round(vec[p.p + 1] * 1000) AS BIGINT)) AS DOUBLE)
+                   / (count(*) * 1000.0) AS val
+               FROM a0, range(64) p(p) GROUP BY cid, p.p) GROUP BY cid),
+             c1 AS (SELECT cid, cvec FROM c1r UNION ALL
+               SELECT cid, cvec FROM c0
+               WHERE cid NOT IN (SELECT cid FROM c1r)),
+             a1 AS (SELECT id, vec, cid FROM (
+               SELECT v.id, v.vec, c.cid, row_number() OVER (PARTITION BY v.id
+                 ORDER BY round(list_dot_product(v.vec, c.cvec) /
+                   (v.n * sqrt(list_dot_product(c.cvec, c.cvec))), 6) + 0.0 DESC,
+                   c.cid) AS rn
+               FROM vv v, c1 c) WHERE rn = 1),
+             c2r AS (SELECT cid, list(val ORDER BY pos) AS cvec FROM (
+               SELECT cid, p.p AS pos,
+                 CAST(sum(CAST(round(vec[p.p + 1] * 1000) AS BIGINT)) AS DOUBLE)
+                   / (count(*) * 1000.0) AS val
+               FROM a1, range(64) p(p) GROUP BY cid, p.p) GROUP BY cid),
+             c2 AS (SELECT cid, cvec FROM c2r UNION ALL
+               SELECT cid, cvec FROM c0
+               WHERE cid NOT IN (SELECT cid FROM c2r)),
+             asg AS (SELECT id, vec, n, cid FROM (
+               SELECT v.id, v.vec, v.n, c.cid, row_number() OVER (PARTITION BY v.id
+                 ORDER BY round(list_dot_product(v.vec, c.cvec) /
+                   (v.n * sqrt(list_dot_product(c.cvec, c.cvec))), 6) + 0.0 DESC,
+                   c.cid) AS rn
+               FROM vv v, c2 c) WHERE rn = 1),
+             qp AS (SELECT id AS qid, vec AS qvec, n AS qn, cid FROM (
+               SELECT v.id, v.vec, v.n, c.cid, row_number() OVER (PARTITION BY v.id
+                 ORDER BY round(list_dot_product(v.vec, c.cvec) /
+                   (v.n * sqrt(list_dot_product(c.cvec, c.cvec))), 6) + 0.0 DESC,
+                   c.cid) AS rn
+               FROM vv v, c2 c WHERE v.id % 97 = 0) WHERE rn <= 2),
+             den AS (SELECT query_id, doc_id, rank FROM (
+                 SELECT q.qid AS query_id, a.id AS doc_id, row_number() OVER (
+                   PARTITION BY q.qid
+                   ORDER BY round(list_dot_product(a.vec, q.qvec) / (a.n * q.qn), 6)
+                     + 0.0 DESC, a.id) AS rank
+                 FROM asg a JOIN qp q ON a.cid = q.cid
+                 WHERE a.id <> q.qid) WHERE rank <= 10),
              fused AS (SELECT query_id, doc_id,
                  CAST(sum(1000000 // (60 + rank)) AS BIGINT) AS rrf_score,
                  count(*) AS legs
