@@ -2535,6 +2535,86 @@ object Queries {
             FROM assign s LEFT JOIN d ON s.id = d.vec_id
             ORDER BY vec_id"""))
 
+  /** Incremental SemDeDup over a crawl delta — the embedding-side twin of
+    * `dedup_incremental_near`: the accepted corpus (vec_id % 10 < 8) never
+    * self-joins; only the arriving batch (vec_id % 10 >= 8) is scored,
+    * against corpus AND smaller-id batch neighbors sharing a cell. The
+    * quantizer trains on the corpus only (seeds = corpus ids < 8, two
+    * Lloyd steps), so cell geometry is stable across successive deltas.
+    * The oracle replays the whole chain — corpus-only training, both
+    * assignments, the asymmetric pair rule — in SQL. */
+  val semdedupIncremental = QueryDef(
+    "semdedup_incremental",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      graft.operators.Similarity.semDedupIncremental(
+          corpus = e.filter(col("id") % 10 < 8),
+          batch = e.filter(col("id") % 10 >= 8),
+          threshold = 0.4, numCells = 8)
+        .orderBy(col("vec_id"))
+    },
+    Some("""WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec,
+              sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS n
+              FROM embeddings),
+            corp AS (SELECT * FROM v WHERE id % 10 < 8),
+            bat AS (SELECT * FROM v WHERE id % 10 >= 8),
+            c0 AS (SELECT id AS cid, vec AS cvec FROM corp WHERE id < 8),
+            a0 AS (SELECT id, vec, cid FROM (
+              SELECT t.id, t.vec, c.cid, row_number() OVER (PARTITION BY t.id
+                ORDER BY round(list_dot_product(t.vec, c.cvec) /
+                  (t.n * sqrt(list_dot_product(c.cvec, c.cvec))), 6) + 0.0 DESC,
+                  c.cid) AS rn
+              FROM corp t, c0 c) WHERE rn = 1),
+            c1r AS (SELECT cid, list(val ORDER BY pos) AS cvec FROM (
+              SELECT cid, p.p AS pos,
+                CAST(sum(CAST(round(vec[p.p + 1] * 1000) AS BIGINT)) AS DOUBLE)
+                  / (count(*) * 1000.0) AS val
+              FROM a0, range(64) p(p) GROUP BY cid, p.p) GROUP BY cid),
+            c1 AS (SELECT cid, cvec FROM c1r UNION ALL
+              SELECT cid, cvec FROM c0
+              WHERE cid NOT IN (SELECT cid FROM c1r)),
+            a1 AS (SELECT id, vec, cid FROM (
+              SELECT t.id, t.vec, c.cid, row_number() OVER (PARTITION BY t.id
+                ORDER BY round(list_dot_product(t.vec, c.cvec) /
+                  (t.n * sqrt(list_dot_product(c.cvec, c.cvec))), 6) + 0.0 DESC,
+                  c.cid) AS rn
+              FROM corp t, c1 c) WHERE rn = 1),
+            c2r AS (SELECT cid, list(val ORDER BY pos) AS cvec FROM (
+              SELECT cid, p.p AS pos,
+                CAST(sum(CAST(round(vec[p.p + 1] * 1000) AS BIGINT)) AS DOUBLE)
+                  / (count(*) * 1000.0) AS val
+              FROM a1, range(64) p(p) GROUP BY cid, p.p) GROUP BY cid),
+            c2 AS (SELECT cid, cvec FROM c2r UNION ALL
+              SELECT cid, cvec FROM c0
+              WHERE cid NOT IN (SELECT cid FROM c2r)),
+            ca AS (SELECT id, vec, n, cid FROM (
+              SELECT t.id, t.vec, t.n, c.cid, row_number() OVER (PARTITION BY t.id
+                ORDER BY round(list_dot_product(t.vec, c.cvec) /
+                  (t.n * sqrt(list_dot_product(c.cvec, c.cvec))), 6) + 0.0 DESC,
+                  c.cid) AS rn
+              FROM corp t, c2 c) WHERE rn = 1),
+            ba AS (SELECT id, vec, n, cid FROM (
+              SELECT t.id, t.vec, t.n, c.cid, row_number() OVER (PARTITION BY t.id
+                ORDER BY round(list_dot_product(t.vec, c.cvec) /
+                  (t.n * sqrt(list_dot_product(c.cvec, c.cvec))), 6) + 0.0 DESC,
+                  c.cid) AS rn
+              FROM bat t, c2 c) WHERE rn = 1),
+            aside AS (SELECT cid, id AS id_a, vec AS vec_a, n AS n_a,
+                TRUE AS from_corpus FROM ca
+              UNION ALL SELECT cid, id, vec, n, FALSE FROM ba),
+            d AS (SELECT id_b AS vec_id, min(id_a) AS dup_of FROM (
+                SELECT a.id_a, b.id AS id_b,
+                  round(list_dot_product(a.vec_a, b.vec) / (a.n_a * b.n), 6)
+                    + 0.0 AS sim
+                FROM aside a JOIN ba b ON a.cid = b.cid
+                  AND (a.from_corpus OR a.id_a < b.id))
+              WHERE sim >= 0.4 GROUP BY 1)
+            SELECT s.id AS vec_id, s.cid AS cell, d.dup_of,
+              d.dup_of IS NOT NULL AS is_dup
+            FROM ba s LEFT JOIN d ON s.id = d.vec_id
+            ORDER BY vec_id"""))
+
   /** Nearest-centroid classification + confusion matrix: one
     * scaled-integer mean vector per label (10 labels × 64 dims —
     * broadcast), every embedding assigned to its most cosine-similar
@@ -9183,7 +9263,7 @@ object Queries {
     b16AggView, bpeEncode, dedupClusterKeeper, cohortRetention,
     eventsDebounce, centroidClassify, q7Volume, qScdJoin, qualityCi,
     zorderLayout, profileColumns, b20AvroUnion, storeConfigQ,
-    preferencePairs, b21TopicIngest)
+    preferencePairs, b21TopicIngest, semdedupIncremental)
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }

@@ -568,6 +568,66 @@ object Similarity {
       .withColumn("is_dup", col("dup_of").isNotNull)
   }
 
+  /** Incremental SemDeDup for a crawl DELTA: score a new `batch` of
+    * embeddings against an accepted `corpus` without ever re-pairing the
+    * corpus with itself — the embedding-side twin of
+    * [[Dedup.crossMinhashCandidates]]'s crawl-delta shape. The quantizer
+    * trains on the CORPUS ONLY (deterministic Lloyd, seeds = corpus ids
+    * < K), so cell boundaries do not move with arrivals and successive
+    * batches are scored against a stable geometry. A batch vector is a
+    * duplicate iff some ≥`threshold` cosine neighbor shares its cell —
+    * either ANY corpus vector, or a batch vector with smaller id (the
+    * within-batch tie falls to the smallest id, as in [[semDedup]]);
+    * `dup_of` is the smallest such neighbor. Output: one row per BATCH
+    * vector (vec_id, cell, dup_of, is_dup).
+    *
+    * Scale shape: corpus assignment is one broadcast-centroid scan; the
+    * pair join is (corpus ∪ batch) ⋈ batch on the cell id — cost
+    * Θ(|batch| · cellRows), linear in the delta for bounded cells, and
+    * the corpus NEVER self-joins. Ids must be disjoint across the two
+    * inputs (they share one id space).
+    *
+    * `numCells = 0` derives K = max(16, ⌈|corpus| / targetCellRows⌉) —
+    * the [[semDedup]] formula, on the corpus count. */
+  def semDedupIncremental(corpus: DataFrame, batch: DataFrame,
+      threshold: Double, numCells: Int = 0, trainIters: Int = 2,
+      trainFraction: Double = 1.0, targetCellRows: Int = 2000): DataFrame = {
+    val k = if (numCells > 0) numCells
+      else math.max(16L, math.ceil(
+        corpus.count().toDouble / targetCellRows).toLong).toInt
+    val centroids = cellCentroids(corpus, k, trainIters, trainFraction)
+    val corpusAssigned = ivfAssign(corpus, centroids)
+      .filter(col("rn") === 1)
+      .select(col("id"), col("vec"), col("__n"), col("cid"))
+    // batch assignment feeds the pair join's probe side AND the output;
+    // localCheckpoint so the (small) delta materializes once
+    val batchAssigned = ivfAssign(batch, centroids)
+      .filter(col("rn") === 1)
+      .select(col("id"), col("vec"), col("__n"), col("cid"))
+      .localCheckpoint()
+    val aSide = corpusAssigned
+      .select(col("cid"), col("id").as("id_a"), col("vec").as("vec_a"),
+        col("__n").as("n_a"), lit(true).as("from_corpus"))
+      .unionByName(batchAssigned
+        .select(col("cid"), col("id").as("id_a"), col("vec").as("vec_a"),
+          col("__n").as("n_a"), lit(false).as("from_corpus")))
+    val bSide = batchAssigned.select(col("cid"), col("id").as("id_b"),
+      col("vec").as("vec_b"), col("__n").as("n_b"))
+    val dups = aSide.join(bSide, Seq("cid"))
+      // corpus neighbors always count; batch neighbors only at smaller id
+      .filter(col("from_corpus") || col("id_a") < col("id_b"))
+      .withColumn("sim",
+        round(vecDot(col("vec_a"), col("vec_b")) / (col("n_a") * col("n_b")), 6)
+          + lit(0.0))
+      .filter(col("sim") >= threshold)
+      .groupBy(col("id_b"))
+      .agg(min(col("id_a")).as("dup_of"))
+      .select(col("id_b").as("vec_id"), col("dup_of"))
+    batchAssigned.select(col("id").as("vec_id"), col("cid").as("cell"))
+      .join(dups, Seq("vec_id"), "left")
+      .withColumn("is_dup", col("dup_of").isNotNull)
+  }
+
   /** Rounded squared L2 distance with a FIXED association — (a·a − 2·a·b)
     * + b·b, each dot a sequential fold — so Spark and a SQL oracle using
     * the same expression produce bit-identical doubles. */

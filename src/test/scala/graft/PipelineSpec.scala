@@ -693,6 +693,30 @@ class PipelineSpec extends AnyFunSuite {
       s"planted copies must point at 20: ${got.toSeq}")
   }
 
+  test("semdedup incremental: corpus never scored, asymmetric keeper rules") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val corpus = Seq(
+      (0L, Seq(1.0, 0.0, 0.0)), (1L, Seq(0.0, 1.0, 0.0)),
+      (5L, Seq(0.0, 3.0, 3.0))).toDF("id", "vec")
+    val batch = Seq(
+      (2L, Seq(0.0, 3.0, 3.0)),  // copy of corpus 5 at a SMALLER id
+      (4L, Seq(1.0, -1.0, 0.0)), // no >= 0.95 neighbor anywhere
+      (8L, Seq(0.0, 0.0, 7.0)),  // within-batch identical pair:
+      (9L, Seq(0.0, 0.0, 7.0))). //   smallest batch id is the keeper
+      toDF("id", "vec")
+    val got = Similarity.semDedupIncremental(corpus, batch,
+        threshold = 0.95, numCells = 2)
+      .orderBy("vec_id").select("vec_id", "dup_of", "is_dup")
+      .collect().map(r => (r.getLong(0),
+        Option(r.get(1)).map(_.asInstanceOf[Long]), r.getBoolean(2))).toSeq
+    assert(got == Seq(
+      (2L, Some(5L), true), // accepted-corpus keeper wins despite 5 > 2
+      (4L, None, false),
+      (8L, None, false),
+      (9L, Some(8L), true)), s"got $got")
+  }
+
   test("packing: offsets exact, partition-count-invariant, zero-weight safe") {
     import spark.implicits._
     import graft.operators.Packing
