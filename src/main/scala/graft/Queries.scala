@@ -2539,10 +2539,14 @@ object Queries {
     * `dedup_incremental_near`: the accepted corpus (vec_id % 10 < 8) never
     * self-joins; only the arriving batch (vec_id % 10 >= 8) is scored,
     * against corpus AND smaller-id batch neighbors sharing a cell. The
-    * quantizer trains on the corpus only (seeds = corpus ids < 8, two
+    * quantizer trains on the corpus only (seeds = corpus ids < K, two
     * Lloyd steps), so cell geometry is stable across successive deltas.
-    * The oracle replays the whole chain — corpus-only training, both
-    * assignments, the asymmetric pair rule — in SQL. */
+    * K is CORPUS-DRIVEN (the semdedup_scaled formula, on the corpus
+    * count): a pinned K measured 21.6× time for 10× data because cells
+    * grow with the corpus; the derived K holds cells at ~2000 rows and
+    * the decade near-linear. The oracle replays the whole chain —
+    * corpus-only training with the K formula, both assignments, the
+    * asymmetric pair rule — in SQL. */
   val semdedupIncremental = QueryDef(
     "semdedup_incremental",
     (s, dir) => {
@@ -2551,7 +2555,7 @@ object Queries {
       graft.operators.Similarity.semDedupIncremental(
           corpus = e.filter(col("id") % 10 < 8),
           batch = e.filter(col("id") % 10 >= 8),
-          threshold = 0.4, numCells = 8)
+          threshold = 0.4, numCells = 0)
         .orderBy(col("vec_id"))
     },
     Some("""WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec,
@@ -2559,7 +2563,10 @@ object Queries {
               FROM embeddings),
             corp AS (SELECT * FROM v WHERE id % 10 < 8),
             bat AS (SELECT * FROM v WHERE id % 10 >= 8),
-            c0 AS (SELECT id AS cid, vec AS cvec FROM corp WHERE id < 8),
+            kk AS (SELECT greatest(16, CAST(ceil(count(*) / 2000.0) AS BIGINT))
+              AS k FROM corp),
+            c0 AS (SELECT id AS cid, vec AS cvec FROM corp
+              WHERE id < (SELECT k FROM kk)),
             a0 AS (SELECT id, vec, cid FROM (
               SELECT t.id, t.vec, c.cid, row_number() OVER (PARTITION BY t.id
                 ORDER BY round(list_dot_product(t.vec, c.cvec) /
