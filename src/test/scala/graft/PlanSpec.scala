@@ -268,6 +268,23 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p.take(800))
   }
 
+  test("incremental semdedup: cell pair join is a cid equi-join, " +
+      "centroid assigns broadcast") {
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val p = plan(graft.operators.Similarity.semDedupIncremental(
+      emb.filter(col("id") % 10 < 8), emb.filter(col("id") % 10 >= 8),
+      threshold = 0.4, numCells = 8))
+    // the only nested-loop joins allowed are the K-row broadcast centroid
+    // assigns; the (corpus ∪ batch) × batch pairing must hash on the cell
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(800))
+    assert(("SortMergeJoin \\[cid".r.findFirstIn(p).isDefined ||
+      "ShuffledHashJoin \\[cid".r.findFirstIn(p).isDefined ||
+      "BroadcastHashJoin \\[cid".r.findFirstIn(p).isDefined),
+      s"cell pair join is not a cid equi-join:\n${p.take(800)}")
+  }
+
   test("Q5: dimension chain broadcasts, no cartesian, date filter pushed") {
     val p = plan(Queries.byName("q5_local_supplier").fn(spark, sf))
     assert(p.contains("BroadcastHashJoin"), p.take(800))
