@@ -2414,17 +2414,24 @@ object Queries {
     * oracle replays the deterministic 2-step Lloyd training exactly (the
     * ann_ivf CTE chain), then the same smaller-id-wins pair rule in SQL.
     * Cells turn the global n² pair problem into K bounded cell problems —
-    * the 100 TB shape is "numCells grows with the corpus". */
+    * the 100 TB shape is "numCells grows with the corpus". This row PINS
+    * numCells = 8 as the reproducible Lloyd-replay fixture, so its input
+    * is bounded to the base id block (vec_id < 1e5 — every row at
+    * sf ≤ 0.1, the same 2000-row fixture at any larger SF): fixed K over
+    * a growing corpus is deliberately quadratic, and the corpus-driven
+    * production shape is measured by `semdedup_scaled`/
+    * `semdedup_incremental` instead (a fixed-K full-corpus run measured
+    * 46.8×/decade at sf10 for nothing the scaled row doesn't verify). */
   val semdedup = QueryDef(
     "semdedup",
     (s, dir) => graft.operators.Similarity.semDedup(
-        t(s, dir, "embeddings")
+        t(s, dir, "embeddings").filter(col("vec_id") < 100000L)
           .select(col("vec_id").as("id"), col("embedding").as("vec")),
         threshold = 0.4, numCells = 8)
       .orderBy(col("vec_id")),
     Some("""WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec,
               sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS n
-              FROM embeddings),
+              FROM embeddings WHERE vec_id < 100000),
             c0 AS (SELECT id AS cid, vec AS cvec FROM v WHERE id < 8),
             a0 AS (SELECT id, vec, cid FROM (
               SELECT v.id, v.vec, c.cid, row_number() OVER (PARTITION BY v.id
@@ -2782,6 +2789,103 @@ object Queries {
                 row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id) AS rank
               FROM cand)
             WHERE rank <= 10 ORDER BY qid, rank"""))
+
+  /** ANN quality harness: recall@10 of IVF search vs the brute-force
+    * baseline, at nProbe = 1 AND 2 — the measured probe/recall tradeoff an
+    * ANN deployment tunes on (Similarity.recallAtK; never guess nProbe).
+    * The oracle replays the shared Lloyd chain once, ranks both probe
+    * depths and the exact baseline, and counts overlaps per query. */
+  val annRecallReport = QueryDef(
+    "ann_recall_report",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val exact = graft.operators.Similarity.bruteForceTopK(corpus, queries, 10)
+      val p1 = graft.operators.Similarity.ivfTopK(corpus, queries, k = 10,
+        numCells = 8, nProbe = 1)
+      val p2 = graft.operators.Similarity.ivfTopK(corpus, queries, k = 10,
+        numCells = 8, nProbe = 2)
+      val r1 = graft.operators.Similarity.recallAtK(exact, p1, 10)
+        .select(col("qid"), col("hits").as("hits_p1"),
+          col("recall").as("recall_p1"))
+      val r2 = graft.operators.Similarity.recallAtK(exact, p2, 10)
+        .select(col("qid"), col("hits").as("hits_p2"),
+          col("recall").as("recall_p2"))
+      r1.join(r2, Seq("qid")).orderBy(col("qid"))
+    },
+    Some("""WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec,
+              sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS n
+              FROM embeddings),
+            c0 AS (SELECT id AS cid, vec AS cvec FROM v WHERE id < 8),
+            a0 AS (SELECT id, vec, cid FROM (
+              SELECT v.id, v.vec, c.cid, row_number() OVER (PARTITION BY v.id
+                ORDER BY round(list_dot_product(v.vec, c.cvec) /
+                  (v.n * sqrt(list_dot_product(c.cvec, c.cvec))), 6) + 0.0 DESC,
+                  c.cid) AS rn
+              FROM v, c0 c) WHERE rn = 1),
+            c1 AS (SELECT cid, list(val ORDER BY pos) AS cvec FROM (
+              SELECT cid, p.p AS pos,
+                CAST(sum(CAST(round(vec[p.p + 1] * 1000) AS BIGINT)) AS DOUBLE)
+                  / (count(*) * 1000.0) AS val
+              FROM a0, range(64) p(p) GROUP BY cid, p.p) GROUP BY cid),
+            a1 AS (SELECT id, vec, cid FROM (
+              SELECT v.id, v.vec, c.cid, row_number() OVER (PARTITION BY v.id
+                ORDER BY round(list_dot_product(v.vec, c.cvec) /
+                  (v.n * sqrt(list_dot_product(c.cvec, c.cvec))), 6) + 0.0 DESC,
+                  c.cid) AS rn
+              FROM v, c1 c) WHERE rn = 1),
+            c2 AS (SELECT cid, list(val ORDER BY pos) AS cvec FROM (
+              SELECT cid, p.p AS pos,
+                CAST(sum(CAST(round(vec[p.p + 1] * 1000) AS BIGINT)) AS DOUBLE)
+                  / (count(*) * 1000.0) AS val
+              FROM a1, range(64) p(p) GROUP BY cid, p.p) GROUP BY cid),
+            assign AS (SELECT id, vec, n, cid FROM (
+              SELECT v.id, v.vec, v.n, c.cid, row_number() OVER (PARTITION BY v.id
+                ORDER BY round(list_dot_product(v.vec, c.cvec) /
+                  (v.n * sqrt(list_dot_product(c.cvec, c.cvec))), 6) + 0.0 DESC,
+                  c.cid) AS rn
+              FROM v, c2 c) WHERE rn = 1),
+            probes AS (SELECT id AS qid, vec AS qvec, n AS qn, cid, rn FROM (
+              SELECT v.id, v.vec, v.n, c.cid, row_number() OVER (PARTITION BY v.id
+                ORDER BY round(list_dot_product(v.vec, c.cvec) /
+                  (v.n * sqrt(list_dot_product(c.cvec, c.cvec))), 6) + 0.0 DESC,
+                  c.cid) AS rn
+              FROM v, c2 c WHERE v.id < 5) WHERE rn <= 2),
+            cand1 AS (SELECT DISTINCT p.qid, a.id,
+                round(list_dot_product(a.vec, p.qvec) / (a.n * p.qn), 6) + 0.0 AS sim
+              FROM assign a JOIN probes p ON a.cid = p.cid AND p.rn = 1
+              WHERE a.id <> p.qid),
+            cand2 AS (SELECT DISTINCT p.qid, a.id,
+                round(list_dot_product(a.vec, p.qvec) / (a.n * p.qn), 6) + 0.0 AS sim
+              FROM assign a JOIN probes p ON a.cid = p.cid
+              WHERE a.id <> p.qid),
+            ivf1 AS (SELECT qid, id FROM (SELECT qid, id, row_number() OVER (
+                PARTITION BY qid ORDER BY sim DESC, id) AS rk FROM cand1)
+              WHERE rk <= 10),
+            ivf2 AS (SELECT qid, id FROM (SELECT qid, id, row_number() OVER (
+                PARTITION BY qid ORDER BY sim DESC, id) AS rk FROM cand2)
+              WHERE rk <= 10),
+            bf AS (SELECT qid, id FROM (
+              SELECT q.qid, c.id, row_number() OVER (PARTITION BY q.qid
+                ORDER BY round(list_dot_product(c.vec, q.qvec) /
+                  (c.n * q.qn), 6) + 0.0 DESC, c.id) AS rk
+              FROM v c, (SELECT id AS qid, vec AS qvec, n AS qn FROM v
+                WHERE id < 5) q
+              WHERE c.id <> q.qid) WHERE rk <= 10),
+            r1 AS (SELECT bf.qid, CAST(sum(CASE WHEN i.id IS NOT NULL
+                THEN 1 ELSE 0 END) AS BIGINT) AS hits
+              FROM bf LEFT JOIN ivf1 i ON bf.qid = i.qid AND bf.id = i.id
+              GROUP BY bf.qid),
+            r2 AS (SELECT bf.qid, CAST(sum(CASE WHEN i.id IS NOT NULL
+                THEN 1 ELSE 0 END) AS BIGINT) AS hits
+              FROM bf LEFT JOIN ivf2 i ON bf.qid = i.qid AND bf.id = i.id
+              GROUP BY bf.qid)
+            SELECT r1.qid, r1.hits AS hits_p1,
+              round(r1.hits / 10.0, 6) + 0.0 AS recall_p1,
+              r2.hits AS hits_p2, round(r2.hits / 10.0, 6) + 0.0 AS recall_p2
+            FROM r1 JOIN r2 ON r1.qid = r2.qid ORDER BY r1.qid"""))
 
   /** The IVF index as a SERVABLE STORE (Similarity.ivfIndexFrame /
     * probeIvfIndex): the k-means codebook is pushed to a centroid store,
@@ -4346,6 +4450,78 @@ object Queries {
              SELECT DISTINCT l.id AS id_a, r.id AS id_b
              FROM bk2 l JOIN bk2 r ON l.bandkey = r.bandkey AND l.id < r.id
              ORDER BY id_a, id_b"""))
+
+  /** Streaming SEMANTIC near-dup detection on arrival — the embedding twin
+    * of `stream_neardup` ([[graft.streaming.StreamDedup
+    * .nearDupPairsEmbedding]]): embeddings stream in 2-file microbatches;
+    * each batch probes a store-backed HYPERPLANE-band index (the
+    * training-free `lshCosinePairs` geometry — stable from the first
+    * arrival, no quantizer to fit) for collisions with everything indexed
+    * before it, self-joins its own band rows, then appends itself (A/A
+    * set-union). A second drain plants an exact copy of the min-id vector
+    * under a fresh id — the restart must find its pairs purely from STORE
+    * state. The collected pair set is pinned ≡ the batch hyperplane band
+    * join over corpus + planted vector: microbatch boundaries, arrival
+    * order and the restart leave no trace. */
+  val streamSemDedupQ = QueryDef(
+    "stream_semdedup",
+    (s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      import s.implicits._
+      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val (root, in) = stagedTopic(dir, "graft-ssemdedup", emb,
+        srcTable = "embeddings")
+      val e = tempEngine(s, "graft-ssemdedup")
+      e.createStore("hlsh", Seq("bandkey"))
+      e.push("hlsh", Seq.empty[(String, Array[Long])].toDF("bandkey", "ids"),
+        numBuckets = 8)
+      e.enableActiveActive("hlsh")
+      val outDir = s"$root/pairs"
+      Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+        .write.mode("overwrite").parquet(outDir)
+      def drainOnce(): Unit = {
+        val prev = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        try {
+          val stream = s.readStream.schema(emb.schema)
+            .option("maxFilesPerTrigger", "2").parquet(in)
+          val q = graft.streaming.StreamDedup.nearDupPairsEmbedding(
+              stream, e, "hlsh", "vec_id", "embedding", dim = 64,
+              bitsPerBand = 12, bands = 8) {
+              (pairs, _) => pairs.write.mode("append").parquet(outDir)
+            }
+            .option("checkpointLocation", s"$root/cp")
+            .trigger(Trigger.AvailableNow()).start()
+          require(q.awaitTermination(180000),
+            "stream_semdedup: stream did not drain within 180s")
+        } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      }
+      drainOnce()
+      val minId = emb.agg(min(col("vec_id"))).head().getLong(0)
+      // plant id is above any scale block's id range, never colliding
+      emb.filter(col("vec_id") === minId)
+        .select(lit(9999999999L).as("vec_id"), col("embedding"))
+        .write.mode("append").parquet(in)
+      drainOnce()
+      s.read.parquet(outDir).distinct().orderBy(col("id_a"), col("id_b"))
+    },
+    Some("""WITH v0 AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec
+              FROM embeddings),
+            v AS (SELECT * FROM v0 UNION ALL
+              SELECT 9999999999 AS id, vec FROM v0
+              WHERE id = (SELECT min(id) FROM v0)),
+            planes AS (SELECT j,
+                list(CASE WHEN substr(md5(j::VARCHAR || '|' || d::VARCHAR), 1, 1) >= '8'
+                  THEN 1.0 ELSE -1.0 END ORDER BY d)::DOUBLE[] AS plane
+              FROM range(96) pj(j), range(64) pd(d) GROUP BY j),
+            codes AS (SELECT v.id, p.j // 12 AS band,
+                sum(CASE WHEN list_dot_product(v.vec, p.plane) > 0
+                  THEN 1 << (p.j % 12) ELSE 0 END)::BIGINT AS code
+              FROM v, planes p GROUP BY v.id, p.j // 12)
+            SELECT DISTINCT a.id AS id_a, b.id AS id_b
+            FROM codes a JOIN codes b
+              ON a.band = b.band AND a.code = b.code AND a.id < b.id
+            ORDER BY id_a, id_b"""))
 
   /** Ordered, ATTRIBUTED conversion funnel (view → click within 7 days of
     * the first view → purchase within 7 days of that click): the classic
@@ -9270,7 +9446,8 @@ object Queries {
     b16AggView, bpeEncode, dedupClusterKeeper, cohortRetention,
     eventsDebounce, centroidClassify, q7Volume, qScdJoin, qualityCi,
     zorderLayout, profileColumns, b20AvroUnion, storeConfigQ,
-    preferencePairs, b21TopicIngest, semdedupIncremental)
+    preferencePairs, b21TopicIngest, semdedupIncremental, annRecallReport,
+    streamSemDedupQ)
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }

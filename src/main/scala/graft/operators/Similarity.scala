@@ -511,6 +511,22 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("sim"))
   }
 
+  /** Hyperplane band rows for a store-backed streaming LSH index: one
+    * (bandkey, id) row per band, bandkey = "band:code" over the SAME
+    * deterministic md5 planes as [[lshCosinePairs]] — the streaming
+    * index and the batch candidate join agree on collision identity, so
+    * a stream drain's pair set equals the batch band join over the same
+    * corpus (the `stream_semdedup` oracle pins this equivalence). */
+  def hyperplaneBandRows(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, bitsPerBand: Int = 12, bands: Int = 8): DataFrame =
+    df.select(col(idCol).as("id"),
+        explode(array((0 until bands).map { b =>
+          concat_ws(":", lit(b).cast("string"),
+            lshCode(col(vecCol), bitsPerBand, dim,
+              planeOffset = b * bitsPerBand).cast("string"))
+        }: _*)).as("bandkey"))
+      .select(col("bandkey"), col("id"))
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster the
     * embedding space with the deterministic k-means quantizer, then compare
     * pairs only WITHIN a cell — each vector with a ≥threshold cosine
@@ -627,6 +643,24 @@ object Similarity {
       .join(dups, Seq("vec_id"), "left")
       .withColumn("is_dup", col("dup_of").isNotNull)
   }
+
+  /** Recall@k of an approximate top-k result against an exact baseline —
+    * the quality harness every ANN deployment needs BEFORE trading probes
+    * for latency (tune nProbe/bands by measured recall, don't guess).
+    * Both inputs are (qid, id, ...) top-k frames (e.g. [[bruteForceTopK]]
+    * as `exact`, [[ivfTopK]]/[[lshTopK]]/[[pqTopK]] as `approx`); output
+    * is one row per qid: hits (exact results the approx run surfaced) and
+    * recall = hits/k. Zero-overlap qids stay in the output at 0, not
+    * silently dropped. Scale shape: one left-semi equi-join on (qid, id)
+    * + a keyed count — both sides are |queries|·k rows, never the corpus. */
+  def recallAtK(exact: DataFrame, approx: DataFrame, k: Int): DataFrame =
+    exact.select(col("qid"), col("id"))
+      .join(approx.select(col("qid"), col("id")), Seq("qid", "id"),
+        "left_semi")
+      .groupBy(col("qid")).agg(count(lit(1)).as("hits"))
+      .join(exact.select(col("qid")).distinct(), Seq("qid"), "right")
+      .na.fill(0L, Seq("hits"))
+      .withColumn("recall", round(col("hits") / lit(k.toDouble), 6) + lit(0.0))
 
   /** Rounded squared L2 distance with a FIXED association — (a·a − 2·a·b)
     * + b·b, each dot a sequential fold — so Spark and a SQL oracle using

@@ -74,24 +74,58 @@ object StreamDedup {
       if (!batch.isEmpty) {
         val sh = Dedup.shingleSets(batch, idCol, textCol, shingleN)
         val br = Dedup.bandRows(sh, k, bands).persist()
-        val hits = engine.batchGet(store,
-          br.select(col("bandkey")).distinct())
-        val cross = br.join(hits, "bandkey")
-          .select(col("id"), explode(col("ids")).as("other"))
-        val intra = br.as("l").join(br.as("r"),
-            col("l.bandkey") === col("r.bandkey") &&
-              col("l.id") < col("r.id"))
-          .select(col("r.id").as("id"), col("l.id").as("other"))
-        val pairs = cross.unionByName(intra)
-          .select(least(col("id"), col("other")).as("id_a"),
-            greatest(col("id"), col("other")).as("id_b"))
-          .distinct()
-        emit(pairs, batchId) // materializes BEFORE the batch is indexed
-        engine.addToSetAA(store, br.select(col("bandkey"), col("id")),
-          "ids", "id", tsMs = batchId)
+        probeEmitIndex(br, engine, store, batchId, emit)
         br.unpersist(); sh.unpersist()
       }
       ()
     }
+  }
+
+  /** EMBEDDING near-dup candidates on arrival — the semantic twin of
+    * [[nearDupPairs]]: band rows come from the deterministic md5
+    * hyperplane codes ([[graft.operators.Similarity.hyperplaneBandRows]],
+    * the `lshCosinePairs` geometry) instead of MinHash over shingles, so
+    * no quantizer training is needed and the index geometry is stable from
+    * the first arrival. Identical store layout, probe/self-join/append
+    * discipline, invariance and delivery contract as the text path. */
+  def nearDupPairsEmbedding(rows: DataFrame, engine: graft.core.GraftEngine,
+      store: String, idCol: String, vecCol: String, dim: Int,
+      bitsPerBand: Int = 12, bands: Int = 8)(
+      emit: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    import graft.operators.Similarity
+    rows.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      if (!batch.isEmpty) {
+        val br = Similarity.hyperplaneBandRows(batch, idCol, vecCol, dim,
+          bitsPerBand, bands).persist()
+        probeEmitIndex(br, engine, store, batchId, emit)
+        br.unpersist()
+      }
+      ()
+    }
+  }
+
+  /** Shared probe→emit→append body over (bandkey, id) band rows: probe the
+    * store for collisions with prior batches (bucket-pruned point reads),
+    * self-join the batch's own rows, emit normalized pairs, THEN index the
+    * batch (so a batch never probes itself) — see [[nearDupPairs]] for the
+    * full invariance/delivery contract. */
+  private def probeEmitIndex(br: DataFrame, engine: graft.core.GraftEngine,
+      store: String, batchId: Long,
+      emit: (DataFrame, Long) => Unit): Unit = {
+    val hits = engine.batchGet(store,
+      br.select(col("bandkey")).distinct())
+    val cross = br.join(hits, "bandkey")
+      .select(col("id"), explode(col("ids")).as("other"))
+    val intra = br.as("l").join(br.as("r"),
+        col("l.bandkey") === col("r.bandkey") &&
+          col("l.id") < col("r.id"))
+      .select(col("r.id").as("id"), col("l.id").as("other"))
+    val pairs = cross.unionByName(intra)
+      .select(least(col("id"), col("other")).as("id_a"),
+        greatest(col("id"), col("other")).as("id_b"))
+      .distinct()
+    emit(pairs, batchId) // materializes BEFORE the batch is indexed
+    engine.addToSetAA(store, br.select(col("bandkey"), col("id")),
+      "ids", "id", tsMs = batchId)
   }
 }

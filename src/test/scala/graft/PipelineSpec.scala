@@ -717,6 +717,21 @@ class PipelineSpec extends AnyFunSuite {
       (9L, Some(8L), true)), s"got $got")
   }
 
+  test("recallAtK: perfect overlap = 1.0, zero-overlap qid kept at 0") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val exact = Seq((1L, 10L), (1L, 11L), (2L, 20L), (2L, 21L), (3L, 30L),
+      (3L, 31L)).toDF("qid", "id")
+    // qid 1: full overlap; qid 2: half; qid 3: none (must not drop)
+    val approx = Seq((1L, 10L), (1L, 11L), (2L, 20L), (2L, 99L), (3L, 98L),
+      (3L, 97L)).toDF("qid", "id")
+    val got = Similarity.recallAtK(exact, approx, k = 2)
+      .orderBy("qid").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == Seq((1L, 2L, 1.0), (2L, 1L, 0.5), (3L, 0L, 0.0)),
+      s"got $got")
+  }
+
   test("packing: offsets exact, partition-count-invariant, zero-weight safe") {
     import spark.implicits._
     import graft.operators.Packing
