@@ -4523,6 +4523,76 @@ object Queries {
               ON a.band = b.band AND a.code = b.code AND a.id < b.id
             ORDER BY id_a, id_b"""))
 
+  /** Streaming DECONTAMINATION on arrival ([[graft.streaming.StreamDedup
+    * .contaminationOnArrival]]): training docs stream in 2-file
+    * microbatches; each batch probes a STATIC eval-shingle posting store
+    * (bucket-pruned batchGet — O(batch shingles), never O(eval set)) and
+    * emits per-doc best-eval overlap + contaminated flag BEFORE the doc
+    * can enter the corpus — the gate a 100 TB pipeline runs at ingest so
+    * benchmark leakage never lands on disk. The drained union over
+    * microbatches is pinned ≡ the batch [[graft.operators.Dedup
+    * .contamination]] replay (the `decontaminate` oracle): microbatch
+    * boundaries and arrival order leave no trace, zero-hit docs included
+    * at 0.0. */
+  val streamDecontamQ = QueryDef(
+    "stream_decontam",
+    (s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val eval = docs.filter(col("doc_id") < 50)
+      val train = docs.filter(col("doc_id") >= 50)
+      val (root, in) = stagedTopic(dir, "graft-sdecon", train,
+        srcTable = "documents")
+      val e = tempEngine(s, "graft-sdecon")
+      val esh = graft.operators.Dedup.shingleSets(eval, "doc_id", "text", 3)
+        .filter(size(col("shingles")) > 0)
+      e.createStore("evalix", Seq("sh"))
+      e.push("evalix", esh
+        .select(col("id"), explode(col("shingles")).as("sh"))
+        .groupBy("sh").agg(sort_array(collect_set(col("id"))).as("ids")),
+        numBuckets = 8)
+      e.createStore("evaln", Seq("eval_id"))
+      e.push("evaln", esh.select(col("id").as("eval_id"),
+        size(col("shingles")).cast("long").as("n_eval")), numBuckets = 4)
+      val outDir = s"$root/scored"
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val stream = s.readStream.schema(train.schema)
+          .option("maxFilesPerTrigger", "2").parquet(in)
+        val q = graft.streaming.StreamDedup.contaminationOnArrival(
+            stream, e, "evalix", "evaln", "doc_id", "text",
+            shingleN = 3, minOverlap = 0.5) {
+            (scored, _) => scored.write.mode("append").parquet(outDir)
+          }
+          .option("checkpointLocation", s"$root/cp")
+          .trigger(Trigger.AvailableNow()).start()
+        require(q.awaitTermination(180000),
+          "stream_decontam: stream did not drain within 180s")
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      s.read.parquet(outDir).orderBy(col("train_id"))
+    },
+    Some(s"""WITH sh AS (SELECT doc_id AS id, ${shinglesSql("t")} AS shingles
+               FROM (SELECT doc_id, $tokensSql AS t FROM documents)),
+             ev AS (SELECT id AS eval_id, shingles, len(shingles) AS n_eval
+               FROM sh WHERE id < 50 AND len(shingles) > 0),
+             tr AS (SELECT id AS train_id, shingles FROM sh WHERE id >= 50),
+             tp AS (SELECT train_id, unnest(shingles) AS s FROM tr),
+             ep AS (SELECT eval_id, n_eval, unnest(shingles) AS s FROM ev),
+             ov AS (SELECT train_id, eval_id, n_eval, count(*) AS inter
+               FROM tp JOIN ep USING (s) GROUP BY 1, 2, 3),
+             best AS (SELECT train_id, eval_id,
+                 round(inter::DOUBLE / n_eval, 6) AS overlap,
+                 row_number() OVER (PARTITION BY train_id
+                   ORDER BY inter::DOUBLE / n_eval DESC, eval_id) AS rn
+               FROM ov)
+             SELECT t.train_id, b.eval_id,
+               coalesce(b.overlap, 0.0) AS overlap,
+               coalesce(b.overlap, 0.0) >= 0.5 AS contaminated
+             FROM tr t LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
+               USING (train_id)
+             ORDER BY train_id"""))
+
   /** Ordered, ATTRIBUTED conversion funnel (view → click within 7 days of
     * the first view → purchase within 7 days of that click): the classic
     * product-analytics query, computed as three STAGED keyed mins — each
@@ -5440,6 +5510,42 @@ object Queries {
                array_to_string(list_slice(toks, chunk_no*24 + 1, chunk_no*24 + 32),
                  ' ') AS chunk_text
              FROM ch ORDER BY doc_id, chunk_no"""))
+
+  /** WHOLE-DOC packing ([[graft.operators.Packing.packBinsWholeDoc]]):
+    * pieces (docs chunked to ≤64 tokens) packed into 64-token bins that
+    * only ever hold pieces of one length — ⌊64/ℓ⌋ per bin, no piece cut
+    * across a sequence boundary, the padding-based layout for trainers
+    * that can't mask cross-document attention. The rank inside a length
+    * class comes from the SAME two-phase distributed prefix sum as
+    * `pack_sequences` (global order (len, id); rank = position − the
+    * class's min position) — never a `Window.partitionBy(len)`, which at
+    * 100 TB puts a billion-row length class in one task. The oracle
+    * replays the whole assignment with a per-length row_number. */
+  val packBins = QueryDef(
+    "pack_bins",
+    (s, dir) => {
+      val pieces = graft.operators.Packing.chunkTokens(
+          t(s, dir, "documents"), "doc_id", "text", chunkLen = 64, stride = 64)
+        .select((col("doc_id") * 100 + col("chunk_no")).as("piece_id"),
+          col("n_tokens"))
+      graft.operators.Packing.packBinsWholeDoc(
+          pieces, "piece_id", "n_tokens", seqLen = 64)
+        .orderBy(col("piece_id"))
+    },
+    Some(s"""WITH d AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+             d2 AS (SELECT doc_id, toks, len(toks) AS n FROM d
+                    WHERE len(toks) > 0),
+             p AS (SELECT doc_id*100 + cn AS piece_id,
+                 least(64, n - cn*64)::BIGINT AS n_tokens
+               FROM (SELECT doc_id, n, unnest(range(0, (n-1)//64 + 1)) AS cn
+                     FROM d2)),
+             r AS (SELECT piece_id, n_tokens, 64 // n_tokens AS per_bin,
+                 row_number() OVER (PARTITION BY n_tokens
+                   ORDER BY piece_id) - 1 AS rk
+               FROM p WHERE n_tokens BETWEEN 1 AND 64)
+             SELECT piece_id, n_tokens, per_bin,
+               rk // per_bin AS bin_no, rk % per_bin AS slot
+             FROM r ORDER BY piece_id"""))
 
   /** Vocabulary coverage audit: per-doc OOV rate against the corpus
     * top-16 vocabulary (count-desc, token-asc tie-break so the rank-k cut
@@ -7040,6 +7146,53 @@ object Queries {
               CASE WHEN p_partkey <= 50 THEN cents + 5000 ELSE cents + 111 END
             FROM v1 WHERE p_partkey <= 350
             ORDER BY phase, p_partkey"""))
+
+  /** Push-to-push DIFF AUDIT ([[graft.core.GraftEngine.versionDiff]] —
+    * reference analog: the admin store-comparison surface,
+    * `Admin.compareStore`/`StoreComparisonInfo`, here at data level
+    * between two retained version snapshots): what did this push add,
+    * remove, change — the pre-swap data-quality gate a 100 TB store wants
+    * before pointing traffic at a new version. Output is bounded by the
+    * DELTA (unchanged keys never emitted); per-field change detection is
+    * columnar null-safe compares feeding one full-outer sort-merge join on
+    * the store key. The RT overlay is version-independent and cancels out
+    * of a push-vs-push comparison, so the put issued between the pushes
+    * must NOT appear in the diff (pinned: key 1 stays `removed`-only by
+    * the v2 cut, not resurrected by its RT put). */
+  val versionDiffQ = QueryDef(
+    "version_diff",
+    (s, dir) => {
+      val e = tempEngine(s, "graft-vdiff")
+      e.createStore("p", Seq("p_partkey"))
+      val base = t(s, dir, "part")
+        .select(col("p_partkey"), col("p_name"),
+          round(col("p_retailprice") * 100).cast("long").as("cents"))
+      e.push("p", base.filter(col("p_partkey") <= 400), numBuckets = 4)
+      // RT put between pushes: version-independent overlay, must cancel out
+      e.put("p", base.filter(col("p_partkey") <= 10)
+        .withColumn("p_name", concat(col("p_name"), lit("_RT"))), tsMs = 500L)
+      val v2 = base.filter(col("p_partkey").between(51, 450))
+        .withColumn("cents", when(col("p_partkey").between(51, 200),
+          col("cents") + 111).otherwise(col("cents")))
+        .withColumn("p_name", when(col("p_partkey").between(101, 250),
+          concat(col("p_name"), lit("_R"))).otherwise(col("p_name")))
+      e.push("p", v2, numBuckets = 4)
+      e.versionDiff("p", 1, 2).orderBy(col("p_partkey"))
+    },
+    Some("""WITH v1 AS (SELECT p_partkey FROM part WHERE p_partkey <= 400)
+            SELECT p_partkey, 'removed' AS status,
+              NULL::VARCHAR AS changed_fields
+            FROM v1 WHERE p_partkey <= 50
+            UNION ALL
+            SELECT p_partkey, 'changed',
+              CASE WHEN p_partkey BETWEEN 51 AND 100 THEN 'cents'
+                   WHEN p_partkey BETWEEN 101 AND 200 THEN 'cents,p_name'
+                   ELSE 'p_name' END
+            FROM v1 WHERE p_partkey BETWEEN 51 AND 250
+            UNION ALL
+            SELECT p_partkey, 'added', NULL
+            FROM part WHERE p_partkey BETWEEN 401 AND 450
+            ORDER BY p_partkey"""))
 
   /** DaVinci partial-key lookup over a composite-key store (reference:
     * DaVinciPartialKeyLookupBenchmark's `equalTo` on the leading key
@@ -9447,7 +9600,7 @@ object Queries {
     eventsDebounce, centroidClassify, q7Volume, qScdJoin, qualityCi,
     zorderLayout, profileColumns, b20AvroUnion, storeConfigQ,
     preferencePairs, b21TopicIngest, semdedupIncremental, annRecallReport,
-    streamSemDedupQ)
+    streamSemDedupQ, versionDiffQ, streamDecontamQ, packBins)
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }

@@ -434,6 +434,55 @@ class GraftEngine(val spark: SparkSession, val root: String) {
     } finally s.close()
   }
 
+  /** Push-to-push diff audit: what the `newVersion` push changed relative
+    * to `oldVersion` (reference semantics, not code: the admin store
+    * comparison surface — `Admin.compareStore` / `StoreComparisonInfo`,
+    * services/venice-controller/src/main/java/com/linkedin/venice/
+    * controller/VeniceParentHelixAdmin.java:5240, which diffs a store's
+    * version/schema/key state across fabrics; here the same audit runs
+    * DATA-level between two retained version snapshots of one store).
+    *
+    * Output: one row per key that differs — status `added` (key only in
+    * new), `removed` (only in old), `changed` (present in both, any value
+    * column differs null-safely) with the sorted list of changed fields;
+    * unchanged keys are NOT emitted, so the result is bounded by the delta,
+    * never the store. Both sides read straight from immutable version dirs
+    * (RT overlay excluded on purpose: the log is version-independent, so
+    * it cancels out of a push-vs-push comparison). Scale shape: one
+    * full-outer sort-merge join keyed on the store key; per-field compares
+    * are columnar null-safe predicates, no row rendering, no collect. */
+  def versionDiff(name: String, oldVersion: Int, newVersion: Int): DataFrame = {
+    val vs = listVersions(name).toSet
+    require(vs.contains(oldVersion) && vs.contains(newVersion),
+      s"store $name retains versions ${vs.toSeq.sorted.mkString(",")}; " +
+        s"asked for v$oldVersion vs v$newVersion")
+    val keyCols = storeMeta(name).keyCols
+    val o = snapshot(name, Some(oldVersion))
+    val n = snapshot(name, Some(newVersion))
+    // superset-conformed snapshots share the schema; value cols = non-key
+    val valCols = n.columns.filterNot(keyCols.contains).toSeq
+    val j = o.select(struct(col("*")).as("__o"))
+      .select(col("__o"), struct(keyCols.map(k => col(s"__o.$k")): _*).as("__k"))
+      .join(n.select(struct(col("*")).as("__n"))
+          .select(col("__n"), struct(keyCols.map(k => col(s"__n.$k")): _*).as("__k")),
+        Seq("__k"), "full_outer")
+    val changedFields = array_sort(filter(
+      array(valCols.map(c => when(!(col(s"__o.$c") <=> col(s"__n.$c")),
+        lit(c)).otherwise(lit(null).cast("string"))): _*),
+      x => x.isNotNull))
+    j.withColumn("status",
+        when(col("__o").isNull, lit("added"))
+          .when(col("__n").isNull, lit("removed"))
+          .when(size(changedFields) > 0, lit("changed"))
+          .otherwise(lit("unchanged")))
+      .filter(col("status") =!= "unchanged")
+      .withColumn("changed_fields",
+        when(col("status") === "changed",
+          array_join(changedFields, ",")).otherwise(lit(null).cast("string")))
+      .select(keyCols.map(k => col(s"__k.$k")) ++
+        Seq(col("status"), col("changed_fields")): _*)
+  }
+
   /** Venice's backup-version rollback (admin `rollbackToBackupVersion`;
     * controller flips the store's current version back to the retained
     * backup — semantics, not code: services/venice-controller/src/main/java/

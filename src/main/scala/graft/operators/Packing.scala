@@ -175,6 +175,51 @@ object Packing {
         array_join(col("__c"), " ").as("chunk_text"))
   }
 
+  /** WHOLE-DOC sequence packing (no cross-document splits): pack pieces
+    * into fixed-`seqLen` bins such that a bin only ever holds pieces of
+    * ONE length — `⌊seqLen/ℓ⌋` pieces per bin — so no piece is ever cut
+    * across a sequence boundary. The padding-based alternative to
+    * [[packSequences]]' concat-and-cut layout, used when cross-document
+    * attention contamination is unacceptable and attention masks are
+    * expensive; length-bucketing is the standard deterministic
+    * approximation of bin packing (first-fit-decreasing is inherently
+    * sequential — this is order-free and exactly replayable).
+    *
+    * Scale shape: the rank within each length group does NOT use a
+    * `Window.partitionBy(len)` — at 100 TB one length value can hold
+    * billions of rows and a window partition is one task. Instead the
+    * global two-phase prefix sum ([[withGlobalOffsets]]) orders by
+    * (len, id) — rows of equal length are contiguous in that order, so
+    * rank-in-group = global position − the group's min position (one
+    * ≤seqLen-row aggregate, broadcast back). Everything stays distributed.
+    *
+    * @param idCol unique NON-NEGATIVE INTEGRAL piece id (zero-padded into
+    *              the order key); rows with weight outside [1, seqLen]
+    *              are dropped (chunk long docs first, e.g. [[chunkTokens]])
+    * @return one row per packed piece: id, n_tokens, bin capacity
+    *         (pieces of this length per bin), bin_no within the length
+    *         class, slot within the bin */
+  def packBinsWholeDoc(df: DataFrame, idCol: String, weightCol: String,
+      seqLen: Long, numParts: Int = 0): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    val w = col(weightCol).cast(LongType)
+    val rows = df.filter(w >= 1 && w <= seqLen)
+      .select(col(idCol), w.as("n_tokens"))
+      .withColumn("__ord", concat(
+        lpad(col("n_tokens").cast("string"), 10, "0"), lit("-"),
+        lpad(col(idCol).cast("string"), 19, "0")))
+      .withColumn("__one", lit(1L))
+    val pos = withGlobalOffsets(rows, "__ord", "__one", numParts)
+    val g0 = pos.groupBy(col("n_tokens"))
+      .agg(min(col("start_offset")).as("__g0"))
+    pos.join(broadcast(g0), Seq("n_tokens"))
+      .withColumn("__rk", col("start_offset") - col("__g0"))
+      .withColumn("per_bin", expr(s"${seqLen}L div n_tokens"))
+      .select(col(idCol), col("n_tokens"), col("per_bin"),
+        expr("__rk div per_bin").as("bin_no"),
+        pmod(col("__rk"), col("per_bin")).as("slot"))
+  }
+
   /** Training-data export: the corpus as JSONL shard files plus a
     * deterministic manifest. Shard assignment is md5-keyed on the id
     * (order/partition-independent — the same contract as dataset splits:

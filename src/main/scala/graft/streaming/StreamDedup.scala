@@ -128,4 +128,62 @@ object StreamDedup {
     engine.addToSetAA(store, br.select(col("bandkey"), col("id")),
       "ids", "id", tsMs = batchId)
   }
+
+  /** DECONTAMINATION on arrival: every arriving training document is
+    * scored against a STATIC benchmark-shingle index before it can enter
+    * the corpus (the streaming twin of
+    * [[graft.operators.Dedup.contamination]] — same shingle identity, same
+    * best-match rule, so a drain's union over microbatches equals the
+    * batch decontamination of the same corpus).
+    *
+    * Unlike [[nearDupPairs]] the index is read-only: the eval set doesn't
+    * grow with arrivals, so there is no append step and no cross-batch
+    * state at all — each batch explodes its distinct shingles, point-reads
+    * the eval-posting store (bucket-pruned batchGet; the probe is
+    * O(batch shingles), never O(eval set)), counts per-(train, eval)
+    * intersections, normalizes by the tiny eval-size store (broadcast),
+    * and emits one row per arriving doc — zero-hit docs included at
+    * overlap 0.0.
+    *
+    * @param evalIndexStore store keyed by `sh` with `ids: array<long>` —
+    *        the eval docs containing that shingle
+    * @param evalSizeStore  store keyed by `eval_id` with `n_eval: long` —
+    *        each eval doc's distinct-shingle count */
+  def contaminationOnArrival(rows: DataFrame, engine: graft.core.GraftEngine,
+      evalIndexStore: String, evalSizeStore: String, idCol: String,
+      textCol: String, shingleN: Int = 3, minOverlap: Double = 0.5)(
+      emit: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    import graft.operators.Dedup
+    rows.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      if (!batch.isEmpty) {
+        val sh = Dedup.shingleSets(batch, idCol, textCol, shingleN).persist()
+        val posts = sh.select(col("id").as("train_id"),
+          explode(col("shingles")).as("sh"))
+        val hits = engine.batchGet(evalIndexStore,
+          posts.select(col("sh")).distinct())
+        val inter = posts.join(hits, "sh")
+          .select(col("train_id"), explode(col("ids")).as("eval_id"))
+          .groupBy("train_id", "eval_id").agg(count(lit(1)).as("inter"))
+        val overlaps = inter.join(
+            broadcast(engine.servingView(evalSizeStore)), "eval_id")
+          .withColumn("overlap", col("inter").cast("double") / col("n_eval"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("train_id"))
+          .orderBy(col("overlap").desc, col("eval_id"))
+        val best = overlaps
+          .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+          .select(col("train_id"), col("eval_id"),
+            round(col("overlap"), 6).as("overlap"))
+        val out = sh.select(col("id").as("train_id"))
+          .join(best, Seq("train_id"), "left")
+          .select(col("train_id"), col("eval_id"),
+            coalesce(col("overlap"), lit(0.0)).as("overlap"),
+            (coalesce(col("overlap"), lit(0.0)) >= minOverlap)
+              .as("contaminated"))
+        emit(out, batchId)
+        sh.unpersist()
+      }
+      ()
+    }
+  }
 }

@@ -1222,4 +1222,35 @@ class EngineSpec extends AnyFunSuite {
       assert(dvd.get(Seq(9L, "zz")).isEmpty)
     } finally dvd.close()
   }
+
+  test("versionDiff: null-safe change detection, delta-bounded output, " +
+      "retained-version validation") {
+    import spark.implicits._
+    engine.createStore("vdiff", Seq("k"))
+    engine.push("vdiff", Seq(
+      (1L, Option("a"), Option(10)), // null-ing a field = changed
+      (2L, Option.empty[String], Option(20)), // null -> value = changed
+      (3L, Option.empty[String], Option.empty[Int]), // null == null = unchanged
+      (4L, Option("d"), Option(40)), // removed in v2
+      (5L, Option("e"), Option(50))) // unchanged
+      .toDF("k", "s", "v"), numBuckets = 4)
+    engine.push("vdiff", Seq(
+      (1L, Option.empty[String], Option(10)),
+      (2L, Option("b"), Option(20)),
+      (3L, Option.empty[String], Option.empty[Int]),
+      (5L, Option("e"), Option(50)),
+      (6L, Option("f"), Option(60))) // added
+      .toDF("k", "s", "v"), numBuckets = 4)
+    val got = engine.versionDiff("vdiff", 1, 2)
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    assert(got == Seq(
+      (1L, "changed", "s"), (2L, "changed", "s"),
+      (4L, "removed", null), (6L, "added", null)), s"got $got")
+    // unchanged keys (3, 5) never emitted — output bounded by the delta
+    val ex = intercept[IllegalArgumentException] {
+      engine.versionDiff("vdiff", 1, 7)
+    }
+    assert(ex.getMessage.contains("retains versions"))
+  }
 }

@@ -732,6 +732,32 @@ class PipelineSpec extends AnyFunSuite {
       s"got $got")
   }
 
+  test("packBinsWholeDoc: capacity law, partition invariance, " +
+      "out-of-range pieces dropped") {
+    import spark.implicits._
+    import graft.operators.Packing
+    val pieces = Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 10L), (5L, 10L),
+      (6L, 10L), (7L, 10L), (8L, 32L), (9L, 32L), (10L, 32L),
+      (11L, 0L), (12L, 65L)).toDF("piece_id", "n_tokens")
+    def run(parts: Int) = Packing
+      .packBinsWholeDoc(pieces.repartition(parts), "piece_id", "n_tokens", 64)
+      .orderBy("piece_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    val got = run(3)
+    // len 10 → 6 per bin: pieces 1..6 fill bin 0, piece 7 opens bin 1;
+    // len 32 → 2 per bin: 8,9 in bin 0, 10 in bin 1; 0- and 65-token
+    // pieces dropped (chunk first)
+    assert(got == Seq(
+      (1L, 10L, 6L, 0L, 0L), (2L, 10L, 6L, 0L, 1L), (3L, 10L, 6L, 0L, 2L),
+      (4L, 10L, 6L, 0L, 3L), (5L, 10L, 6L, 0L, 4L), (6L, 10L, 6L, 0L, 5L),
+      (7L, 10L, 6L, 1L, 0L),
+      (8L, 32L, 2L, 0L, 0L), (9L, 32L, 2L, 0L, 1L), (10L, 32L, 2L, 1L, 0L)),
+      s"got $got")
+    assert(run(1) == got && run(7) == got,
+      "bin assignment must be partition-count invariant")
+  }
+
   test("packing: offsets exact, partition-count-invariant, zero-weight safe") {
     import spark.implicits._
     import graft.operators.Packing
