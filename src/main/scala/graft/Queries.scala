@@ -3346,6 +3346,46 @@ object Queries {
                USING (train_id)
              ORDER BY train_id"""))
 
+  /** Decontamination SPAN SURGERY ([[graft.operators.Dedup
+    * .decontamSurgery]]): instead of dropping flagged docs wholesale,
+    * excise exactly the token positions covered by an eval-shingle match
+    * and keep the rest — the treatment that saves the clean 99% of a long
+    * doc quoting one benchmark item. Eval grams broadcast; the corpus side
+    * is one narrow positional explode + semi-join, never a corpus shuffle
+    * on gram keys. The kept-token md5 pins the exact surgery, not just
+    * the counts. */
+  val decontamSurgeryQ = QueryDef(
+    "decontam_surgery",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.operators.Dedup.decontamSurgery(
+          docs.filter(col("doc_id") >= 50), docs.filter(col("doc_id") < 50),
+          "doc_id", "text", n = 3)
+        .orderBy(col("id"))
+    },
+    Some(s"""WITH tk AS (SELECT doc_id, $tokensSql AS t FROM documents),
+             ev AS (SELECT DISTINCT unnest(shingles) AS g FROM
+               (SELECT ${shinglesSql("t")} AS shingles FROM tk
+                WHERE doc_id < 50)),
+             tr AS (SELECT doc_id AS id, t FROM tk WHERE doc_id >= 50),
+             pos AS (SELECT id, t, unnest(range(1, len(t) - 1)) AS i
+               FROM tr WHERE len(t) >= 3),
+             hits AS (SELECT id, i FROM pos
+               WHERE (t[i] || t[i+1] || t[i+2]) IN (SELECT g FROM ev)),
+             cov AS (SELECT id, list(DISTINCT p) AS ps FROM
+               (SELECT id, i + d AS p FROM hits, range(3) r(d))
+               GROUP BY id),
+             k AS (SELECT tr.id, tr.t,
+                 list_filter(list_transform(range(1, len(tr.t) + 1),
+                   j -> CASE WHEN ps IS NULL OR NOT list_contains(ps, j)
+                     THEN tr.t[j] END), x -> x IS NOT NULL) AS kept
+               FROM tr LEFT JOIN cov USING (id))
+             SELECT id, len(t)::BIGINT AS n_tokens,
+               (len(t) - len(kept))::BIGINT AS n_removed,
+               md5(coalesce(array_to_string(kept, ' '), '')) AS kept_hash,
+               len(t) = len(kept) AS clean
+             FROM k ORDER BY id"""))
+
   /** Stratified hash sampling with per-language keep rates (en 30%, zh 80%,
     * default 50%) — a salted-md5 filter, no shuffle, reproducible across
     * engines and row orders. */
@@ -9600,7 +9640,8 @@ object Queries {
     eventsDebounce, centroidClassify, q7Volume, qScdJoin, qualityCi,
     zorderLayout, profileColumns, b20AvroUnion, storeConfigQ,
     preferencePairs, b21TopicIngest, semdedupIncremental, annRecallReport,
-    streamSemDedupQ, versionDiffQ, streamDecontamQ, packBins)
+    streamSemDedupQ, versionDiffQ, streamDecontamQ, packBins,
+    decontamSurgeryQ)
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }

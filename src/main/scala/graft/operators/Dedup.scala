@@ -501,6 +501,50 @@ object Dedup {
         (coalesce(col("overlap"), lit(0.0)) >= minOverlap).as("contaminated"))
   }
 
+  /** Decontamination SPAN SURGERY — the step after [[contamination]]'s
+    * flag: instead of dropping a contaminated document wholesale, remove
+    * exactly the token positions covered by any eval-set shingle match and
+    * keep the rest (the PaLM/GPT-3-style "excise the overlapping window"
+    * treatment; wholesale dropping wastes the clean 99% of a long doc that
+    * quotes one benchmark item).
+    *
+    * A token position is removed iff some `n`-gram starting at i matches an
+    * eval shingle and covers it (positions i..i+n−1; same shingle identity
+    * as [[shingleSets]], so flag and surgery agree on what "contaminated"
+    * means). Scale shape: the eval gram set BROADCASTS (it is the eval
+    * set, not the corpus); the corpus side is one narrow positional
+    * explode + broadcast semi-join — the corpus never shuffles on gram
+    * keys; covered-position dedup and the per-doc rebuild are keyed on
+    * doc id with state bounded by doc length.
+    *
+    * @return one row per train doc: n_tokens, n_removed, md5 of the
+    *         surviving tokens (space-joined), clean flag */
+  def decontamSurgery(train: DataFrame, evalSet: DataFrame, idCol: String,
+      textCol: String, n: Int = 3): DataFrame = {
+    import graft.functions.TextOps
+    val evalGrams = shingleSets(evalSet, idCol, textCol, n)
+      .select(explode(col("shingles")).as("g")).distinct()
+    val toks = train.select(col(idCol).as("id"),
+      TextOps.tokens(col(textCol)).as("t"))
+    val hits = toks.filter(size(col("t")) >= n)
+      .select(col("id"), col("t"),
+        explode(sequence(lit(1), size(col("t")) - (n - 1))).as("i"))
+      .withColumn("g", array_join(slice(col("t"), col("i"), lit(n)), ""))
+      .join(broadcast(evalGrams), Seq("g"), "left_semi")
+    val covered = hits
+      .select(col("id"), explode(sequence(col("i"),
+        col("i") + (n - 1))).as("p"))
+      .groupBy(col("id"))
+      .agg(array_sort(collect_set(col("p"))).as("cov"))
+    toks.join(covered, Seq("id"), "left")
+      .withColumn("kept", filter(col("t"), (x, idx) =>
+        col("cov").isNull || !array_contains(col("cov"), idx + 1)))
+      .select(col("id"), size(col("t")).cast("long").as("n_tokens"),
+        (size(col("t")) - size(col("kept"))).cast("long").as("n_removed"),
+        md5(array_join(col("kept"), " ")).as("kept_hash"),
+        (size(col("t")) === size(col("kept"))).as("clean"))
+  }
+
   /** Connected components over duplicate pairs → duplicate CLUSTERS: the
     * step after pair detection in a real dedup pipeline (near-duplication
     * is transitive in intent — keep one doc per component, not per pair;

@@ -395,4 +395,39 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
       p.take(1500))
   }
+
+  test("decontam surgery: eval grams broadcast into a LEFT-SEMI gram join; " +
+      "the corpus never shuffles on gram keys") {
+    val p = plan(Queries.byName("decontam_surgery").fn(spark, sf))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      p.take(1200))
+    // the only semi-join in the plan is the gram probe — it must be the
+    // broadcast one (an SMJ LeftSemi would mean the corpus shuffled on grams)
+    assert(!"SortMergeJoin.*LeftSemi".r.findFirstIn(p).isDefined,
+      p.take(1200))
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+  }
+
+  test("whole-doc bin packing: rank-in-class via the distributed prefix " +
+      "sum — no Window, no single-partition collapse") {
+    val p = plan(Queries.byName("pack_bins").fn(spark, sf))
+    assert(!p.contains("Exchange SinglePartition"),
+      s"pack_bins collapsed to one partition:\n${p.take(1200)}")
+    assert(!p.contains("Window"), // the class rank must NOT be a window —
+      // a billion-row length class would be one task
+      s"pack_bins plans a Window:\n${p.take(1200)}")
+  }
+
+  test("version diff: one full-outer join on the key struct, no cartesian, " +
+      "delta filter applied before projection") {
+    val root = Files.createTempDirectory("graft-plan-vdiff").toString
+    val e = new GraftEngine(spark, root)
+    e.createStore("vd", Seq("k"))
+    import spark.implicits._
+    e.push("vd", Seq((1L, "a")).toDF("k", "v"), numBuckets = 2)
+    e.push("vd", Seq((1L, "b")).toDF("k", "v"), numBuckets = 2)
+    val p = plan(e.versionDiff("vd", 1, 2))
+    assert(p.contains("FullOuter"), p.take(1200))
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+  }
 }
