@@ -7378,6 +7378,48 @@ object Queries {
             FROM supplier WHERE s_suppkey <> 6
             ORDER BY s_suppkey"""))
 
+  /** STORE MIGRATION between engine roots ([[graft.core.GraftEngine
+    * .migrateStore]] / [[graft.core.GraftEngine.endMigration]] — reference
+    * semantics, not code: VeniceHelixAdmin.migrateStore:1789 +
+    * StoreMigrationTask's clone → verify → explicit end-migration
+    * contract). Phase 1 clones config/schemas/every version/log overlay
+    * into the destination cluster and VERIFIES parity (count + order-
+    * independent per-row xxhash64 sum over the resolved serving view —
+    * one aggregate pass per side, rollback-on-mismatch). The source keeps
+    * serving untouched until the explicit [[graft.core.GraftEngine
+    * .endMigration]]. Pinned here: the RT overlay survives the move, a
+    * post-migration write lands on the DESTINATION only, and retiring the
+    * source doesn't disturb it. */
+  val b22StoreMigration = QueryDef(
+    "b22_store_migration",
+    (s, dir) => {
+      val a = tempEngine(s, "graft-b22a")
+      val b = tempEngine(s, "graft-b22b")
+      a.createStore("cust", Seq("c_custkey"))
+      val base = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"),
+          round(col("c_acctbal") * 100).cast("long").as("cents"))
+      a.push("cust", base, numBuckets = 8)
+      a.put("cust", base.filter(col("c_custkey") <= 100)
+        .withColumn("c_name", concat(col("c_name"), lit("_M"))), tsMs = 1000L)
+      a.migrateStore("cust", b)
+      // cutover: writes continue on the destination; source retired after
+      b.put("cust", base.filter(col("c_custkey") === 1L)
+        .withColumn("cents", col("cents") + 7), tsMs = 2000L)
+      a.endMigration("cust")
+      b.servingView("cust")
+        .select(col("c_custkey"), col("c_name"), col("cents"))
+        .orderBy(col("c_custkey"))
+    },
+    Some("""SELECT c_custkey,
+              -- key 1's later FULL-ROW put (LWW) overwrites the _M rename
+              CASE WHEN c_custkey = 1 THEN c_name
+                   WHEN c_custkey <= 100 THEN c_name || '_M'
+                   ELSE c_name END AS c_name,
+              CAST(round(c_acctbal * 100) AS BIGINT)
+                + CASE WHEN c_custkey = 1 THEN 7 ELSE 0 END AS cents
+            FROM customer ORDER BY c_custkey"""))
+
   /** Streaming ingest → CDC → incremental AGGREGATE view, end to end: the
     * nearline analytics chain (Venice: RT writes → changelog consumer →
     * downstream aggregate). A store takes its initial batch push, an
@@ -9641,7 +9683,7 @@ object Queries {
     zorderLayout, profileColumns, b20AvroUnion, storeConfigQ,
     preferencePairs, b21TopicIngest, semdedupIncremental, annRecallReport,
     streamSemDedupQ, versionDiffQ, streamDecontamQ, packBins,
-    decontamSurgeryQ)
+    decontamSurgeryQ, b22StoreMigration)
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }

@@ -2197,6 +2197,62 @@ class GraftEngine(val spark: SparkSession, val root: String) {
         StandardCopyOption.REPLACE_EXISTING)
   }
 
+  /** STORE MIGRATION to another engine root (reference semantics, not
+    * code: `VeniceHelixAdmin.migrateStore`, services/venice-controller/
+    * src/main/java/com/linkedin/venice/controller/VeniceHelixAdmin
+    * .java:1789, orchestrated by StoreMigrationTask — clone the store's
+    * config/schemas/data into the destination cluster, VERIFY, and only
+    * delete the source when the operator confirms with an explicit
+    * end-migration step).
+    *
+    * Phase 1 (this call): clone every retained version, log overlay,
+    * pending updates, config and schema registry into `dest` (file
+    * manifest copy — the data never re-shuffles), then verify parity with
+    * ONE aggregate pass per side: row count + an order-independent sum of
+    * per-row xxhash64 over every column of the resolved serving view.
+    * On any mismatch the destination clone is rolled back and the call
+    * throws — a failed migration must leave the destination clean. The
+    * SOURCE keeps serving untouched (reads/writes continue) until
+    * [[endMigration]] retires it — Venice's two-step contract, so a
+    * botched cutover can always fall back to the source. */
+  def migrateStore(name: String, dest: GraftEngine): Unit = {
+    dest.recoverStoreFrom(root, name)
+    def checksum(e: GraftEngine): (Long, java.math.BigDecimal) = {
+      val v = e.servingView(name)
+      // sum in DECIMAL(38,0): a long sum of ±2^63-scale hashes overflows
+      // under ANSI mode after two rows
+      val row = v.agg(count(lit(1)),
+        sum(xxhash64(v.columns.map(c => col(c).cast("string")): _*)
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0))))
+        .head()
+      (row.getLong(0),
+        if (row.isNullAt(1)) java.math.BigDecimal.ZERO
+        else row.getDecimal(1))
+    }
+    val (srcN, srcH) = checksum(this)
+    val (dstN, dstH) = try checksum(dest) catch {
+      case e: Throwable => dest.rmTree(Paths.get(dest.dir(name))); throw e
+    }
+    if (srcN != dstN || srcH.compareTo(dstH) != 0) {
+      dest.rmTree(Paths.get(dest.dir(name)))
+      throw new IllegalStateException(
+        s"store $name migration verify failed: source ($srcN rows, " +
+          s"hash $srcH) != destination ($dstN rows, hash $dstH); " +
+          "destination clone rolled back, source untouched")
+    }
+  }
+
+  /** Phase 2 of [[migrateStore]]: retire the SOURCE copy after the
+    * operator confirms the destination serves correctly (Venice's
+    * `--end-migration`/ABORT_MIGRATION admin step — deleting the source
+    * is never implicit in phase 1, so cutover always has a fallback). */
+  def endMigration(name: String): Unit = {
+    val p = Paths.get(dir(name))
+    require(Files.exists(p), s"store $name does not exist in this engine")
+    rmTree(p)
+    synchronized { cachedViews.remove(name) }
+  }
+
   // ---- DaVinci-style local materialization ---------------------------------
 
   private val cachedViews =

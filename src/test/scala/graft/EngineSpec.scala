@@ -1253,4 +1253,34 @@ class EngineSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("retains versions"))
   }
+
+  test("migrateStore: two-step contract — source serves until " +
+      "endMigration; dest-exists refusal; missing-source refusal") {
+    import spark.implicits._
+    val destRoot = Files.createTempDirectory("graft-migr-dest").toString
+    val dest = new GraftEngine(spark, destRoot)
+    engine.createStore("mig", Seq("k"))
+    engine.push("mig", Seq((1L, "a"), (2L, "b")).toDF("k", "v"),
+      numBuckets = 2)
+    engine.put("mig", Seq((1L, "a2")).toDF("k", "v"), tsMs = 100L)
+    engine.migrateStore("mig", dest)
+    // phase 1 done: BOTH serve identical rows (fallback stays possible)
+    def rows(e: GraftEngine) = e.servingView("mig").orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows(engine) == Seq((1L, "a2"), (2L, "b")))
+    assert(rows(dest) == rows(engine))
+    // re-migrating onto the existing clone refuses (never clobbers)
+    val ex = intercept[IllegalArgumentException] {
+      engine.migrateStore("mig", dest)
+    }
+    assert(ex.getMessage.contains("already exists"))
+    // phase 2 retires the source; the destination is undisturbed
+    engine.endMigration("mig")
+    assert(!engine.listStores.contains("mig"))
+    assert(rows(dest) == Seq((1L, "a2"), (2L, "b")))
+    val ex2 = intercept[IllegalArgumentException] {
+      engine.endMigration("mig")
+    }
+    assert(ex2.getMessage.contains("does not exist"))
+  }
 }
