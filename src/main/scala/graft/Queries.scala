@@ -4767,6 +4767,89 @@ object Queries {
                 AS max_k
             FROM events GROUP BY event_type ORDER BY event_type"""))
 
+  /** Co-visitation candidate generation ([[graft.operators.Covisit
+    * .topNeighbors]]) — the recommender training-data shape whose SERVING
+    * side (item → ranked neighbor list) is exactly what a Venice store
+    * holds: top-5 co-visited items per item, from distinct items the same
+    * user touched within one hour, pair explode CAPPED at 20 items per
+    * (user, hour) with a deterministic item-ascending cut, pairs seen
+    * once dropped. The self-join is an equi-join on (user, bucket) —
+    * ≤ cap² pair work per group no matter how hot a user-hour gets. */
+  val covisitPairs = QueryDef(
+    "covisit_pairs",
+    (s, dir) => graft.operators.Covisit.topNeighbors(
+        Tables.events(s, dir)
+          .select(col("user_id"), unix_millis(col("ts")).as("ts_ms"),
+            get_json_object(col("props"), "$.k").cast("long").as("item"))
+          .filter(col("item").isNotNull),
+        "user_id", "ts_ms", "item", bucketMs = 3600000L, k = 5,
+        maxPerBucket = 20, minCount = 2L)
+      .orderBy(col("item"), col("rank")),
+    Some("""WITH e AS (SELECT DISTINCT user_id AS u,
+                epoch_ms(ts) // 3600000 AS b,
+                CAST(json_extract(props, '$.k') AS BIGINT) AS item
+              FROM events
+              WHERE json_extract(props, '$.k') IS NOT NULL),
+            capped AS (SELECT u, b, item FROM (
+                SELECT u, b, item,
+                  row_number() OVER (PARTITION BY u, b ORDER BY item) AS rn
+                FROM e) WHERE rn <= 20),
+            p AS (SELECT l.item AS item_a, r.item AS item_b,
+                count(*) AS n_co
+              FROM capped l JOIN capped r
+                ON l.u = r.u AND l.b = r.b AND l.item < r.item
+              GROUP BY 1, 2 HAVING count(*) >= 2),
+            sym AS (SELECT item_a AS item, item_b AS neighbor, n_co FROM p
+              UNION ALL
+              SELECT item_b, item_a, n_co FROM p)
+            SELECT item, neighbor, n_co, rank FROM (
+              SELECT item, neighbor, n_co, row_number() OVER (
+                  PARTITION BY item ORDER BY n_co DESC, neighbor) AS rank
+              FROM sym)
+            WHERE rank <= 5 ORDER BY item, rank"""))
+
+  /** Deterministic popularity-weighted NEGATIVE SAMPLING
+    * ([[graft.operators.Sampling.negativeTriples]]) — the
+    * (user, positive, negative) triples a two-tower recommender trainer
+    * consumes. Drawing a hash-indexed interaction ROW uniformly samples
+    * items exactly ∝ interaction count (the popularity-weighted negative
+    * distribution) with NO range/inverse-CDF lookup: draw → item is an
+    * equi-join on the global row position from the two-phase prefix sum,
+    * seen items drop via an anti-join, first 2 survivors per positive
+    * kept in draw order. Hash-keyed draws, never rand() — the same
+    * triples on every run, engine and partitioning. */
+  val negSampling = QueryDef(
+    "neg_sampling",
+    (s, dir) => graft.operators.Sampling.negativeTriples(
+        Tables.events(s, dir)
+          .select(col("event_id"), col("user_id"),
+            get_json_object(col("props"), "$.k").cast("long").as("item"))
+          .filter(col("item").isNotNull),
+        "event_id", "user_id", "item", negPerPos = 2, candidatesPerPos = 6)
+      .orderBy(col("user"), col("pos_item"), col("neg_rank")),
+    Some("""WITH i AS (SELECT event_id, user_id AS u,
+                CAST(json_extract(props, '$.k') AS BIGINT) AS it
+              FROM events WHERE json_extract(props, '$.k') IS NOT NULL),
+            idx AS (SELECT row_number() OVER (ORDER BY event_id) - 1 AS pos,
+                it FROM i),
+            n AS (SELECT count(*) AS total FROM i),
+            p AS (SELECT DISTINCT u AS usr, it AS pos_item FROM i),
+            c AS (SELECT usr, pos_item, j AS draw_j,
+                ('0x' || substr(md5('neg-' || usr::VARCHAR || '-'
+                  || pos_item::VARCHAR || '-' || j::VARCHAR), 1, 12))::BIGINT
+                  % total AS pos
+              FROM p, range(6) r(j), n),
+            cand AS (SELECT c.usr, c.pos_item, c.draw_j, idx.it AS neg_item
+              FROM c JOIN idx ON c.pos = idx.pos),
+            unseen AS (SELECT * FROM cand WHERE NOT EXISTS
+              (SELECT 1 FROM p
+               WHERE p.usr = cand.usr AND p.pos_item = cand.neg_item))
+            SELECT usr AS "user", pos_item, neg_rank, neg_item, draw_j FROM (
+              SELECT *, row_number() OVER (PARTITION BY usr, pos_item
+                  ORDER BY draw_j) AS neg_rank
+              FROM unseen) WHERE neg_rank <= 2
+            ORDER BY "user", pos_item, neg_rank"""))
+
   /** Window-function breadth on one keyed pass: lag/lead (neighboring
     * event values), first_value (session anchor), rank and ntile quartile
     * — all over the SAME (user, ts, event_id) window spec, so Catalyst
@@ -9683,7 +9766,7 @@ object Queries {
     zorderLayout, profileColumns, b20AvroUnion, storeConfigQ,
     preferencePairs, b21TopicIngest, semdedupIncremental, annRecallReport,
     streamSemDedupQ, versionDiffQ, streamDecontamQ, packBins,
-    decontamSurgeryQ, b22StoreMigration)
+    decontamSurgeryQ, b22StoreMigration, covisitPairs, negSampling)
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }

@@ -117,4 +117,57 @@ object Sampling {
     df.join(broadcast(rates), Seq(groupCol))
       .withColumn("kept", u < col("rate"))
   }
+
+  /** Deterministic POPULARITY-weighted negative sampling — the
+    * (user, positive, negative) triples a two-tower/contrastive
+    * recommender trainer consumes. For every distinct (user, item)
+    * positive, draw `candidatesPerPos` hash-indexed interaction ROWS
+    * (sampling an interaction uniformly IS sampling items ∝ their
+    * interaction count — the standard popularity-weighted negative
+    * distribution, exact, with no range lookup), drop candidates the user
+    * has actually interacted with (anti-join on (user, item)), and keep
+    * the first `negPerPos` survivors in draw order.
+    *
+    * Scale shape: every step is an equi-join or the two-phase global
+    * prefix sum — draw → interaction is an equi-join on the exact global
+    * row position ([[Packing.withGlobalOffsets]] over the unique `idCol`),
+    * NEVER a broadcast range/inverse-CDF lookup, so an item vocabulary of
+    * any size works. Hash-keyed draws (never rand()) keep the triples
+    * reproducible across runs, engines and partitionings.
+    *
+    * @param idCol unique interaction id (the draw-order key)
+    * @return (user, pos_item, neg_rank, neg_item, draw_j) */
+  def negativeTriples(interactions: DataFrame, idCol: String,
+      userCol: String, itemCol: String, negPerPos: Int,
+      candidatesPerPos: Int = 8, salt: String = "neg"): DataFrame = {
+    require(negPerPos > 0 && candidatesPerPos >= negPerPos,
+      s"need candidatesPerPos >= negPerPos > 0, got " +
+        s"($candidatesPerPos, $negPerPos)")
+    val inter = interactions.select(col(idCol).as("__iid"),
+      col(userCol).as("__u"), col(itemCol).as("__it"))
+    val indexed = Packing.withGlobalOffsets(
+        inter.withColumn("__one", lit(1L)), "__iid", "__one")
+      .select(col("start_offset").as("__pos"), col("__it"))
+    val total = indexed.count()
+    val pos = inter.select(col("__u").as("user"), col("__it").as("pos_item"))
+      .distinct()
+    val cand = pos.select(col("user"), col("pos_item"),
+        explode(sequence(lit(0), lit(candidatesPerPos - 1))).as("draw_j"))
+      .withColumn("__pos",
+        pmod(conv(substring(md5(concat_ws("-", lit(salt), col("user"),
+          col("pos_item"), col("draw_j"))), 1, 12), 16, 10).cast("long"),
+          lit(total)))
+      .join(indexed, Seq("__pos"))
+      .withColumnRenamed("__it", "neg_item")
+    val unseen = cand.join(
+        pos.select(col("user"), col("pos_item").as("neg_item")),
+        Seq("user", "neg_item"), "left_anti")
+    unseen.withColumn("neg_rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user"), col("pos_item"))
+          .orderBy(col("draw_j"))))
+      .filter(col("neg_rank") <= negPerPos)
+      .select(col("user"), col("pos_item"), col("neg_rank"),
+        col("neg_item"), col("draw_j"))
+  }
 }

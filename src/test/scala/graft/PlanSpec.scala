@@ -418,6 +418,17 @@ class PlanSpec extends AnyFunSuite {
       s"pack_bins plans a Window:\n${p.take(1200)}")
   }
 
+  test("covisit: pair explode stays an equi-join on (user, bucket); " +
+      "negative sampling: draw->item is an equi-join, no single partition") {
+    val pc = plan(Queries.byName("covisit_pairs").fn(spark, sf))
+    assert(!pc.contains("CartesianProduct") &&
+      !pc.contains("BroadcastNestedLoopJoin"), pc.take(1200))
+    val pn = plan(Queries.byName("neg_sampling").fn(spark, sf))
+    assert(!pn.contains("CartesianProduct"), pn.take(1200))
+    assert(!pn.contains("Exchange SinglePartition"),
+      s"neg_sampling collapsed to one partition:\n${pn.take(1200)}")
+  }
+
   test("version diff: one full-outer join on the key struct, no cartesian, " +
       "delta filter applied before projection") {
     val root = Files.createTempDirectory("graft-plan-vdiff").toString
