@@ -4850,6 +4850,38 @@ object Queries {
               FROM unseen) WHERE neg_rank <= 2
             ORDER BY "user", pos_item, neg_rank"""))
 
+  /** Next-item training examples ([[graft.operators.Covisit
+    * .nextItemExamples]]) — the sequential-recommendation dataset: per
+    * user ordered by (ts, event_id), every interaction after the first
+    * becomes (context = last 3 items oldest-first, label = this item).
+    * One keyed window per user — state bounded by user activity, no
+    * explode, no join; the (ts, id) tie-break keeps same-millisecond
+    * events ordered identically across engines. */
+  val nextItemExamplesQ = QueryDef(
+    "next_item_examples",
+    (s, dir) => graft.operators.Covisit.nextItemExamples(
+        Tables.events(s, dir)
+          .select(col("user_id"), unix_millis(col("ts")).as("ts_ms"),
+            col("event_id"),
+            get_json_object(col("props"), "$.k").cast("long").as("item"))
+          .filter(col("item").isNotNull),
+        "user_id", "ts_ms", "event_id", "item", contextLen = 3)
+      .orderBy(col("user"), col("seq_no")),
+    Some("""WITH i AS (SELECT user_id AS u, epoch_ms(ts) AS ts_ms, event_id,
+                CAST(json_extract(props, '$.k') AS BIGINT) AS item
+              FROM events WHERE json_extract(props, '$.k') IS NOT NULL),
+            w AS (SELECT u, item,
+                row_number() OVER (PARTITION BY u
+                  ORDER BY ts_ms, event_id) - 1 AS seq_no,
+                list(item::VARCHAR) OVER (PARTITION BY u
+                  ORDER BY ts_ms, event_id
+                  ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS ctx
+              FROM i)
+            SELECT u AS "user", seq_no,
+              coalesce(array_to_string(ctx, ','), '') AS context,
+              item AS label
+            FROM w WHERE seq_no >= 1 ORDER BY "user", seq_no"""))
+
   /** Window-function breadth on one keyed pass: lag/lead (neighboring
     * event values), first_value (session anchor), rank and ntile quartile
     * — all over the SAME (user, ts, event_id) window spec, so Catalyst
@@ -9766,7 +9798,8 @@ object Queries {
     zorderLayout, profileColumns, b20AvroUnion, storeConfigQ,
     preferencePairs, b21TopicIngest, semdedupIncremental, annRecallReport,
     streamSemDedupQ, versionDiffQ, streamDecontamQ, packBins,
-    decontamSurgeryQ, b22StoreMigration, covisitPairs, negSampling)
+    decontamSurgeryQ, b22StoreMigration, covisitPairs, negSampling,
+    nextItemExamplesQ)
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }

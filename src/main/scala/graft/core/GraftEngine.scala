@@ -457,9 +457,11 @@ class GraftEngine(val spark: SparkSession, val root: String) {
       s"store $name retains versions ${vs.toSeq.sorted.mkString(",")}; " +
         s"asked for v$oldVersion vs v$newVersion")
     val keyCols = storeMeta(name).keyCols
-    val o = snapshot(name, Some(oldVersion))
-    val n = snapshot(name, Some(newVersion))
-    // superset-conformed snapshots share the schema; value cols = non-key
+    // superset-conformed on BOTH sides: a version pushed before a schema
+    // evolution reads the later fields as typed nulls, so the diff can
+    // compare across an evolution (null → value = changed)
+    val o = resolvedSnapshot(name, Some(oldVersion))
+    val n = resolvedSnapshot(name, Some(newVersion))
     val valCols = n.columns.filterNot(keyCols.contains).toSeq
     val j = o.select(struct(col("*")).as("__o"))
       .select(col("__o"), struct(keyCols.map(k => col(s"__o.$k")): _*).as("__k"))

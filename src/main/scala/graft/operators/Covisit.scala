@@ -63,4 +63,30 @@ object Covisit {
           .orderBy(col("n_co").desc, col("neighbor"))))
       .filter(col("rank") <= k)
   }
+
+  /** Next-item training examples — the sequential-recommendation dataset
+    * builder: for every interaction after a user's first, emit the last
+    * `contextLen` items (oldest-first, comma-joined) as the context and
+    * the interaction's item as the label. One window per user ordered by
+    * (ts, id) — per-user state is bounded by user activity, the same
+    * bound sessionization already lives with; no explode, no join, one
+    * keyed shuffle total.
+    *
+    * @param tieCol unique tie-break within equal timestamps (cross-engine
+    *               determinism — two events in the same millisecond must
+    *               order identically everywhere) */
+  def nextItemExamples(events: DataFrame, userCol: String, tsMsCol: String,
+      tieCol: String, itemCol: String, contextLen: Int): DataFrame = {
+    require(contextLen > 0, s"contextLen must be positive, got $contextLen")
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsMsCol), col(tieCol))
+    val ctx = w.rowsBetween(-contextLen, -1)
+    events
+      .withColumn("seq_no", row_number().over(w) - 1)
+      .withColumn("context",
+        array_join(collect_list(col(itemCol).cast("string")).over(ctx), ","))
+      .filter(col("seq_no") >= 1)
+      .select(col(userCol).as("user"), col("seq_no"),
+        col("context"), col(itemCol).as("label"))
+  }
 }

@@ -305,8 +305,47 @@ class EngineFuzzSpec extends AnyFunSuite {
           if (hasExtra) Option(r.get(3)).map(_.asInstanceOf[Long]) else None))
       .toMap
     val want = model.resolve()
-    if (got == want) None
-    else Some(s"engine=$got\n  model=$want")
+    if (got != want) return Some(s"engine=$got\n  model=$want")
+
+    // versionDiff differential: whenever the script left ≥2 retained
+    // versions, the engine's push-to-push diff must equal the diff of the
+    // model's two newest snapshots — delta-only, per-field, null-safe
+    // (superset-conformed: a pre-evolution snapshot reads extra as None)
+    val mvs = model.versions.keys.toSeq.sorted
+    if (mvs.size >= 2) {
+      val (va, vb) = (mvs(mvs.size - 2), mvs.last)
+      val evs = e.listVersions("s")
+      if (evs != mvs) return Some(s"versions: engine=$evs model=$mvs")
+      val gotD = e.versionDiff("s", va, vb).collect().map { r =>
+        r.getLong(0) -> (r.getString(1), Option(r.getString(2)))
+      }.toMap
+      def fields(v: MVal): Map[String, Option[Any]] =
+        Map("name" -> v.name, "score" -> v.score, "extra" -> v.extra)
+      val a = model.versions(va); val b = model.versions(vb)
+      val wantD = (a.keySet ++ b.keySet).flatMap { k =>
+        (a.get(k), b.get(k)) match {
+          case (None, Some(_)) => Some(k -> (("added", None)))
+          case (Some(_), None) => Some(k -> (("removed", None)))
+          case (Some(x), Some(y)) =>
+            val ch = fields(x).keys.toSeq.sorted
+              .filter(f => fields(x)(f) != fields(y)(f))
+            if (ch.isEmpty) None
+            else Some(k -> (("changed", Some(ch.mkString(",")))))
+          case _ => None
+        }
+      }.toMap
+      if (gotD != wantD)
+        return Some(s"versionDiff($va,$vb): engine=$gotD\n  model=$wantD")
+    }
+
+    // migration differential (~1 in 4 scripts): clone the final store —
+    // whatever state the script reached (pending logs, updates, evolution,
+    // rebucket, purge) — into a fresh root; migrateStore's internal
+    // count+hash verify throws if recoverStoreFrom missed any state file
+    if (!viaConnector && !viaWriter && !viaSink && script.length % 4 == 0)
+      e.migrateStore("s", new GraftEngine(spark,
+        graft.core.TmpStores.dir("fuzz-mig").toString))
+    None
   }
 
   // ---------------------------------------------------------------- A/A ----
