@@ -2093,6 +2093,44 @@ object Queries {
                count(*) OVER (PARTITION BY cluster_id) AS cluster_size
              FROM lab ORDER BY doc_id"""))
 
+  /** LEAKAGE-SAFE splits ([[graft.operators.Dedup.splitByCluster]]): the
+    * split hash keys on the near-dup CLUSTER id, so every member of a
+    * duplicate cluster lands in the SAME split by construction — the fix
+    * for what `split_leakage` detects after the fact. Singletons key on
+    * their own id (identical to plain `split_assign`). Oracle replays the
+    * full minhash→verify→CC chain and the md5 split hash. */
+  val splitByClusterQ = QueryDef(
+    "split_by_cluster",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val sh = graft.operators.Dedup.shingleSets(docs, "doc_id", "text", 3)
+      val cand = graft.operators.Dedup.minhashCandidates(sh, k = 8, bands = 4)
+      val pairs = graft.operators.Dedup.jaccardVerify(cand, sh, 0.5)
+      graft.operators.Dedup.splitByCluster(docs, "doc_id", pairs)
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH RECURSIVE pairs AS (
+               SELECT id_a, id_b FROM ($minhashPairsSql)),
+             und AS (SELECT id_a AS a, id_b AS b FROM pairs
+               UNION SELECT id_b, id_a FROM pairs),
+             cc AS (
+               SELECT DISTINCT a AS node, a AS lbl FROM und
+               UNION
+               SELECT u.b AS node, cc.lbl FROM cc JOIN und u ON u.a = cc.node
+               WHERE cc.lbl < u.b),
+             lab AS (SELECT node AS doc_id, min(lbl) AS cluster_id
+               FROM cc GROUP BY node),
+             j AS (SELECT d.doc_id, lab.cluster_id,
+                 coalesce(lab.cluster_id, d.doc_id) AS split_key
+               FROM documents d LEFT JOIN lab USING (doc_id))
+             SELECT doc_id, cluster_id, split_key,
+               CASE WHEN ('0x' || substr(md5(split_key::VARCHAR), 1, 4))::INT % 100 < 80
+                      THEN 'train'
+                    WHEN ('0x' || substr(md5(split_key::VARCHAR), 1, 4))::INT % 100 < 90
+                      THEN 'val'
+                    ELSE 'test' END AS split
+             FROM j ORDER BY doc_id"""))
+
   /** Duplicate-cluster keeper election, QUALITY-aware: RefinedWeb-style
     * "keep the best copy", not min-id — per connected component the
     * longest document wins (ties to the smaller doc_id). The election is
@@ -9799,7 +9837,7 @@ object Queries {
     preferencePairs, b21TopicIngest, semdedupIncremental, annRecallReport,
     streamSemDedupQ, versionDiffQ, streamDecontamQ, packBins,
     decontamSurgeryQ, b22StoreMigration, covisitPairs, negSampling,
-    nextItemExamplesQ)
+    nextItemExamplesQ, splitByClusterQ)
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }

@@ -564,6 +564,25 @@ object Dedup {
     * @return (id, cluster_id) — one row per node that appears in any pair;
     *         cluster_id = min node id of its component
     */
+  /** LEAKAGE-SAFE dataset splits: assign train/val/test by the duplicate
+    * CLUSTER, not the document — two near-copies hashed independently can
+    * straddle train and test (the leakage `split_leakage` detects after
+    * the fact); keying the split hash on the cluster id puts every member
+    * of a near-dup cluster in the SAME split by construction. Singleton
+    * docs (no duplicate pair) key on their own id, so their assignment is
+    * identical to the plain [[graft.functions.TextOps.splitAssign]].
+    * Shape: [[clusters]]' pointer-jumping CC + one left join + the narrow
+    * hash filter — nothing new shuffles beyond the CC itself. */
+  def splitByCluster(ids: DataFrame, idCol: String, pairs: DataFrame,
+      trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    val cl = clusters(pairs).withColumnRenamed("id", idCol)
+    ids.select(col(idCol)).join(cl, Seq(idCol), "left")
+      .withColumn("split_key", coalesce(col("cluster_id"), col(idCol)))
+      .select(col(idCol), col("cluster_id"), col("split_key"),
+        graft.functions.TextOps.splitAssign(col("split_key"), trainPct,
+          valPct).as("split"))
+  }
+
   def clusters(pairs: DataFrame, idA: String = "id_a",
       idB: String = "id_b"): DataFrame = {
     val e = pairs.select(col(idA).cast("long").as("a"),
