@@ -5600,9 +5600,25 @@ object Queries {
       val li = t(s, dir, "lineitem")
         .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
           round(col("l_extendedprice") * 100).cast("long").as("price_cents"))
+      // two-phase top-k (guide §2.5): l_returnflag has THREE distinct
+      // values, so a single window funnels the whole table through 3 sort
+      // tasks (measured 8.4×/decade at sf10, the worst non-refused shape
+      // in the sweep). Phase 1 takes each group's top-3 within 64
+      // deterministic salt slices (hash of the unique line key — never
+      // rand(), see SPARK-38388), phase 2 ranks the ≤ 3·64·3 survivors.
+      // The global top-3 of a group is contained in the union of its
+      // per-slice top-3s, so the result is row-identical to the single
+      // window; the oracle replays the unsalted window.
+      val salt = pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(64))
+      val w1 = Window.partitionBy(col("l_returnflag"), col("__salt"))
+        .orderBy(col("price_cents").desc, col("l_orderkey"), col("l_linenumber"))
       val w = Window.partitionBy(col("l_returnflag"))
         .orderBy(col("price_cents").desc, col("l_orderkey"), col("l_linenumber"))
-      li.withColumn("rk", row_number().over(w))
+      li.withColumn("__salt", salt)
+        .withColumn("__lrk", row_number().over(w1))
+        .filter(col("__lrk") <= 3)
+        .drop("__salt", "__lrk")
+        .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 3)
         .select(col("l_returnflag"), col("rk"), col("l_orderkey"),
           col("l_linenumber"), col("price_cents"))
@@ -8974,7 +8990,12 @@ object Queries {
         .groupBy(col("ah").as("h"))
         .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("approx"),
           count(lit(1)).as("n_hours_merged"))
-      val exact = ev
+      // pre-distinct (h, user) BEFORE the 24× window explode: the final
+      // count is DISTINCT users per window, so collapsing same-hour
+      // repeats first is an identity — and it shrinks the exploded row
+      // count by the per-hour repeat factor (guide §2.3 "aggregate before
+      // you shuffle"; at sf10 events carry ~2.3 rows per (h,user))
+      val exact = ev.distinct()
         .select(explode(sequence(col("h"), col("h") + 23)).as("h"),
           col("user_id"))
         .join(ev.select(col("h").as("__live")).distinct(),

@@ -310,18 +310,33 @@ class GraftEngine(val spark: SparkSession, val root: String) {
     val seq = "__push_seq"
     require(!df.columns.contains(seq),
       s"input carries reserved column $seq — rename it before push")
-    val keyed = Compaction.latestPerKey(
-      df.withColumn(seq, orderCol.getOrElse(monotonically_increasing_id())),
-      meta.keyCols, Seq(col(seq))).drop(seq)
-    val bucketed = keyed.withColumn(BucketCol,
-      graft.functions.HashOps.partitionId(
-        graft.functions.HashOps.renderKey(meta.keyCols), numBuckets))
+    val stamped = df
+      .withColumn(seq, orderCol.getOrElse(monotonically_increasing_id()))
+      .withColumn(BucketCol,
+        graft.functions.HashOps.partitionId(
+          graft.functions.HashOps.renderKey(meta.keyCols), numBuckets))
     val cfg = storeConfig(name)
     val laidOut =
-      if (clusterBy.isEmpty)
-        bucketed.repartition(numBuckets, col(BucketCol))
-          .sortWithinPartitions(meta.keyCols.map(col): _*)
-      else {
+      if (clusterBy.isEmpty) {
+        // ONE exchange for compaction + layout (was two: latestPerKey
+        // shuffled by key, then repartition(bucket) shuffled again).
+        // bucket = f(key), so latest-per-key grouped by (bucket, key) keeps
+        // exactly latestPerKey's rows, and HashPartitioning(bucket) already
+        // satisfies the window's ClusteredDistribution(bucket, key...) —
+        // no second exchange. The window's required sort (bucket, key...,
+        // seq desc) also leaves output ordered by the dynamic-partition
+        // column first and the store key within each bucket, which is the
+        // exact order the partitionBy writer needs — no further sort.
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy((col(BucketCol) +: meta.keyCols.map(col)): _*)
+          .orderBy(col(seq).desc)
+        stamped.repartition(numBuckets, col(BucketCol))
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn", seq)
+      } else {
+        val keyed = Compaction.latestPerKey(
+          stamped, meta.keyCols, Seq(col(seq))).drop(seq)
+        val bucketed = keyed
         // z-order WITHIN the bucket partitioning: range-partition on
         // (bucket, z) keeps the curve contiguous per output file, so each
         // bucket dir holds a few files with tight min/max on every
@@ -350,7 +365,7 @@ class GraftEngine(val spark: SparkSession, val root: String) {
     // read). Detection is a driver-side listing; limit(0) folds to an
     // empty LocalRelation, so the plan is never re-executed.
     if (!hasParquetData(Paths.get(dir(name, s"v=$v"))))
-      bucketed.limit(0).repartition(1).write.mode("append")
+      stamped.drop(seq).limit(0).repartition(1).write.mode("append")
         .parquet(dir(name, s"v=$v"))
     // per-version bucket-count marker (underscore file — ignored by Spark's
     // file index): BUCKETS tracks the LATEST push, but retained versions
@@ -838,8 +853,29 @@ class GraftEngine(val spark: SparkSession, val root: String) {
     * superset (mergeSchema unions the parquet footers; conform fills fields
     * a given writer didn't know about with typed nulls). */
   private def readLog(name: String): DataFrame =
-    conformLog(name, spark.read.option("mergeSchema", "true")
-      .parquet(dir(name, "log")).drop(LogSeqCol, SchemaIdCol))
+    conformLog(name, readLogRaw(name).drop(LogSeqCol, SchemaIdCol))
+
+  /** RT-log scan with an EXPLICIT expected schema where the registry knows
+    * it (value superset + the fixed meta columns appendLogRows stamps) —
+    * mergeSchema=true re-reconciled every append's footer on every
+    * serving-view read, a per-read cost that grows with the log. A file
+    * written before a schema evolution reads its missing fields as typed
+    * nulls, exactly what mergeSchema produced. */
+  private def readLogRaw(name: String): DataFrame =
+    supersetSchemaOpt(name) match {
+      case Some(s) =>
+        import org.apache.spark.sql.types._
+        val metaFields = Seq(
+          StructField(TsCol, LongType),
+          StructField(DeletedCol, BooleanType),
+          StructField(SchemaIdCol, IntegerType),
+          StructField(LogSeqCol, LongType))
+          .filterNot(f => s.fieldNames.contains(f.name))
+        spark.read.schema(StructType(s.fields ++ metaFields))
+          .parquet(dir(name, "log"))
+      case None => spark.read.option("mergeSchema", "true")
+        .parquet(dir(name, "log"))
+    }
 
   /** Resolve a log frame to the superset schema, carrying the ts/deleted
     * meta columns through. */
@@ -1131,8 +1167,34 @@ class GraftEngine(val spark: SparkSession, val root: String) {
     * pruning. */
   private def readAaLog(name: String,
       logBucket: Option[Int] = None): DataFrame = {
-    val raw0 = spark.read.option("mergeSchema", "true")
-      .parquet(dir(name, "aa_log"))
+    // Explicit expected schema instead of mergeSchema=true: the op log is
+    // re-read on EVERY probe/fold, and mergeSchema reconciles every
+    // file's footer on every read — on a streaming ingest whose log grows
+    // by one append per microbatch that footer sweep is quadratic in
+    // batches (measured on stream_semdedup/stream_neardup). The schema
+    // registry already knows the full column set (value superset + the
+    // fixed op/meta columns appendAA stamps); a file written before a
+    // schema evolution reads its missing columns as typed nulls — exactly
+    // what mergeSchema yielded. Fallback to mergeSchema only when no
+    // schema was ever registered (pre-push store, not reachable for A/A).
+    val raw0 = supersetSchemaOpt(name) match {
+      case Some(s) =>
+        import org.apache.spark.sql.types._
+        val metaFields = Seq(
+          StructField(AaElemCol, StringType),
+          StructField(AaElem2Col, StringType),
+          StructField(TsCol, LongType),
+          StructField(AaOpCol, StringType),
+          StructField(AaFieldCol, StringType),
+          StructField(SchemaIdCol, IntegerType),
+          StructField(LogSeqCol, LongType),
+          StructField(BucketCol, IntegerType))
+          .filterNot(f => s.fieldNames.contains(f.name))
+        spark.read.schema(StructType(s.fields ++ metaFields))
+          .parquet(dir(name, "aa_log"))
+      case None => spark.read.option("mergeSchema", "true")
+        .parquet(dir(name, "aa_log"))
+    }
     val raw1 = logBucket match {
       case Some(b) if raw0.columns.contains(BucketCol) =>
         raw0.filter(col(BucketCol) === b)
@@ -1905,8 +1967,7 @@ class GraftEngine(val spark: SparkSession, val root: String) {
           // caught up on the current version with nothing appended since
           resolvedSnapshot(name).limit(0)
             .withColumn(TsCol, lit(0L)).withColumn(DeletedCol, lit(false))
-        else conformLog(name, spark.read.option("mergeSchema", "true")
-          .parquet(dir(name, "log"))
+        else conformLog(name, readLogRaw(name)
           .filter(col(LogSeqCol) > coord.seq).drop(LogSeqCol, SchemaIdCol))
       if (!hasUpd) logDelta
       else {

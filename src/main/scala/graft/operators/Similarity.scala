@@ -180,7 +180,21 @@ object Similarity {
       else corpus.filter(col("id") < k ||
         pmod(xxhash64(col("id")), lit(10000)) <
           math.max(1, (trainFraction * 10000).toInt))
-    val seeds = corpus.filter(col("id") < k).select(col("id"), col("vec"))
+    // LOCALIZE the k-row codebook between iterations: the previous lazy
+    // chain made iteration i+1's plan contain iteration i's full-corpus
+    // assignment TWICE (recentre + re-seed anti-join both reference it),
+    // so a 2-iter Lloyd re-executed the iter-1 scan up to 4× wherever
+    // exchange reuse didn't kick in. Collecting k rows per iteration is
+    // driver-sized by design (the codebook IS k rows), executes each
+    // iteration exactly once, and hands the next assignment a
+    // LocalRelation Spark broadcasts for free. Same integer-scaled
+    // arithmetic per iteration — result rows are bit-identical.
+    val spark = corpus.sparkSession
+    def localize(df: DataFrame): DataFrame =
+      spark.createDataFrame(
+        java.util.Arrays.asList(df.collect(): _*), df.schema)
+    val seeds = localize(corpus.filter(col("id") < k)
+      .select(col("id"), col("vec")))
     var cent = seeds
     for (_ <- 0 until iters) {
       val recentred = ivfAssign(train, cent).filter(col("rn") === 1)
@@ -199,8 +213,8 @@ object Similarity {
       // seed vector (deterministic) so the quantizer always returns k
       // centroids. A no-op anti-join when every cell kept members, so the
       // common-case result (and the SQL oracle replay) is unchanged.
-      cent = recentred.unionByName(
-        seeds.join(recentred.select(col("id")), Seq("id"), "left_anti"))
+      cent = localize(recentred.unionByName(
+        seeds.join(recentred.select(col("id")), Seq("id"), "left_anti")))
     }
     cent
   }

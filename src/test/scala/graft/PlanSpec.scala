@@ -441,4 +441,52 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("FullOuter"), p.take(1200))
     assert(!p.contains("CartesianProduct"), p.take(1200))
   }
+
+  test("push runs compaction + bucket layout in ONE exchange") {
+    // latest-per-key used to shuffle by the key columns and then
+    // repartition(bucket) shuffled AGAIN; since bucket = f(key), the
+    // window grouped by (bucket, key...) dedups identically on the bucket
+    // partitioning alone — the write plan must carry exactly one
+    // hash exchange (r10 optimization; see OPTIMIZATION_r10.md)
+    import spark.implicits._
+    import scala.collection.mutable
+    val plans = mutable.ArrayBuffer[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        plans.synchronized { plans += qe.executedPlan.toString }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val root = Files.createTempDirectory("graft-plan-push1x").toString
+      val e = new GraftEngine(spark, root)
+      e.createStore("p1", Seq("k"))
+      // duplicate keys so the compaction window actually dedups
+      e.push("p1", (1L to 1000L).map(k => (k % 300, s"v$k")).toDF("k", "v"),
+        numBuckets = 8)
+      // listener events are async; poll until the write plan shows up
+      def findPlan(): Option[String] = plans.synchronized {
+        plans.find(p => p.contains("WriteFiles") && p.contains("row_number"))
+      }
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      var writePlan = findPlan()
+      while (writePlan.isEmpty && System.nanoTime() < deadline) {
+        Thread.sleep(100); writePlan = findPlan()
+      }
+      assert(writePlan.isDefined,
+        s"no push write plan captured (${plans.size} plans seen)")
+      // AdaptiveSparkPlan.toString prints Final AND Initial plans — count
+      // exchanges in the final section only
+      val p = writePlan.get.split("== Initial Plan ==")(0)
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+      assert(exchanges == 1,
+        s"push write carries $exchanges hash exchanges (want 1):\n${p.take(1500)}")
+      // and the dedup verdict is unchanged: latest row per key survives
+      assert(e.snapshot("p1").count() == 300)
+    } finally spark.listenerManager.unregister(listener)
+  }
 }
