@@ -33,12 +33,13 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
       // aggressive periodic GC → ContextCleaner drops dead shuffle files
       // promptly; a 226-query sweep otherwise carries hours of dead spill
       .config("spark.cleaner.periodicGC.interval", "5min")
-    graft.core.GraftSession.requiredConfs
+    // requiredConfs (correctness) + tuningConfs (shuffle.partitions=cpus,
+    // size-first AQE coalescing — see GraftSession.tuningConfs)
+    (graft.core.GraftSession.requiredConfs ++
+      graft.core.GraftSession.tuningConfs(cpus.toInt))
       .foreach { case (k, v) => builder.config(k, v) }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

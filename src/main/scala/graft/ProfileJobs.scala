@@ -17,9 +17,8 @@ object ProfileJobs {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-    graft.core.GraftSession.requiredConfs
+    (graft.core.GraftSession.requiredConfs ++
+      graft.core.GraftSession.tuningConfs(cpus.toInt))
       .foreach { case (k, v) => builder.config(k, v) }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

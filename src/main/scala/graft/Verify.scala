@@ -12,10 +12,11 @@ object Verify {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-    graft.core.GraftSession.requiredConfs
+    // requiredConfs (correctness) + tuningConfs (shuffle.partitions=cpus,
+    // size-first AQE coalescing) — the same posture the bench runs under
+    (graft.core.GraftSession.requiredConfs ++
+      graft.core.GraftSession.tuningConfs(cpus.toInt))
       .foreach { case (k, v) => builder.config(k, v) }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

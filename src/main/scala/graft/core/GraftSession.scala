@@ -18,13 +18,34 @@ object GraftSession {
     "spark.sql.mapKeyDedupPolicy" -> "LAST_WIN",
     "spark.sql.session.timeZone" -> "UTC")
 
-  /** Perf posture for local[N]; on a real cluster these come from submit conf. */
-  def tuningConfs(cpus: Int): Seq[(String, String)] = Seq(
-    "spark.sql.shuffle.partitions" -> cpus.toString,
-    "spark.sql.adaptive.enabled" -> "true",
-    "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
-    "spark.sql.autoBroadcastJoinThreshold" -> (64 * 1024 * 1024).toString,
-    "spark.ui.enabled" -> "false")
+  /** Perf posture for local[N]; on a real cluster these come from submit conf.
+    *
+    * AQE coalescing is switched from parallelism-first to SIZE-first
+    * (guide §2.2): with the default `parallelismFirst=true` AQE never
+    * coalesces below the session's default parallelism, so a 100-row
+    * shuffle still schedules `cpus` tasks — pure scheduler overhead on
+    * small inputs and tiny shuffle blocks at scale. Size-first coalescing
+    * targets `advisoryPartitionSizeInBytes` instead: small shuffles
+    * collapse to one task, big shuffles keep size-bounded partitions.
+    * The advisory size is scale-parameterised via SPARK_GRAFT_ADVISORY_MB
+    * (default 8 MB: a shuffle needs 8 MB × cpus ≈ 256 MB before it fans
+    * out to every core — sf10 shuffles do, per-query fixtures don't; on a
+    * production cluster raise it to the guide's 64-256 MB band with
+    * executor counts to match). */
+  def tuningConfs(cpus: Int): Seq[(String, String)] = {
+    val advisoryMb =
+      sys.env.getOrElse("SPARK_GRAFT_ADVISORY_MB", "8").toInt.max(1)
+    val parallelismFirst =
+      sys.env.getOrElse("SPARK_GRAFT_PARALLELISM_FIRST", "false")
+    Seq(
+      "spark.sql.shuffle.partitions" -> cpus.toString,
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
+      "spark.sql.adaptive.coalescePartitions.parallelismFirst" -> parallelismFirst,
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> s"${advisoryMb}m",
+      "spark.sql.autoBroadcastJoinThreshold" -> (64 * 1024 * 1024).toString,
+      "spark.ui.enabled" -> "false")
+  }
 
   def build(cpus: Int = Runtime.getRuntime.availableProcessors.min(32),
       appName: String = "graft"): SparkSession = {
