@@ -31,15 +31,24 @@ object Bench {
     // suspicious per-query timing by focused rerun without a full sweep
     val only: Set[String] = args.drop(1).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Conf posture: requiredConfs + shuffle.partitions=cpus ONLY — i.e.
+    // Spark defaults for AQE and broadcast. An r10 experiment ran the
+    // bench under GraftSession.tuningConfs (64 MB broadcast threshold +
+    // size-first AQE coalescing) and the sf1 full sweep regressed 846 →
+    // 1207 s: the broadcast threshold flips the token-df joins of the
+    // bm25/tfidf family to building ~50 MB broadcast maps per probe
+    // (bm25_retrieval 17 → 48 s with NO code change), and size-first
+    // coalescing starves explode-heavy candidate joins whose inputs are
+    // small in bytes but quadratic in downstream row work. Keeping the
+    // bench on engine defaults also keeps rounds comparable.
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
       // aggressive periodic GC → ContextCleaner drops dead shuffle files
       // promptly; a 226-query sweep otherwise carries hours of dead spill
       .config("spark.cleaner.periodicGC.interval", "5min")
-    // requiredConfs (correctness) + tuningConfs (shuffle.partitions=cpus,
-    // size-first AQE coalescing — see GraftSession.tuningConfs)
-    (graft.core.GraftSession.requiredConfs ++
-      graft.core.GraftSession.tuningConfs(cpus.toInt))
+    graft.core.GraftSession.requiredConfs
       .foreach { case (k, v) => builder.config(k, v) }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

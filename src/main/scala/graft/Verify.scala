@@ -10,13 +10,14 @@ object Verify {
     val Array(sfDir, outDir) = args.take(2)
     val only = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // same conf posture as graft.Bench: requiredConfs + partitions=cpus,
+    // engine defaults otherwise (see the Bench builder comment)
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-    // requiredConfs (correctness) + tuningConfs (shuffle.partitions=cpus,
-    // size-first AQE coalescing) — the same posture the bench runs under
-    (graft.core.GraftSession.requiredConfs ++
-      graft.core.GraftSession.tuningConfs(cpus.toInt))
+      .config("spark.ui.enabled", "false")
+    graft.core.GraftSession.requiredConfs
       .foreach { case (k, v) => builder.config(k, v) }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -33,10 +33,19 @@ object GraftSession {
     * production cluster raise it to the guide's 64-256 MB band with
     * executor counts to match). */
   def tuningConfs(cpus: Int): Seq[(String, String)] = {
+    // DEFAULTS = Spark's own (parallelism-first, 64 MB advisory). A
+    // size-first/8 MB posture measured faster on narrow subsets (q21-style
+    // multi-joins, tiny fixtures) but regressed the explode-heavy family
+    // hard at sf1 — candidate joins whose inputs are small in BYTES but
+    // explode into quadratic row work downstream collapsed onto 1-4
+    // post-shuffle partitions (full sweep: 846 → 1207 s; bm25_index_probe
+    // 31 → 90 s, dedup_ngram_jaccard 18 → 72 s). Bytes are the wrong
+    // proxy for row work on those stages, so the safe default is
+    // parallelism-first; both knobs stay env-tunable for cluster runs.
     val advisoryMb =
-      sys.env.getOrElse("SPARK_GRAFT_ADVISORY_MB", "8").toInt.max(1)
+      sys.env.getOrElse("SPARK_GRAFT_ADVISORY_MB", "64").toInt.max(1)
     val parallelismFirst =
-      sys.env.getOrElse("SPARK_GRAFT_PARALLELISM_FIRST", "false")
+      sys.env.getOrElse("SPARK_GRAFT_PARALLELISM_FIRST", "true")
     Seq(
       "spark.sql.shuffle.partitions" -> cpus.toString,
       "spark.sql.adaptive.enabled" -> "true",
