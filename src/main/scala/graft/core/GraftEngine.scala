@@ -794,10 +794,21 @@ class GraftEngine(val spark: SparkSession, val root: String) {
     * template's schema, carrying along any `keep` extra columns. */
   private def conformToValueSchema(df: DataFrame, tpl: DataFrame,
       keep: Seq[String] = Nil): DataFrame = {
-    val have = df.columns.toSet
+    val have = df.schema.fields.map(f => f.name -> f.dataType).toMap
     val withMissing = tpl.schema.fields.foldLeft(df) { (d, f) =>
-      if (have(f.name)) d
-      else d.withColumn(f.name, lit(null).cast(f.dataType))
+      have.get(f.name) match {
+        case None => d.withColumn(f.name, lit(null).cast(f.dataType))
+        // cast PRESENT columns to the registered type too: a writer frame
+        // carrying e.g. a LongType where the registry says IntegerType
+        // used to write INT64 parquet into the log, and the explicit-
+        // schema log scan (readLogRaw/readAaLog) then hits a physical
+        // type mismatch. The serving view always conformed these to the
+        // registry types at read time anyway, so normalizing at write
+        // changes no resolved value.
+        case Some(dt) if dt != f.dataType =>
+          d.withColumn(f.name, col(f.name).cast(f.dataType))
+        case _ => d
+      }
     }
     withMissing.select((tpl.schema.fieldNames.map(col) ++ keep.map(col)): _*)
   }
