@@ -28,7 +28,9 @@ object ProfileJobs {
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit = {
         val site = Option(js.properties)
-          .flatMap(p => Option(p.getProperty("callSite.short"))).getOrElse("?")
+          .flatMap(p => Option(p.getProperty("callSite.short")))
+          .orElse(js.stageInfos.lastOption.map(_.name.take(60)))
+          .getOrElse("?")
         val nTasks = js.stageInfos.map(_.numTasks).sum
         starts(js.jobId) = (System.nanoTime(), site, nTasks)
       }
@@ -50,8 +52,16 @@ object ProfileJobs {
       catch { case e: Throwable =>
         System.err.println(s"[profile] ${q.name} failed: ${e.getMessage}") }
       val total = (System.nanoTime() - t0) / 1e9
-      // listener events are async; give the bus a moment to drain
-      Thread.sleep(300)
+      // listener events are async; poll until the row count stabilizes
+      // (bounded deadline) instead of one fixed sleep — a job-end event
+      // still in flight after a long final job would otherwise be silently
+      // dropped from the profile, skewing the job-wall sum and gap
+      val deadline = System.nanoTime() + 5_000_000_000L
+      var seen = -1
+      while (seen != rows.size && System.nanoTime() < deadline) {
+        seen = rows.size
+        Thread.sleep(200)
+      }
       println(f"%n===== ${q.name}: $total%.2f s, ${rows.size} jobs =====")
       val jobSum = rows.map(_._2).sum
       rows.sortBy(-_._2).take(40).foreach { case (id, sec, nTasks, site) =>

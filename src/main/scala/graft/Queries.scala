@@ -8718,18 +8718,22 @@ object Queries {
         .agg(max(when(col("l_shipdate") >
             col("o_orderdate") + expr("INTERVAL 365 DAYS"), 1L).otherwise(0L))
           .as("is_late"))
-        // three consumers; truncate instead of recompute. eager=false so
-        // merely BUILDING the plan (Explain / PlanSpec) stays lazy — the
-        // checkpoint materializes on the first action, not at construction
-        .localCheckpoint(eager = false)
-      val others = perSupp.select(col("l_orderkey").as("o_key"),
-        col("l_suppkey").as("o_supp"), col("is_late").as("o_late"))
-      perSupp.filter(col("is_late") === 1L)
-        .join(others, col("l_orderkey") === col("o_key") &&
-          col("l_suppkey") =!= col("o_supp"), "left_semi")
-        .join(others.filter(col("o_late") === 1L),
-          col("l_orderkey") === col("o_key") &&
-            col("l_suppkey") =!= col("o_supp"), "left_anti")
+      // The EXISTS ("some other supplier") + NOT-EXISTS ("no other LATE
+      // supplier") pair over perSupp is, per order, just "≥2 suppliers and
+      // EXACTLY ONE late one" — and the waiting supplier is that unique
+      // late one. One more aggregate on the SAME key replaces the r10
+      // localCheckpoint + LEFT-SEMI + LEFT-ANTI self-joins (guide §1.2:
+      // fix the algorithm first — measured 23.8 s at sf1 for the re-sorted
+      // 3-consumer checkpoint shape). perSupp rows are distinct
+      // (order, supplier) pairs, so count(*) counts suppliers; at scale
+      // the lineitem⋈orders SMJ already partitions by the order key, so
+      // BOTH aggregations reuse the join's exchange.
+      perSupp
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("__n_supp"),
+          sum(col("is_late")).as("__n_late"),
+          max(when(col("is_late") === 1L, col("l_suppkey"))).as("l_suppkey"))
+        .filter(col("__n_supp") >= 2L && col("__n_late") === 1L)
         .groupBy(col("l_suppkey"))
         .agg(count(lit(1)).as("numwait"))
         .join(broadcast(t(s, dir, "supplier")
@@ -8990,12 +8994,12 @@ object Queries {
         .groupBy(col("ah").as("h"))
         .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("approx"),
           count(lit(1)).as("n_hours_merged"))
-      // pre-distinct (h, user) BEFORE the 24× window explode: the final
-      // count is DISTINCT users per window, so collapsing same-hour
-      // repeats first is an identity — and it shrinks the exploded row
-      // count by the per-hour repeat factor (guide §2.3 "aggregate before
-      // you shuffle"; at sf10 events carry ~2.3 rows per (h,user))
-      val exact = ev.distinct()
+      // NOTE (r11): an r10 pre-distinct of (h, user) before this explode
+      // was REVERTED — it measured slower at every scale actually run
+      // (driver sf0.1 1.93→2.58 s, sf1 4.97→5.78 s); the claimed sf10
+      // repeat-factor payoff was never measured same-host. The explode
+      // feeds a COUNT(DISTINCT) which already dedups map-side per window.
+      val exact = ev
         .select(explode(sequence(col("h"), col("h") + 23)).as("h"),
           col("user_id"))
         .join(ev.select(col("h").as("__live")).distinct(),

@@ -210,9 +210,23 @@ class GraftEngine(val spark: SparkSession, val root: String) {
     // anyway, and the A/A element-state casts are illegal into
     // non-null-element array/map types (SchemaEvolution.nullable scaladoc)
     val norm = SchemaEvolution.nullable(schema)
-    supersetSchemaOpt(name).foreach(s => SchemaEvolution.superset(s, norm))
+    val before = supersetSchemaOpt(name)
+    before.foreach(s => SchemaEvolution.superset(s, norm))
     val next = registeredSchemaIds(name).lastOption.getOrElse(0) + 1
     Files.writeString(d.resolve(s"$next.json"), norm.json)
+    // a registration that WIDENS an existing field (int→long, float→double)
+    // changes the superset's physical expectation out from under log files
+    // already written with the narrower type — drop the typed-log markers
+    // so those dirs fall back to the mergeSchema+conform read (new log dirs
+    // re-earn the marker on their first append)
+    before.foreach { s =>
+      val after = SchemaEvolution.superset(s, norm)
+      val changed = s.fields.exists(f =>
+        !SchemaEvolution.sameType(f.dataType, after(f.name).dataType))
+      if (changed) Seq("log", "aa_log").foreach { ld =>
+        Files.deleteIfExists(Paths.get(dir(name, ld), TypedLogMarker))
+      }
+    }
     next
   }
 
@@ -813,6 +827,141 @@ class GraftEngine(val spark: SparkSession, val root: String) {
     withMissing.select((tpl.schema.fieldNames.map(col) ++ keep.map(col)): _*)
   }
 
+  /** Marker stamped INSIDE a log dir every one of whose files was written
+    * typed to the registered superset schema (the r10 write-side cast in
+    * [[conformToValueSchema]]): the explicit-expected-schema fast scan
+    * (readLogRaw/readAaLog) is only sound for such dirs. Logs written by a
+    * pre-fix engine, or begun before any schema was registered (conformed
+    * to the snapshot's types, which a first registration may contradict),
+    * lack the marker and keep the mergeSchema+conform read — slower,
+    * correct for mixed physical types. Underscore-prefixed so Spark's file
+    * index ignores it; lives inside the dir so a repush archive moves it
+    * with the files and a fresh log starts unmarked. */
+  private val TypedLogMarker = "_TYPED"
+
+  private def typedLogMarked(name: String, d: String): Boolean =
+    Files.exists(Paths.get(dir(name, d), TypedLogMarker))
+
+  /** Stamp after a successful append: only when the write was conformed to
+    * a registered superset AND every earlier file in the dir was too
+    * (the dir was empty before this append, or already marked). */
+  private def stampTypedLog(name: String, d: String,
+      wasEmpty: Boolean): Unit =
+    if (supersetSchemaOpt(name).isDefined &&
+        (wasEmpty || typedLogMarked(name, d))) {
+      val p = Paths.get(dir(name, d), TypedLogMarker)
+      if (!Files.exists(p)) Files.writeString(p, "1")
+    }
+
+  // ---- incremental log mirror (r11, guide §6/§1.2) -------------------------
+  //
+  // A probe-heavy workload (streaming dedup-on-arrival, incremental view
+  // refresh, point-read loops) re-reads the SAME growing log directory on
+  // every probe: each append adds files, so the b-th probe opens b files'
+  // footers and schedules b scan tasks — quadratic across a drain. The
+  // mirror keeps an in-memory (MEMORY_AND_DISK) union of the log dir's data
+  // files, extended per read by scanning ONLY the files not yet mirrored
+  // (exact file-set diff, so out-of-band writers are picked up and any file
+  // REMOVAL — archive, compaction, vacuum — invalidates the mirror). This
+  // is incremental maintenance of the engine's OWN store inside one run,
+  // never a cross-run cache: the mirror starts empty with every engine and
+  // mirrors bytes that live on disk either way. Logs between repushes are
+  // operationally bounded deltas, and a mirror that outgrows
+  // [[GraftEngine.LogMirrorMaxRows]] is dropped for plain dir scans.
+
+  private case class LogMirror(files: Set[String], schemaJson: String,
+      parts: Vector[DataFrame], df: DataFrame)
+  private val logMirror = scala.collection.mutable.Map[String, LogMirror]()
+  private val logMirrorOff = scala.collection.mutable.Set[String]()
+  private val logMirrorReads = scala.collection.mutable.Map[String, Int]()
+
+  /** Reads of one log dir before the mirror kicks in: one-shot readers
+    * (a batch query's single serving-view scan) keep the plain dir scan —
+    * the mirror's multi-part union inflates AQE stage counts, measured a
+    * net loss below a handful of re-reads — while probe-heavy paths
+    * (streaming dedup drains, incremental refresh loops: tens of reads of
+    * a growing dir) cross the gate almost immediately. */
+  private val LogMirrorMinReads = 4
+
+  /** Leaf data files of a log dir with sizes (hidden/metadata skipped). */
+  private def listDataFiles(base: String): Map[String, Long] = {
+    val root = Paths.get(base)
+    if (!Files.exists(root)) Map.empty
+    else {
+      val s = Files.walk(root)
+      try {
+        val b = Map.newBuilder[String, Long]
+        s.forEach { p =>
+          val n = p.getFileName.toString
+          if (Files.isRegularFile(p) && !n.startsWith("_") && !n.startsWith("."))
+            b += (p.toString -> Files.size(p))
+        }
+        b.result()
+      } finally s.close()
+    }
+  }
+
+  /** Scan of `<store>/<d>` under the explicit `expected` schema, served
+    * from (and extending) the incremental mirror. Only sound for
+    * typed-marked logs — every file's physical schema must embed into
+    * `expected` — which callers gate on. */
+  private def mirroredLogScan(name: String, d: String,
+      expected: org.apache.spark.sql.types.StructType): DataFrame =
+    logMirror.synchronized {
+      val base = dir(name, d)
+      val key = s"$name/$d"
+      def dirScan: DataFrame = spark.read.schema(expected).parquet(base)
+      if (logMirrorOff(key)) return dirScan
+      val reads = logMirrorReads.getOrElse(key, 0) + 1
+      logMirrorReads(key) = reads
+      if (reads < LogMirrorMinReads) return dirScan
+      val current = listDataFiles(base)
+      if (current.isEmpty) return emptyFrame(expected)
+      if (current.values.sum > LogMirrorMaxBytes) {
+        // over-budget log: stop mirroring, free anything held
+        logMirror.remove(key).foreach(_.parts.foreach(_.unpersist(false)))
+        logMirrorOff += key
+        return dirScan
+      }
+      val fileSet = current.keySet
+      val sj = expected.json
+      val memo = logMirror.get(key)
+        .filter(m => m.schemaJson == sj && m.files.subsetOf(fileSet))
+      memo match {
+        case Some(m) if m.files == fileSet => m.df
+        case m0 =>
+          if (m0.isEmpty) logMirror.remove(key)
+            .foreach(_.parts.foreach(_.unpersist(false)))
+          // persist the DELTA alone and extend the union PLAN over the
+          // already-cached parts: persisting the whole union would rewrite
+          // O(mirror) cache blocks on every probe (measured slower than
+          // the dir scans it replaced). The persist is LAZY — the probe's
+          // own first read materializes it — so mirror maintenance adds
+          // ZERO extra jobs (a budget in file bytes, not rows, keeps it
+          // job-free). basePath keeps partition-dir columns (the A/A
+          // log's bucket) parsed from leaf paths exactly as the full-dir
+          // scan does.
+          val prev = m0.map(_.files).getOrElse(Set.empty[String])
+          val delta = (fileSet -- prev).toSeq.sorted
+          val deltaDf = spark.read.option("basePath", base)
+            .schema(expected).parquet(delta: _*)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          var parts = m0.map(_.parts).getOrElse(Vector.empty) :+ deltaDf
+          // bound the union plan's depth: every 64 parts, collapse the
+          // chain into ONE cached part (amortized O(mirror/64) per probe)
+          if (parts.size >= 64) {
+            val collapsed = parts.reduce(_ unionByName _)
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            collapsed.count()
+            parts.foreach(_.unpersist(false))
+            parts = Vector(collapsed)
+          }
+          val df = parts.reduce(_ unionByName _)
+          logMirror(key) = LogMirror(fileSet, sj, parts, df)
+          df
+      }
+    }
+
   /** Next log-append sequence number (monotone per store) — the Spark
     * analog of the RT topic offset in Venice's change coordinate
     * (VeniceChangeCoordinate.java:30 checkpoints (version, offset)). One
@@ -845,6 +994,7 @@ class GraftEngine(val spark: SparkSession, val root: String) {
     val tpl = supersetSchemaOpt(name).map(emptyFrame)
       .getOrElse(snapshot(name).limit(0))
     val sid = writerSchemaId(name, rows.columns.toSet)
+    val wasEmpty = !hasLog(name)
     // stamp ts/deleted BEFORE conforming — they may reference columns (e.g.
     // the stream's event-time) that are not part of the value schema
     conformToValueSchema(
@@ -854,6 +1004,7 @@ class GraftEngine(val spark: SparkSession, val root: String) {
       .withColumn(SchemaIdCol, lit(sid))
       .withColumn(LogSeqCol, lit(nextLogSeq(name)))
       .write.mode("append").parquet(dir(name, "log"))
+    stampTypedLog(name, "log", wasEmpty)
   }
 
   private def emptyFrame(s: org.apache.spark.sql.types.StructType): DataFrame =
@@ -874,7 +1025,12 @@ class GraftEngine(val spark: SparkSession, val root: String) {
     * nulls, exactly what mergeSchema produced. */
   private def readLogRaw(name: String): DataFrame =
     supersetSchemaOpt(name) match {
-      case Some(s) =>
+      // the explicit schema is only sound when every file in the dir was
+      // written typed to the superset ([[TypedLogMarker]]); unmarked logs
+      // (pre-fix engine, or begun before the first schema registration)
+      // keep the mergeSchema read, whose footer union tolerates mixed
+      // physical types and whose result conformLog casts to the superset
+      case Some(s) if typedLogMarked(name, "log") =>
         import org.apache.spark.sql.types._
         val metaFields = Seq(
           StructField(TsCol, LongType),
@@ -882,9 +1038,8 @@ class GraftEngine(val spark: SparkSession, val root: String) {
           StructField(SchemaIdCol, IntegerType),
           StructField(LogSeqCol, LongType))
           .filterNot(f => s.fieldNames.contains(f.name))
-        spark.read.schema(StructType(s.fields ++ metaFields))
-          .parquet(dir(name, "log"))
-      case None => spark.read.option("mergeSchema", "true")
+        mirroredLogScan(name, "log", StructType(s.fields ++ metaFields))
+      case _ => spark.read.option("mergeSchema", "true")
         .parquet(dir(name, "log"))
     }
 
@@ -1134,6 +1289,7 @@ class GraftEngine(val spark: SparkSession, val root: String) {
     }
     val sid = writerSchemaId(name, rows.columns.toSet)
     val nb = aaLogBuckets(name, createIfAbsent = true).get
+    val wasEmpty = !hasAaLog(name)
     // stamp ts and elem BEFORE conforming — they may reference columns
     // (e.g. the stream's event-time) outside the value schema
     val withElem = rows
@@ -1152,6 +1308,7 @@ class GraftEngine(val spark: SparkSession, val root: String) {
       .withColumn(BucketCol, graft.functions.HashOps.partitionId(
         graft.functions.HashOps.renderKey(meta.keyCols), nb))
       .write.mode("append").partitionBy(BucketCol).parquet(dir(name, "aa_log"))
+    stampTypedLog(name, "aa_log", wasEmpty)
   }
 
   private def hasAaLog(name: String): Boolean =
@@ -1189,7 +1346,10 @@ class GraftEngine(val spark: SparkSession, val root: String) {
     // what mergeSchema yielded. Fallback to mergeSchema only when no
     // schema was ever registered (pre-push store, not reachable for A/A).
     val raw0 = supersetSchemaOpt(name) match {
-      case Some(s) =>
+      // marker-gated like readLogRaw: unmarked op logs (pre-fix writer, or
+      // begun before the first registration) keep the mergeSchema read and
+      // are conformed below
+      case Some(s) if typedLogMarked(name, "aa_log") =>
         import org.apache.spark.sql.types._
         val metaFields = Seq(
           StructField(AaElemCol, StringType),
@@ -1201,9 +1361,8 @@ class GraftEngine(val spark: SparkSession, val root: String) {
           StructField(LogSeqCol, LongType),
           StructField(BucketCol, IntegerType))
           .filterNot(f => s.fieldNames.contains(f.name))
-        spark.read.schema(StructType(s.fields ++ metaFields))
-          .parquet(dir(name, "aa_log"))
-      case None => spark.read.option("mergeSchema", "true")
+        mirroredLogScan(name, "aa_log", StructType(s.fields ++ metaFields))
+      case _ => spark.read.option("mergeSchema", "true")
         .parquet(dir(name, "aa_log"))
     }
     val raw1 = logBucket match {
@@ -2526,6 +2685,16 @@ object GraftEngine {
     * winning delete) — distinguishes empty-but-real records from
     * tombstones. */
   val RecCol = "__rec"
+
+  /** Budget for the incremental log mirror (bytes of on-disk log files —
+    * checkable from the listing with no Spark job) — beyond it the mirror
+    * is dropped and log reads go back to plain dir scans (a log that big
+    * is overdue for a repush anyway). The mirror spills to disk
+    * (MEMORY_AND_DISK), so the budget bounds duplication, not heap.
+    * Env-parameterised for cluster deployments with memory to spare. */
+  val LogMirrorMaxBytes: Long = scala.util.Try(
+    sys.env.getOrElse("SPARK_GRAFT_LOG_MIRROR_MAX_MB", "8192").trim.toLong)
+    .getOrElse(8192L).max(1L) * 1024L * 1024L
 
   /** Driver-side twin of HashOps.partitionId (md5 of the "|"-joined key
     * rendering, first 15 hex chars mod N) — shared by the engine's point

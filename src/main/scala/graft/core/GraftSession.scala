@@ -42,10 +42,15 @@ object GraftSession {
     // 31 → 90 s, dedup_ngram_jaccard 18 → 72 s). Bytes are the wrong
     // proxy for row work on those stages, so the safe default is
     // parallelism-first; both knobs stay env-tunable for cluster runs.
-    val advisoryMb =
-      sys.env.getOrElse("SPARK_GRAFT_ADVISORY_MB", "64").toInt.max(1)
+    // parse defensively: a malformed env value (e.g. "64m", "True ") must
+    // not fail session build with an opaque error — fall back to defaults
+    // and normalize the boolean to exactly "true"/"false"
+    val advisoryMb = scala.util.Try(
+      sys.env.getOrElse("SPARK_GRAFT_ADVISORY_MB", "64").trim.toInt)
+      .getOrElse(64).max(1)
     val parallelismFirst =
-      sys.env.getOrElse("SPARK_GRAFT_PARALLELISM_FIRST", "true")
+      (sys.env.getOrElse("SPARK_GRAFT_PARALLELISM_FIRST", "true")
+        .trim.toLowerCase != "false").toString
     Seq(
       "spark.sql.shuffle.partitions" -> cpus.toString,
       "spark.sql.adaptive.enabled" -> "true",

@@ -35,7 +35,16 @@ object Packing {
     * null weights count as 0.
     */
   def withGlobalOffsets(df: DataFrame, orderCol: String, weightCol: String,
-      numParts: Int = 0): DataFrame = {
+      numParts: Int = 0): DataFrame =
+    withGlobalOffsetsAndTotal(df, orderCol, weightCol, numParts)._1
+
+  /** [[withGlobalOffsets]] plus the exact grand total of `weightCol`. The
+    * total is the last cumulative of the per-partition sums this pass
+    * already collects to compute base offsets, so a caller that needs it
+    * (e.g. the negative sampler's draw-modulo range) skips a separate
+    * counting job over the data (guide §1.2 — one fewer pass). */
+  def withGlobalOffsetsAndTotal(df: DataFrame, orderCol: String,
+      weightCol: String, numParts: Int = 0): (DataFrame, Long) = {
     val spark = df.sparkSession
     val parts =
       if (numParts > 0) numParts else spark.sessionState.conf.numShufflePartitions
@@ -58,7 +67,7 @@ object Packing {
     // localCheckpoint over persist so the blocks free with the plan instead
     // of leaking in a long-lived session
     val cached = local.localCheckpoint()
-    val bases = cached.groupBy(col("__pid"))
+    val scanned = cached.groupBy(col("__pid"))
       .agg(sum(col("__w")).as("__psum"))
       .collect()
       .map(r => (r.getInt(0), r.getLong(1)))
@@ -66,12 +75,13 @@ object Packing {
       .scanLeft((0, 0L, 0L)) { case ((_, _, running), (pid, s)) =>
         (pid, running, running + s)
       }
-      .drop(1)
-      .map { case (pid, base, _) => (pid, base) }
+    val total = scanned.lastOption.map(_._3).getOrElse(0L)
+    val bases = scanned.drop(1).map { case (pid, base, _) => (pid, base) }
     val baseDf = spark.createDataFrame(bases.toIndexedSeq).toDF("__pid", "__base")
-    cached.join(broadcast(baseDf), Seq("__pid"))
+    val out = cached.join(broadcast(baseDf), Seq("__pid"))
       .withColumn("start_offset", col("__base") + col("__local_off"))
       .drop("__pid", "__base", "__local_off", "__w")
+    (out, total)
   }
 
   /** Deterministic global training order ("corpus shuffle"): every row gets

@@ -145,10 +145,11 @@ object Sampling {
         s"($candidatesPerPos, $negPerPos)")
     val inter = interactions.select(col(idCol).as("__iid"),
       col(userCol).as("__u"), col(itemCol).as("__it"))
-    val indexed = Packing.withGlobalOffsets(
-        inter.withColumn("__one", lit(1L)), "__iid", "__one")
-      .select(col("start_offset").as("__pos"), col("__it"))
-    val total = indexed.count()
+    // the interaction count (the draw-modulo range) falls out of the
+    // prefix pass's own per-partition sums — no separate count() job
+    val (indexedAll, total) = Packing.withGlobalOffsetsAndTotal(
+      inter.withColumn("__one", lit(1L)), "__iid", "__one")
+    val indexed = indexedAll.select(col("start_offset").as("__pos"), col("__it"))
     val pos = inter.select(col("__u").as("user"), col("__it").as("pos_item"))
       .distinct()
     val cand = pos.select(col("user"), col("pos_item"),

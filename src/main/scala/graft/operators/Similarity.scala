@@ -22,6 +22,12 @@ import graft.functions.VecDotExpr
   */
 object Similarity {
 
+  /** Max codebook rows the Lloyd loop may collect to the driver per
+    * iteration (~0.5 GB at 64-dim double vectors — well inside the 12 GB
+    * driver). Corpus-driven K crosses it at ≈ 2×10⁹ training vectors with
+    * the default targetCellRows=2000. */
+  val KmeansCodebookBudget: Int = 1 << 20
+
   private def vecDot(a: Column, b: Column) = VecDotExpr.vecDot(a, b)
   private def norm(v: Column) = sqrt(vecDot(v, v))
 
@@ -171,6 +177,16 @@ object Similarity {
       trainFraction: Double = 1.0): DataFrame = {
     require(trainFraction > 0 && trainFraction <= 1,
       s"trainFraction in (0,1], got $trainFraction")
+    // SCALE guard on the per-iteration codebook collect: k is corpus-driven
+    // for the auto-scaled callers (K = ⌈n / targetCellRows⌉), so "the
+    // codebook is driver-sized by design" stops holding silently at extreme
+    // corpus sizes. Refuse (typed, machine-checkable) instead of OOMing the
+    // driver mid-collect.
+    graft.core.Guard.admit(k <= KmeansCodebookBudget,
+      s"kmeansCentroids: k=$k exceeds the driver codebook budget of " +
+        s"$KmeansCodebookBudget rows — raise targetCellRows (or pass a " +
+        "smaller explicit numCells) so the per-iteration codebook collect " +
+        "stays driver-sized")
     // At 100 TB, Lloyd iterations over the FULL corpus are waste: centroid
     // positions converge on a sample long before the scan pays off. The
     // sample is a deterministic id-hash slice (reproducible across runs and

@@ -26,24 +26,47 @@ import graft.core.GraftEngine
   */
 object EnrichJoin {
 
+  /** Threshold (bytes, from the batch plan's own size estimate — no extra
+    * job) below which a microbatch enriches through the batchGet broadcast
+    * path. Bigger batches would push a data-sized distinct-key set AND the
+    * hit set through the driver per microbatch — the r9 decade record's
+    * 5.9× super-linear cost — so they join the serving view directly
+    * instead. Env-parameterised for cluster memory postures; the default
+    * keeps the per-query bench fixtures (≤ a few MB per batch) on the
+    * broadcast path. */
+  private val broadcastBatchBytes: Long = scala.util.Try(
+    sys.env.getOrElse("SPARK_GRAFT_ENRICH_BROADCAST_MB", "32").trim.toLong)
+    .getOrElse(32L).max(1L) * 1024L * 1024L
+
   /** Batch-level core: left-enrich `batch` with the store's value columns.
     * `keyMap` maps batch column → store key column (all store key columns
     * must be covered). Store key columns are dropped from the output; the
-    * batch's own columns all pass through. */
+    * batch's own columns all pass through.
+    *
+    * Strategy is size-adaptive (guide §3.1): a point-read-sized batch takes
+    * the Venice batchGet shape (distinct keys broadcast INTO the store
+    * scan, hits broadcast back — the store is never shuffled); a batch so
+    * large its key set is itself data-sized left-joins the CURRENT serving
+    * view directly — identical result (rows outside the batch's key set
+    * never match a left join), one shuffle join, zero driver collects. */
   def enrich(engine: GraftEngine, store: String, batch: DataFrame,
       keyMap: Seq[(String, String)]): DataFrame = {
     val meta = engine.storeMeta(store)
     require(keyMap.map(_._2).toSet == meta.keyCols.toSet,
       s"keyMap must cover the store key columns ${meta.keyCols.mkString(",")}")
-    val keys = batch
-      .select(keyMap.map { case (b, k) => col(b).as(k) }: _*).distinct()
-    val hits = broadcast(engine.batchGet(store, keys))
+    val batchBytes = batch.queryExecution.optimizedPlan.stats.sizeInBytes
+    val right: DataFrame =
+      if (batchBytes <= broadcastBatchBytes) {
+        val keys = batch
+          .select(keyMap.map { case (b, k) => col(b).as(k) }: _*).distinct()
+        broadcast(engine.batchGet(store, keys))
+      } else engine.servingView(store)
     if (keyMap.forall { case (b, k) => b == k })
-      batch.join(hits, keyMap.map(_._1), "left")
+      batch.join(right, keyMap.map(_._1), "left")
     else {
-      val cond = keyMap.map { case (b, k) => batch(b) === hits(k) }
+      val cond = keyMap.map { case (b, k) => batch(b) === right(k) }
         .reduce(_ && _)
-      keyMap.map(_._2).foldLeft(batch.join(hits, cond, "left"))(_ drop _)
+      keyMap.map(_._2).foldLeft(batch.join(right, cond, "left"))(_ drop _)
     }
   }
 

@@ -39,4 +39,21 @@ class GuardSpec extends AnyFunSuite {
     assert(graft.operators.Similarity
       .cosinePairs(corpus, 0.8, maxExactRows = 10L).count() >= 1L)
   }
+
+  test("kmeans codebook collect refuses a corpus-driven k over budget") {
+    import spark.implicits._
+    val corpus = Seq((0L, Seq(1.0f, 0.0f)), (1L, Seq(0.0f, 1.0f)))
+      .toDF("id", "vec")
+    val e = intercept[GuardRefusedException] {
+      graft.operators.Similarity.kmeansCentroids(corpus,
+        k = graft.operators.Similarity.KmeansCodebookBudget + 1, iters = 1)
+        .count()
+    }
+    assert(e.getMessage.contains("targetCellRows"),
+      "refusal must point at the scale knob")
+    // in-budget k trains normally (k is clamped to available seeds by the
+    // id < k seed rule; 2 seed rows here)
+    assert(graft.operators.Similarity
+      .kmeansCentroids(corpus, k = 2, iters = 1).count() === 2L)
+  }
 }

@@ -104,15 +104,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
-  test("Q21 exists/not-exists pair plans as equi semi/anti joins") {
-    // the correlated EXISTS + NOT EXISTS must ride the l_orderkey equi key
-    // (suppkey inequality as a residual condition), never a per-row
-    // subquery or nested loop — at fact scale a NestedLoop here is fatal
+  test("Q21 waiting-supplier plans as an aggregation chain — no self-joins") {
+    // r11: the correlated EXISTS ("some other supplier") + NOT-EXISTS ("no
+    // other LATE supplier") pair over per-(order,supplier) lateness reduces
+    // to one per-order aggregate ("≥2 suppliers and exactly 1 late"); the
+    // old localCheckpoint + LEFT-SEMI + LEFT-ANTI self-join shape re-sorted
+    // the same intermediate three times (23.8 s at sf1 — see
+    // plans/r11/q21_waiting_supplier_{before,after}.txt)
     val p = plan(Queries.byName("q21_waiting_supplier").fn(spark, sf))
-    assert(p.contains("LeftSemi"), p.take(600))
-    assert(p.contains("LeftAnti"), p.take(600))
+    assert(!p.contains("LeftSemi") && !p.contains("LeftAnti"),
+      s"Q21 still self-joins:\n${p.take(800)}")
     assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"),
-      s"Q21 fell off the equi-join path:\n${p.take(800)}")
+      s"Q21 fell off the equi path:\n${p.take(800)}")
+    assert(p.contains("HashAggregate"), p.take(600))
   }
 
   test("batchGet is a broadcast left-semi join") {
@@ -440,6 +444,52 @@ class PlanSpec extends AnyFunSuite {
     val p = plan(e.versionDiff("vd", 1, 2))
     assert(p.contains("FullOuter"), p.take(1200))
     assert(!p.contains("CartesianProduct"), p.take(1200))
+  }
+
+  test("dup_span_profile level stats run with NO Expand (the 3-way " +
+      "multi-distinct is gone) — executed plans, r10 change #6") {
+    // dupSpanProfile assembles its result driver-side, so a plan of the
+    // RETURNED frame shows only a LocalTableScan — the Expand removal must
+    // be pinned on the per-level aggregate jobs' EXECUTED plans
+    import scala.collection.mutable
+    val plans = mutable.ArrayBuffer[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        plans.synchronized { plans += qe.executedPlan.toString }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d a b c d"), (2L, "a b c d e f g h"),
+      (3L, "x y z w x y z w")).toDF("id", "text")
+    spark.listenerManager.register(listener)
+    try {
+      val out = graft.operators.Dedup.dupSpanProfile(docs, "id", "text",
+        maxPow = 2)
+      assert(out.count() == 3) // one row per level 2^0..2^2... plus level 0
+      // listener is async — drain until the plan count stabilizes
+      var seen = -1
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (seen != plans.synchronized(plans.size) &&
+          System.nanoTime() < deadline) {
+        seen = plans.synchronized(plans.size); Thread.sleep(200)
+      }
+      val captured = plans.synchronized(plans.toVector)
+      // the level-stats aggregates must be present (count/head jobs)...
+      assert(captured.exists(_.contains("HashAggregate")),
+        s"no aggregate jobs captured (${captured.size} plans)")
+      // ...and NONE of the profile's jobs may plan an Expand (the old
+      // count+countDistinct(fp)+countDistinct(id) agg expanded every
+      // surviving site row 3x)
+      val expanded = captured.filter(_.contains("Expand"))
+      assert(expanded.isEmpty,
+        s"${expanded.size} level-stats plans still Expand:\n" +
+          expanded.headOption.getOrElse("").take(1500))
+    } finally spark.listenerManager.unregister(listener)
   }
 
   test("push runs compaction + bucket layout in ONE exchange") {

@@ -110,6 +110,50 @@ class SchemaSpec extends AnyFunSuite {
     assert(out(1).isNullAt(1) && out(1).isNullAt(2)) // null structs stay null
   }
 
+  test("typed-log marker: pre-fix logs with divergent physical types fall " +
+      "back to mergeSchema; a widening registration drops the marker") {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    val root = graft.core.TmpStores.dir("typedlog").toString
+    val e = new graft.core.GraftEngine(spark, root)
+    e.createStore("t", Seq("k"))
+    e.push("t", Seq((1L, 10)).toDF("k", "v"), numBuckets = 2) // v: INT
+    // simulate a PRE-FIX log: files whose physical `v` is consistently
+    // INT64 where the registry says INT32 (the old conformToValueSchema
+    // kept a writer frame's own types), and no marker (the old writer
+    // never stamped one). The explicit-schema scan would throw a physical
+    // type mismatch here; the unmarked dir must take the mergeSchema path,
+    // which reads INT64 and casts to the registered INT32 at conform.
+    Seq((2L, 20L, 5L, false, 1, 98L), (3L, 30L, 7L, false, 1, 99L))
+      .toDF("k", "v", "__ts_ms", "__deleted", "__schema_id", "__log_seq")
+      .write.mode("append").parquet(s"$root/t/log")
+    val marker = Paths.get(s"$root/t/log/_TYPED")
+    assert(!Files.exists(marker))
+    val got = e.servingView("t").orderBy(col("k"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(got.toSeq == Seq((1L, 10), (2L, 20), (3L, 30)),
+      s"mergeSchema fallback must resolve pre-fix physical types, got ${got.toSeq}")
+    // a typed engine append into a dir with pre-fix files must NOT
+    // re-stamp it (the old files keep their divergent physical types)
+    e.put("t", Seq((4L, 40L)).toDF("k", "v"), tsMs = 9L)
+    assert(!Files.exists(marker), "a pre-fix dir must stay unmarked")
+    // a widening registration invalidates a marked log (files hold the
+    // narrower physical type)
+    val e2 = new graft.core.GraftEngine(spark,
+      graft.core.TmpStores.dir("typedlog2").toString)
+    e2.createStore("t2", Seq("k"))
+    e2.push("t2", Seq((1L, 10)).toDF("k", "v"), numBuckets = 2)
+    e2.put("t2", Seq((2L, 20)).toDF("k", "v"), tsMs = 5L)
+    assert(Files.exists(Paths.get(s"${e2.root}/t2/log/_TYPED")))
+    e2.registerValueSchema("t2", StructType(Seq(
+      StructField("k", LongType), StructField("v", LongType))))
+    assert(!Files.exists(Paths.get(s"${e2.root}/t2/log/_TYPED")),
+      "widening registration must drop the typed-log marker")
+    val got2 = e2.servingView("t2").orderBy(col("k"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got2.toSeq == Seq((1L, 10L), (2L, 20L)), s"got ${got2.toSeq}")
+  }
+
   test("salted aggregation matches direct aggregation") {
     val ev = Tables.events(spark, sf)
     val direct = ev.groupBy("event_type")
