@@ -883,6 +883,14 @@ class GraftEngine(val spark: SparkSession, val root: String) {
     * a growing dir) cross the gate almost immediately. */
   private val LogMirrorMinReads = 4
 
+  /** Files in the log dir before the mirror kicks in: re-scanning a
+    * handful of files is already cheap (one listing, few footers), so
+    * mirroring a SMALL dir never wins — a full sweep with only the
+    * read-count gate regressed the point-read/index-probe families a few
+    * hundred ms each (their loops cross 4 reads but their logs hold 2–6
+    * files). The mirror is for GROWING dirs: many appends × many probes. */
+  private val LogMirrorMinFiles = 12
+
   /** Leaf data files of a log dir with sizes (hidden/metadata skipped). */
   private def listDataFiles(base: String): Map[String, Long] = {
     val root = Paths.get(base)
@@ -917,6 +925,8 @@ class GraftEngine(val spark: SparkSession, val root: String) {
       if (reads < LogMirrorMinReads) return dirScan
       val current = listDataFiles(base)
       if (current.isEmpty) return emptyFrame(expected)
+      if (current.size < LogMirrorMinFiles && !logMirror.contains(key))
+        return dirScan
       if (current.values.sum > LogMirrorMaxBytes) {
         // over-budget log: stop mirroring, free anything held
         logMirror.remove(key).foreach(_.parts.foreach(_.unpersist(false)))

@@ -69,4 +69,21 @@ object GraftSession {
     s.sparkContext.setLogLevel("WARN")
     s
   }
+
+  /** Shared TEST-SUITE session: every ScalaTest suite routes here so suite
+    * ordering can't change the session shape (`getOrCreate` means the
+    * first builder wins). Master gets a WIDE task-slot pool — the
+    * differential fuzz runs 8 concurrent scripts whose jobs are 1–8 tiny
+    * tasks each, and on the old shared `local[4]` they fought over 4 task
+    * slots on a 32-core box (the full suite's 44-minute wall, VERDICT r10
+    * item 1) — while shuffle fan-out stays small (8), sized to the tiny
+    * test fixtures rather than the core count. */
+  def buildForTests(appName: String): SparkSession = {
+    val slots = Runtime.getRuntime.availableProcessors.min(16)
+    val b = SparkSession.builder().master(s"local[$slots]").appName(appName)
+    (requiredConfs ++ tuningConfs(8)).foreach { case (k, v) => b.config(k, v) }
+    val s = b.getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
 }

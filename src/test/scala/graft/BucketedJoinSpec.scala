@@ -9,7 +9,7 @@ import graft.core.{GraftSession, Tables}
   * which is the strategy the engine's md5-bucketed store layout targets for
   * repeated joins at 100 TB. */
 class BucketedJoinSpec extends AnyFunSuite {
-  lazy val spark = GraftSession.build(cpus = 4, appName = "bucketed-spec")
+  lazy val spark = GraftSession.buildForTests("bucketed-spec")
   val sf = "/root/testdata/sf0.001"
 
   test("bucketBy join plans without a shuffle exchange") {

@@ -9,7 +9,7 @@ import graft.core.GraftSession
 import graft.operators.{UpdateBuilder, WriteCompute}
 
 class WriteComputeSpec extends AnyFunSuite {
-  lazy val spark = GraftSession.build(cpus = 4, appName = "wc-spec")
+  lazy val spark = GraftSession.buildForTests("wc-spec")
 
   val valueSchema = StructType(Seq(
     StructField("name", StringType),
